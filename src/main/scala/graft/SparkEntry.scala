@@ -1,13 +1,142 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Queries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator gets (a) an entry in [[queries]] and (b) an
+  * ANSI-SQL twin in [[oracleSql]] runnable by DuckDB over the same parquet
+  * tables, with identical output column names (the driver sorts columns by
+  * name before hashing). Ops whose semantics aren't SQL-expressible (sketch
+  * algorithms etc.) have queries-only entries → rows-only check + ScalaTest.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q1CategoryPerCountry(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_category_per_country"      -> (Queries.q1CategoryPerCountry(_, _)),
+    "q2_category_per_year"         -> (Queries.q2CategoryPerYear(_, _)),
+    "q3_top_poster_per_country"    -> (Queries.q3TopPosterPerCountry(_, _)),
+    "q4_top_country"               -> (Queries.q4TopCountry(_, _)),
+    "q5_category_per_age_group"    -> (Queries.q5CategoryPerAgeGroup(_, _)),
+    "q6_median_follower_by_group"  -> (Queries.q6MedianFollowerByGroup(_, _)),
+    "q6_median_approx"             -> (Queries.q6MedianApprox(_, _)),
+    "q7_users_per_year"            -> (Queries.q7UsersPerYear(_, _)),
+    "q8_median_follower_by_year"   -> (Queries.q8MedianFollowerByYear(_, _)),
+    "q9_median_follower_by_group_year" ->
+      (Queries.q9MedianFollowerByGroupYear(_, _)),
+  )
+
+  private val bucketSql = Queries.acctbalBucketSql
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_category_per_country" ->
+      """SELECT n_name AS country, o_orderpriority AS category,
+        |       count(*) AS category_count
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_category_per_year" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS post_year,
+        |       o_orderpriority AS category, count(*) AS category_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_poster_per_country" ->
+      """WITH ranked AS (
+        |  SELECT n_name AS country, c_name AS poster_name,
+        |         c_acctbal AS follower_count,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT country, poster_name, follower_count
+        |FROM ranked WHERE rn = 1 ORDER BY country""".stripMargin,
+
+    "q4_top_country" ->
+      """WITH ranked AS (
+        |  SELECT n_name AS country, c_acctbal AS follower_count,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT country, follower_count FROM ranked WHERE rn = 1
+        |ORDER BY follower_count DESC, country LIMIT 1""".stripMargin,
+
+    "q5_category_per_age_group" ->
+      s"""WITH bucket AS (
+         |  SELECT c_custkey, $bucketSql AS age_group FROM customer)
+         |SELECT age_group, o_orderpriority AS category,
+         |       count(DISTINCT o_orderkey) AS category_count
+         |FROM orders JOIN bucket ON o_custkey = c_custkey
+         |GROUP BY 1, 2
+         |ORDER BY age_group, category_count DESC, category""".stripMargin,
+
+    "q6_median_follower_by_group" ->
+      s"""WITH b AS (
+         |  SELECT $bucketSql AS age_group, c_acctbal AS follower_count
+         |  FROM customer),
+         |r AS (
+         |  SELECT age_group, follower_count,
+         |         ROW_NUMBER() OVER (PARTITION BY age_group
+         |                            ORDER BY follower_count) AS rn,
+         |         COUNT(*) OVER (PARTITION BY age_group) AS cnt
+         |  FROM b)
+         |SELECT age_group, follower_count AS median_follower_count
+         |FROM r WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+         |ORDER BY median_follower_count DESC, age_group""".stripMargin,
+
+    "q7_users_per_year" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS post_year,
+        |       count(DISTINCT o_custkey) AS number_users_joined
+        |FROM orders GROUP BY 1
+        |ORDER BY number_users_joined DESC, post_year""".stripMargin,
+
+    "q8_median_follower_by_year" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS post_year,
+        |         c_acctbal AS follower_count
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT post_year, follower_count,
+        |         ROW_NUMBER() OVER (PARTITION BY post_year
+        |                            ORDER BY follower_count) AS rn,
+        |         COUNT(*) OVER (PARTITION BY post_year) AS cnt
+        |  FROM j)
+        |SELECT post_year, follower_count AS median_follower_count
+        |FROM r WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+        |ORDER BY post_year""".stripMargin,
+
+    "q9_median_follower_by_group_year" ->
+      s"""WITH bucket AS (
+         |  SELECT c_custkey AS b_custkey, $bucketSql AS age_group
+         |  FROM customer),
+         |j AS (
+         |  SELECT age_group, CAST(year(o_orderdate) AS BIGINT) AS post_year,
+         |         c_acctbal AS follower_count
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN bucket ON c_custkey = b_custkey),
+         |r AS (
+         |  SELECT age_group, post_year, follower_count,
+         |         ROW_NUMBER() OVER (PARTITION BY age_group, post_year
+         |                            ORDER BY follower_count) AS rn,
+         |         COUNT(*) OVER (PARTITION BY age_group, post_year) AS cnt
+         |  FROM j)
+         |SELECT age_group, post_year,
+         |       follower_count AS median_follower_count
+         |FROM r WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+         |ORDER BY age_group DESC, post_year DESC""".stripMargin,
+  )
 }
