@@ -1,0 +1,306 @@
+package graft
+
+/** DuckDB oracle SQL for the extended operator families (text analysis,
+  * dedup, similarity, events, generalized relational). Each statement is
+  * the ANSI twin of one SparkEntry.queries entry — identical output column
+  * names, identical deterministic ordering, and engine-reproducible
+  * arithmetic only (integer math, exact decimals surfaced as doubles,
+  * cosine rounded to 1e-6).
+  */
+object OracleSql {
+
+  /** Whitespace tokens of (trimmed, optionally lowered) text, [] if empty —
+    * twin of TextOps.tokens.
+    */
+  private def toksSql(expr: String): String =
+    s"CASE WHEN length(trim($expr)) = 0 THEN []::VARCHAR[] " +
+      s"ELSE string_split_regex(trim($expr), '\\s+') END"
+
+  private val lexValues = ops.TextOps.lexicon
+    .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  val extended: Map[String, String] = Map(
+
+    // ------------------------------------------------------------- text
+    "txt_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+         |      AS BIGINT) AS n_punct,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|a|of|to|in|and|is|it|that|for)\\b')) AS BIGINT)
+         |      AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, n_chars, n_tokens,
+         |    CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS mean_token_len,
+         |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         |    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+         |    CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio
+         |  FROM base)
+         |SELECT *,
+         |  (n_tokens >= 5 AND n_tokens <= 100000 AND mean_token_len >= 2.0
+         |   AND mean_token_len <= 15.0 AND alpha_ratio >= 0.5) AS keep
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "txt_lang_id" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS word
+         |  FROM documents),
+         |lex(lex_lang, lex_word) AS (VALUES $lexValues),
+         |hits AS (
+         |  SELECT t.doc_id, l.lex_lang, count(l.lex_lang) AS hits
+         |  FROM tok t LEFT JOIN lex l ON t.word = l.lex_word
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT doc_id, lex_lang, hits,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY hits DESC, lex_lang ASC NULLS LAST) AS rn
+         |  FROM hits)
+         |SELECT doc_id,
+         |  CASE WHEN hits > 0 THEN lex_lang ELSE 'und' END AS predicted_lang,
+         |  hits
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint_md5" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(${toksSql("lower(text)")}, ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ------------------------------------------------------------ dedup
+    "dedup_exact" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(${toksSql("lower(text)")}, ' ')) AS content_hash
+         |  FROM documents)
+         |SELECT content_hash, min(doc_id) AS keep_doc_id,
+         |       count(*) AS n_copies
+         |FROM h GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+         |    FROM toks WHERE len(t) >= 3)),
+         |hot AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+         |idx AS (
+         |  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, sa.n_sh AS size_a, sb.n_sh AS size_b
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE shared * 100 >= 60 * (sa.n_sh + sb.n_sh - shared)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ------------------------------------------------------- similarity
+    "emb_topk_brute" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+        |  FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> q.q_emb[i] * c.emb[i])) / (q.q_nrm * c.nrm), 6)
+        |      AS cosine_sim
+        |  FROM q CROSS JOIN n c WHERE c.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cosine_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id, cosine_sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_near_dup" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |    round(list_sum(list_transform(range(1, len(a.emb) + 1),
+        |        i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS cosine_sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, label, cosine_sim
+        |FROM pairs WHERE cosine_sim >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // ----------------------------------------------------------- events
+    "ev_json_extract" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "ev_hourly_by_type" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (
+        |  SELECT *,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM e),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN prev_ts IS NULL THEN 1
+        |         WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |              CAST(floor(epoch(prev_ts)) AS BIGINT) >= 1800 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT *,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) -
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    "ev_top_users" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    "ev_value_stats" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, value AS median_value
+        |  FROM r WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    min(value) AS min_value, max(value) AS max_value
+        |  FROM events GROUP BY 1)
+        |SELECT agg.event_type, n_events, min_value, max_value, median_value
+        |FROM agg JOIN med USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // ------------------------------------------------------- relational
+    "r_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r_outer_counts" ->
+      """SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
+        |  count(o_orderkey) AS n_orders
+        |FROM nation
+        |LEFT JOIN customer ON n_nationkey = c_nationkey
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "r_set_ops" ->
+      """WITH rich AS (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |active AS (
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderstatus = 'O')
+        |SELECT c_custkey, 'union' AS set_op FROM
+        |  (SELECT c_custkey FROM rich UNION SELECT c_custkey FROM active)
+        |UNION ALL
+        |SELECT c_custkey, 'intersect' FROM
+        |  (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM active)
+        |UNION ALL
+        |SELECT c_custkey, 'except' FROM
+        |  (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM active)
+        |ORDER BY set_op, c_custkey""".stripMargin,
+
+    "r_explode_words" ->
+      """SELECT word, count(*) AS n FROM
+        |  (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+
+    "r_rollup" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY n_name ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "r_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "r_pivot" ->
+      """SELECT n_name,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+        |    AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

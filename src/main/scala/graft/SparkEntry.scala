@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Queries
+import graft.ops.{DedupOps, EventOps, Queries, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,38 @@ object SparkEntry {
     "q8_median_follower_by_year"   -> (Queries.q8MedianFollowerByYear(_, _)),
     "q9_median_follower_by_group_year" ->
       (Queries.q9MedianFollowerByGroupYear(_, _)),
+    // text analysis (SURVEY.md §2 extension: training-data pipeline ops)
+    "txt_token_count"     -> (TextOps.tokenCount(_, _)),
+    "txt_subword_count"   -> (TextOps.subwordCount(_, _)),
+    "txt_quality"         -> (TextOps.qualityScore(_, _)),
+    "txt_lang_id"         -> (TextOps.languageId(_, _)),
+    "txt_fingerprint_md5" -> (TextOps.md5Fingerprint(_, _)),
+    "txt_fingerprint_xx"  -> (TextOps.xxFingerprint(_, _)),
+    // dedup
+    "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
+    "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),
+    "dedup_minhash_lsh"   -> (DedupOps.minhashLshPairs(_, _)),
+    "dedup_simhash"       -> (DedupOps.simhash(_, _)),
+    "dedup_simhash_pairs" -> (DedupOps.simhashPairs(_, _)),
+    // similarity search
+    "emb_topk_brute"      -> (SimilarityOps.bruteForceTopK(_, _)),
+    "emb_topk_lsh"        -> (SimilarityOps.lshTopK(_, _)),
+    "emb_near_dup"        -> (SimilarityOps.cosineNearDupPairs(_, _, 0.3)),
+    // events
+    "ev_json_extract"     -> (EventOps.jsonExtract(_, _)),
+    "ev_hourly_by_type"   -> (EventOps.hourlyByType(_, _)),
+    "ev_sessionize"       -> (EventOps.sessionize(_, _)),
+    "ev_top_users"        -> (EventOps.topUsers(_, _)),
+    "ev_value_stats"      -> (EventOps.valueStatsByType(_, _)),
+    // generalized relational coverage
+    "r_semi_join"         -> (Relational.semiJoin(_, _)),
+    "r_anti_join"         -> (Relational.antiJoin(_, _)),
+    "r_outer_counts"      -> (Relational.outerJoinCounts(_, _)),
+    "r_set_ops"           -> (Relational.setOps(_, _)),
+    "r_explode_words"     -> (Relational.explodeWords(_, _)),
+    "r_rollup"            -> (Relational.rollupCounts(_, _)),
+    "r_pricing_summary"   -> (Relational.pricingSummary(_, _)),
+    "r_pivot"             -> (Relational.pivotCounts(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql
@@ -38,7 +70,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = OracleSql.extended ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

@@ -44,11 +44,12 @@ object Cleaners {
     *
     * Faithful to `CLEAN:66-68`: pure textual substitution then int cast, so
     * "2.5k" -> "2.5000" -> NULL. This is a documented-lossy rule, kept
-    * bit-identical to the reference rather than "fixed".
+    * bit-identical to the reference rather than "fixed". `try_cast` because
+    * Spark 4 defaults to ANSI casts; the reference ran with null-on-error.
     */
   def parseFollowerCount(c: Column): Column =
     regexp_replace(regexp_replace(c, "k", "000"), "M", "000000")
-      .cast(IntegerType)
+      .try_cast(IntegerType)
 
   /** Age bucketing CASE — `CLEAN:196-201` (same text in Tasks 7/8/11).
     * Note the reference quirk: anything outside the three explicit ranges

@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline, over `documents`.
+  *
+  * Four families, in increasing fuzziness:
+  *   1. exact       — hash-groupBy on content (one shuffle, deterministic
+  *                    keep-lowest-id survivor)
+  *   2. n-gram Jaccard — shingle-inverted-index join; exact set overlap,
+  *                    integer arithmetic only (oracle-reproducible)
+  *   3. MinHash+LSH — signature bands → bucket join → verify; the 100 TB
+  *                    path (candidates ∝ true-dup density, never O(n²))
+  *   4. SimHash     — 64-bit fingerprint, banded Hamming candidates
+  *
+  * Scale notes: every candidate generator here is join/groupBy-shaped (no
+  * cross join anywhere). Stop-shingles (shingles shared by more than
+  * `maxShingleDf` docs) are dropped before the inverted-index self-join —
+  * on web-scale corpora boilerplate shingles otherwise produce quadratic
+  * candidate blowup on a single hot key (classic skew).
+  */
+object DedupOps {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on normalized text: groupBy content hash, keep the lowest
+    * doc_id (deterministic, unlike `dropDuplicates`' keep-any). Output is
+    * the survivor set with its duplicate count.
+    */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", TextOps.tokens(lower(col("text"))))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  /** `dropDuplicates`-shaped variant made deterministic: keep the first row
+    * per key by explicit ordering (window rank), matching `CLEAN:73`'s
+    * subset-dedup semantics without its keep-any nondeterminism.
+    */
+  def keepFirstByKey(df: DataFrame, key: Seq[String], order: String): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col(order))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** `n`-word shingles of `text` as an array column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(lower(text))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** (doc_id, shingle) inverted index with stop-shingle removal. */
+  private def shingleIndex(s: SparkSession, d: String, n: Int,
+      maxShingleDf: Int): DataFrame = {
+    val idx = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val hot = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("shingle")
+    idx.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ thresholdPct/100.
+    *
+    * Inverted-index self-join (pairs only materialize for docs sharing a
+    * shingle), then exact |A∩B| / |A∪B| in pure integer arithmetic:
+    * `100·shared ≥ pct·(|A|+|B|−shared)` — no floating point, so any SQL
+    * engine reproduces it bit-for-bit.
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String, n: Int = 3,
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000): DataFrame = {
+    val idx = shingleIndex(s, d, n, maxShingleDf)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .filter(col("shared") * 100 >=
+        lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("size_a"), col("size_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** xorshift64 mixer as pure Column ops (shifts + xor only — no multiply,
+    * so ANSI overflow checking never trips). Good enough dispersion for
+    * MinHash band bucketing.
+    */
+  def xorshift64(c: Column): Column = {
+    val a = c.bitwiseXOR(shiftleft(c, 13))
+    val b = a.bitwiseXOR(shiftright(a, 7))
+    b.bitwiseXOR(shiftleft(b, 17))
+  }
+
+  /** Deterministic per-permutation seeds (splitmix64 constants). */
+  private def seeds(numHashes: Int): Seq[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    (0 until numHashes).map { _ =>
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** MinHash signature (numHashes mins over xorshift-permuted shingle
+    * hashes) as an array<bigint> column. One pass over the shingle array,
+    * no shuffle.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val hashes = transform(shingles(text, n), s => xxhash64(s))
+    array(seeds(numHashes).map(seed =>
+      array_min(transform(hashes, h => xorshift64(h.bitwiseXOR(lit(seed)))))): _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: signature → `bands` band-hashes → bucket
+    * join on (band, hash) → exact Jaccard verification of candidates.
+    *
+    * This is the 100 TB dedup shape: candidate count scales with true
+    * duplicate density (docs only meet if a full band matches), and the
+    * final verify only touches candidate pairs.
+    */
+  def minhashLshPairs(s: SparkSession, d: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, thresholdPct: Int = 60,
+      maxShingleDf: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("sig", minhashSignature(col("text"), n, numHashes))
+      .filter(size(col("sig")) > 0 && !col("sig").getItem(0).isNull)
+    val banded = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("band", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard over shingle sets
+    val idx = shingleIndex(s, d, n, maxShingleDf)
+    val sets = idx.groupBy("doc_id")
+      .agg(collect_set("shingle").as("sh"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("size_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("size_b")), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .filter(col("shared") * 100 >=
+        lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("size_a"), col("size_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash fingerprint per document: per-token xxhash64, ±1 vote
+    * per bit position, sign → bit. Explode + one groupBy (keyed by doc_id,
+    * well-distributed); 64 sum aggregates fuse into a single hash-agg pass.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(TextOps.tokens(lower(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").isNull, 0)
+        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
+    * one exact chunk), bucket-join, verify with `bit_count(a^b) <= maxHamming`.
+    */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(s, d)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    banded.as("x").join(banded.as("y"), Seq("band", "chunk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

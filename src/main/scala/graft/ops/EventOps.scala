@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Event-stream-shaped operators over the `events` table
+  * (event_id, ts, user_id, event_type, value, props-json). These are the
+  * batch twins of the streaming path (graft.streaming): same logical
+  * transforms, bounded input.
+  *
+  * Money-sum reproducibility: double addition is not associative, so
+  * engines disagree in the last bits. All value sums here go through
+  * DECIMAL(18,2) (exact integer arithmetic in any engine) and surface as
+  * DOUBLE (exact decimal→binary conversion) — bit-stable everywhere.
+  */
+object EventOps {
+
+  /** JSON field extraction from the props column — the batch analog of the
+    * reference's `from_json` stage (`(Clone) Kinesis Data Stream.py:50`).
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").try_cast(LongType).as("k"))
+      .orderBy("event_id")
+
+  /** Tumbling-hour aggregate per event_type: the windowed-agg shape
+    * (`window($"ts","1 hour")`) expressed via date_trunc so batch and
+    * oracle share one formulation. Partial aggregation is automatic; the
+    * single shuffle is keyed (hour × type) — well distributed over time.
+    */
+  def hourlyByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: a session break is a ≥30-minute gap per user; session
+    * id = running count of breaks. Two windows over one user-keyed
+    * shuffle — the batch equivalent of stream session windows.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMin = 30
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            >= gapMin * 60, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Top-k heavy hitters: users by exact event count, with rank. */
+  def topUsers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    counts.orderBy(col("n_events").desc, col("user_id")).limit(k)
+  }
+
+  /** Per-type value distribution: min/max plus exact lower-median (same
+    * deterministic formulation as Queries.lowerMedian).
+    */
+  def valueStatsByType(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d).select("event_type", "value")
+    val med = Queries.lowerMedian(base, Seq("event_type"), "value", "median_value")
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .join(med, Seq("event_type"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generalized relational operator coverage beyond the reference's surface
+  * (SURVEY.md §2.4 note: the reference only ever runs inner equi-joins; an
+  * engine with "the same capabilities" must still expose the full join /
+  * set-op / generator algebra, so each family gets one oracled query).
+  *
+  * Scale notes: nation/region joins are broadcast; the orders⋈customer
+  * shapes shuffle on the natural key. Set ops are implemented with
+  * Spark's native union/intersect/except (shuffle-dedup where SQL
+  * semantics require DISTINCT).
+  */
+object Relational {
+
+  /** LEFT SEMI — customers that have at least one open order (EXISTS). */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select("o_custkey")
+    Tables.customer(s, d).select("c_custkey", "c_name")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI — customers with no open order (NOT EXISTS). Filtered on
+    * status so the result is non-empty at every scale factor.
+    */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey", "c_name")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  /** LEFT OUTER + null-aware aggregate: order count per nation, keeping
+    * nations with zero customers (count(col) skips nulls in any engine).
+    */
+  def outerJoinCounts(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+    broadcast(n)
+      .join(c, col("n_nationkey") === col("c_nationkey"), "left")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("n_name")
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** UNION / INTERSECT / EXCEPT over customer-key sets (SQL set semantics,
+    * i.e. distinct): high-balance ∪∩∖ open-order customers, tagged.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select("c_custkey")
+    val active = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    rich.union(active).distinct().withColumn("set_op", lit("union"))
+      .union(rich.intersect(active).withColumn("set_op", lit("intersect")))
+      .union(rich.except(active).withColumn("set_op", lit("except")))
+      .orderBy("set_op", "c_custkey")
+  }
+
+  /** Generator/explode: part-name unigrams with counts — the flatMap shape
+    * (Spark `explode`, SQL UNNEST).
+    */
+  def explodeWords(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+
+  /** ROLLUP: order counts at (nation, priority), (nation), and grand-total
+    * grouping levels. NULL grouping keys sorted first in both engines.
+    */
+  def rollupCounts(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** TPC-H Q1-shaped wide aggregate over lineitem: the partial/final
+    * hash-agg stress shape. Money sums go through DECIMAL(18,2) and out as
+    * DOUBLE for cross-engine bit-stability (see EventOps scaladoc).
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Pivot: order counts per nation × priority as columns — Spark `pivot`
+    * with pinned values; oracle expresses the same as conditional sums.
+    */
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .na.fill(0L, prios)
+      .orderBy("n_name")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table
+  * (vec_id, embedding: array<float> [64-dim], label).
+  *
+  * Float elements are promoted to double *per element* and accumulated
+  * sequentially (aggregate over zip_with) — the same evaluation order any
+  * engine uses for a sequential list reduction, so cosine values are
+  * bit-reproducible and only rounded (1e-6) to guard the last ulp of
+  * sqrt/division.
+  *
+  * Scale design:
+  *  - Brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus — one scan, no corpus shuffle; the per-query rank is a shuffle
+  *    of |corpus|×|queries| rows, which is the exact-search lower bound.
+  *  - The LSH path (random-hyperplane signatures, banded) prunes that to
+  *    bucket-colliding pairs: the ANN shape that survives a 1000-executor
+  *    corpus. Recall is tunable via bands/bits.
+  */
+object SimilarityOps {
+
+  /** Σ aᵢ·bᵢ with per-element double promotion, sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+
+  /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
+    * nearest corpus vectors (self excluded). Deterministic: rank on cosine
+    * rounded to 1e-6 with vec_id tiebreak.
+    */
+  def bruteForceTopK(s: SparkSession, d: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random unit hyperplane components: splitmix64 →
+    * uniform in [-1, 1). Generated driver-side (tiny), shipped as literals.
+    */
+  private def hyperplane(seed: Long, dim: Int): Seq[Double] = {
+    var x = seed
+    (0 until dim).map { _ =>
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) signature: bit j = sign of
+    * ⟨v, hⱼ⟩. One narrow pass, no shuffle.
+    */
+  def lshSignature(v: Column, nBits: Int, dim: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val h = array(hyperplane(j + 1, dim).map(lit): _*)
+      when(dot(v, h) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via banded hyperplane LSH: signature → `bandBits`-bit chunks →
+    * bucket join → exact cosine on candidates → per-query top-k. Same
+    * output schema as [[bruteForceTopK]]; recall < 1 by construction (ANN).
+    * Band width tunes recall vs candidate volume: P(candidate) =
+    * 1-(1-(1-θ/π)^bandBits)^(nBits/bandBits).
+    */
+  def lshTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      nBits: Int = 32, bandBits: Int = 8, dim: Int = 64): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+      .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
+    val mask = (1L << bandBits) - 1
+    val banded = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until nBits / bandBits).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    val cand = banded.join(broadcast(
+        banded.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("band"), col("chunk"))),
+        Seq("band", "chunk"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    cand.withColumn("cosine_sim",
+        round(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
+    * Exact variant — label-blocked self-join keeps this O(n²/|labels|);
+    * the LSH signature above is the unblocked scale path.
+    */
+  def cosineNearDupPairs(s: SparkSession, d: String,
+      threshold: Double = 0.9): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d)
+      .select("vec_id", "embedding", "label"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"), col("label"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine_sim",
+        round(cosine(col("e_a"), col("e_b"), col("n_a"), col("n_b")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cosine_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

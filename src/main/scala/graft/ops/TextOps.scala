@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything is built-in `functions._` (codegen'd, one narrow pass per
+  * doc) — no UDFs. Ratios are integer-over-integer double divisions, which
+  * are exactly rounded IEEE ops and therefore engine-reproducible; sums of
+  * doubles are avoided everywhere (not associative ⇒ not reproducible).
+  *
+  * Scale: all per-document ops are embarrassingly parallel (no shuffle).
+  * The language-ID lexicon join broadcasts a ~25-row table. The only
+  * shuffled op is the per-language argmax (one narrow groupBy on doc_id).
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (empty text ⇒ empty array, not [""]). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count per document. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** BPE-ish subword proxy count: runs of letters, runs of digits, or a
+    * single non-space symbol — the standard pre-tokenizer shape. Uses a
+    * regex with identical semantics in Java regex and RE2 (oracle parity).
+    */
+  def subwordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("n_subwords"))
+      .orderBy("doc_id")
+
+  /** Per-document quality signals: length, token stats, punctuation /
+    * alphabetic / stopword ratios, plus a composite keep/drop flag — the
+    * filters an LLM-corpus pipeline runs before training.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast(LongType)
+    val nChars = length(col("text")).cast(LongType)
+    val nPunct = nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val stopRe = "\\b(the|a|of|to|in|and|is|it|that|for)\\b"
+    val nStop = size(regexp_extract_all(lower(col("text")), lit(stopRe), lit(0)))
+      .cast(LongType)
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTok.as("n_tokens"),
+        (nChars.cast("double") / greatest(nTok, lit(1L))).as("mean_token_len"),
+        (nPunct.cast("double") / greatest(nChars, lit(1L))).as("punct_ratio"),
+        (nAlpha.cast("double") / greatest(nChars, lit(1L))).as("alpha_ratio"),
+        (nStop.cast("double") / greatest(nTok, lit(1L))).as("stopword_ratio"))
+      .withColumn("keep",
+        (col("n_tokens") >= 5) && (col("n_tokens") <= 100000) &&
+        (col("mean_token_len") >= 2.0) && (col("mean_token_len") <= 15.0) &&
+        (col("alpha_ratio") >= 0.5))
+      .orderBy("doc_id")
+  }
+
+  /** Tiny per-language stopword lexicon for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and hardcoded: at scale this is a
+    * broadcast dimension, never a shuffle side.
+    */
+  val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "y",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "nicht",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "des", "fr" -> "est",
+    "zh" -> "de5", "zh" -> "shi4", "zh" -> "le5", "zh" -> "bu4", "zh" -> "zai4")
+
+  /** Language-ID: explode tokens, join the broadcast lexicon, count hits
+    * per (doc, lang), argmax with deterministic tiebreak ('und' when no
+    * hits). Scale shape: narrow explode → broadcast join → one groupBy
+    * shuffle keyed by doc_id (well distributed).
+    */
+  def languageId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lex = broadcast(lexicon.toDF("lex_lang", "word"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+      .join(lex, Seq("word"), "left")
+      .groupBy("doc_id", "lex_lang")
+      .agg(count(col("lex_lang")).as("hits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("lex_lang").asc_nulls_last)
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("hits") > 0, col("lex_lang")).otherwise("und")
+          .as("predicted_lang"),
+        col("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint (md5 of normalized text) — md5 is identical across
+    * engines, so this one is oracle-checkable; [[xxFingerprint]] is the
+    * cheap 64-bit variant for engine-internal dedup at scale.
+    */
+  def md5Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", tokens(lower(col("text"))))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** 64-bit xxhash64 fingerprint of normalized text — codegen'd, 8 bytes of
+    * state per doc; the form you'd actually carry through a 100 TB dedup.
+    */
+  def xxFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", tokens(lower(col("text"))))).as("fingerprint"))
+      .orderBy("doc_id")
+}

