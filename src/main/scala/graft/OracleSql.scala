@@ -223,6 +223,18 @@ object OracleSql {
         |FROM agg JOIN med USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
+    // ------------------------------------------------------- multimodal
+    "mm_media_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    (['jpeg','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT kind, fmt, count(*) AS n_media,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // ------------------------------------------------------- relational
     "r_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupOps, EventOps, Queries, Relational, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, EventOps, Multimodal, Queries, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,17 @@ object SparkEntry {
     "ev_sessionize"       -> (EventOps.sessionize(_, _)),
     "ev_top_users"        -> (EventOps.topUsers(_, _)),
     "ev_value_stats"      -> (EventOps.valueStatsByType(_, _)),
+    // multimodal binary-column plumbing (decode stubs, real schema/batching)
+    "mm_media_stats"      -> (Multimodal.mediaStats(_, _)),
+    "mm_decode_images"    -> ((s, d) =>
+      Multimodal.decodeImages(Multimodal.mediaTable(s, d)).toDF()
+        .orderBy("media_id")),
+    "mm_features"         -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
+        .orderBy("media_id")),
+    "mm_sample_frames"    -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
+        .orderBy("media_id", "frame_idx")),
     // generalized relational coverage
     "r_semi_join"         -> (Relational.semiJoin(_, _)),
     "r_anti_join"         -> (Relational.antiJoin(_, _)),

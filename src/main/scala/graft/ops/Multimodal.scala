@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed partition-wise.
+  *
+  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT on
+  * this classpath — each `decode*` body below is a clearly-marked
+  * DETERMINISTIC STUB that fabricates plausible outputs from the payload
+  * bytes. Everything around the stub is real and load-bearing: the binary
+  * schema, the `Dataset[T]`/`mapPartitions` batch shape (one iterator per
+  * partition — the Scala twin of `mapInPandas`: amortize per-batch codec
+  * init across rows, never collect to the driver), and the
+  * partitioning/pruning behavior.
+  *
+  * Scale notes: payloads dominate row size, so ops project metadata-only
+  * columns wherever the payload isn't needed (column pruning keeps the
+  * binary out of the scan). Feature extraction emits fixed-width
+  * Array[Float] — the shape the SimilarityOps ANN path consumes.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long, kind: String, fmt: String, payload: Array[Byte])
+
+  /** Decoded-image metadata (stub output). */
+  case class ImageInfo(
+      media_id: Long, width: Int, height: Int, n_channels: Int, n_bytes: Long)
+
+  /** Extracted feature vector. */
+  case class MediaFeature(media_id: Long, feature: Array[Float])
+
+  /** Fabricate a media table from `documents`: payload = utf-8 text bytes,
+    * kind/fmt derived deterministically. Stands in for a real media scan
+    * (parquet with a binary column) — same schema, same pruning behavior.
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** "Decode" images partition-wise. STUB: a real implementation hands each
+    * partition's payloads to a codec (e.g. libjpeg via JNI) inside this
+    * same mapPartitions; here dimensions are fabricated from byte content,
+    * deterministically. The iterator-in/iterator-out shape is the real
+    * contract: one codec context per partition, streaming, no
+    * driver-side materialization.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageInfo] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      // [real codec init would go here, once per partition]
+      it.map { m =>
+        val n = m.payload.length
+        val h = byteFold(m.payload)
+        ImageInfo(m.media_id,
+          width = 64 + (h % 1024).toInt,
+          height = 64 + ((h >>> 10) % 1024).toInt,
+          n_channels = 3,
+          n_bytes = n.toLong)
+      }
+    }
+  }
+
+  /** Fixed-width feature extraction for any media kind. STUB embedding:
+    * byte histogram folded into `dim` float buckets, L2-normalized —
+    * deterministic, fixed-width, the schema a real vision/audio encoder
+    * would emit. Output feeds SimilarityOps (ANN over Array[Float]).
+    */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // [real encoder batch-init would go here, once per partition]
+      it.map { m =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < m.payload.length) {
+          acc((m.payload(i) & 0xFF) % dim) += 1f
+          i += 1
+        }
+        val nrm = math.sqrt(acc.foldLeft(0.0)((s, v) => s + v * v)).toFloat
+        val out = if (nrm > 0) acc.map(_ / nrm) else acc
+        MediaFeature(m.media_id, out)
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th 256-byte block
+    * stands in for a frame. STUB for codec frame extraction; emits
+    * (media_id, frame_idx, frame_bytes) — the explode shape real
+    * frame-sampling produces.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val frameSize = 256
+      val nFrames = math.max(1, m.payload.length / frameSize)
+      (0 until nFrames by stride).map { f =>
+        val from = f * frameSize
+        val until = math.min(m.payload.length, from + frameSize)
+        (m.media_id, f.toLong, java.util.Arrays.copyOfRange(m.payload, from, until))
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Metadata-only media stats — written so the parquet scan never touches
+    * the payload column (length carried in metadata at write time; here
+    * recomputed via the decoded info to keep the fixture simple).
+    */
+  def mediaStats(s: SparkSession, d: String): DataFrame = {
+    val media = mediaTable(s, d)
+    media.toDF()
+      .select(col("media_id"), col("kind"), col("fmt"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("kind", "fmt")
+      .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("total_bytes"))
+      .orderBy("kind", "fmt")
+  }
+
+  private def byteFold(b: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < b.length) { h = 31 * h + (b(i) & 0xFF); i += 1 }
+    h & Long.MaxValue
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+/** Specs for the multimodal binary-column plumbing. The decode bodies are
+  * deterministic stubs (no codecs on the classpath); what's under test is
+  * the real part — schema, partition-wise batching, determinism, and the
+  * feature-vector contract that feeds the ANN path.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+  private val d = TestSpark.sf0001
+
+  test("media table: binary payload with typed metadata, all kinds present") {
+    val m = Multimodal.mediaTable(spark, d)
+    assert(m.schema("payload").dataType.typeName === "binary")
+    val kinds = m.select("kind").distinct().as[String].collect().toSet
+    assert(kinds === Set("image", "audio", "video"))
+  }
+
+  test("decodeImages: only images, plausible dims, deterministic across runs") {
+    val media = Multimodal.mediaTable(spark, d)
+    val a = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(a.nonEmpty)
+    assert(a.map(_.media_id).toSeq === b.map(_.media_id).toSeq)
+    assert(a.map(_.width).toSeq === b.map(_.width).toSeq)
+    a.foreach { i =>
+      assert(i.width >= 64 && i.width < 1088)
+      assert(i.height >= 64 && i.height < 1088)
+      assert(i.n_channels === 3)
+    }
+  }
+
+  test("extractFeatures: fixed-width L2-normalized vectors usable by ANN") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, d))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.feature.length === 64)
+      val n2 = f.feature.foldLeft(0.0)((s, v) => s + v * v)
+      assert(math.abs(n2 - 1.0) < 1e-3, s"not normalized: $n2")
+    }
+  }
+
+  test("sampleFrames: only videos, frame indexes stride correctly") {
+    val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, d))
+    val idx = frames.select("frame_idx").as[Long].collect()
+    assert(idx.nonEmpty)
+    idx.foreach(i => assert(i % 4 === 0))
+  }
+
+  test("mediaStats never reads the payload column (pruned scan)") {
+    val plan = Multimodal.mediaStats(spark, d).queryExecution
+      .executedPlan.toString
+    // the aggregate pipeline must not carry the payload bytes
+    assert(!plan.contains("payload#") || plan.contains("length"),
+      "payload should be reduced to a length immediately")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cleaners
+
+/** Property-style specs (SURVEY.md §5.3) — ScalaCheck generators drive
+  * batch DataFrames compared against a driver-side model implementation
+  * (one Spark job per property, not per case).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i =>
+      g.apply(params, rng.Seed(i.toLong)))
+  }
+
+  /** Driver-side model of the reference's follower-count rule:
+    * k->000, M->000000 textual substitution, then int-or-null.
+    */
+  private def model(s: String): Option[Int] = {
+    val sub = s.replace("k", "000").replace("M", "000000")
+    try Some(sub.trim.toInt)
+    catch { case _: NumberFormatException => None }
+  }
+
+  test("parseFollowerCount ≡ model over generated suffixed strings") {
+    val genCount: Gen[String] = Gen.oneOf(
+      Gen.choose(0, 999999).map(_.toString),
+      Gen.choose(1, 999).map(n => s"${n}k"),
+      Gen.choose(1, 99).map(n => s"${n}M"),
+      Gen.choose(1, 99).map(n => s"$n.5k"),       // lossy rule -> null
+      Gen.oneOf("User Info Error", "", "12abc", "k", "M", "-42", "7k7"))
+    val inputs = sample(genCount, 400).distinct
+    val got = inputs.toDF("s")
+      .select($"s", Cleaners.parseFollowerCount($"s").as("v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    inputs.foreach { s =>
+      assert(got(s) === model(s), s"mismatch for input '$s'")
+    }
+  }
+
+  test("ageBucket: total over all ints in range, exactly one bucket each") {
+    val ages = (-5 to 120).toDF("age")
+      .select($"age", Cleaners.ageBucket($"age").as("b")).collect()
+    val valid = Set("18-24", "25-35", "36-50", "+50")
+    ages.foreach { r =>
+      val (age, b) = (r.getInt(0), r.getString(1))
+      assert(valid.contains(b))
+      val expected =
+        if (age >= 18 && age <= 24) "18-24"
+        else if (age >= 25 && age <= 35) "25-35"
+        else if (age >= 36 && age <= 50) "36-50"
+        else "+50"
+      assert(b === expected, s"age $age")
+    }
+  }
+
+  test("sentinel nullification is idempotent and only hits exact matches") {
+    val genStr: Gen[String] = Gen.oneOf(
+      Gen.oneOf(Cleaners.sentinels),
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("User Info Error "), // near-miss: trailing space survives
+      Gen.const("untitled"))         // case-sensitive: survives
+    val inputs = sample(genStr, 300).distinct
+    val df = inputs.toDF("s")
+    val once = Cleaners.nullifySentinels(df)
+    val twice = Cleaners.nullifySentinels(once)
+    val a = once.collect().map(r => Option(r.getString(0))).toSeq
+    val b = twice.collect().map(r => Option(r.getString(0))).toSeq
+    assert(a.sortBy(_.getOrElse("")) === b.sortBy(_.getOrElse("")))
+    val kept = a.flatten.toSet
+    Cleaners.sentinels.foreach(s => assert(!kept.contains(s)))
+    assert(kept.contains("User Info Error ") || !inputs.contains("User Info Error "))
+    assert(kept.contains("untitled") || !inputs.contains("untitled"))
+  }
+
+  test("lower-median: member of group, >= half of group is >= it") {
+    val gen = Gen.listOfN(50, Gen.choose(-1000, 1000))
+    val groups = sample(gen, 8).zipWithIndex
+      .flatMap { case (vs, g) => vs.map(v => (s"g$g", v.toDouble)) }
+    val df = groups.toDF("g", "v")
+    val med = ops.Queries.lowerMedian(df, Seq("g"), "v", "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    groups.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      assert(med(g) === sorted((sorted.size - 1) / 2), s"group $g")
+    }
+  }
+}
