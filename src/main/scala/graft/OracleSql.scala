@@ -102,11 +102,13 @@ object OracleSql {
          |      generate_series(1, len(t) - 2),
          |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
          |    FROM toks WHERE len(t) >= 3)),
-         |hot AS (
-         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+         |pairforming AS (
+         |  SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) BETWEEN 2 AND 1000),
          |idx AS (
-         |  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1),
+         |  SELECT * FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM pairforming)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
          |  FROM idx a JOIN idx b

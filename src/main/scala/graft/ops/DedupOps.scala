@@ -61,15 +61,39 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** (doc_id, shingle) inverted index with stop-shingle removal. */
-  private def shingleIndex(s: SparkSession, d: String, n: Int,
-      maxShingleDf: Int): DataFrame = {
-    val idx = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
-    val hot = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select("shingle")
-    idx.join(hot, Seq("shingle"), "left_anti")
-  }
+  /** (doc_id, h) — 64-bit hashed distinct shingles per doc, staged so each
+    * array is materialized once per row (token hashes as a bound attribute;
+    * inlining them into the shingle transform would rehash every token per
+    * shingle position). Long shingles make every downstream shuffle,
+    * collect_set, and array_intersect ~10× cheaper than 20-char strings;
+    * the (doc_a, doc_b, shared, sizes) output is invariant to the
+    * injective relabeling (64-bit collision odds at corpus scale: ~2^-64 ·
+    * |shingles|², negligible).
+    */
+  private def hashedShingles(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          TextOps.tokens(lower(col("text"))), n).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+      // Materialized once per session (plan-canonical cache hit): the pair
+      // generator, the size aggregate, and the MinHash signature all
+      // re-derive from this index — without the cache each one would
+      // re-tokenize the corpus (the dominant cost, measured). The 100 TB
+      // equivalent is checkpointing the index to parquet between stages.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Inverted index: shingle-hash → list of docs containing it, keeping
+    * only shingles with 2..maxShingleDf docs (singletons can't form pairs;
+    * hotter-than-maxShingleDf shingles are boilerplate with no
+    * discriminating power and would cause quadratic candidate blowup —
+    * the classic skew guard).
+    */
+  private def invertedIndex(s: SparkSession, d: String, n: Int,
+      maxShingleDf: Int): DataFrame =
+    hashedShingles(s, d, n)
+      .groupBy("h").agg(collect_list("doc_id").as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ thresholdPct/100.
     *
@@ -80,18 +104,24 @@ object DedupOps {
     */
   def ngramJaccardPairs(s: SparkSession, d: String, n: Int = 3,
       thresholdPct: Int = 60, maxShingleDf: Int = 1000): DataFrame = {
-    val idx = shingleIndex(s, d, n, maxShingleDf)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("shingle"))
-    val shared = a.join(b, Seq("shingle"))
+    // Pairs come straight out of the inverted index (the doc list of each
+    // shingle is already co-located after the by-shingle shuffle — a double
+    // explode generates the pairs with NO self-join shuffle). Sizes are the
+    // full distinct-shingle counts; the numerator necessarily equals the
+    // true |A∩B| restricted to pair-forming shingles (singletons can't
+    // intersect; hot shingles are excluded by design — skew guard).
+    val pairs = invertedIndex(s, d, n, maxShingleDf)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+    val sizes = hashedShingles(s, d, n)
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("sz").as("size_a"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("sz").as("size_b"))), Seq("doc_b"))
       .filter(col("shared") * 100 >=
         lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"),
@@ -123,44 +153,52 @@ object DedupOps {
     }
   }
 
-  /** MinHash signature (numHashes mins over xorshift-permuted shingle
-    * hashes) as an array<bigint> column. One pass over the shingle array,
-    * no shuffle.
-    */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val hashes = transform(shingles(text, n), s => xxhash64(s))
-    array(seeds(numHashes).map(seed =>
-      array_min(transform(hashes, h => xorshift64(h.bitwiseXOR(lit(seed)))))): _*)
-  }
-
-  /** MinHash+LSH near-dup pairs: signature → `bands` band-hashes → bucket
-    * join on (band, hash) → exact Jaccard verification of candidates.
+  /** MinHash+LSH near-dup pairs: per-permutation min-hashes → band hashes →
+    * bucket join on (band, hash) → exact Jaccard verification of candidates.
+    *
+    * Shape note (the hard-won one): the signature is computed in FLAT form
+    * — explode shingles once, then ONE hash-aggregate with `numHashes`
+    * `min` expressions over plain long columns — not as nested
+    * array-lambda expressions. An earlier array-HOF formulation
+    * (array_min∘transform per permutation, re-sliced per band) made
+    * Catalyst inline the whole tokenize→shingle→hash pipeline into every
+    * consumer: ~1000× per-row expression blowup, 69 s for 500 docs. The
+    * flat form runs the same logical algorithm in one narrow pass + one
+    * doc-keyed shuffle that also carries the shingle set and size for the
+    * verify step — everything downstream reads cheap attributes.
     *
     * This is the 100 TB dedup shape: candidate count scales with true
     * duplicate density (docs only meet if a full band matches), and the
     * final verify only touches candidate pairs.
     */
   def minhashLshPairs(s: SparkSession, d: String, n: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, thresholdPct: Int = 60,
-      maxShingleDf: Int = 1000): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      thresholdPct: Int = 60): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .withColumn("sig", minhashSignature(col("text"), n, numHashes))
-      .filter(size(col("sig")) > 0 && !col("sig").getItem(0).isNull)
-    val banded = docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+    val idx = hashedShingles(s, d, n)
+    // one shuffle: signature mins + shingle-hash set + set size per doc
+    val minAggs = seeds(numHashes).zipWithIndex.map { case (seed, i) =>
+      min(xorshift64(col("h").bitwiseXOR(lit(seed)))).as(s"m$i")
+    }
+    val aggs = minAggs ++ Seq(collect_set("h").as("sh"),
+      count(lit(1)).as("sz"))
+    val sigs = idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      // referenced three times (both band-join sides + the verify step);
+      // materialize once — this is the dedup-state table at scale
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(array((0 until rows).map(r =>
+            col(s"m${b * rows + r}")): _*))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     val cand = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over shingle sets
-    val idx = shingleIndex(s, d, n, maxShingleDf)
-    val sets = idx.groupBy("doc_id")
-      .agg(collect_set("shingle").as("sh"), count(lit(1)).as("sz"))
+    // verify candidates with exact Jaccard over the carried shingle sets
+    val sets = sigs.select(col("doc_id"), col("sh"), col("sz"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("sz").as("size_a")), Seq("doc_a"))

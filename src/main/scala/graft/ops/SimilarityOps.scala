@@ -5,15 +5,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.CosineSimilarity.cosineSim
 
 /** Similarity search over the `embeddings` table
   * (vec_id, embedding: array<float> [64-dim], label).
   *
-  * Float elements are promoted to double *per element* and accumulated
-  * sequentially (aggregate over zip_with) — the same evaluation order any
-  * engine uses for a sequential list reduction, so cosine values are
-  * bit-reproducible and only rounded (1e-6) to guard the last ulp of
-  * sqrt/division.
+  * Cosine goes through the fused single-pass Catalyst expression
+  * [[graft.functions.CosineSimilarity]] (codegen'd; no per-pair array
+  * allocation). Float elements are promoted to double per element and
+  * accumulated sequentially — the same evaluation order any engine uses
+  * for a sequential list reduction, so cosine values are bit-reproducible
+  * and only rounded (1e-6) to guard the last ulp of sqrt/division.
   *
   * Scale design:
   *  - Brute-force top-k broadcasts the (small) query set and streams the
@@ -33,11 +35,11 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
-
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", norm(col("embedding")))
+  /** Composable-HOF cosine — kept as the reference formulation the fused
+    * expression is validated against (see SimilaritySpec).
+    */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
     * nearest corpus vectors (self excluded). Deterministic: rank on cosine
@@ -45,13 +47,12 @@ object SimilarityOps {
     */
   def bruteForceTopK(s: SparkSession, d: String, k: Int = 5,
       nQueries: Int = 10): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cosine_sim",
-        round(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+        round(cosineSim(col("q_emb"), col("embedding")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -95,25 +96,25 @@ object SimilarityOps {
     */
   def lshTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
       nBits: Int = 32, bandBits: Int = 8, dim: Int = 64): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
     val mask = (1L << bandBits) - 1
-    val banded = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+    val banded = emb.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until nBits / bandBits).map(b =>
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
     val cand = banded.join(broadcast(
         banded.filter(col("vec_id") < nQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"), col("band"), col("chunk"))),
+            col("band"), col("chunk"))),
         Seq("band", "chunk"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
+      .select("query_id", "q_emb", "vec_id", "embedding")
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("vec_id"))
     cand.withColumn("cosine_sim",
-        round(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+        round(cosineSim(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -127,16 +128,15 @@ object SimilarityOps {
     */
   def cosineNearDupPairs(s: SparkSession, d: String,
       threshold: Double = 0.9): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, d)
-      .select("vec_id", "embedding", "label"))
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
-      col("nrm").as("n_a"), col("label"))
+      col("label"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
-      col("nrm").as("n_b"), col("label"))
+      col("label"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine_sim",
-        round(cosine(col("e_a"), col("e_b"), col("n_a"), col("n_b")), 6))
+        round(cosineSim(col("e_a"), col("e_b")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine_sim"))
       .orderBy("vec_a", "vec_b")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CosineSimilarity.cosineSim
+import graft.ops.SimilarityOps
+
+/** Specs for the fused CosineSimilarity Catalyst expression. */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("fused expression ≡ composed HOF formulation, bit-exact, on testdata") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .filter(col("ia") < 20)
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .filter(col("ib") >= 20 && col("ib") < 40)
+    val both = a.crossJoin(b)
+      .select(
+        cosineSim(col("ea"), col("eb")).as("fused"),
+        SimilarityOps.cosineComposed(col("ea"), col("eb")).as("composed"))
+      .collect()
+    assert(both.length === 400)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("known values: orthogonal -> 0, identical -> 1, opposite -> -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0))
+      .toDF("a", "b", "expect")
+    df.select(cosineSim(col("a"), col("b")).as("got"), col("expect"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      }
+  }
+
+  test("null input -> null; mismatched lengths use common prefix") {
+    val withNull = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("c")).head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("expression participates in codegen (no fallback in plan)") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(10)
+    val plan = emb.select(cosineSim(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"),
+      s"unexpected plan: $plan")
+  }
+}
