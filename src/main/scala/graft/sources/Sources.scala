@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers (SURVEY.md §2.1). The reference infers JSON schemas per
+  * run (`(Clone) Pinterest Data Cleaning and Queries.py:44-47`) —
+  * nondeterministic across files and an extra file-listing+sampling job at
+  * 100 TB. This engine always APPLIES a declared schema and can verify a
+  * source against it instead (one footer/header read, no data scan).
+  */
+object Sources {
+
+  /** JSON-lines directory scan with declared schema (S2). Glob paths
+    * (dir/partition=0/star.json-style patterns) are supported natively.
+    */
+  def json(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** CSV with header+separator options — the reference's credentials-read
+    * shape (S1, `CLEAN:14-17`), schema declared not inferred.
+    */
+  def csv(s: SparkSession, path: String, schema: StructType,
+      sep: String = ","): DataFrame =
+    s.read.schema(schema).option("header", "true").option("sep", sep)
+      .csv(path)
+
+  /** Parquet scan; schema comes from footers (already deterministic). */
+  def parquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Validate that a source's actual schema matches the declared one by
+    * name and type (nullability ignored: parquet writers vary it freely).
+    * Returns the mismatches; empty = compatible.
+    */
+  def schemaMismatches(actual: StructType, declared: StructType): Seq[String] = {
+    val a = actual.fields.map(f => f.name -> f.dataType).toMap
+    declared.fields.flatMap { f =>
+      a.get(f.name) match {
+        case None => Some(s"missing column ${f.name}")
+        case Some(t) if t != f.dataType =>
+          Some(s"${f.name}: expected ${f.dataType.simpleString}, found ${t.simpleString}")
+        case _ => None
+      }
+    }.toSeq ++ a.keys.filterNot(declared.fieldNames.contains)
+      .map(n => s"unexpected column $n")
+  }
+}

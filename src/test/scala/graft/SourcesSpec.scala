@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schemas.Schemas
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("json: declared schema applied; malformed fields are null, not errors") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      Seq(
+        """{"ind": 1, "country": "US", "latitude": 1.0, "longitude": 2.0, "timestamp": "2021-01-01T00:00:00"}""",
+        """{"ind": 2, "country": "DE"}"""
+      ).mkString("\n").getBytes)
+    val df = Sources.json(spark, dir, Schemas.geoRaw)
+    assert(df.schema === Schemas.geoRaw)
+    assert(df.count() === 2)
+    assert(df.filter(org.apache.spark.sql.functions.col("latitude").isNull)
+      .count() === 1)
+  }
+
+  test("json: glob path (partition=0/*.json) reads like the reference") {
+    val base = Files.createTempDirectory("graft_glob").toString
+    val p = new java.io.File(s"$base/topics/pin/partition=0")
+    p.mkdirs()
+    Files.write(new java.io.File(p, "x.json").toPath,
+      """{"ind": 7, "country": "FR", "latitude": 0.0, "longitude": 0.0, "timestamp": "2020-01-01T00:00:00"}"""
+        .getBytes)
+    val df = Sources.json(spark, s"$base/topics/pin/partition=0/*.json",
+      Schemas.geoRaw)
+    assert(df.count() === 1)
+  }
+
+  test("csv with header and declared schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/c.csv"),
+      "user,key\nalice,AK1\n".getBytes)
+    val schema = StructType(Seq(StructField("user", StringType),
+      StructField("key", StringType)))
+    val df = Sources.csv(spark, dir, schema)
+    assert(df.count() === 1)
+    assert(df.head().getString(1) === "AK1")
+  }
+
+  test("schemaMismatches detects missing/extra/mistyped columns") {
+    val declared = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val actual = StructType(Seq(
+      StructField("a", LongType), StructField("c", StringType)))
+    val m = Sources.schemaMismatches(actual, declared)
+    assert(m.exists(_.contains("a: expected int")))
+    assert(m.exists(_.contains("missing column b")))
+    assert(m.exists(_.contains("unexpected column c")))
+    assert(Sources.schemaMismatches(declared, declared).isEmpty)
+  }
+}
