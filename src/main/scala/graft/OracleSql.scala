@@ -303,6 +303,44 @@ object OracleSql {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "r_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "r_window_funcs" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(rank() OVER win AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER win AS BIGINT) AS drnk,
+        |    lag(c_acctbal, 1) OVER win AS prev_bal,
+        |    lead(c_acctbal, 1) OVER win AS next_bal,
+        |    CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |      OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS running_sum
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_mktsegment
+        |                 ORDER BY c_acctbal DESC, c_custkey))
+        |SELECT * FROM w WHERE rnk <= 10
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "r_salted_join" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_asof_purchase" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  max(CASE WHEN event_type = 'purchase'
+        |           THEN CAST(ts AS TIMESTAMP) END)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS last_purchase_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "r_pivot" ->
       """SELECT n_name,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')

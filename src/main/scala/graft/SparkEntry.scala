@@ -74,6 +74,10 @@ object SparkEntry {
     "r_rollup"            -> (Relational.rollupCounts(_, _)),
     "r_pricing_summary"   -> (Relational.pricingSummary(_, _)),
     "r_pivot"             -> (Relational.pivotCounts(_, _)),
+    "r_cube"              -> (Relational.cubeCounts(_, _)),
+    "r_window_funcs"      -> (Relational.windowFunctions(_, _)),
+    "r_salted_join"       -> (Relational.saltedJoinCounts(_, _)),
+    "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -66,6 +66,22 @@ object EventOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** As-of join (composed form): attach to every event the timestamp of
+    * the user's most recent *prior* purchase. The classic as-of-join
+    * semantics expressed with built-ins — a conditional max over a
+    * preceding-rows frame — one user-keyed shuffle, no custom operator
+    * needed for the self-join case (SURVEY.md §7.3 preference order (a)).
+    */
+  def asOfLastPurchase(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select("event_id", "user_id", "ts", "event_type")
+      .withColumn("last_purchase_ts",
+        max(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .orderBy("event_id")
+  }
+
   /** Top-k heavy hitters: users by exact event count, with rank. */
   def topUsers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val counts = Tables.events(s, d)

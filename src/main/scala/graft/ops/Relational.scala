@@ -110,6 +110,60 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** CUBE over (status, priority): all four grouping levels in one pass
+    * (Expand + single aggregate — no union of scans).
+    */
+  def cubeCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Window-function breadth in one query: rank, dense_rank, lag, lead,
+    * ntile, and a running sum with an explicit rows frame — the analytic
+    * surface beyond the reference's single row_number (SURVEY.md §2.6).
+    * One shuffle on the partition key; all functions share the frame sort.
+    */
+  def windowFunctions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prev_bal", lag("c_acctbal", 1).over(w))
+      .withColumn("next_bal", lead("c_acctbal", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("running_sum",
+        sum(col("c_acctbal").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .filter(col("rnk") <= 10)
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** Skew-safe equi-join via key salting: the build side is replicated
+    * `salt` ways, the probe side scatters each row to one replica — a hot
+    * key's rows spread over `salt` reducers instead of one. Semantics are
+    * exactly the plain inner join (verified against the unsalted oracle);
+    * use when AQE's skew split can't help (e.g. aggregation-free joins
+    * feeding stateful ops). Deterministic: replica choice hashes the probe
+    * row's own key column.
+    */
+  def saltedJoinCounts(s: SparkSession, d: String, salt: Int = 8): DataFrame = {
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+      .withColumn("salt_", pmod(xxhash64(col("o_custkey")), lit(salt)))
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      .withColumn("salt_", explode(array((0 until salt).map(lit): _*)))
+    o.join(c, col("o_custkey") === col("c_custkey") &&
+        o("salt_") === c("salt_"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
   /** Pivot: order counts per nation × priority as columns — Spark `pivot`
     * with pinned values; oracle expresses the same as conditional sums.
     */

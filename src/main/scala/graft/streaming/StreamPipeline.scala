@@ -106,6 +106,80 @@ object StreamPipeline {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Input/stat/output records for streaming sessionization. */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, duration_sec: Long)
+
+  /** Custom streaming state machine: per-user sessionization with a gap
+    * rule, via `flatMapGroupsWithState` (SURVEY.md §2.11 T4 extension —
+    * the arbitrary-state API the reference never needed). A session closes
+    * when a later event arrives more than `gapMin` past the last one, or
+    * when the group times out; closed sessions are emitted in Append mode.
+    * State per user is three longs — the bounded-state production shape.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMin: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMin * 60 * 1000L
+    def fn(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var closed = List.empty[SessionOut]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { st =>
+          closed ::= SessionOut(userId, new java.sql.Timestamp(st.start),
+            st.n, (st.last - st.start) / 1000L)
+        }
+        state.remove()
+        return closed.iterator
+      }
+      var cur = state.getOption
+      it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.last >= gapMs =>
+            closed ::= SessionOut(userId, new java.sql.Timestamp(st.start),
+              st.n, (st.last - st.start) / 1000L)
+            cur = Some(SessionState(t, t, 1))
+          case Some(st) =>
+            cur = Some(SessionState(st.start, math.max(st.last, t), st.n + 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp(st.last + gapMs)
+      }
+      closed.reverse.iterator
+    }
+    events
+      .withWatermark("ts", s"$gapMin minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Stream-stream inner join with watermarks and an event-time range
+    * bound (T7 extension): match each click to purchases of the same user
+    * within the following hour. Both sides' state is evicted past their
+    * watermarks — the join is runnable indefinitely.
+    */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_ts", "purchase_ts", "value")
+  }
+
   /** Start a parquet append sink with checkpoint — the engine twin of
     * `writeStream.format("delta").outputMode("append")
     * .option("checkpointLocation", ...).table(...)` (`KINESIS:174-192`).

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamPipeline
+import graft.streaming.StreamPipeline.SessionEvent
+
+/** Specs for the arbitrary-state and stream-stream-join extensions. */
+class AdvancedStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def t(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("flatMapGroupsWithState sessionization: gap closes a session, " +
+      "emitted once in append mode") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamPipeline.sessionizeStream(mem.toDS(), gapMin = 30)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: three events 10 min apart -> one open session
+      mem.addData(SessionEvent(1, t(0, 0), 1.0),
+        SessionEvent(1, t(0, 10), 1.0), SessionEvent(1, t(0, 20), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0) // still open
+      // a later event 2h on closes the first session and opens a second
+      mem.addData(SessionEvent(1, t(2, 30), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") === 1L)
+      assert(r.getAs[Timestamp]("session_start") === t(0, 0))
+      assert(r.getAs[Long]("n_events") === 3L)
+      assert(r.getAs[Long]("duration_sec") === 1200L)
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches purchases within an hour of a click") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, Double)](spark)
+    val joined = StreamPipeline.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, t(1, 0)), (2L, t(1, 0)))
+      purchases.addData((1L, t(1, 30), 9.99),  // within the hour -> match
+        (2L, t(3, 0), 5.0))                    // 2h later -> no match
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData((9L, t(8, 0)))
+      purchases.addData((9L, t(8, 0), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+      val matches = rows.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Double]("value")))
+      assert(matches.contains((1L, 9.99)))
+      assert(!matches.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+}
