@@ -122,6 +122,63 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * centroids, search only the `nProbe` cells nearest each query.
+    *
+    * Centroids here are the per-label mean vectors (deterministic, no
+    * k-means iterations needed on the fixture; swap in k-means output at
+    * deployment — the search shape is identical). Cell assignment is a
+    * broadcast join against ≤ |labels| centroids (no shuffle of the
+    * corpus); the probe step touches |corpus|·nProbe/|cells| rows — the
+    * classic recall/cost dial. Output schema matches [[bruteForceTopK]].
+    */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    // centroids: element-wise mean per label — posexplode + avg, then
+    // reassembled into arrays (array_agg ordered by position)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg("col").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(col("label").as("cell"),
+        transform(col("pm"), p => p.getField("m").cast("float"))
+          .as("centroid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // assign every vector to its nearest centroid cell (broadcast join)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // each query probes its nProbe nearest cells
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSim(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    // search only the probed cells
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(cosineSim(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact variant — label-blocked self-join keeps this O(n²/|labels|);
     * the LSH signature above is the unblocked scale path.
