@@ -326,6 +326,10 @@ object OracleSql {
         |SELECT * FROM w WHERE rnk <= 10
         |ORDER BY c_mktsegment, rnk""".stripMargin,
 
+    "r_offset_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 5 OFFSET 100""".stripMargin,
+
     "r_salted_join" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -164,6 +164,24 @@ object Relational {
       .orderBy("c_mktsegment", "o_orderpriority")
   }
 
+  /** Offset-limit page read (SURVEY.md §2.7 O5) over a total order. */
+  def offsetLimit(s: SparkSession, d: String, off: Int = 100,
+      n: Int = 5): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").offset(off).limit(n)
+
+  /** HLL approximate distinct counts next to the exact ones — the sketch
+    * path for cardinalities too large for exact two-phase distinct at
+    * 100 TB. Sketch internals differ per engine → rows-only check +
+    * error-bound spec.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .orderBy("o_orderpriority")
+
   /** Pivot: order counts per nation × priority as columns — Spark `pivot`
     * with pinned values; oracle expresses the same as conditional sums.
     */

@@ -38,6 +38,16 @@ class SinksAndIvfSpec extends AnyFunSuite {
       Seq("country", "poster_name", "follower_count"))
   }
 
+  test("approx_count_distinct within its 2% error bound vs exact") {
+    val rows = ops.Relational.approxDistinct(spark, TestSpark.sf001).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("IVF top-k: valid shape and reasonable recall vs brute force") {
     val brute = SimilarityOps.bruteForceTopK(spark, TestSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
