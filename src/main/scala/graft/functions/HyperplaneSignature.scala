@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Random-hyperplane LSH signature in one compiled pass: bit j of the
+  * result is the sign of ⟨v, planes(j)⟩.
+  *
+  * The composable form evaluates one interpreted `aggregate(zip_with(...))`
+  * per hyperplane per row — nBits interpreted array walks (HOFs never
+  * codegen). This expression walks the vector once per plane inside a
+  * single JVM loop over a primitive plane matrix captured at plan time;
+  * on the ANN corpus scan (every row, every signature build) that is the
+  * difference between the signature being free and being the bottleneck.
+  *
+  * NULL input → NULL. Vectors shorter than a plane use the common prefix
+  * (same as the zip_with semantics).
+  */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes.nonEmpty && planes.length <= 64,
+    "1..64 hyperplanes fit a long signature")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_signature expects array<float|double>, got ${t.catalogString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(m, p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += xi * p(i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // planes are part of the expression's identity for plan equality
+  override def equals(o: Any): Boolean = o match {
+    case h: HyperplaneSignature =>
+      h.child == child && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], h.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(
+      planes.asInstanceOf[Array[AnyRef]])
+}
+
+object HyperplaneSignature {
+  def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(
+      HyperplaneSignature(ColumnBridge.expression(v), planes))
+}

@@ -78,15 +78,13 @@ object SimilarityOps {
   }
 
   /** Random-hyperplane (SimHash-for-vectors) signature: bit j = sign of
-    * ⟨v, hⱼ⟩. One narrow pass, no shuffle.
+    * ⟨v, hⱼ⟩. One narrow pass, no shuffle — compiled in a single loop by
+    * the [[graft.functions.HyperplaneSignature]] expression (the HOF
+    * formulation evaluated nBits interpreted array walks per row).
     */
-  def lshSignature(v: Column, nBits: Int, dim: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      val h = array(hyperplane(j + 1, dim).map(lit): _*)
-      when(dot(v, h) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshSignature(v: Column, nBits: Int, dim: Int): Column =
+    graft.functions.HyperplaneSignature.hyperplaneSignature(v,
+      (0 until nBits).map(j => hyperplane(j + 1, dim).toArray).toArray)
 
   /** ANN via banded hyperplane LSH: signature → `bandBits`-bit chunks →
     * bucket join → exact cosine on candidates → per-query top-k. Same
