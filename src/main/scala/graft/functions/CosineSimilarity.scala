@@ -25,6 +25,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // may return NULL for a NULL *element* even when both array inputs are
+  // non-null, so nullability cannot be derived from the children
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -51,6 +55,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // NULL element => NULL result, matching the composed HOF form
+      // (zip_with product null -> aggregate sum null)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi: Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi: Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
@@ -78,13 +85,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = $getL;
          |  double $yi = $getR;
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -28,6 +28,9 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
 
   override def dataType: DataType = LongType
 
+  // NULL for vectors containing NULL elements, regardless of input nullability
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -44,6 +47,9 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val m = v.numElements()
+    // a vector with NULL elements has no meaningful signature
+    var k = 0
+    while (k < m) { if (v.isNullAt(k)) return null; k += 1 }
     var sig = 0L
     var j = 0
     while (j < planes.length) {

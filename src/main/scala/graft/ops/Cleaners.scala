@@ -61,12 +61,10 @@ object Cleaners {
       .when(age.between(36, 50), "36-50")
       .otherwise("+50")
 
-  /** pin cleaner — `CLEAN:60-74` / `KINESIS:117-132`.
-    * sentinel->NULL, follower_count parse, save_location prefix strip,
-    * rename index->ind, drop `downloaded`, fixed column order, dedup on
-    * `description`.
+  /** Narrow (dedup-free) pin transform — shared verbatim by the batch
+    * cleaner and the streaming path, which appends its own stateful dedup.
     */
-  def pinClean(df: DataFrame): DataFrame =
+  def pinCleanCore(df: DataFrame): DataFrame =
     nullifySentinels(df)
       .withColumn("follower_count", parseFollowerCount(col("follower_count")))
       .withColumn("save_location",
@@ -76,29 +74,42 @@ object Cleaners {
       .select("ind", "unique_id", "title", "description", "follower_count",
         "poster_name", "tag_list", "is_image_or_video", "image_src",
         "save_location", "category")
-      .dropDuplicates("description")
+
+  /** pin cleaner — `CLEAN:60-74` / `KINESIS:117-132`.
+    * sentinel->NULL, follower_count parse, save_location prefix strip,
+    * rename index->ind, drop `downloaded`, fixed column order, dedup on
+    * `description`.
+    */
+  def pinClean(df: DataFrame): DataFrame =
+    pinCleanCore(df).dropDuplicates("description")
+
+  /** Narrow geo transform (see [[pinCleanCore]]). */
+  def geoCleanCore(df: DataFrame): DataFrame =
+    df.withColumn("coordinates",
+        array(col("latitude").cast(FloatType), col("longitude").cast(FloatType)))
+      .drop("latitude", "longitude")
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+      .select("ind", "country", "coordinates", "timestamp")
 
   /** geo cleaner — `CLEAN:82-88` / `KINESIS:138-149`.
     * latitude+longitude fused into `coordinates: array<float>`, timestamp
     * parsed, dedup on `ind`.
     */
   def geoClean(df: DataFrame): DataFrame =
-    df.withColumn("coordinates",
-        array(col("latitude").cast(FloatType), col("longitude").cast(FloatType)))
-      .drop("latitude", "longitude")
-      .withColumn("timestamp", to_timestamp(col("timestamp")))
-      .select("ind", "country", "coordinates", "timestamp")
-      .dropDuplicates("ind")
+    geoCleanCore(df).dropDuplicates("ind")
+
+  /** Narrow user transform (see [[pinCleanCore]]). */
+  def userCleanCore(df: DataFrame): DataFrame =
+    df.withColumn("user_name",
+        concat(col("first_name"), lit(" "), col("last_name")))
+      .drop("first_name", "last_name")
+      .withColumn("date_joined", to_timestamp(col("date_joined")))
+      .select("ind", "user_name", "age", "date_joined")
 
   /** user cleaner — `CLEAN:95-101` / `KINESIS:153-163`.
     * first+last name concatenated into `user_name`, originals dropped,
     * date parsed, dedup on `ind`.
     */
   def userClean(df: DataFrame): DataFrame =
-    df.withColumn("user_name",
-        concat(col("first_name"), lit(" "), col("last_name")))
-      .drop("first_name", "last_name")
-      .withColumn("date_joined", to_timestamp(col("date_joined")))
-      .select("ind", "user_name", "age", "date_joined")
-      .dropDuplicates("ind")
+    userCleanCore(df).dropDuplicates("ind")
 }

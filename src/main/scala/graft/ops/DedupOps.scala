@@ -110,6 +110,12 @@ object DedupOps {
     // full distinct-shingle counts; the numerator necessarily equals the
     // true |A∩B| restricted to pair-forming shingles (singletons can't
     // intersect; hot shingles are excluded by design — skew guard).
+    // SEMANTIC NOTE: on a corpus that actually contains shingles hotter
+    // than maxShingleDf, this Jaccard is therefore a lower bound (hot
+    // overlap excluded from the numerator but not the denominators),
+    // while minhashLshPairs verifies with full-set Jaccard — the two can
+    // disagree near the threshold on boilerplate-heavy pairs. That skew
+    // guard is deliberate; lower maxShingleDf consciously.
     val pairs = invertedIndex(s, d, n, maxShingleDf)
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
@@ -223,8 +229,12 @@ object DedupOps {
       .select(col("doc_id"),
         explode_outer(TextOps.tokens(lower(col("text")))).as("t"))
       .withColumn("h", xxhash64(col("t")))
+    // guard on the token, not the hash: xxhash64 is null-intolerant in the
+    // "hash of NULL is the seed" sense (never returns NULL), so a
+    // null-token row from explode_outer must be excluded by t itself or an
+    // empty doc would vote as if it contained one token with hash 42.
     val votes = (0 until 64).map { i =>
-      sum(when(col("h").isNull, 0)
+      sum(when(col("t").isNull, 0)
         .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$i")
     }

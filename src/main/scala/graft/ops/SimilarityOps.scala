@@ -94,6 +94,8 @@ object SimilarityOps {
     */
   def lshTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
       nBits: Int = 32, bandBits: Int = 8, dim: Int = 64): DataFrame = {
+    require(nBits % bandBits == 0,
+      s"bandBits ($bandBits) must divide nBits ($nBits) or signature bits are silently unused")
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
     val mask = (1L << bandBits) - 1

@@ -84,9 +84,11 @@ object TextOps {
     "zh" -> "de5", "zh" -> "shi4", "zh" -> "le5", "zh" -> "bu4", "zh" -> "zai4")
 
   /** Language-ID: explode tokens, join the broadcast lexicon, count hits
-    * per (doc, lang), argmax with deterministic tiebreak ('und' when no
-    * hits). Scale shape: narrow explode → broadcast join → one groupBy
-    * shuffle keyed by doc_id (well distributed).
+    * per (doc, lang), argmax with deterministic tiebreak. Docs with
+    * tokens but no lexicon hits classify as 'und'; docs with EMPTY text
+    * are omitted from the output entirely (explode of an empty array —
+    * the oracle SQL mirrors this). Scale shape: narrow explode →
+    * broadcast join → one groupBy shuffle keyed by doc_id.
     */
   def languageId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

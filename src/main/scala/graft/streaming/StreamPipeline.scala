@@ -41,53 +41,36 @@ object StreamPipeline {
     * operator); bounded mode adds a watermark and evicts old state.
     */
   def pinStream(raw: DataFrame, bounded: Boolean = false): DataFrame = {
-    val des = deserialize(raw, Schemas.pinRaw)
-    val cleanedNoDedup = Cleaners.nullifySentinels(des)
-      .withColumn("follower_count",
-        Cleaners.parseFollowerCount(col("follower_count")))
-      .withColumn("save_location",
-        regexp_replace(col("save_location"), "Local save in ", ""))
-      .withColumnRenamed("index", "ind")
-      .drop("downloaded")
-      .select("ind", "unique_id", "title", "description", "follower_count",
-        "poster_name", "tag_list", "is_image_or_video", "image_src",
-        "save_location", "category")
+    val cleaned = deserialize(raw, Schemas.pinRaw)
+      .transform(Cleaners.pinCleanCore)
     // no event-time column on pin; bounded mode uses processing-time ingest
     if (bounded)
-      cleanedNoDedup
+      cleaned
         .withColumn("ingest_ts", current_timestamp())
         .withWatermark("ingest_ts", "1 hour")
         .dropDuplicatesWithinWatermark("description")
         .drop("ingest_ts")
-    else cleanedNoDedup.dropDuplicates("description")
+    else cleaned.dropDuplicates("description")
   }
 
   /** Streaming geo path (`KINESIS:138-149`). */
   def geoStream(raw: DataFrame, bounded: Boolean = false): DataFrame = {
-    val des = deserialize(raw, Schemas.geoRaw)
-      .withColumn("coordinates",
-        array(col("latitude"), col("longitude")))
-      .drop("latitude", "longitude")
-      .withColumn("timestamp", to_timestamp(col("timestamp")))
-      .select("ind", "country", "coordinates", "timestamp")
+    val cleaned = deserialize(raw, Schemas.geoRaw)
+      .transform(Cleaners.geoCleanCore)
     if (bounded)
-      des.withWatermark("timestamp", "1 hour")
+      cleaned.withWatermark("timestamp", "1 hour")
         .dropDuplicatesWithinWatermark("ind")
-    else des.dropDuplicates("ind")
+    else cleaned.dropDuplicates("ind")
   }
 
   /** Streaming user path (`KINESIS:153-163`). */
   def userStream(raw: DataFrame, bounded: Boolean = false): DataFrame = {
-    val des = deserialize(raw, Schemas.userRaw)
-      .withColumn("user_name",
-        concat(col("first_name"), lit(" "), col("last_name")))
-      .drop("first_name", "last_name")
-      .withColumn("date_joined", to_timestamp(col("date_joined")))
-      .select("ind", "user_name", "age", "date_joined")
+    val cleaned = deserialize(raw, Schemas.userRaw)
+      .transform(Cleaners.userCleanCore)
     if (bounded)
-      des.withWatermark("date_joined", "1 hour")
+      cleaned.withWatermark("date_joined", "1 hour")
         .dropDuplicatesWithinWatermark("ind")
-    else des.dropDuplicates("ind")
+    else cleaned.dropDuplicates("ind")
   }
 
   /** Event-time tumbling-window aggregate with watermark — the windowed

@@ -52,6 +52,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(withNull.isNullAt(0))
   }
 
+  test("null ELEMENT -> null, same as the composed HOF form") {
+    val df = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS a, " +
+        "array(1.0D, 2.0D, 3.0D) AS b")
+    val r = df.select(
+      cosineSim(col("a"), col("b")).as("fused"),
+      SimilarityOps.cosineComposed(col("a"), col("b")).as("composed")).head()
+    assert(r.isNullAt(0), "fused should be null on null element")
+    assert(r.isNullAt(1), "composed should be null on null element")
+  }
+
   test("expression participates in codegen (no fallback in plan)") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(10)
     val plan = emb.select(cosineSim(col("embedding"), col("embedding")))

@@ -83,6 +83,17 @@ def main():
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # every declared query must have produced an output dir — a query that
+    # threw inside Verify must FAIL here, not vanish from the gate
+    manifest = f"{out_dir}/queries.json"
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            declared = json.load(f)
+        for name in declared:
+            if name not in names:
+                results[name] = "NO_OUTPUT"
+        names = [n for n in names if n in declared] + \
+            [n for n in names if n not in declared]
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
