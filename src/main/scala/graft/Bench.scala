@@ -10,12 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measure with a real sink: the noop datasource consumes every row and
+    // column of the result (a bare .count() lets Spark skip materializing
+    // projected columns entirely).
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Warm the session once (codegen, FS metadata, shuffle machinery) so
     // per-query numbers measure the queries, not JVM startup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { run(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       // a failed query must not masquerade as a fast one: record -1

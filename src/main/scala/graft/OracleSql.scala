@@ -237,6 +237,67 @@ object OracleSql {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // payload bytes via hex pairs: b(i) = 16·hi + lo of hex digit values.
+    // Integer-exact twin of Multimodal.featureHistogram (bucket = byte % 64,
+    // zero buckets dropped).
+    "mm_features" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), byteval AS (
+        |  SELECT media_id,
+        |         unnest(list_transform(range(1, n+1), i ->
+        |           (strpos('123456789ABCDEF', substr(h, 2*i-1, 1))) * 16
+        |         + (strpos('123456789ABCDEF', substr(h, 2*i, 1))))) AS b
+        |  FROM hx
+        |)
+        |SELECT media_id, CAST(b % 64 AS INT) AS pos, count(*) AS cnt
+        |FROM byteval GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Multimodal.decodeImages stub twin: Java-long polynomial byte fold
+    // (h = 31·h + b mod 2^64, init 1125899906842597, final & Long.MaxValue)
+    // via HUGEINT list_reduce; width/height are modular slices of the fold.
+    "mm_decode_images" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), folded AS (
+        |  SELECT media_id, n,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, n+1), i ->
+        |          CAST((strpos('123456789ABCDEF', substr(h, 2*i-1, 1))) * 16
+        |             + (strpos('123456789ABCDEF', substr(h, 2*i, 1))) AS HUGEINT))),
+        |      (acc, b) -> (31*acc + b) % 18446744073709551616) AS acc
+        |  FROM hx
+        |)
+        |SELECT media_id,
+        |  CAST(64 + (acc % 9223372036854775808) % 1024 AS INT) AS width,
+        |  CAST(64 + ((acc % 9223372036854775808) // 1024) % 1024 AS INT) AS height,
+        |  3 AS n_channels, CAST(n AS BIGINT) AS n_bytes
+        |FROM folded ORDER BY media_id""".stripMargin,
+
+    // Multimodal.sampleFrames stub twin: every 4th 256-byte block of video
+    // payloads, sliced from the hex string (512 hex chars per frame) and
+    // rehydrated with unhex (DuckDB 1.0 has no BLOB substring).
+    "mm_sample_frames" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), frames AS (
+        |  SELECT media_id, h,
+        |         CAST(unnest(range(0, greatest(1, n // 256), 4)) AS BIGINT)
+        |           AS frame_idx
+        |  FROM vid
+        |)
+        |SELECT media_id, frame_idx,
+        |       unhex(substr(h, CAST(frame_idx*512 + 1 AS INT), 512))
+        |         AS frame_bytes
+        |FROM frames ORDER BY media_id, frame_idx""".stripMargin,
+
     // ------------------------------------------------------- relational
     "r_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -60,9 +60,7 @@ object SparkEntry {
     "mm_decode_images"    -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.mediaTable(s, d)).toDF()
         .orderBy("media_id")),
-    "mm_features"         -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
-        .orderBy("media_id")),
+    "mm_features"         -> (Multimodal.featureHistogram(_, _)),
     "mm_sample_frames"    -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
         .orderBy("media_id", "frame_idx")),
@@ -132,6 +130,21 @@ object SparkEntry {
          |FROM orders JOIN bucket ON o_custkey = c_custkey
          |GROUP BY 1, 2
          |ORDER BY age_group, category_count DESC, category""".stripMargin,
+
+    // Exact twin while every group fits the GK sketch without compression
+    // (accuracy 10000 ≥ group size — holds at the driver's sf0.01 gate and
+    // at sf0.1): percentile_approx degenerates to the exact lower median,
+    // which is DuckDB's quantile_disc convention (verified on even-sized
+    // groups where lower/upper diverge). At larger SF the sketch becomes
+    // genuinely approximate and this entry would revert to rows-only.
+    "q6_median_approx" ->
+      s"""WITH b AS (
+         |  SELECT $bucketSql AS age_group, c_acctbal AS follower_count
+         |  FROM customer)
+         |SELECT age_group,
+         |       quantile_disc(follower_count, 0.5) AS median_follower_count
+         |FROM b GROUP BY 1
+         |ORDER BY median_follower_count DESC, age_group""".stripMargin,
 
     "q6_median_follower_by_group" ->
       s"""WITH b AS (

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * (same as the zip_with semantics).
   */
 case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(planes.nonEmpty && planes.length <= 64,
     "1..64 hyperplanes fit a long signature")
@@ -44,8 +44,16 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** The signature loop in precompiled form; also the codegen target (a
+    * boxed Long so the NULL-element case survives the JNI-free call —
+    * [[doGenCode]] unboxes). Keeping this out of CodegenFallback keeps the
+    * ANN corpus scan inside whole-stage codegen.
+    */
+  def compute(input: ArrayData): java.lang.Long = {
+    val v = input
     val m = v.numElements()
     // a vector with NULL elements has no meaningful signature
     var k = 0
@@ -66,6 +74,18 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
       j += 1
     }
     java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneSignature", this,
+      classOf[HyperplaneSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sig")
+      s"""
+         |java.lang.Long $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** The `nProbe` nearest centroid indices of a vector, by cosine similarity,
+  * in one compiled row-local pass over a centroid matrix captured at plan
+  * time.
+  *
+  * This is the IVF cell-assignment primitive: a previous formulation
+  * (`crossJoin(broadcast(centroids))` + `row_number` over a per-vector
+  * window) shuffled and sorted |corpus|×|cells| rows just to take each
+  * row's argmax — at 100 TB that window exchange is the bottleneck. Here
+  * assignment is a scalar expression: zero shuffle, participates in
+  * whole-stage codegen, and the same expression serves both corpus
+  * assignment (nProbe=1) and query probing (nProbe=c).
+  *
+  * Output: array<int> of cell indices ordered by cosine descending, index
+  * ascending on ties (deterministic). NULL input or NULL element → NULL.
+  * Zero-norm vectors compare with cosine NaN < everything, so they land in
+  * the lowest-index cells (deterministic, degenerate input).
+  */
+case class NearestCentroids(child: Expression,
+    centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nProbe >= 1 && nProbe <= centroids.length,
+    s"nProbe ($nProbe) must be in 1..${centroids.length}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // NULL for vectors containing NULL elements, regardless of input nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids expects array<float|double>, got ${t.catalogString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Row-local top-nProbe by cosine; also the codegen target. Returns null
+    * for vectors with NULL elements.
+    */
+  def compute(input: ArrayData): ArrayData = {
+    val m = input.numElements()
+    var k = 0
+    while (k < m) { if (input.isNullAt(k)) return null; k += 1 }
+    val v = new Array[Double](m)
+    k = 0
+    while (k < m) {
+      v(k) = if (isFloat) input.getFloat(k).toDouble else input.getDouble(k)
+      k += 1
+    }
+    var vn = 0.0
+    k = 0
+    while (k < m) { vn += v(k) * v(k); k += 1 }
+    val bestIdx = new Array[Int](nProbe)
+    val bestSim = new Array[Double](nProbe)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val p = centroids(c)
+      val n = math.min(m, p.length)
+      var dot = 0.0
+      var cn = 0.0
+      var i = 0
+      while (i < n) { dot += v(i) * p(i); cn += p(i) * p(i); i += 1 }
+      val sim = dot / (math.sqrt(vn) * math.sqrt(cn))
+      // insertion position: first slot this sim strictly beats (ties keep
+      // the earlier centroid index ahead — deterministic). NaN (zero-norm)
+      // never beats anything, so it only fills trailing empty slots.
+      var pos = filled
+      while (pos > 0 && sim > bestSim(pos - 1)) pos -= 1
+      if (pos < nProbe) {
+        val last = math.min(filled, nProbe - 1)
+        var j = last
+        while (j > pos) { bestIdx(j) = bestIdx(j - 1); bestSim(j) = bestSim(j - 1); j -= 1 }
+        bestIdx(pos) = c
+        bestSim(pos) = sim
+        if (filled < nProbe) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("cells")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // the centroid matrix is part of the expression's identity for plan equality
+  override def equals(o: Any): Boolean = o match {
+    case e: NearestCentroids =>
+      e.child == child && e.nProbe == nProbe && java.util.Arrays.deepEquals(
+        centroids.asInstanceOf[Array[AnyRef]],
+        e.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + nProbe) + java.util.Arrays.deepHashCode(
+      centroids.asInstanceOf[Array[AnyRef]])
+}
+
+object NearestCentroids {
+  /** Column entry point: indices of the `nProbe` nearest centroids. */
+  def nearestCentroids(v: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    ColumnBridge.column(
+      NearestCentroids(ColumnBridge.expression(v), centroids, nProbe))
+}

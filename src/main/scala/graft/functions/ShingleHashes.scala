@@ -4,7 +4,7 @@ import java.util.Arrays
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * unordered, and downstream results depend only on set equality.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -43,8 +43,15 @@ case class ShingleHashes(child: Expression, n: Int)
 
   private val seed = 42L
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** The whole shingle-hash pass in one precompiled JVM loop; also the
+    * codegen target ([[doGenCode]] emits a call to this, which keeps the
+    * surrounding projection inside whole-stage codegen — a CodegenFallback
+    * trait would eject the entire stage to the interpreted path).
+    */
+  def compute(tokens: ArrayData): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](m)
@@ -73,6 +80,12 @@ case class ShingleHashes(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(if (w == out.length) out else Arrays.copyOf(out, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this,
+      classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 
@@ -70,18 +69,35 @@ object DedupOps {
     * injective relabeling (64-bit collision odds at corpus scale: ~2^-64 ·
     * |shingles|², negligible).
     */
-  private def hashedShingles(s: SparkSession, d: String, n: Int): DataFrame =
+  def shingleIndex(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.ShingleHashes.shingleHashes(
           TextOps.tokens(lower(col("text"))), n).as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("h"))
-      // Materialized once per session (plan-canonical cache hit): the pair
-      // generator, the size aggregate, and the MinHash signature all
-      // re-derive from this index — without the cache each one would
-      // re-tokenize the corpus (the dominant cost, measured). The 100 TB
-      // equivalent is checkpointing the index to parquet between stages.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def hashedShingles(s: SparkSession, d: String, n: Int): DataFrame =
+    // Materialized once per session (plan-canonical cache hit): the pair
+    // generator, the size aggregate, and the MinHash signature all
+    // re-derive from this index — without the cache each one would
+    // re-tokenize the corpus (the dominant cost, measured). Registered with
+    // [[graft.Caches]] so a long-lived session can release it; the 100 TB
+    // equivalent is checkpointing the index to parquet between stages
+    // ([[writeShingleIndex]]).
+    graft.Caches.register(shingleIndex(s, d, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Materialize the shingle index to parquet — the durable dedup-state
+    * shape at scale: compute once, then run pair generation / MinHash /
+    * verification passes from the parquet index without re-tokenizing, and
+    * release by deleting the directory (no executor cache pinned).
+    */
+  def writeShingleIndex(s: SparkSession, d: String, n: Int, path: String): Unit =
+    shingleIndex(s, d, n).write.mode("overwrite").parquet(path)
+
+  /** Read a materialized shingle index back; feeds the `*From` variants. */
+  def readShingleIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
 
   /** Inverted index: shingle-hash → list of docs containing it, keeping
     * only shingles with 2..maxShingleDf docs (singletons can't form pairs;
@@ -89,9 +105,8 @@ object DedupOps {
     * discriminating power and would cause quadratic candidate blowup —
     * the classic skew guard).
     */
-  private def invertedIndex(s: SparkSession, d: String, n: Int,
-      maxShingleDf: Int): DataFrame =
-    hashedShingles(s, d, n)
+  private def invertedIndex(idx: DataFrame, maxShingleDf: Int): DataFrame =
+    idx
       .groupBy("h").agg(collect_list("doc_id").as("docs"))
       .filter(size(col("docs")).between(2, maxShingleDf))
 
@@ -103,31 +118,42 @@ object DedupOps {
     * engine reproduces it bit-for-bit.
     */
   def ngramJaccardPairs(s: SparkSession, d: String, n: Int = 3,
-      thresholdPct: Int = 60, maxShingleDf: Int = 1000): DataFrame = {
-    // Pairs come straight out of the inverted index (the doc list of each
-    // shingle is already co-located after the by-shingle shuffle — a double
-    // explode generates the pairs with NO self-join shuffle). Sizes are the
-    // full distinct-shingle counts; the numerator necessarily equals the
-    // true |A∩B| restricted to pair-forming shingles (singletons can't
-    // intersect; hot shingles are excluded by design — skew guard).
-    // SEMANTIC NOTE: on a corpus that actually contains shingles hotter
-    // than maxShingleDf, this Jaccard is therefore a lower bound (hot
-    // overlap excluded from the numerator but not the denominators),
-    // while minhashLshPairs verifies with full-set Jaccard — the two can
-    // disagree near the threshold on boilerplate-heavy pairs. That skew
-    // guard is deliberate; lower maxShingleDf consciously.
-    val pairs = invertedIndex(s, d, n, maxShingleDf)
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000): DataFrame =
+    ngramJaccardPairsFrom(hashedShingles(s, d, n), thresholdPct, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over an existing (doc_id, h) shingle index —
+    * in-session cached or read back from parquet ([[readShingleIndex]]).
+    *
+    * Pairs come straight out of the inverted index (the doc list of each
+    * shingle is already co-located after the by-shingle shuffle — a double
+    * explode generates the pairs with NO self-join shuffle). Sizes are the
+    * full distinct-shingle counts; the numerator necessarily equals the
+    * true |A∩B| restricted to pair-forming shingles (singletons can't
+    * intersect; hot shingles are excluded by design — skew guard).
+    * SEMANTIC NOTE: on a corpus that actually contains shingles hotter
+    * than maxShingleDf, this Jaccard is therefore a lower bound (hot
+    * overlap excluded from the numerator but not the denominators),
+    * while minhashLshPairs verifies with full-set Jaccard — the two can
+    * disagree near the threshold on boilerplate-heavy pairs. That skew
+    * guard is deliberate; lower maxShingleDf consciously.
+    *
+    * Scale note: the size join is a plain shuffle join — `sizes` is a
+    * per-document table, so a broadcast hint would ship the whole corpus
+    * to every executor; AQE still broadcasts it when it is actually small.
+    */
+  def ngramJaccardPairsFrom(idx: DataFrame, thresholdPct: Int = 60,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val pairs = invertedIndex(idx, maxShingleDf)
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    val sizes = hashedShingles(s, d, n)
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     pairs
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
-        col("sz").as("size_a"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
-        col("sz").as("size_b"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("sz").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("sz").as("size_b")), Seq("doc_b"))
       .filter(col("shared") * 100 >=
         lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"),
@@ -162,55 +188,80 @@ object DedupOps {
   /** MinHash+LSH near-dup pairs: per-permutation min-hashes → band hashes →
     * bucket join on (band, hash) → exact Jaccard verification of candidates.
     *
-    * Shape note (the hard-won one): the signature is computed in FLAT form
-    * — explode shingles once, then ONE hash-aggregate with `numHashes`
-    * `min` expressions over plain long columns — not as nested
-    * array-lambda expressions. An earlier array-HOF formulation
-    * (array_min∘transform per permutation, re-sliced per band) made
-    * Catalyst inline the whole tokenize→shingle→hash pipeline into every
-    * consumer: ~1000× per-row expression blowup, 69 s for 500 docs. The
-    * flat form runs the same logical algorithm in one narrow pass + one
-    * doc-keyed shuffle that also carries the shingle set and size for the
-    * verify step — everything downstream reads cheap attributes.
+    * Shape notes (all hard-won, three rounds of repair):
     *
-    * This is the 100 TB dedup shape: candidate count scales with true
-    * duplicate density (docs only meet if a full band matches), and the
-    * final verify only touches candidate pairs.
+    * 1. The signature never leaves the row. The
+    *    [[graft.functions.MinHashSignature]] expression computes all
+    *    `numHashes` permutation minima over the shingles in one compiled
+    *    pass — no shingle explode, no corpus-sized hash aggregate. (The
+    *    first formulation — nested array HOFs — made Catalyst inline the
+    *    tokenize pipeline into every consumer, 69 s for 500 docs; the
+    *    second — explode + 64 min aggregates — was correct but shuffled
+    *    the full shingle index and ran interpreted xorshift per row,
+    *    45 % of total bench time.)
+    *
+    * 2. Verification touches CANDIDATE documents only: semi-join the
+    *    documents table down to docs appearing in some candidate pair,
+    *    recompute their shingle hashes (work ∝ duplicate density, not
+    *    corpus), and take exact shared counts from a (doc, h)-keyed join —
+    *    the same integer-exact formulation [[ngramJaccardPairsFrom]] uses,
+    *    but over FULL shingle sets (no df filter), so the Jaccard is the
+    *    true full-set value. A previous revision carried `collect_set(h)`
+    *    for every document instead — O(doc) state for all docs to verify
+    *    O(candidates) pairs.
+    *
+    * This is the 100 TB dedup shape: one narrow corpus scan, one
+    * (doc, band)-keyed shuffle of 16-byte rows, candidates ∝ true-dup
+    * density, and every verify-side structure proportional to candidates.
     */
   def minhashLshPairs(s: SparkSession, d: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       thresholdPct: Int = 60): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val idx = hashedShingles(s, d, n)
-    // one shuffle: signature mins + shingle-hash set + set size per doc
-    val minAggs = seeds(numHashes).zipWithIndex.map { case (seed, i) =>
-      min(xorshift64(col("h").bitwiseXOR(lit(seed)))).as(s"m$i")
-    }
-    val aggs = minAggs ++ Seq(collect_set("h").as("sh"),
-      count(lit(1)).as("sz"))
-    val sigs = idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      // referenced three times (both band-join sides + the verify step);
-      // materialize once — this is the dedup-state table at scale
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("doc_id"),
+    val docs = Tables.documents(s, d)
+    val sigs = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.minhashSignature(
+          TextOps.tokens(lower(col("text"))), n, seeds(numHashes).toArray)
+          .as("sig"))
+      .filter(col("sig").isNotNull) // shingle-less docs can't form pairs
+    val banded = sigs
+      .select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
-          xxhash64(array((0 until rows).map(r =>
-            col(s"m${b * rows + r}")): _*))): _*)))
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val cand = banded.as("x")
-      .join(banded.as("y"), Seq("band", "band_hash"))
+    // both self-join sides read the banded signatures — materialize once
+    // (doc_id + band + hash: ~24 bytes/row · bands, the dedup-state table)
+    val bandedC = graft.Caches.register(
+      banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = bandedC.as("x")
+      .join(bandedC.as("y"), Seq("band", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over the carried shingle sets
-    val sets = sigs.select(col("doc_id"), col("sh"), col("sz"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("sz").as("size_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("sz").as("size_b")), Seq("doc_b"))
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+    // verify: recompute shingles for candidate docs only, then exact
+    // shared counts via a (doc, h) equi-join — integer arithmetic only
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candShingles = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          TextOps.tokens(lower(col("text"))), n).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+    val sizes = candShingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = cand
+      .join(candShingles.select(col("doc_id").as("doc_a"), col("h")),
+        Seq("doc_a"))
+      .join(candShingles.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
+        Seq("doc_b"))
       .filter(col("shared") * 100 >=
         lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"),

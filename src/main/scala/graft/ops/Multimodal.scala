@@ -74,27 +74,58 @@ object Multimodal {
     }
   }
 
-  /** Fixed-width feature extraction for any media kind. STUB embedding:
-    * byte histogram folded into `dim` float buckets, L2-normalized —
-    * deterministic, fixed-width, the schema a real vision/audio encoder
-    * would emit. Output feeds SimilarityOps (ANN over Array[Float]).
+  /** Raw per-media feature histogram: payload bytes folded into `dim`
+    * integer buckets (bucket = byte % dim). The un-normalized integer stage
+    * of [[extractFeatures]] — exposed separately because integer counts are
+    * engine-reproducible bit-for-bit (the driver gate hashes them against a
+    * DuckDB twin), while the normalized floats are only comparable up to
+    * rounding.
     */
-  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeature] = {
+  case class MediaHistogram(media_id: Long, hist: Array[Long])
+
+  def rawHistogram(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaHistogram] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // [real encoder batch-init would go here, once per partition]
       it.map { m =>
-        val acc = new Array[Float](dim)
+        val acc = new Array[Long](dim)
         var i = 0
         while (i < m.payload.length) {
-          acc((m.payload(i) & 0xFF) % dim) += 1f
+          acc((m.payload(i) & 0xFF) % dim) += 1L
           i += 1
         }
-        val nrm = math.sqrt(acc.foldLeft(0.0)((s, v) => s + v * v)).toFloat
-        val out = if (nrm > 0) acc.map(_ / nrm) else acc
-        MediaFeature(m.media_id, out)
+        MediaHistogram(m.media_id, acc)
       }
     }
+  }
+
+  /** Fixed-width feature extraction for any media kind. STUB embedding:
+    * [[rawHistogram]] L2-normalized to float — deterministic, fixed-width,
+    * the schema a real vision/audio encoder would emit. Output feeds
+    * SimilarityOps (ANN over Array[Float]).
+    */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    rawHistogram(media, dim).map { mh =>
+      val acc = mh.hist.map(_.toFloat)
+      val nrm = math.sqrt(acc.foldLeft(0.0)((s, v) => s + v * v)).toFloat
+      val out = if (nrm > 0) acc.map(_ / nrm) else acc
+      MediaFeature(mh.media_id, out)
+    }
+  }
+
+  /** Gate-facing twin of [[extractFeatures]]: the feature content exploded
+    * to hash-comparable scalars (media_id, pos, cnt), integer-exact so any
+    * SQL engine reproduces it. Zero buckets dropped (the counts that remain
+    * sum to the payload length, which pins them). The normalized float view
+    * stays available as the typed [[extractFeatures]] API for the ANN path.
+    */
+  def featureHistogram(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    rawHistogram(mediaTable(s, d), dim).toDF()
+      .select(col("media_id"), posexplode(col("hist")))
+      .filter(col("col") > 0)
+      .select(col("media_id"), col("pos"), col("col").as("cnt"))
+      .orderBy("media_id", "pos")
   }
 
   /** Frame sampling for video payloads: every `stride`-th 256-byte block

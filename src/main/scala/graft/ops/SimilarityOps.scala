@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.NearestCentroids.nearestCentroids
 
 /** Similarity search over the `embeddings` table
   * (vec_id, embedding: array<float> [64-dim], label).
@@ -122,49 +123,83 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF (inverted-file) ANN: partition the corpus into cells around
-    * centroids, search only the `nProbe` cells nearest each query.
-    *
-    * Centroids here are the per-label mean vectors (deterministic, no
-    * k-means iterations needed on the fixture; swap in k-means output at
-    * deployment — the search shape is identical). Cell assignment is a
-    * broadcast join against ≤ |labels| centroids (no shuffle of the
-    * corpus); the probe step touches |corpus|·nProbe/|cells| rows — the
-    * classic recall/cost dial. Output schema matches [[bruteForceTopK]].
+  /** Element-wise mean vectors per cell key, collected to the driver as a
+    * dense matrix — the k-means "update" step. The collect is bounded by
+    * |cells|·dim doubles (k-means state is small by construction; this is
+    * exactly how MLlib's KMeans iterates). posexplode + avg aggregates with
+    * map-side partial aggregation: shuffle volume is
+    * partitions·|cells|·dim, independent of corpus size.
     */
-  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
-      nProbe: Int = 3): DataFrame = {
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
-    // centroids: element-wise mean per label — posexplode + avg, then
-    // reassembled into arrays (array_agg ordered by position)
-    val centroids = emb
+  private def cellMeans(df: DataFrame, cellCol: String,
+      vecCol: String): Seq[(Int, Array[Double])] =
+    df.select(col(cellCol).cast("int").as("c"), posexplode(col(vecCol)))
+      .groupBy("c", "pos").agg(avg("col").as("m"))
+      .groupBy("c")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("c"), transform(col("pm"), p => p.getField("m")).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** k-means centroids over the embedding corpus: initialized from the
+    * per-label means (deterministic seeding — the labels partition the
+    * fixture into meaningful clusters), refined with `iters` Lloyd
+    * iterations. Assignment is the row-local [[nearestCentroids]] scalar
+    * expression over the broadcast matrix — ZERO shuffle per iteration on
+    * the assignment side; the update is the bounded [[cellMeans]]
+    * aggregate. Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(emb: DataFrame, iters: Int): Array[Array[Double]] = {
+    // seed: per-label means, label→cell index by sorted label order
+    // (driver-side — |labels| is bounded)
+    var centroids: Array[Array[Double]] = emb
       .select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos").agg(avg("col").as("m"))
       .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .as("pm"))
-      .select(col("label").as("cell"),
-        transform(col("pm"), p => p.getField("m").cast("float"))
-          .as("centroid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // assign every vector to its nearest centroid cell (broadcast join)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").cast("string").as("label"),
+        transform(col("pm"), p => p.getField("m")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.withColumn("cell",
+        element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
+      val next = centroids.map(_.clone())
+      cellMeans(assigned, "cell", "embedding")
+        .foreach { case (c, v) => next(c) = v }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * k-means centroids, search only the `nProbe` cells nearest each query.
+    *
+    * Cell assignment is one narrow pass: the [[NearestCentroids]] scalar
+    * expression computes each row's nearest cell over the plan-time
+    * centroid matrix — no crossJoin, no per-vector window, no Exchange
+    * keyed by vec_id (the previous formulation shuffled and sorted
+    * |corpus|×|cells| rows through `row_number`). The probe step touches
+    * |corpus|·nProbe/|cells| rows — the classic recall/cost dial. The
+    * probe table is broadcast: it is bounded by nQueries·nProbe rows by
+    * construction (a query working set, never corpus-sized). Output schema
+    * matches [[bruteForceTopK]].
+    */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 3, kmeansIters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val centroids = kmeansCentroids(emb, kmeansIters)
+    val assigned = emb
+      .withColumn("cell",
+        element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
       .select(col("vec_id"), col("embedding"), col("cell"))
-    // each query probes its nProbe nearest cells
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("csim").desc, col("cell"))
+    // each query probes its nProbe nearest cells (row-local, then explode)
     val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosineSim(col("q_emb"), col("centroid")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(nearestCentroids(col("embedding"), centroids, nProbe))
+          .as("cell"))
     // search only the probed cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("vec_id"))
