@@ -6,12 +6,17 @@ import org.apache.spark.sql.SparkSession
   * SparkEntry query so scan pruning (ReadSchema/PushedFilters), join
   * strategy (BroadcastHashJoin vs SortMergeJoin), and WholeStageCodegen
   * coverage can be reviewed. Usage:
-  *   runMain graft.Explain <sfDir> [queryName]
+  *   runMain graft.Explain <sfDir> [queryName|--out <dir>]
+  * With `--out <dir>`, one `<dir>/<name>.txt` per query (the committed
+  * plan snapshots under `plans/`; PlanSnapshotSpec guards the invariants).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val only = if (args.length > 1) Some(args(1)) else None
+    val outDir = if (args.length > 2 && args(1) == "--out") Some(args(2))
+      else None
+    val only = if (args.length > 1 && args(1) != "--out") Some(args(1))
+      else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -23,10 +28,21 @@ object Explain {
       .filter { case (n, _) => only.forall(_ == n) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
-        println(s"\n===== $name =====")
-        try println(fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"[explain failed] $e") }
+        val plan =
+          try fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          catch { case e: Throwable => s"[explain failed] $e" }
+        outDir match {
+          case Some(dir) =>
+            new java.io.File(dir).mkdirs()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"$name.txt"),
+              plan.getBytes("UTF-8"))
+            println(s"[explain] wrote $dir/$name.txt")
+          case None =>
+            println(s"\n===== $name =====")
+            println(plan)
+        }
       }
     spark.stop()
   }

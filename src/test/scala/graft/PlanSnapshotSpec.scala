@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan regression guards: the scale-critical plan shapes the
+  * engine relies on must not silently regress (optimizer upgrades, refactors
+  * of the query builders, accidental hints). Textual asserts over the
+  * executed plan string; full formatted snapshots live under `plans/`
+  * (regenerate with `runMain graft.Explain <sfDir> --out plans`).
+  */
+class PlanSnapshotSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  /** AQE defers WholeStageCodegen insertion to runtime stages; for static
+    * codegen-shape asserts, plan with AQE off.
+    */
+  private def withAqeOff[T](f: => T): T = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("q3: rank=1 compiles to WindowGroupLimit — no per-country group " +
+      "materialization") {
+    assert(plan("q3_top_poster_per_country").contains("WindowGroupLimit"))
+  }
+
+  test("q1 and q3 broadcast the nation dimension (no shuffle of the fact side)") {
+    assert(plan("q1_category_per_country").contains("BroadcastHashJoin"))
+    assert(plan("q3_top_poster_per_country").contains("BroadcastHashJoin"))
+  }
+
+  test("q2: the year range reaches the parquet scan as a pushed timestamp " +
+      "range (row-group skippable)") {
+    val p = plan("q2_category_per_year")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
+  private def assertProjectionCodegens(name: String, exprName: String): Unit =
+    withAqeOff {
+      val p = plan(name)
+      val lines = p.linesIterator.filter(_.contains(s"$exprName(")).toSeq
+      assert(lines.nonEmpty, s"no $exprName in plan:\n$p")
+      lines.filter(_.contains("Project")).foreach(l =>
+        assert(l.contains("*("),
+          s"$exprName projection fell out of codegen:\n$l"))
+    }
+
+  test("minhash signature projection participates in whole-stage codegen") {
+    assertProjectionCodegens("dedup_minhash_lsh", "minhashsignature")
+  }
+
+  test("hyperplane signature projection participates in whole-stage codegen") {
+    assertProjectionCodegens("emb_topk_lsh", "hyperplanesignature")
+  }
+
+  test("shingle hashing projection participates in whole-stage codegen") {
+    assertProjectionCodegens("dedup_ngram_jaccard", "shinglehashes")
+  }
+
+  test("IVF cell assignment is row-local: no exchange keyed by vec_id") {
+    val p = plan("emb_topk_ivf")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled by vec_id before cell assignment:\n$p")
+    assert(p.contains("nearestcentroids"), p)
+  }
+
+  test("no unbounded-table broadcast hint: dedup pair generators leave the " +
+      "strategy to the optimizer/AQE") {
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { q =>
+      // the planner may still CHOOSE a broadcast from size stats (that's
+      // the point); what must never appear is a user hint forcing one on
+      // a corpus-derived table
+      val p = SparkEntry.queries(q)(spark, TestSpark.sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("strategy=broadcast"),
+        s"$q forces a broadcast via hint:\n$p")
+    }
+  }
+}

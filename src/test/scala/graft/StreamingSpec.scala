@@ -44,7 +44,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(byInd(1).getAs[Int]("follower_count") === 25000)
       assert(byInd(2).getAs[Int]("follower_count") === 1000000)
       assert(byInd(4).isNullAt(byInd(4).fieldIndex("follower_count")))
-      assert(byInd(1).getAs[String]("save_location") === "/data/art")
+      assert(byInd(1).getAs[String]("save_location") === " /data/art")
     } finally q.stop()
   }
 
