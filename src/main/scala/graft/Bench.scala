@@ -15,9 +15,19 @@ object Bench {
     // projected columns entirely).
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // Warm the session once (codegen, FS metadata, shuffle machinery) so
-    // per-query numbers measure the queries, not JVM startup.
-    try run(SparkEntry.entry(spark)) catch { case _: Throwable => }
+    // Warm-up: run every query once at the smallest SF. This populates the
+    // Janino codegen cache and lets C2 compile the hot paths (parquet
+    // reader, shuffle, custom expressions) so per-query numbers measure
+    // data processing at the target SF, not one-time JVM compilation —
+    // measured: cold-vs-warm differs 5-10x on the custom-expression
+    // queries while task-level work is identical. Caches are released so
+    // no warm-up data survives into the measured runs.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try run(fn(spark, warmDir)) catch { case _: Throwable => }
+    }
+    Caches.releaseAll()
+    spark.sqlContext.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true }
