@@ -271,39 +271,37 @@ object DedupOps {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash fingerprint per document: per-token xxhash64, ±1 vote
-    * per bit position, sign → bit. Explode + one groupBy (keyed by doc_id,
-    * well-distributed); 64 sum aggregates fuse into a single hash-agg pass.
+  /** (doc_id, simhash) without the presentation sort — the shape pair
+    * generation consumes. Row-local compiled fingerprint
+    * ([[graft.functions.SimHash64]]): zero shuffle, one corpus scan per
+    * consumer. (The previous formulation exploded tokens into 64
+    * `sum(when)` aggregates — a corpus-sized shuffle that the banded
+    * self-join then paid twice.) Empty/NULL-text docs fingerprint as 0L,
+    * matching the aggregate form's all-zero vote vector.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
-        explode_outer(TextOps.tokens(lower(col("text")))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    // guard on the token, not the hash: xxhash64 is null-intolerant in the
-    // "hash of NULL is the seed" sense (never returns NULL), so a
-    // null-token row from explode_outer must be excluded by t itself or an
-    // empty doc would vote as if it contained one token with hash 42.
-    val votes = (0 until 64).map { i =>
-      sum(when(col("t").isNull, 0)
-        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val bits = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-      .orderBy("doc_id")
-  }
+        coalesce(graft.functions.SimHash64.simhash64(
+          TextOps.tokens(lower(col("text")))), lit(0L)).as("simhash"))
+
+  /** 64-bit SimHash fingerprint per document: per-token xxhash64, ±1 vote
+    * per bit position per occurrence, sign → bit.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashFingerprints(s, d).orderBy("doc_id")
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
     * one exact chunk), bucket-join, verify with `bit_count(a^b) <= maxHamming`.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(s, d)
+    // both self-join sides recompute the fingerprint scan — deliberately:
+    // the compiled fingerprint is a narrow zero-shuffle pass, so two scans
+    // beat pinning a corpus-sized cache (at 100 TB the durable form is a
+    // materialized (doc_id, simhash) parquet table, as with the shingle
+    // index).
+    val fp = simhashFingerprints(s, d)
     val banded = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))

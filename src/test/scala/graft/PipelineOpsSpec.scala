@@ -35,6 +35,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("SimHash64 expression is bit-identical to the declarative " +
+      "explode + 64-vote-aggregate formulation") {
+    // the formulation the compiled expression replaced, rebuilt inline as
+    // the semantic reference
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode_outer(TextOps.tokens(lower(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("t").isNull, 0)
+        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    val reference = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val compiled = DedupOps.simhash(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compiled === reference)
+  }
+
   test("simhash: near-identical docs have small Hamming distance") {
     val fp = DedupOps.simhash(spark, d)
     assert(fp.count() === Tables.documents(spark, d).count())
