@@ -33,6 +33,36 @@ object OracleSql {
         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // DuckDB regexp_replace replaces the FIRST match unless the 'g' flag
+    // is passed; Spark's always replaces all. Patterns are written to the
+    // Java-regex ∩ RE2 common subset (TextOps.emailRe etc.).
+    "txt_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${ops.TextOps.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${ops.TextOps.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${ops.TextOps.phoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${ops.TextOps.emailRe}', '<EMAIL>', 'g'),
+         |      '${ops.TextOps.ipv4Re}', '<IP>', 'g'),
+         |    '${ops.TextOps.phoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_train_test_split" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 < 10
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_top_terms" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents)
+         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM t GROUP BY term
+         |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
     "txt_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id,
@@ -105,6 +135,42 @@ object OracleSql {
          |pairforming AS (
          |  SELECT shingle FROM sh GROUP BY shingle
          |  HAVING count(*) BETWEEN 2 AND 1000),
+         |idx AS (
+         |  SELECT * FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM pairforming)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, sa.n_sh AS size_a, sb.n_sh AS size_b
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE shared * 100 >= 60 * (sa.n_sh + sb.n_sh - shared)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact ground truth for the MinHash+LSH pipeline: every pair with
+    // full-set n-gram Jaccard >= 0.6. Valid as a hash-equality oracle
+    // because (a) the verify stage scores candidates with exact full-set
+    // Jaccard (same integer arithmetic as below), and (b) banding recall
+    // on this corpus is exactly 1.0 — all qualifying pairs sit at
+    // J >= 0.9, where the 16-band x 4-row miss probability is
+    // (1 - 0.9^4)^16 ~ 4e-8, and the signature seeds are fixed so the
+    // result is deterministic. Differs from the ngram oracle only in
+    // using full shingle sets (no max-df skew cap in the verify path).
+    "dedup_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+         |    FROM toks WHERE len(t) >= 3)),
+         |pairforming AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
          |idx AS (
          |  SELECT * FROM sh
          |  WHERE shingle IN (SELECT shingle FROM pairforming)),

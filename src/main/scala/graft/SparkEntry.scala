@@ -27,6 +27,7 @@ object SparkEntry {
     "q5_category_per_age_group"    -> (Queries.q5CategoryPerAgeGroup(_, _)),
     "q6_median_follower_by_group"  -> (Queries.q6MedianFollowerByGroup(_, _)),
     "q6_median_approx"             -> (Queries.q6MedianApprox(_, _)),
+    "q6_median_exact_agg"          -> (Queries.q6MedianExactAgg(_, _)),
     "q7_users_per_year"            -> (Queries.q7UsersPerYear(_, _)),
     "q8_median_follower_by_year"   -> (Queries.q8MedianFollowerByYear(_, _)),
     "q9_median_follower_by_group_year" ->
@@ -38,6 +39,9 @@ object SparkEntry {
     "txt_lang_id"         -> (TextOps.languageId(_, _)),
     "txt_fingerprint_md5" -> (TextOps.md5Fingerprint(_, _)),
     "txt_fingerprint_xx"  -> (TextOps.xxFingerprint(_, _)),
+    "txt_pii_redact"      -> (TextOps.piiRedact(_, _)),
+    "txt_train_test_split" -> (TextOps.trainTestSplit(_, _)),
+    "txt_top_terms"       -> (TextOps.topTerms(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),
@@ -147,6 +151,22 @@ object SparkEntry {
          |ORDER BY median_follower_count DESC, age_group""".stripMargin,
 
     "q6_median_follower_by_group" ->
+      s"""WITH b AS (
+         |  SELECT $bucketSql AS age_group, c_acctbal AS follower_count
+         |  FROM customer),
+         |r AS (
+         |  SELECT age_group, follower_count,
+         |         ROW_NUMBER() OVER (PARTITION BY age_group
+         |                            ORDER BY follower_count) AS rn,
+         |         COUNT(*) OVER (PARTITION BY age_group) AS cnt
+         |  FROM b)
+         |SELECT age_group, follower_count AS median_follower_count
+         |FROM r WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+         |ORDER BY median_follower_count DESC, age_group""".stripMargin,
+
+    // same semantic contract as q6_median_follower_by_group — the exact
+    // aggregate must reproduce the window formulation bit-for-bit
+    "q6_median_exact_agg" ->
       s"""WITH b AS (
          |  SELECT $bucketSql AS age_group, c_acctbal AS follower_count
          |  FROM customer),

@@ -173,6 +173,22 @@ object Queries {
       .orderBy(col("median_follower_count").desc, col("age_group"))
   }
 
+  /** q6 again via [[graft.functions.ExactMedian]] — the count-map
+    * `TypedImperativeAggregate`. One aggregation pass (map-side partial
+    * fold, only value→count maps shuffle) instead of [[lowerMedian]]'s
+    * full per-group sort: exact AND bounded by distinct-value count, the
+    * shape that survives a billion-row group over a value-bounded domain.
+    */
+  def q6MedianExactAgg(s: SparkSession, d: String): DataFrame = {
+    val bucket = Tables.customer(s, d)
+      .select(acctbalBucket(col("c_acctbal")).as("age_group"),
+        col("c_acctbal").as("follower_count"))
+    bucket.groupBy("age_group")
+      .agg(graft.functions.ExactMedian.exactMedian(col("follower_count"))
+        .as("median_follower_count"))
+      .orderBy(col("median_follower_count").desc, col("age_group"))
+  }
+
   /** q7 / Task 9 (`CLEAN:259-270`): users joined per year. */
   def q7UsersPerYear(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

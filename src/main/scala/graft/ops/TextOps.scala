@@ -110,6 +110,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII patterns, written to the common subset of Java regex and RE2 (no
+    * lookaround, no backreferences) so the oracle engine matches
+    * identically: emails, IPv4s, international `+`-prefixed and
+    * US-dashed phone numbers.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrub — the redaction pass an LLM corpus runs before training:
+    * emails, IPv4 addresses, and phone numbers replaced with typed
+    * placeholder tokens, with per-document match counts (counted on the
+    * original text). Narrow per-doc pass, embarrassingly parallel.
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0)))
+          .cast(LongType).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+
+  /** Deterministic content-hash train/test split: bucket 0..99 from the
+    * first 8 md5 hex chars of the raw text, `bucket < testPct` → test.
+    * Content-keyed (not id-keyed) so byte-identical duplicates always land
+    * in the same split — no train/test leakage through dups. Stateless and
+    * embarrassingly parallel: any worker, any engine, any rerun assigns
+    * the same row the same way (md5 is engine-portable, unlike seeded
+    * `rand()`).
+    */
+  def trainTestSplit(s: SparkSession, d: String, testPct: Int = 10): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < testPct, "test").otherwise("train"))
+      .orderBy("doc_id")
+
+  /** Corpus vocabulary top-k: term → total occurrences and document
+    * frequency, the first statistic a corpus audit pulls. One explode +
+    * one term-keyed shuffle; `countDistinct(doc_id)` expands to a
+    * two-phase distinct aggregate (no per-term set materialized).
+    */
+  def topTerms(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+
   /** Content fingerprint (md5 of normalized text) — md5 is identical across
     * engines, so this one is oracle-checkable; [[xxFingerprint]] is the
     * cheap 64-bit variant for engine-internal dedup at scale.

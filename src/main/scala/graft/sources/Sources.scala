@@ -17,6 +17,20 @@ object Sources {
   def json(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** Opt-in inference fallback completing the reference's dual-mode story
+    * (`CLEAN:44-47` infers per run; streaming declares, `KINESIS:22-35`).
+    * Infers the schema by sampling, then returns the frame plus its drift
+    * against the declared contract ([[schemaMismatches]]), so a caller can
+    * choose to fail, log, or adopt. Inference costs an extra
+    * file-listing + sampling pass and is nondeterministic across files —
+    * that is why it is the fallback, never the default (SURVEY.md §1.4).
+    */
+  def jsonInferred(s: SparkSession, path: String, declared: StructType)
+      : (DataFrame, Seq[String]) = {
+    val df = s.read.option("inferSchema", "true").json(path)
+    (df, schemaMismatches(df.schema, declared))
+  }
+
   /** CSV with header+separator options — the reference's credentials-read
     * shape (S1, `CLEAN:14-17`), schema declared not inferred.
     */

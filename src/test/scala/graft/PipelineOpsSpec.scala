@@ -74,6 +74,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(total === Tables.documents(spark, d).count())
   }
 
+  test("pii redact: planted emails/ips/phones are replaced and counted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    Seq(
+      (1L, "contact alice@example.com or +4915112345678 now", "en", "web", 45L),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 port", "en", "web", 40L),
+      (3L, "call 555-867-5309 today", "en", "web", 23L),
+      (4L, "no pii here at all", "en", "web", 18L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.piiRedact(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) === ((1L, 0L, 1L,
+      "contact <EMAIL> or <PHONE> now")))
+    assert(out(2L) === ((0L, 2L, 0L, "server at <IP> and <IP> port")))
+    assert(out(3L) === ((0L, 0L, 1L, "call <PHONE> today")))
+    assert(out(4L) === ((0L, 0L, 0L, "no pii here at all")))
+  }
+
+  test("train/test split: buckets in [0,100), split consistent, " +
+      "identical content always lands in the same split") {
+    val out = TextOps.trainTestSplit(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val b = r.getLong(1)
+      assert(b >= 0 && b < 100)
+      assert(r.getString(2) === (if (b < 10) "test" else "train"))
+    }
+    // content-keyed: exact duplicates (same text) share a bucket
+    val withText = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byText = out.groupBy(r => withText(r.getLong(0)))
+    byText.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).distinct.length === 1)
+    }
+    // the 10% default is a hash expectation, not a guarantee — allow slack
+    val testFrac = out.count(_.getString(2) == "test").toDouble / out.length
+    assert(testFrac > 0.03 && testFrac < 0.25, s"test fraction $testFrac")
+  }
+
+  test("top terms: tf >= df, descending tf, min(k, vocab) rows") {
+    val out = TextOps.topTerms(spark, d).collect()
+    val vocab = Tables.documents(spark, d)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+      .distinct().count()
+    assert(out.length === math.min(50L, vocab))
+    out.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+    val tfs = out.map(_.getLong(1))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+  }
+
   // ----------------------------------------------------------- similarity
 
   test("brute-force top-k: k rows per query, sims in [-1,1] descending") {

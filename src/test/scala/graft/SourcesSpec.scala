@@ -39,6 +39,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() === 1)
   }
 
+  test("jsonInferred: reads with sampled schema and reports drift " +
+      "against the declared contract") {
+    val dir = Files.createTempDirectory("graft_infer").toString
+    // age arrives as a bare integer -> inference yields long, while the
+    // declared streaming contract says string (the reference's own
+    // batch-vs-streaming divergence, KINESIS:92)
+    Files.write(java.nio.file.Paths.get(s"$dir/u.json"),
+      Seq(
+        """{"ind": 1, "first_name": "A", "last_name": "B", "age": 30, "date_joined": "2020-01-01T00:00:00"}""",
+        """{"ind": 2, "first_name": "C", "last_name": "D", "age": 40, "date_joined": "2021-01-01T00:00:00"}"""
+      ).mkString("\n").getBytes)
+    val (df, drift) = Sources.jsonInferred(spark, dir, Schemas.userRaw)
+    assert(df.count() === 2)
+    assert(df.schema("age").dataType === LongType)
+    assert(drift.exists(_.startsWith("age:")),
+      s"expected age drift to be reported, got $drift")
+    // declared-mode read of the same files keeps the contract type
+    val declared = Sources.json(spark, dir, Schemas.userRaw)
+    assert(Sources.schemaMismatches(declared.schema, Schemas.userRaw).isEmpty)
+  }
+
   test("csv with header and declared schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(s"$dir/c.csv"),
