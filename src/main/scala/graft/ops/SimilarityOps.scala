@@ -214,6 +214,50 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Near-duplicate pairs via banded hyperplane LSH — the 100 TB shape:
+    * candidates are bucket collisions (∝ true-dup density in the near-dup
+    * regime, never all-pairs), verified with exact cosine. Unlike the
+    * label-blocked exact variant below, no blocking key is needed, so a
+    * hot label cannot degenerate quadratic.
+    *
+    * Band geometry targets the real near-dup regime (cosine ≥ ~0.9, where
+    * per-bit agreement is 1-θ/π ≈ 0.86): 8 bands × 8 bits give ~93 %
+    * recall per [1-(1-p^8)^8] while a random pair (cosine ≈ 0) collides
+    * with probability ~3 per mille. At the fixture's looser thresholds
+    * recall drops — that is the LSH contract (tune bands), spec'd against
+    * planted dups at 0.9.
+    */
+  def cosineNearDupPairsLsh(s: SparkSession, d: String,
+      threshold: Double = 0.9, nBits: Int = 64, bandBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(nBits % bandBits == 0,
+      s"bandBits ($bandBits) must divide nBits ($nBits) or signature bits are silently unused")
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val mask = (1L << bandBits) - 1
+    // candidate generation carries IDs only (16-byte rows through the
+    // band shuffle); embeddings are fetched per candidate pair for the
+    // verify step — work ∝ candidates, not corpus × bands
+    val banded = emb
+      .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
+      .select(col("vec_id"),
+        posexplode(array((0 until nBits / bandBits).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "chunk"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")),
+        Seq("vec_b"))
+      .withColumn("cosine_sim", round(cosineSim(col("e_a"), col("e_b")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact variant — label-blocked self-join keeps this O(n²/|labels|);
     * the LSH signature above is the unblocked scale path.

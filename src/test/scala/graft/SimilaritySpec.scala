@@ -32,6 +32,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH near-dup pairs: recovers exactly the planted near-dups, " +
+      "candidates a small fraction of all pairs") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec(), s"l${i % 5}"))
+    // plant 15 near-identical copies of the first 15 vectors
+    val dups = (0 until 15).map { i =>
+      val src = base(i)._2
+      val e = src.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      ((1000 + i).toLong, e, base(i)._3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshnd").toString
+    (base ++ dups).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val found = SimilarityOps.cosineNearDupPairsLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth by brute force over all pairs
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val truth = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("c", round(cosineSim(col("ea"), col("eb")), 6))
+      .filter(col("c") >= 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size === 15, s"fixture should plant 15 pairs, got ${truth.size}")
+    assert(found === truth,
+      s"missed ${truth -- found}, spurious ${found -- truth}")
+  }
+
   test("known values: orthogonal -> 0, identical -> 1, opposite -> -1") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f), 0.0),
