@@ -113,6 +113,78 @@ object OracleSql {
          |  md5(array_to_string(${toksSql("lower(text)")}, ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // xxhash64 reproduced in pure SQL ([[Xxh64Sql]]) — 32 unrolled
+    // stripes support docs up to 1055 bytes (sf0.01 max is 553)
+    "txt_fingerprint_xx" -> {
+      val base = "(SELECT doc_id, array_to_string(" +
+        toksSql("lower(text)") + ", ' ') AS s FROM documents)"
+      s"""WITH ${Xxh64Sql.chain(base, "s", 32, "fp")}
+         |SELECT doc_id, fp_val AS fingerprint FROM fp
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Per-token xxhash64 via [[Xxh64Sql]] (2 stripe levels: tokens are
+    // ≤8 bytes here, 95-byte headroom), then the ±1 bit votes and the
+    // sign→bit fold. Docs with no tokens fingerprint as 0 (LEFT JOIN).
+    "dedup_simhash" -> {
+      val tokBase = "(SELECT doc_id, unnest(" + toksSql("lower(text)") +
+        ") AS tok FROM documents)"
+      s"""WITH ${Xxh64Sql.chain(tokBase, "tok", 2, "th")},
+         |votes AS (
+         |  SELECT doc_id, i.range AS i,
+         |         sum(CASE WHEN (th_u // power(2, i.range)::HUGEINT) % 2 = 1
+         |             THEN 1 ELSE -1 END) AS v
+         |  FROM th CROSS JOIN range(64) i GROUP BY 1, 2),
+         |sim AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN v > 0 THEN power(2, i)::HUGEINT
+         |             ELSE 0::HUGEINT END) AS u
+         |  FROM votes GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(CASE WHEN s.u >= 9223372036854775808
+         |                     THEN CAST(s.u - 18446744073709551616 AS BIGINT)
+         |                     ELSE CAST(s.u AS BIGINT) END, 0) AS simhash
+         |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // dedup_simhash + 4×16-bit banding, bucket join, Hamming verify —
+    // the xor/bit_count run on the signed BIGINT form (two's complement
+    // xor ≡ u64 xor), mirroring the engine
+    "dedup_simhash_pairs" -> {
+      val tokBase = "(SELECT doc_id, unnest(" + toksSql("lower(text)") +
+        ") AS tok FROM documents)"
+      s"""WITH ${Xxh64Sql.chain(tokBase, "tok", 2, "th")},
+         |votes AS (
+         |  SELECT doc_id, i.range AS i,
+         |         sum(CASE WHEN (th_u // power(2, i.range)::HUGEINT) % 2 = 1
+         |             THEN 1 ELSE -1 END) AS v
+         |  FROM th CROSS JOIN range(64) i GROUP BY 1, 2),
+         |sim AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN v > 0 THEN power(2, i)::HUGEINT
+         |             ELSE 0::HUGEINT END) AS u
+         |  FROM votes GROUP BY 1),
+         |fp AS (
+         |  SELECT d.doc_id, COALESCE(s.u, 0::HUGEINT) AS u,
+         |         COALESCE(CASE WHEN s.u >= 9223372036854775808
+         |                       THEN CAST(s.u - 18446744073709551616 AS BIGINT)
+         |                       ELSE CAST(s.u AS BIGINT) END, 0) AS fphash
+         |  FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id),
+         |banded AS (
+         |  SELECT doc_id, fphash, b.range AS band,
+         |         (u // power(2, 16*b.range)::HUGEINT) % 65536 AS chunk
+         |  FROM fp CROSS JOIN range(4) b),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         CAST(bit_count(xor(x.fphash, y.fphash)) AS INTEGER) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.chunk = y.chunk
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // ------------------------------------------------------------ dedup
     "dedup_exact" ->
       s"""WITH h AS (
