@@ -66,6 +66,24 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assertProjectionCodegens("dedup_ngram_jaccard", "shinglehashes")
   }
 
+  test("simhash fingerprint projection participates in whole-stage codegen " +
+      "and pair generation induces no corpus-keyed aggregate") {
+    assertProjectionCodegens("dedup_simhash", "simhash64")
+    // the old formulation shuffled exploded tokens keyed by doc_id; the
+    // compiled expression must leave no hash aggregate over doc_id votes
+    val p = plan("dedup_simhash")
+    assert(!p.contains("HashAggregate"),
+      s"simhash reintroduced an aggregate pass:\n$p")
+  }
+
+  test("exact-median runs as a two-phase object aggregate (map-side " +
+      "partial merge, only count-maps shuffle)") {
+    val p = plan("q6_median_exact_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_exactmedian") || p.contains("partial_exact"),
+      s"no partial aggregation phase — the whole group would shuffle:\n$p")
+  }
+
   test("IVF cell assignment is row-local: no exchange keyed by vec_id") {
     val p = plan("emb_topk_ivf")
     assert(!p.contains("hashpartitioning(vec_id"),
