@@ -285,6 +285,57 @@ object OracleSql {
         |       vec_id AS neighbor_id, cosine_sim
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Hyperplane LSH reproduced in SQL: the signature planes are
+    // deterministic literals (splitmix64, SimilarityOps.hyperplane), so
+    // each signature bit is an explicit sign-of-dot-product expression.
+    // Double literals are shortest-round-trip (Java Double.toString ↔
+    // DuckDB decimal parse is exact), and sign flips from accumulation
+    // -order differences would need |dot| ~ 1e-15 — validated
+    // cell-identical on the gate corpus.
+    "emb_topk_lsh" -> {
+      val dim = 64
+      val nBits = 32
+      val planes = (0 until nBits)
+        .map(j => ops.SimilarityOps.hyperplane(j + 1, dim))
+      def dotSql(p: Seq[Double]) =
+        "(" + p.zipWithIndex.map { case (c, i) =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ($c)" }.mkString(" + ") + ")"
+      val sigBits = planes.zipWithIndex.map { case (p, j) =>
+        s"CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding, CAST($sigBits AS BIGINT) AS sig
+         |  FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, embedding, b.range AS band,
+         |         (sig // power(2, 8*b.range)::BIGINT) % 256 AS chunk
+         |  FROM sigs CROSS JOIN range(4) b),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_emb,
+         |         c.vec_id, c.embedding
+         |  FROM banded c JOIN (SELECT * FROM banded WHERE vec_id < 10) q
+         |    ON c.band = q.band AND c.chunk = q.chunk
+         |  WHERE c.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(q_emb) + 1),
+         |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(q_emb,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine_sim
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cosine_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine_sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+         |       vec_id AS neighbor_id, cosine_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "emb_near_dup" ->
       """WITH n AS (
         |  SELECT vec_id, label,

@@ -66,7 +66,7 @@ object SimilarityOps {
   /** Deterministic pseudo-random unit hyperplane components: splitmix64 →
     * uniform in [-1, 1). Generated driver-side (tiny), shipped as literals.
     */
-  private def hyperplane(seed: Long, dim: Int): Seq[Double] = {
+  private[graft] def hyperplane(seed: Long, dim: Int): Seq[Double] = {
     var x = seed
     (0 until dim).map { _ =>
       x += 0x9E3779B97F4A7C15L

@@ -119,6 +119,29 @@ object TextOps {
   val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   val phoneRe = "\\+[0-9]{7,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
+  /** Redacted form of a text column — the composable building block
+    * (works on batch and streaming frames alike).
+    */
+  def redactText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** The composite keep/drop predicate of [[qualityScore]] as a
+    * standalone stateless Column — usable as a streaming filter.
+    */
+  def qualityKeep(c: Column): Column = {
+    val nTok = size(tokens(c)).cast(LongType)
+    val nChars = length(c).cast(LongType)
+    val meanTokLen = nChars.cast("double") / greatest(nTok, lit(1L))
+    val nAlpha = length(regexp_replace(c, "[^A-Za-z]", ""))
+    val alphaRatio = nAlpha.cast("double") / greatest(nChars, lit(1L))
+    (nTok >= 5L) && (nTok <= 100000L) &&
+      (meanTokLen >= 2.0) && (meanTokLen <= 15.0) && (alphaRatio >= 0.5)
+  }
+
   /** PII scrub — the redaction pass an LLM corpus runs before training:
     * emails, IPv4 addresses, and phone numbers replaced with typed
     * placeholder tokens, with per-document match counts (counted on the
@@ -133,11 +156,7 @@ object TextOps {
           .cast(LongType).as("n_ips"),
         size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
           .cast(LongType).as("n_phones"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), emailRe, "<EMAIL>"),
-            ipv4Re, "<IP>"),
-          phoneRe, "<PHONE>").as("redacted"))
+        redactText(col("text")).as("redacted"))
       .orderBy("doc_id")
 
   /** Deterministic content-hash train/test split: bucket 0..99 from the

@@ -163,6 +163,18 @@ object StreamPipeline {
       .select("user_id", "click_ts", "purchase_ts", "value")
   }
 
+  /** Streaming corpus cleaning: the training-data text ops composed on an
+    * unbounded documents stream — quality gate, then PII redaction in
+    * place. Both are stateless narrow transforms (no state store, no
+    * watermark needed), so the batch semantics carry over verbatim; this
+    * is the shape a continuous ingest pipeline runs before anything
+    * stateful (dedup) sees the data.
+    */
+  def cleanDocsStream(docs: DataFrame): DataFrame =
+    docs
+      .filter(graft.ops.TextOps.qualityKeep(col("text")))
+      .withColumn("text", graft.ops.TextOps.redactText(col("text")))
+
   /** Start a parquet append sink with checkpoint — the engine twin of
     * `writeStream.format("delta").outputMode("append")
     * .option("checkpointLocation", ...).table(...)` (`KINESIS:174-192`).

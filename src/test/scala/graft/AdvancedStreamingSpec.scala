@@ -17,6 +17,33 @@ class AdvancedStreamingSpec extends AnyFunSuite {
   private def t(h: Int, m: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
 
+  test("streaming corpus cleaning: quality gate drops junk, PII is " +
+      "redacted in-flight, stateless across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = StreamPipeline.cleanDocsStream(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("docs_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "please contact alice@example.com about the quarterly report"),
+        (2L, "x"), // fails quality: < 5 tokens
+        (3L, "!!! ??? ... --- %%%"), // fails quality: alpha ratio
+        (4L, "a perfectly ordinary document with enough plain words here"))
+      q.processAllAvailable()
+      // second batch exercises batch-boundary statelessness
+      mem.addData((5L, "server logs show 10.0.0.1 hitting the endpoint often"))
+      q.processAllAvailable()
+      val rows = spark.table("docs_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L, 4L, 5L))
+      assert(rows(1L) ===
+        "please contact <EMAIL> about the quarterly report")
+      assert(rows(5L) === "server logs show <IP> hitting the endpoint often")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session, " +
       "emitted once in append mode") {
     import spark.implicits._

@@ -96,4 +96,19 @@ class PropertySpec extends AnyFunSuite {
       assert(med(g) === sorted((sorted.size - 1) / 2), s"group $g")
     }
   }
+
+  test("ExactMedian aggregate ≡ sorted lower-median model over generated " +
+      "groups (with heavy duplicates to stress the count-map)") {
+    val gen = Gen.listOfN(80, Gen.choose(-20, 20)) // narrow domain -> dups
+    val groups = sample(gen, 6).zipWithIndex
+      .flatMap { case (vs, g) => vs.map(v => (s"g$g", v.toDouble)) }
+    val df = groups.toDF("g", "v").repartition(8)
+    val agg = df.groupBy("g")
+      .agg(graft.functions.ExactMedian.exactMedian(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    groups.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      assert(agg(g) === sorted((sorted.size - 1) / 2), s"group $g")
+    }
+  }
 }
