@@ -29,6 +29,24 @@ object Sinks {
     else w).parquet(path)
   }
 
+  /** Bucketed managed table — the co-located-join layout: both sides of a
+    * recurring equi-join written with `bucketBy(n, key)` (+ in-bucket
+    * sort) join WITHOUT any Exchange: each task zips bucket i with bucket
+    * i. At 100 TB this converts the recurring fact⋈fact shuffle (the
+    * dominant cost of repeated pipeline runs) into a one-time write-side
+    * layout decision — the same trade the reference's flat `saveAsTable`
+    * never makes. Bucket counts must match (or divide) across join sides.
+    * Uses the session catalog (bucketing metadata lives in the table
+    * definition, not the parquet files).
+    */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** The reference's `saveAsTable` + re-query pattern without a metastore:
     * write parquet, read it back, register a temp view — the manual
     * materialization it performs between q3 and q4

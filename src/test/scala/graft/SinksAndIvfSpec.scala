@@ -38,6 +38,43 @@ class SinksAndIvfSpec extends AnyFunSuite {
       Seq("country", "poster_name", "follower_count"))
   }
 
+  test("bucketed tables join with NO exchange (co-located bucket zip) " +
+      "and agree with the plain join") {
+    val o = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, TestSpark.sf0001)
+      .select("c_custkey", "c_name")
+    Sinks.bucketedTable(o, "orders_b", 8, "o_custkey")
+    Sinks.bucketedTable(c, "customer_b", 8, "c_custkey")
+    try {
+      val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the scenario bucketing exists for: neither side broadcastable
+      // (at 100 TB both sides are fact-sized)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("orders_b")
+          .join(spark.table("customer_b"),
+            col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(plan.contains("Bucketed: true"),
+          s"bucketed layout not used by the scan:\n$plan")
+        assert(!plan.contains("Exchange"),
+          s"bucketed join still shuffles:\n$plan")
+        assert(joined.count() ===
+          o.join(c, col("o_custkey") === col("c_custkey")).count())
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("approx_count_distinct within its 2% error bound vs exact") {
     val rows = ops.Relational.approxDistinct(spark, TestSpark.sf001).collect()
     rows.foreach { r =>
