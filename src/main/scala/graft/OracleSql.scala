@@ -580,6 +580,17 @@ object OracleSql {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 5 OFFSET 100""".stripMargin,
 
+    // the oracle states the range join declaratively (BETWEEN join) —
+    // the engine's binned formulation must produce identical results
+    "r_range_join" ->
+      """WITH ship AS (
+        |  SELECT DISTINCT CAST(l_shipdate AS DATE) AS d
+        |  FROM lineitem),
+        |o AS (SELECT CAST(o_orderdate AS DATE) AS s FROM orders)
+        |SELECT CAST(d AS TIMESTAMP) AS ship_date, count(*) AS n_covering
+        |FROM ship JOIN o ON d >= s AND d <= s + 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "r_salted_join" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -81,6 +81,7 @@ object SparkEntry {
     "r_window_funcs"      -> (Relational.windowFunctions(_, _)),
     "r_salted_join"       -> (Relational.saltedJoinCounts(_, _)),
     "r_offset_limit"      -> (Relational.offsetLimit(_, _)),
+    "r_range_join"        -> (Relational.rangeJoinBinned(_, _)),
     "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
   )

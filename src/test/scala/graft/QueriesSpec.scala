@@ -79,4 +79,29 @@ class QueriesSpec extends AnyFunSuite {
     val all = Tables.orders(spark, d).count()
     assert(filtered > 0 && filtered < all)
   }
+
+  test("binned range join ≡ naive BETWEEN join, without the " +
+      "nested-loop plan") {
+    import org.apache.spark.sql.functions._
+    val binned = ops.Relational.rangeJoinBinned(spark, d)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"binned range join degenerated to a nested loop:\n$plan")
+    // reference: the declarative theta-join formulation (plans as BNLJ —
+    // correct but quadratic; fine at spec scale)
+    val ship = Tables.lineitem(spark, d)
+      .select(to_date(col("l_shipdate")).as("ship_date")).distinct()
+    val ord = Tables.orders(spark, d)
+      .select(to_date(col("o_orderdate")).as("s"))
+    val naive = ship.join(ord,
+        col("ship_date") >= col("s") &&
+          col("ship_date") <= date_add(col("s"), 6))
+      .groupBy("ship_date").agg(count(lit(1)).as("n_covering"))
+      .select(col("ship_date").cast("timestamp").as("ship_date"),
+        col("n_covering"))
+    val a = binned.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    val b = naive.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
