@@ -468,6 +468,33 @@ object OracleSql {
         |  3 AS n_channels, CAST(n AS BIGINT) AS n_bytes
         |FROM folded ORDER BY media_id""".stripMargin,
 
+    // Multimodal.resizeImages stub twin: nearest-neighbor byte resample
+    // onto the 32×32 grid — out[j] = src[(j*n)//1024] — then the same
+    // 31·acc+b fold the engine's byteFold applies, verifying the actual
+    // resampled bytes
+    "mm_resize" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+        |), folded AS (
+        |  SELECT media_id, n,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(0, 1024), j ->
+        |          CAST((strpos('123456789ABCDEF',
+        |                  substr(h, 2*((j*n)//1024)+1, 1))) * 16
+        |             + (strpos('123456789ABCDEF',
+        |                  substr(h, 2*((j*n)//1024)+2, 1))) AS HUGEINT))),
+        |      (acc, b) -> (31*acc + b) % 18446744073709551616) AS acc
+        |  FROM hx)
+        |SELECT media_id, CAST(n AS BIGINT) AS src_bytes,
+        |  CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
+        |  CAST(1024 AS BIGINT) AS out_bytes,
+        |  CAST(acc % 9223372036854775808 AS BIGINT) AS checksum
+        |FROM folded ORDER BY media_id""".stripMargin,
+
     // Multimodal.sampleFrames stub twin: every 4th 256-byte block of video
     // payloads, sliced from the hex string (512 hex chars per frame) and
     // rehydrated with unhex (DuckDB 1.0 has no BLOB substring).

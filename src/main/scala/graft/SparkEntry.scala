@@ -68,6 +68,9 @@ object SparkEntry {
     "mm_sample_frames"    -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
         .orderBy("media_id", "frame_idx")),
+    "mm_resize"           -> ((s, d) =>
+      Multimodal.resizeImages(Multimodal.mediaTable(s, d)).toDF()
+        .orderBy("media_id")),
     // generalized relational coverage
     "r_semi_join"         -> (Relational.semiJoin(_, _)),
     "r_anti_join"         -> (Relational.antiJoin(_, _)),

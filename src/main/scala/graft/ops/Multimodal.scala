@@ -146,6 +146,40 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Resized-image record (stub): nearest-neighbor byte resample. */
+  case class ResizedImage(media_id: Long, src_bytes: Long, out_w: Int,
+      out_h: Int, out_bytes: Long, checksum: Long)
+
+  /** "Resize" images partition-wise. STUB for the codec scaler: the
+    * resized payload is a nearest-neighbor resample of the source bytes
+    * onto an outW×outH single-channel grid (out[j] = src[⌊j·n/target⌋]) —
+    * deterministic byte arithmetic standing in for real interpolation,
+    * with the same iterator contract (scaler init once per partition, no
+    * driver materialization). `checksum` folds the actual resampled bytes
+    * ([[byteFold]]) so the oracle verifies the resample, not just shapes.
+    * Empty payloads are dropped (nothing to sample).
+    */
+  def resizeImages(media: Dataset[MediaRecord], outW: Int = 32,
+      outH: Int = 32): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.kind == "image" && m.payload.nonEmpty)
+      .mapPartitions { it =>
+        // [real scaler context would init here, once per partition]
+        it.map { m =>
+          val n = m.payload.length
+          val target = outW * outH
+          val out = new Array[Byte](target)
+          var j = 0
+          while (j < target) {
+            out(j) = m.payload(((j.toLong * n) / target).toInt)
+            j += 1
+          }
+          ResizedImage(m.media_id, n.toLong, outW, outH, target.toLong,
+            byteFold(out))
+        }
+      }
+  }
+
   /** Metadata-only media stats — written so the parquet scan never touches
     * the payload column (length carried in metadata at write time; here
     * recomputed via the decoded info to keep the fixture simple).

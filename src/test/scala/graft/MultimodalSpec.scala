@@ -56,6 +56,32 @@ class MultimodalSpec extends AnyFunSuite {
     idx.foreach(i => assert(i % 4 === 0))
   }
 
+  test("resizeImages: nearest-neighbor resample matches a reference model, " +
+      "only non-empty images survive") {
+    val out = Multimodal.resizeImages(Multimodal.mediaTable(spark, d))
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { r =>
+      assert(r.out_w === 32 && r.out_h === 32 && r.out_bytes === 1024)
+      assert(r.media_id % 3 === 0) // image rows only
+    }
+    // reference model on the actual source payloads
+    val payloads = Multimodal.mediaTable(spark, d)
+      .filter(m => m.kind == "image" && m.payload.nonEmpty)
+      .collect().map(m => m.media_id -> m.payload).toMap
+    assert(out.keySet === payloads.keySet)
+    payloads.foreach { case (id, p) =>
+      var h = 1125899906842597L
+      var j = 0
+      while (j < 1024) {
+        h = 31 * h + (p(((j.toLong * p.length) / 1024).toInt) & 0xFF)
+        j += 1
+      }
+      assert(out(id).checksum === (h & Long.MaxValue), s"media $id")
+      assert(out(id).src_bytes === p.length.toLong)
+    }
+  }
+
   test("mediaStats never reads the payload column (pruned scan)") {
     val plan = Multimodal.mediaStats(spark, d).queryExecution
       .executedPlan.toString
