@@ -145,6 +145,24 @@ object StreamPipeline {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** The declarative twin of [[sessionizeStream]]: Spark's native
+    * `session_window` aggregation — gap-based session grouping with
+    * watermark-bounded state and no hand-written state machine. Prefer
+    * this form when the per-session output is expressible as aggregates;
+    * drop to `flatMapGroupsWithState` only for session logic aggregates
+    * can't state (mid-session emission, custom eviction).
+    */
+  def sessionWindowCounts(events: DataFrame, gapMin: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", s"$gapMin minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Stream-stream inner join with watermarks and an event-time range
     * bound (T7 extension): match each click to purchases of the same user
     * within the following hour. Both sides' state is evicted past their

@@ -70,6 +70,31 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window agrees with the flatMapGroupsWithState " +
+      "sessionizer on counts") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamPipeline.sessionWindowCounts(
+      mem.toDF(), gapMin = 30)
+    val q = out.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(1, t(0, 0), 2.0),
+        SessionEvent(1, t(0, 10), 3.0), SessionEvent(1, t(0, 20), 5.0),
+        SessionEvent(2, t(0, 5), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close all sessions
+      mem.addData(SessionEvent(9, t(5, 0), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+            r.getAs[Timestamp]("session_start"))).toMap
+      assert(rows(1L) === ((3L, 10.0, t(0, 0))))
+      assert(rows(2L) === ((1L, 1.0, t(0, 5))))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases within an hour of a click") {
     import spark.implicits._
     val clicks = MemoryStream[(Long, Timestamp)](spark)

@@ -52,6 +52,35 @@ class BatchPipelineSpec extends AnyFunSuite {
 
   private lazy val results = BatchPipeline.run(spark, dirs._1, dirs._2, dirs._3)
 
+  test("typed entity views: cleaned frames round-trip through Dataset[T] " +
+      "with nulls as None and keys required") {
+    import graft.schemas.Entities
+    val c = BatchPipeline.clean(
+      BatchPipeline.readTopic(spark, dirs._1, graft.schemas.Schemas.pinRaw),
+      BatchPipeline.readTopic(spark, dirs._2, graft.schemas.Schemas.geoRaw),
+      BatchPipeline.readTopic(spark, dirs._3, graft.schemas.Schemas.userRaw))
+    val pins = Entities.pins(c.pin).collect()
+    assert(pins.length === c.pin.count())
+    // the sentinel follower_count row surfaces as None, parsed ones as Some
+    val byId = pins.map(p => p.ind -> p).toMap
+    assert(byId(4).follower_count === None)
+    assert(byId(1).follower_count === Some(25000))
+    // typed filter/map compile against fields and agree with the untyped form
+    val typedArt = Entities.pins(c.pin)
+      .filter(_.category.contains("art")).count()
+    assert(typedArt ===
+      c.pin.filter(org.apache.spark.sql.functions
+        .col("category") === "art").count())
+    val geos = Entities.geos(c.geo).collect()
+    assert(geos.forall(_.coordinates.exists(_.length == 2)))
+    val users = Entities.users(c.user).collect()
+    assert(users.forall(_.user_name.exists(_.nonEmpty)))
+    // round-trip back to a DataFrame preserves the cleaned schema shape
+    import spark.implicits._
+    val back = Entities.pins(c.pin).toDF()
+    assert(back.schema.fieldNames.toSeq === c.pin.schema.fieldNames.toSeq)
+  }
+
   test("q1: category counts per country") {
     val got = results("q1").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
