@@ -87,6 +87,7 @@ object SparkEntry {
     "r_range_join"        -> (Relational.rangeJoinBinned(_, _)),
     "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
+    "ev_asof_join"        -> (EventOps.asOfClickPurchase(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql
@@ -139,12 +140,13 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY age_group, category_count DESC, category""".stripMargin,
 
-    // Exact twin while every group fits the GK sketch without compression
-    // (accuracy 10000 ≥ group size — holds at the driver's sf0.01 gate and
-    // at sf0.1): percentile_approx degenerates to the exact lower median,
-    // which is DuckDB's quantile_disc convention (verified on even-sized
-    // groups where lower/upper diverge). At larger SF the sketch becomes
-    // genuinely approximate and this entry would revert to rows-only.
+    // Exact twin while every group fits the GK sketch without compression:
+    // percentile_approx degenerates to the exact lower median, which is
+    // DuckDB's quantile_disc convention (verified on even-sized groups
+    // where lower/upper diverge). Holds at the driver's sf0.01 gate
+    // (~375 rows/group); measured to break by sf0.1 (~3.7k rows/group,
+    // sketch off by ~1e-4 relative) — at larger SF this entry reverts to
+    // rows-only, which is the honest status of a sketch.
     "q6_median_approx" ->
       s"""WITH b AS (
          |  SELECT $bucketSql AS age_group, c_acctbal AS follower_count

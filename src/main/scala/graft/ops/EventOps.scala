@@ -82,6 +82,62 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** General TWO-TABLE backward as-of join, composed (SURVEY.md §7.3
+    * preference (a)): for each left row, the most recent right row with
+    * `right.ts <= left.ts` on the same key.
+    *
+    * Union trick: tag sides, union by name, ONE window over (key) ordered
+    * by (ts, side) with right rows sorting first at equal timestamps (so
+    * an exactly-simultaneous right row is visible — `<=` semantics), and
+    * carry the right payload as a single struct through
+    * `last(_, ignoreNulls)` — atomic, so ts and payload always come from
+    * the same right row. One key-ordered shuffle of |L|+|R| rows: no
+    * range join, no per-key nested loop, no custom operator. Right rows
+    * should be unique per (key, ts) — pre-aggregate otherwise (the pick
+    * among exact duplicates is tie-broken by nothing).
+    *
+    * Output: every left column, plus `asof_ts` and `asof_<payload>`
+    * columns (NULL when no prior right row exists — left-join semantics).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val rStruct = struct(
+      (col(ts).as("__ts") +: payload.map(c => col(c).as(c))): _*)
+    val rTagged = right.select(
+      (Seq(col(key), col(ts), lit(0).as("__side"),
+        rStruct.as("__asof")): _*))
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(rTagged.schema("__asof").dataType))
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = u.withColumn("__carried", last(col("__asof"), true).over(w))
+      .filter(col("__side") === 1)
+    val outCols = left.columns.map(col) ++
+      Seq(col("__carried.__ts").as("asof_ts")) ++
+      payload.map(c => col(s"__carried.$c").as(s"asof_$c"))
+    filled.select(outCols: _*)
+  }
+
+  /** [[asOfJoin]] on the gate tables: for each click, the user's most
+    * recent at-or-before purchase (purchases pre-aggregated to one row
+    * per (user, ts) for determinism). DuckDB's native ASOF LEFT JOIN is
+    * the oracle twin.
+    */
+  def asOfClickPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+    asOfJoin(clicks, purchases, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as("last_purchase_ts"),
+        col("asof_value").as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Top-k heavy hitters: users by exact event count, with rank. */
   def topUsers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val counts = Tables.events(s, d)
