@@ -336,6 +336,58 @@ object OracleSql {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    // Medoid-seeded IVF: centroids are stored vectors, so assignment and
+    // probing are pure sequential dot products — reproducible across
+    // engines with no rounding needed until the final cosine
+    "emb_topk_ivf_seeded" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, len(v.e) + 1),
+        |      i -> v.e[i] * c.ce[i])) /
+        |    (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM emb v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM sims WHERE vec_id < 10) WHERE rn <= 3),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+        |      AS cosine_sim
+        |  FROM cand c
+        |  JOIN emb q ON c.query_id = q.vec_id
+        |  JOIN emb v ON c.vec_id = v.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id, cosine_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "emb_near_dup" ->
       """WITH n AS (
         |  SELECT vec_id, label,

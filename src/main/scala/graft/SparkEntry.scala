@@ -52,6 +52,7 @@ object SparkEntry {
     "emb_topk_brute"      -> (SimilarityOps.bruteForceTopK(_, _)),
     "emb_topk_lsh"        -> (SimilarityOps.lshTopK(_, _)),
     "emb_topk_ivf"        -> (SimilarityOps.ivfTopK(_, _)),
+    "emb_topk_ivf_seeded" -> (SimilarityOps.ivfTopKSeeded(_, _)),
     "emb_near_dup"        -> (SimilarityOps.cosineNearDupPairs(_, _, 0.3)),
     // events
     "ev_json_extract"     -> (EventOps.jsonExtract(_, _)),

@@ -214,6 +214,46 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with MEDOID seeding: the centroids are the first `cells` corpus
+    * vectors VERBATIM (cast to double), not k-means means. Same cell
+    * probe shape and cost model as [[ivfTopK]], but with no data-derived
+    * floating-point averages anywhere — every number in the pipeline is
+    * either stored data or a sequential dot product, so the whole search
+    * is engine-reproducible and carries a full DuckDB oracle (the k-means
+    * variant's mean-of-doubles depends on partial-aggregate merge order
+    * and is honestly rows-only). Medoid seeding is the standard cheap
+    * initialization when a clustering pass hasn't run yet; recall is
+    * whatever the seed quality gives (spec-measured vs brute force).
+    */
+  def ivfTopKSeeded(s: SparkSession, d: String, k: Int = 5,
+      nQueries: Int = 10, nProbe: Int = 3, cells: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // bounded driver state: `cells` vectors, the k-means-style footprint
+    val centroids: Array[Array[Double]] = emb
+      .filter(col("vec_id") < cells).orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val assigned = emb
+      .withColumn("cell",
+        element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(nearestCentroids(col("embedding"), centroids, nProbe))
+          .as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(cosineSim(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Near-duplicate pairs via banded hyperplane LSH — the 100 TB shape:
     * candidates are bucket collisions (∝ true-dup density in the near-dup
     * regime, never all-pairs), verified with exact cosine. Unlike the

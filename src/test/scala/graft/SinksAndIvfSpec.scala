@@ -104,4 +104,23 @@ class SinksAndIvfSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall unexpectedly low: $recall")
     info(f"IVF recall vs brute force: $recall%.2f")
   }
+
+  test("medoid-seeded IVF: deterministic across runs, valid shape, " +
+      "nonzero recall vs brute force") {
+    val a = SimilarityOps.ivfTopKSeeded(spark, TestSpark.sf001).collect()
+    val b = SimilarityOps.ivfTopKSeeded(spark, TestSpark.sf001).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    val brute = SimilarityOps.bruteForceTopK(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pairs = a.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pairs).size.toDouble / brute.size
+    assert(recall > 0.0, "seeded IVF found none of the true neighbors")
+    info(f"seeded-IVF recall vs brute force: $recall%.2f")
+  }
 }
