@@ -685,6 +685,26 @@ object OracleSql {
         |    AS last_purchase_ts
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2
+        |  GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT '1_view' AS stage, user_id FROM s1
+        |  UNION ALL SELECT '2_click', user_id FROM s2
+        |  UNION ALL SELECT '3_purchase', user_id FROM s3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // DuckDB's native ASOF LEFT JOIN is the declarative statement of the
     // engine's union-trick two-table as-of join
     "ev_asof_join" ->

@@ -89,6 +89,7 @@ object SparkEntry {
     "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
     "ev_asof_join"        -> (EventOps.asOfClickPurchase(_, _)),
+    "ev_funnel"           -> (EventOps.funnel(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

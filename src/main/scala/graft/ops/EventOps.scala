@@ -138,6 +138,30 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Ordered funnel — sequential pattern matching: how many users did
+    * view → click → purchase IN ORDER (each stage's first qualifying
+    * event strictly after the previous stage's). Three user-keyed
+    * aggregates, each a narrow shuffle over rows that survived the prior
+    * stage — work shrinks monotonically down the funnel, and per-user
+    * state is one timestamp per stage (no event-list materialization).
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "ts", "event_type")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.select(lit("1_view").as("stage"), col("user_id"))
+      .unionByName(s2.select(lit("2_click").as("stage"), col("user_id")))
+      .unionByName(s3.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   /** Top-k heavy hitters: users by exact event count, with rank. */
   def topUsers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val counts = Tables.events(s, d)

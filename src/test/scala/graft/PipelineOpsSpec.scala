@@ -185,6 +185,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.filter($"duration_sec" < 0).count() === 0)
   }
 
+  test("funnel: stage counts monotonically decrease and stage 1 equals " +
+      "distinct viewers") {
+    val out = EventOps.funnel(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viewers = Tables.events(spark, d)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(out("1_view") === viewers)
+    assert(out("1_view") >= out.getOrElse("2_click", 0L))
+    assert(out.getOrElse("2_click", 0L) >= out.getOrElse("3_purchase", 0L))
+  }
+
   test("hourly agg: totals reconcile with raw row count") {
     val h = EventOps.hourlyByType(spark, d)
     val total = h.agg(sum("n_events")).head().getLong(0)
