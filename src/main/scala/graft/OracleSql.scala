@@ -685,6 +685,35 @@ object OracleSql {
         |    AS last_purchase_ts
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "ev_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT e.user_id,
+        |    datediff('day', DATE '1970-01-01',
+        |             CAST(CAST(f.first_ts AS TIMESTAMP) AS DATE)) // 7
+        |      AS cohort_week,
+        |    datediff('day', DATE '1970-01-01',
+        |             CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) // 7
+        |    - datediff('day', DATE '1970-01-01',
+        |               CAST(CAST(f.first_ts AS TIMESTAMP) AS DATE)) // 7
+        |      AS weeks_since
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, weeks_since,
+        |       count(DISTINCT user_id) AS n_active
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "txt_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+
     "ev_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1

@@ -90,6 +90,8 @@ object SparkEntry {
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
     "ev_asof_join"        -> (EventOps.asOfClickPurchase(_, _)),
     "ev_funnel"           -> (EventOps.funnel(_, _)),
+    "ev_cohort_retention" -> (EventOps.cohortRetention(_, _)),
+    "txt_sample_stratified" -> (TextOps.sampleStratified(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

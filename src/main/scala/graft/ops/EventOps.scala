@@ -162,6 +162,28 @@ object EventOps {
       .orderBy("stage")
   }
 
+  /** Weekly cohort retention: users bucketed by first-seen week, then for
+    * each (cohort_week, weeks_since_first) the distinct users active that
+    * week — the standard retention triangle. Two user-keyed shuffles
+    * (first-seen aggregate, join back) plus one grouped distinct count;
+    * weeks are epoch-day/7 buckets (engine-portable integer math, no
+    * locale-dependent week-of-year).
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "ts")
+    val firstSeen = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    def epochWeek(c: org.apache.spark.sql.Column) =
+      floor(datediff(to_date(c), lit("1970-01-01").cast("date")) / 7)
+    ev.join(firstSeen, Seq("user_id"))
+      .select(col("user_id"),
+        epochWeek(col("first_ts")).as("cohort_week"),
+        (epochWeek(col("ts")) - epochWeek(col("first_ts")))
+          .as("weeks_since"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** Top-k heavy hitters: users by exact event count, with rank. */
   def topUsers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val counts = Tables.events(s, d)

@@ -176,6 +176,27 @@ object TextOps {
         when(col("bucket") < testPct, "test").otherwise("train"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling: per-language sampling rates
+    * applied via the same content-hash buckets as [[trainTestSplit]] —
+    * stateless, reproducible on any engine/executor/rerun, and
+    * duplicate-consistent (identical texts sample together). The shape a
+    * corpus-balancing pass uses to downweight overrepresented languages.
+    * Rates are percentages; strata not listed keep `defaultPct`.
+    */
+  def sampleStratified(s: SparkSession, d: String,
+      rates: Map[String, Int] = Map("en" -> 20),
+      defaultPct: Int = 50): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, pct).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary top-k: term → total occurrences and document
     * frequency, the first statistic a corpus audit pulls. One explode +
     * one term-keyed shuffle; `countDistinct(doc_id)` expands to a

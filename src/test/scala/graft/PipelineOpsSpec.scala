@@ -197,6 +197,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.getOrElse("2_click", 0L) >= out.getOrElse("3_purchase", 0L))
   }
 
+  test("cohort retention: weeks_since >= 0, week-0 row equals cohort size") {
+    val rows = EventOps.cohortRetention(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    rows.keys.foreach { case (_, w) => assert(w >= 0) }
+    // every user is active in their own first week, so the week-0 entry
+    // of each cohort is exactly the cohort's size
+    val cohortSizes = rows.filter(_._1._2 == 0L)
+      .map { case ((c, _), n) => c -> n }
+    val totalWeek0 = cohortSizes.values.sum
+    val totalUsers = Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(totalWeek0 === totalUsers)
+  }
+
+  test("stratified sample: per-language rates respected, deterministic, " +
+      "subset of the corpus") {
+    val out = TextOps.sampleStratified(spark, d).collect()
+    val out2 = TextOps.sampleStratified(spark, d).collect()
+    assert(out.map(_.toString).toSeq === out2.map(_.toString).toSeq)
+    out.foreach { r =>
+      val keepBelow = if (r.getString(1) == "en") 20 else 50
+      assert(r.getLong(2) < keepBelow)
+    }
+    // rates land near targets (hash buckets, not exact percentages)
+    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    val corpus = Tables.documents(spark, d).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) =>
+      val target = (if (lang == "en") 0.20 else 0.50) * corpus(lang)
+      assert(n > target * 0.5 && n < target * 1.7,
+        s"$lang sampled $n vs target $target")
+    }
+  }
+
   test("hourly agg: totals reconcile with raw row count") {
     val h = EventOps.hourlyByType(spark, d)
     val total = h.agg(sum("n_events")).head().getLong(0)
