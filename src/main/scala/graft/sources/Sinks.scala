@@ -47,6 +47,40 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a parquet directory into ~`targetRecordsPerFile`-row files —
+    * the maintenance pass every streaming-append sink needs (each
+    * micro-batch appends small files; scan cost grows with file count,
+    * not bytes). Reads, repartitions to ⌈rows/target⌉, rewrites via a
+    * temp dir + atomic-enough swap (at 100 TB this runs per partition
+    * directory, and a table format with a transaction log makes the swap
+    * truly atomic — out of scope offline). Returns (files before, files
+    * after).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRecordsPerFile: Long): (Int, Int) = {
+    def parquetFiles(p: String): Int = {
+      val fs = new java.io.File(p).listFiles()
+      if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(path)
+    val rows = spark.read.parquet(path).count()
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1)
+      / targetRecordsPerFile).toInt
+    val tmp = path + "__compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: remove originals, move compacted files in
+    val dest = new java.io.File(path)
+    dest.listFiles().foreach(f => if (!f.isDirectory) f.delete())
+    new java.io.File(tmp).listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dest, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(tmp).delete()
+    (before, parquetFiles(path))
+  }
+
   /** The reference's `saveAsTable` + re-query pattern without a metastore:
     * write parquet, read it back, register a temp view — the manual
     * materialization it performs between q3 and q4

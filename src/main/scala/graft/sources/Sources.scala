@@ -43,6 +43,15 @@ object Sources {
   def parquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Parquet scan with schema evolution: union the footers of ALL files
+    * (`mergeSchema`) so directories written across schema versions read
+    * as one table — new columns are NULL for old files. Costs a footer
+    * read per file (not per row); off by default in Spark because of
+    * that listing cost, which is why it's an explicit entry point here.
+    */
+  def parquetMergedSchema(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   /** Validate that a source's actual schema matches the declared one by
     * name and type (nullability ignored: parquet writers vary it freely).
     * Returns the mismatches; empty = compatible.

@@ -75,6 +75,36 @@ class SinksAndIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquet: collapses a many-file directory, data identical") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_totalprice")
+    df.repartition(40).write.parquet(dir) // simulate micro-batch appends
+    val before = spark.read.parquet(dir)
+      .orderBy("o_orderkey").collect().toSeq
+    val (nBefore, nAfter) = Sinks.compactParquet(spark, dir, 10000L)
+    assert(nBefore === 40)
+    assert(nAfter < 5, s"expected few files after compaction, got $nAfter")
+    val after = spark.read.parquet(dir)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(after === before)
+  }
+
+  test("parquetMergedSchema: files written across schema versions read " +
+      "as one table with NULLs for missing columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val merged = graft.sources.Sources.parquetMergedSchema(spark, dir)
+    assert(merged.schema.fieldNames.toSet === Set("id", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) === 9.5)
+  }
+
   test("approx_count_distinct within its 2% error bound vs exact") {
     val rows = ops.Relational.approxDistinct(spark, TestSpark.sf001).collect()
     rows.foreach { r =>
