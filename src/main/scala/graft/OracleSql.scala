@@ -670,6 +670,17 @@ object OracleSql {
         |FROM ship JOIN o ON d >= s AND d <= s + 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // both engines' HLL sketches differ in VALUE but share the PROMISE:
+    // approx within a small relative error of exact — that promise plus
+    // the exact counts is the hash-comparable contract
+    "r_approx_distinct_bound" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_customers,
+        |  abs(approx_count_distinct(o_custkey)
+        |      - count(DISTINCT o_custkey))
+        |    <= count(DISTINCT o_custkey) * 0.2 AS within_bound
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "r_salted_join" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -87,6 +87,7 @@ object SparkEntry {
     "r_offset_limit"      -> (Relational.offsetLimit(_, _)),
     "r_range_join"        -> (Relational.rangeJoinBinned(_, _)),
     "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),
+    "r_approx_distinct_bound" -> (Relational.approxDistinctBound(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
     "ev_asof_join"        -> (EventOps.asOfClickPurchase(_, _)),
     "ev_funnel"           -> (EventOps.funnel(_, _)),

@@ -219,6 +219,25 @@ object Relational {
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
       .orderBy("o_orderpriority")
 
+  /** The cross-engine-verifiable form of the HLL contract: sketch VALUES
+    * differ per engine (different HLL implementations), but the sketch
+    * PROMISE — approx within a relative error bound of exact — holds in
+    * every engine, so (group, exact, within_bound) hash-compares. The
+    * bound is 10× the requested 2% rsd: slack for both engines' tails,
+    * still a real assertion (a broken sketch is off by orders of
+    * magnitude, not percent).
+    */
+  def approxDistinctBound(s: SparkSession, d: String,
+      maxRelErr: Double = 0.2): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")) <=
+          col("exact_customers") * maxRelErr).as("within_bound"))
+      .orderBy("o_orderpriority")
+
   /** Pivot: order counts per nation × priority as columns — Spark `pivot`
     * with pinned values; oracle expresses the same as conditional sums.
     */

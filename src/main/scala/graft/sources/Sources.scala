@@ -31,6 +31,24 @@ object Sources {
     (df, schemaMismatches(df.schema, declared))
   }
 
+  /** JSON read that CAPTURES malformed records instead of nulling them
+    * silently (the declared-schema read's PERMISSIVE default) or failing
+    * the job (FAILFAST): bad lines land intact in `_corrupt_record` for
+    * quarantine/inspection — the ingest-hygiene path a production
+    * pipeline runs, since a nulled-out record is indistinguishable from
+    * a legitimately-null one downstream.
+    */
+  def jsonWithCorruptCapture(s: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** CSV with header+separator options — the reference's credentials-read
     * shape (S1, `CLEAN:14-17`), schema declared not inferred.
     */

@@ -193,6 +193,22 @@ object StreamPipeline {
       .filter(graft.ops.TextOps.qualityKeep(col("text")))
       .withColumn("text", graft.ops.TextOps.redactText(col("text")))
 
+  /** The full streaming ingest path for a training-data corpus: quality
+    * gate → PII redaction → exact dedup on the normalized content hash
+    * (`dropDuplicatesWithinWatermark` — state bounded by the watermark
+    * horizon, the only dedup shape that survives an unbounded stream).
+    * Requires an event-time column `ts` on the stream. Everything before
+    * the dedup is stateless; the dedup state is one 16-byte hash per doc
+    * within the horizon.
+    */
+  def ingestDocsStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    cleanDocsStream(docs)
+      .withColumn("content_hash",
+        md5(concat_ws(" ",
+          graft.ops.TextOps.tokens(lower(col("text"))))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Start a parquet append sink with checkpoint — the engine twin of
     * `writeStream.format("delta").outputMode("append")
     * .option("checkpointLocation", ...).table(...)` (`KINESIS:174-192`).

@@ -70,6 +70,31 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest: quality-gated, redacted, content-deduped " +
+      "within the watermark horizon") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = StreamPipeline.ingestDocsStream(
+      mem.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, t(0, 0), "a perfectly ordinary document with enough plain words"),
+        (2L, t(0, 1), "a perfectly ordinary document with enough plain words"),
+        (3L, t(0, 2), "junk"), // quality-dropped
+        (4L, t(0, 3), "please email alice@example.com for more details soon"))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      // duplicate content (1,2): exactly one survives; junk dropped
+      assert(rows.size === 2)
+      assert(rows.keySet.intersect(Set(1L, 2L)).size === 1)
+      assert(rows(4L) ===
+        "please email <EMAIL> for more details soon")
+    } finally q.stop()
+  }
+
   test("native session_window agrees with the flatMapGroupsWithState " +
       "sessionizer on counts") {
     import spark.implicits._

@@ -60,6 +60,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.schemaMismatches(declared.schema, Schemas.userRaw).isEmpty)
   }
 
+  test("jsonWithCorruptCapture: malformed lines quarantined intact, " +
+      "good lines parse, declared read would null them silently") {
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      Seq(
+        """{"ind": 1, "country": "US", "latitude": 1.0, "longitude": 2.0, "timestamp": "2021-01-01T00:00:00"}""",
+        """{"ind": 2, "country": "DE", THIS IS NOT JSON""",
+      ).mkString("\n").getBytes)
+    val df = Sources.jsonWithCorruptCapture(spark, dir, Schemas.geoRaw)
+      .cache() // PERMISSIVE corrupt capture needs the raw line retained
+    val bad = df.filter(org.apache.spark.sql.functions
+      .col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("_corrupt_record")
+      .contains("THIS IS NOT JSON"))
+    val good = df.filter(org.apache.spark.sql.functions
+      .col("_corrupt_record").isNull)
+    assert(good.count() === 1)
+    assert(good.head().getAs[Int]("ind") === 1)
+    df.unpersist()
+  }
+
   test("csv with header and declared schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(s"$dir/c.csv"),
