@@ -35,6 +35,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("MinHashSignature values match a direct Scala model " +
+      "(token XXH64 chain -> per-seed xorshift minima)") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .limit(20).collect().map(r => r.getLong(0) -> r.getString(1))
+    val seeds = {
+      var x = 0x9E3779B97F4A7C15L
+      (0 until 64).map { _ =>
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }.toArray
+    }
+    def model(text: String): Option[Seq[Long]] = {
+      val toks = text.trim.toLowerCase match {
+        case "" => Array.empty[String]
+        case t => t.split("\\s+")
+      }
+      if (toks.length < 3) return None
+      val th = toks.map { t =>
+        val u = UTF8String.fromString(t)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      }
+      val mins = Array.fill(64)(Long.MaxValue)
+      for (i <- 0 to th.length - 3) {
+        var h = 42L
+        for (j <- 0 until 3) h = XXH64.hashLong(th(i + j), h)
+        for (s <- 0 until 64) {
+          var x = h ^ seeds(s)
+          x ^= x << 13; x ^= x >> 7; x ^= x << 17
+          if (x < mins(s)) mins(s) = x
+        }
+      }
+      Some(mins.toSeq)
+    }
+    val got = Tables.documents(spark, d).select(col("doc_id"),
+        graft.functions.MinHashSignature.minhashSignature(
+          TextOps.tokens(lower(col("text"))), 3, seeds).as("sig"))
+      .limit(20).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === model(text), s"doc $id")
+    }
+  }
+
   test("SimHash64 expression is bit-identical to the declarative " +
       "explode + 64-vote-aggregate formulation") {
     // the formulation the compiled expression replaced, rebuilt inline as
@@ -66,6 +115,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     val pairs = DedupOps.simhashPairs(spark, d).collect()
     assert(pairs.nonEmpty, "planted near-dups should collide in simhash bands")
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("multi-file table layout yields identical results (no single-file " +
+      "assumption in any dedup/text op)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_multi").toString
+    Tables.documents(spark, d).repartition(8)
+      .write.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(DedupOps.ngramJaccardPairs(spark, dir)) ===
+      rows(DedupOps.ngramJaccardPairs(spark, d)))
+    assert(rows(DedupOps.simhash(spark, dir)) ===
+      rows(DedupOps.simhash(spark, d)))
+    assert(rows(TextOps.topTerms(spark, dir)) ===
+      rows(TextOps.topTerms(spark, d)))
+    graft.Caches.releaseAll()
   }
 
   test("exact dedup partitions the corpus (sum of copies = row count)") {
