@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Task-metrics profiler: run any Spark action under a temporary listener
+  * and get the aggregate execution profile back — the measure-don't-guess
+  * hook for pipeline tuning. Shuffle bytes tell you whether a "narrow"
+  * op actually shuffled; spill bytes tell you partitions outgrew
+  * executor memory (resize `spark.sql.shuffle.partitions` /
+  * `files.maxPartitionBytes`); task time vs wall time exposes scheduling
+  * overhead vs real work.
+  *
+  * Captures metrics for ALL jobs that complete while the action runs —
+  * profile one action at a time (the library's mains and specs are
+  * sequential; concurrent streaming queries would be attributed too).
+  */
+object Metrics {
+
+  case class Profile(
+      jobs: Int,
+      stages: Int,
+      tasks: Int,
+      taskTimeMs: Long,
+      shuffleReadBytes: Long,
+      shuffleWriteBytes: Long,
+      inputRecords: Long,
+      spillBytes: Long)
+
+  def profile[T](spark: SparkSession)(action: => T): (T, Profile) = {
+    var jobs, stages, tasks = 0
+    var taskTime, shRead, shWrite, inRecs, spill = 0L
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        synchronized {
+          val m = sc.stageInfo.taskMetrics
+          stages += 1
+          tasks += sc.stageInfo.numTasks
+          taskTime += m.executorRunTime
+          shRead += m.shuffleReadMetrics.totalBytesRead
+          shWrite += m.shuffleWriteMetrics.bytesWritten
+          inRecs += m.inputMetrics.recordsRead
+          spill += m.diskBytesSpilled
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val result = action
+      // stage-completed events are posted asynchronously; drain the bus
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      (result, Profile(jobs, stages, tasks, taskTime, shRead, shWrite,
+        inRecs, spill))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
