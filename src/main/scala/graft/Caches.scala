@@ -35,4 +35,24 @@ object Caches {
 
   /** Number of live registered caches (for specs/monitoring). */
   def size: Int = synchronized(entries.size)
+
+  private val memo = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Session-scoped memo for expensive materialized state shared across
+    * operators (e.g. the connected-components fixpoint feeding both the
+    * cluster and survivor queries). The memo only serves entries that
+    * are STILL PERSISTED — after [[releaseAll]] (or any unpersist) the
+    * next call recomputes, so the release path stays authoritative.
+    */
+  def memoize(key: String)(f: => DataFrame): DataFrame = synchronized {
+    memo.get(key) match {
+      case Some(df)
+          if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        df
+      case _ =>
+        val df = f
+        memo(key) = df
+        df
+    }
+  }
 }

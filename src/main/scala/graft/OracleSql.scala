@@ -19,6 +19,39 @@ object OracleSql {
   private val lexValues = ops.TextOps.lexicon
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
+  /** Shared CTE chain producing `jpairs` — exact 3-gram Jaccard ≥ 60%
+    * pairs over `documents` with the df∈[2,1000] skew guard; the twin of
+    * `DedupOps.ngramJaccardPairsFrom`. Used by the ngram oracle and both
+    * cluster oracles.
+    */
+  private def ngramPairsCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(t) - 2),
+       |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |pairforming AS (
+       |  SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(*) BETWEEN 2 AND 1000),
+       |idx AS (
+       |  SELECT * FROM sh
+       |  WHERE shingle IN (SELECT shingle FROM pairforming)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |rawpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM idx a JOIN idx b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b, shared, sa.n_sh AS size_a, sb.n_sh AS size_b
+       |  FROM rawpairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE shared * 100 >= 60 * (sa.n_sh + sb.n_sh - shared))""".stripMargin
+
   val extended: Map[String, String] = Map(
 
     // ------------------------------------------------------------- text
@@ -196,32 +229,45 @@ object OracleSql {
          |FROM h GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      generate_series(1, len(t) - 2),
-         |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
-         |    FROM toks WHERE len(t) >= 3)),
-         |pairforming AS (
-         |  SELECT shingle FROM sh GROUP BY shingle
-         |  HAVING count(*) BETWEEN 2 AND 1000),
-         |idx AS (
-         |  SELECT * FROM sh
-         |  WHERE shingle IN (SELECT shingle FROM pairforming)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM idx a JOIN idx b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, shared, sa.n_sh AS size_a, sb.n_sh AS size_b
-         |FROM pairs
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE shared * 100 >= 60 * (sa.n_sh + sb.n_sh - shared)
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b, shared, size_a, size_b FROM jpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // connected components over the same pairs, as a recursive
+    // transitive-closure CTE: label = min over the reachable set —
+    // exactly the fixpoint the engine's min-label propagation converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT cluster_id, count(*) AS n_members,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS members
+         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Exact ground truth for the MinHash+LSH pipeline: every pair with
     // full-set n-gram Jaccard >= 0.6. Valid as a hash-equality oracle

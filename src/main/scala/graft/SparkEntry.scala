@@ -46,6 +46,8 @@ object SparkEntry {
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),
     "dedup_minhash_lsh"   -> (DedupOps.minhashLshPairs(_, _)),
+    "dedup_clusters"      -> (DedupOps.nearDupClusters(_, _)),
+    "dedup_survivors"     -> (DedupOps.dedupSurvivors(_, _)),
     "dedup_simhash"       -> (DedupOps.simhash(_, _)),
     "dedup_simhash_pairs" -> (DedupOps.simhashPairs(_, _)),
     // similarity search

@@ -269,6 +269,112 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------------------- clusters
+
+  /** Connected components over near-dup pairs — the step that turns pair
+    * detection into an actual dedup decision (pairs chain: A~B, B~C ⇒
+    * {A,B,C} is ONE duplicate cluster with one survivor, not two
+    * independent pairs).
+    *
+    * Iterative min-label propagation, the standard large-scale CC shape
+    * (what GraphX/GraphFrames run under the hood): each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * edge⋈label join + one groupBy per round, converging in
+    * O(component diameter) rounds. Near-dup clusters are shallow (a hub
+    * document links its variants), so rounds stay single-digit; the
+    * driver only sees one converged/not-converged count per round
+    * (k-means-style bounded driver state, no component materialization).
+    *
+    * Returns (doc_id, cluster_id) for every doc appearing in some pair;
+    * cluster_id is the component's minimum doc_id.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Truncate lineage EVERY round with an eager localCheckpoint. Two
+    // reasons, both learned the hard way: (a) without it each round's
+    // logical plan embeds the whole history — Catalyst re-optimizes a
+    // linearly-growing tree per round (quadratic driver time, ~1 MB task
+    // binaries); (b) CacheManager-based persist is unusable for loop
+    // state because unpersisting an earlier round invalidates every
+    // dependent cache's DATA while its storageLevel still reads as
+    // persisted — silent full-lineage recompute on next use. A
+    // checkpointed frontier has no lineage to invalidate; superseded
+    // round RDDs are reaped by the ContextCleaner once unreferenced. On
+    // a multi-executor cluster the same loop checkpoints the frontier to
+    // reliable storage (parquet/HDFS) instead — localCheckpoint is the
+    // single-JVM equivalent (and is executor-loss-unsafe there).
+    val edges =
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("label").as("nmin"))
+      // pointer-jumping alongside neighbor propagation: route each label
+      // through its own current label (label is always a node id, so the
+      // lookup is a self-join on the frontier). Chains collapse in
+      // O(log diameter) rounds instead of O(diameter).
+      val jumped = labels
+        .join(labels.select(col("doc_id").as("label"),
+          col("label").as("jmin")), Seq("label"), "left")
+      val next = jumped.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"),
+            least(coalesce(col("nmin"), col("label")),
+              coalesce(col("jmin"), col("label")))).as("newLabel"))
+        .localCheckpoint()
+      changed = next.filter(col("newLabel") < col("label")).count()
+      labels = next.select(col("doc_id"), col("newLabel").as("label"))
+      rounds += 1
+    }
+    System.err.println(s"[graft] connectedComponents converged in $rounds rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Session-memoized CC fixpoint over the corpus's ngram pairs — the
+    * cluster and survivor queries both consume it; computing it twice
+    * would run the whole iterative propagation twice.
+    */
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    graft.Caches.memoize(s"cc-ngram:$d") {
+      // persist the (tiny, lineage-free) label table through the normal
+      // cache registry so the memo's liveness check and releaseAll both
+      // see it; recompute-after-release re-runs the whole fixpoint.
+      graft.Caches.register(connectedComponents(ngramJaccardPairs(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** End-to-end near-dup clusters on the corpus: exact n-gram Jaccard
+    * pairs → connected components → cluster rows with sizes. Singleton
+    * documents (no near-dup) are omitted — at 100 TB the unpaired corpus
+    * vastly dominates and is exactly the part you don't touch.
+    */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    ccLabels(s, d)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string"))).as("members"))
+      .orderBy("cluster_id")
+
+  /** The dedup decision itself: survivors = cluster minima plus every
+    * unpaired document — the set a training run actually reads.
+    */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val cc = ccLabels(s, d)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** (doc_id, simhash) without the presentation sort — the shape pair

@@ -133,6 +133,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("connected components: chains collapse into one cluster; " +
+      "survivors = cluster minima + unpaired docs") {
+    // chain A~B, B~C plus isolated pair D~E: components {A,B,C}, {D,E}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    graft.Caches.releaseAll()
+    // corpus-level: cluster members reconcile with the pair set, and
+    // survivors + duplicates partition the corpus
+    val clusters = DedupOps.nearDupClusters(spark, d).collect()
+    val pairDocs = DedupOps.ngramJaccardPairs(spark, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("x"))
+      .distinct().count()
+    assert(clusters.map(_.getLong(1)).sum === pairDocs)
+    clusters.foreach(r => assert(r.getLong(1) >= 2))
+    val survivors = DedupOps.dedupSurvivors(spark, d).count()
+    val total = Tables.documents(spark, d).count()
+    val dropped = pairDocs - clusters.length // non-minima of each cluster
+    assert(survivors === total - dropped)
+    graft.Caches.releaseAll()
+  }
+
   test("exact dedup partitions the corpus (sum of copies = row count)") {
     val out = DedupOps.exactDedup(spark, d)
     val total = out.agg(sum("n_copies")).head().getLong(0)
