@@ -52,7 +52,67 @@ object OracleSql {
        |  JOIN sizes sb ON doc_b = sb.doc_id
        |  WHERE shared * 100 >= 60 * (sa.n_sh + sb.n_sh - shared))""".stripMargin
 
+  /** Token n-grams of `t` as a list, [] when the doc is shorter than n —
+    * twin of CorpusOps.grams.
+    */
+  private def gramsSql(n: Int): String =
+    s"CASE WHEN len(t) >= $n THEN list_transform(" +
+      s"generate_series(1, len(t) - ${n - 1}), " +
+      s"i -> array_to_string(t[i:i+${n - 1}], ' ')) ELSE []::VARCHAR[] END"
+
   val extended: Map[String, String] = Map(
+
+    // ----------------------------------------------------------- corpus
+
+    "txt_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(${gramsSql(5)})) AS gram
+         |  FROM toks),
+         |evalg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |traing AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM traing JOIN evalg USING (gram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "txt_shuffle_export" -> {
+      val base = "(SELECT doc_id, 'shuf:' || CAST(doc_id AS VARCHAR) AS s " +
+        "FROM documents)"
+      s"""WITH ${Xxh64Sql.chain(base, "s", 1, "sh")}
+         |SELECT doc_id, sh_val AS skey FROM sh
+         |ORDER BY skey, doc_id""".stripMargin
+    },
+
+    "txt_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |g AS (SELECT doc_id, ${gramsSql(3)} AS gl FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(gl) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(gl)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(gl) > 0
+         |       THEN 1.0 - len(list_distinct(gl)) / len(gl)
+         |       ELSE 0.0 END AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "txt_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    CASE WHEN len(t) <= 64 THEN 1
+         |         ELSE 1 + CAST(floor((len(t) - 64 + 47) / 48.0) AS BIGINT)
+         |    END AS nc
+         |  FROM toks WHERE len(t) >= 1),
+         |e AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(0, nc - 1),
+         |    i -> {'idx': i, 'chunk': t[i*48+1 : least(i*48+64, n)]})) AS x
+         |  FROM c)
+         |SELECT doc_id, CAST(x.idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(x.chunk) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(x.chunk, ' ')) AS chunk_fp
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // ------------------------------------------------------------- text
     "txt_token_count" ->

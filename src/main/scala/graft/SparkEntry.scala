@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupOps, EventOps, Multimodal, Queries, Relational, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, EventOps, Multimodal, Queries, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,6 +95,11 @@ object SparkEntry {
     "ev_funnel"           -> (EventOps.funnel(_, _)),
     "ev_cohort_retention" -> (EventOps.cohortRetention(_, _)),
     "txt_sample_stratified" -> (TextOps.sampleStratified(_, _)),
+    // corpus preparation (decontamination, shuffle, repetition, chunking)
+    "txt_decontaminate"   -> (CorpusOps.decontaminate(_, _)),
+    "txt_shuffle_export"  -> (CorpusOps.shuffleExport(_, _)),
+    "txt_repetition"      -> (CorpusOps.repetitionRatio(_, _)),
+    "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

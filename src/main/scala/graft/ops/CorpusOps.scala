@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Corpus-preparation operators — the steps between "documents are clean"
+  * and "tokens hit the trainer": benchmark decontamination, reproducible
+  * corpus shuffling, intra-document repetition signals, and context-window
+  * chunking. (Reference scope note: the reference pipeline stops at
+  * cleaned/queried frames — `(Clone) Pinterest Data Cleaning and
+  * Queries.py` — these extend it toward an LLM training-data pipeline, as
+  * the brief's §2-extension list requires.)
+  *
+  * Same design rules as [[TextOps]]: built-in `functions._` only (whole-
+  * stage-codegen'd), per-document work stays narrow (array HOFs, no
+  * explode unless the output itself is per-element), ratios are single
+  * IEEE divisions of exact integers so every engine reproduces them
+  * bit-for-bit.
+  */
+object CorpusOps {
+
+  private def grams(t: org.apache.spark.sql.Column, n: Int) =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * token n-gram with the evaluation set — the overlap check every
+    * serious training corpus runs so eval benchmarks don't leak into
+    * training data. The eval set here is the deterministic slice
+    * `doc_id % 20 == 0` (stands in for a real benchmark table; swap the
+    * predicate for a join against one).
+    *
+    * Scale shape: both sides reduce to DISTINCT n-grams before the join,
+    * so the join keys on the gram string — one shuffle keyed by gram,
+    * count keyed by doc_id. The eval side is benchmark-sized (tiny vs
+    * the corpus); no broadcast hint — AQE broadcasts it when it fits.
+    * At 100 TB you'd hash grams to 64-bit before the shuffle
+    * (xxhash64) — kept as strings here so the oracle is value-exact.
+    */
+  def decontaminate(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(grams(col("t"), n))).as("gram"))
+    val evalGrams = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("gram")).distinct()
+    docs.filter(col("doc_id") % 20 =!= 0)
+      .join(evalGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Reproducible global corpus shuffle: order by a content-free
+    * deterministic hash of the document id — the export step that breaks
+    * source/time locality before training, identically on any engine,
+    * any partitioning, any rerun (seeded `rand()` is none of those).
+    *
+    * Scale shape: a total order by `skey` is a range-partitioned sort —
+    * Spark samples key ranges and writes N sorted partitions; no global
+    * window, no single-partition funnel. Downstream shards are then
+    * `skey`-ranges.
+    */
+  def shuffleExport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        xxhash64(concat(lit("shuf:"), col("doc_id").cast("string")))
+          .as("skey"))
+      .orderBy("skey", "doc_id")
+
+  /** Intra-document repetition: fraction of repeated token 3-grams —
+    * the Gopher/C4-style quality signal that catches boilerplate and
+    * degenerate generation loops that length/punctuation ratios miss.
+    * Pure array HOFs per document: zero shuffle, embarrassingly
+    * parallel.
+    */
+  def repetitionRatio(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    // Alias each expensive stage (tokens, then grams) ONCE in its own
+    // projection and reference the alias downstream. Written as a single
+    // select with the expression repeated, Catalyst plans the
+    // transform+concat per occurrence (measured 4x the one-pass cost
+    // end-to-end), and references inside lambda bodies are never
+    // subexpression-eliminated — chained this way CollapseProject
+    // declines to inline the multi-referenced non-cheap aliases and
+    // tokenization + gram build each run exactly once per row.
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), grams(col("t"), n).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast(LongType).as("n_grams"),
+        size(array_distinct(col("g"))).cast(LongType).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(0.0))
+      .orderBy("doc_id")
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `window` tokens advancing by `stride` (overlap =
+    * window - stride), the shape a fixed-context trainer consumes.
+    * Emits (doc_id, chunk_idx, n_tokens, chunk_fp) — the fingerprint
+    * stands in for the chunk payload so the gate compares scalars.
+    *
+    * Chunk count = 1 + ceil((n - window) / stride) for n > window, else
+    * 1; the final chunk is short rather than padded. Narrow per-doc HOF
+    * + posexplode — output rows ∝ tokens/stride, no shuffle until the
+    * presentation sort.
+    */
+  def chunkWindows(s: SparkSession, d: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    val t = col("t")
+    val n = size(t)
+    val nc = when(n <= window, lit(1L))
+      .otherwise(lit(1L) +
+        floor((n - window + stride - 1).cast("double") / stride).cast(LongType))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(t) >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nc - 1),
+          i => slice(t, (i * stride + 1).cast("int"), lit(window)))))
+      .select(col("doc_id"),
+        col("pos").cast(LongType).as("chunk_idx"),
+        size(col("col")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+}

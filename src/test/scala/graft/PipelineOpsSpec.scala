@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{DedupOps, EventOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, EventOps, SimilarityOps, TextOps}
 
 /** Specs for the training-data-pipeline operator families (dedup,
   * similarity, text analysis, events). Value-level verification is the
@@ -154,6 +154,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dropped = pairDocs - clusters.length // non-minima of each cluster
     assert(survivors === total - dropped)
     graft.Caches.releaseAll()
+  }
+
+  test("decontamination: flagged docs share n-grams with the eval slice; " +
+      "eval docs themselves are never flagged") {
+    val out = CorpusOps.decontaminate(spark, d).collect()
+    assert(out.nonEmpty, "planted near-dups should cross the eval slice")
+    out.foreach { r =>
+      assert(r.getLong(0) % 20 != 0, "eval docs must not appear")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("shuffle export: permutation of the corpus, deterministic, and " +
+      "source-locality actually broken") {
+    val a = CorpusOps.shuffleExport(spark, d).collect()
+    val b = CorpusOps.shuffleExport(spark, d).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    val total = Tables.documents(spark, d).count()
+    assert(a.length.toLong == total)
+    assert(a.map(_.getLong(0)).distinct.length.toLong == total)
+    // keys strictly ordered in the output
+    val keys = a.map(_.getLong(1)).toSeq
+    assert(keys == keys.sorted)
+    // locality check: consecutive doc_ids land far apart on average
+    val pos = a.map(_.getLong(0)).zipWithIndex.toMap
+    val meanGap = (0L until total - 1)
+      .map(i => math.abs(pos(i) - pos(i + 1))).sum.toDouble / (total - 1)
+    assert(meanGap > total / 10.0, s"shuffle too local: meanGap=$meanGap")
+  }
+
+  test("repetition ratio: bounded in [0,1), distinct <= total, and the " +
+      "most-repetitive corpus docs score above the least-repetitive") {
+    val out = CorpusOps.repetitionRatio(spark, d).collect()
+    assert(out.length.toLong == Tables.documents(spark, d).count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      // definitional identity on every row
+      if (r.getLong(1) > 0)
+        assert(ratio == 1.0 - r.getLong(2).toDouble / r.getLong(1))
+    }
+    // near-dup planted corpus repeats phrases: some doc must repeat a gram
+    assert(out.exists(_.getDouble(3) > 0.0))
+  }
+
+  test("chunk windows: contiguous indices, full windows except the last, " +
+      "and chunks cover every token exactly (overlap accounted)") {
+    val out = CorpusOps.chunkWindows(spark, d)
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 1)
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("nc"), max("chunk_idx").as("maxi"),
+        sum("n_tokens").as("sumlen"), max("n_tokens").as("maxlen"))
+      .join(toks, "doc_id").collect()
+    assert(perDoc.length.toLong == toks.count(), "every non-empty doc chunked")
+    perDoc.foreach { r =>
+      val (nc, maxi, sumlen, maxlen, n) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(maxi == nc - 1, "chunk indices contiguous from 0")
+      assert(maxlen == math.min(n, 64L), "widest chunk is a full window")
+      assert(nc == (if (n <= 64) 1L else 1L + (n - 64 + 47) / 48),
+        s"doc ${r.getLong(0)}: nc=$nc n=$n")
+      // windows overlap by window-stride=16 tokens at each of the nc-1
+      // boundaries; total chunk tokens must equal n plus that overlap
+      assert(sumlen == n + (nc - 1) * 16,
+        s"doc ${r.getLong(0)}: coverage broken (sum=$sumlen n=$n nc=$nc)")
+    }
   }
 
   test("exact dedup partitions the corpus (sum of copies = row count)") {
