@@ -119,8 +119,10 @@ object CorpusOps {
       .otherwise(lit(1L) +
         floor((n - window + stride - 1).cast("double") / stride).cast(LongType))
     Tables.documents(s, d)
+      // tokens(text) is empty iff the trimmed text is — filter on the raw
+      // column so pushdown doesn't re-inline the tokenize into the Filter
+      .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .filter(size(t) >= 1)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0L), nc - 1),
           i => slice(t, (i * stride + 1).cast("int"), lit(window)))))

@@ -91,6 +91,24 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(p.contains("nearestcentroids"), p)
   }
 
+  test("expensive per-row stages plan exactly once: no duplicated " +
+      "tokenize/gram-build in the corpus ops' optimized plans") {
+    // Catalyst plans an expression once PER OCCURRENCE, and references
+    // inside lambda bodies are never subexpression-eliminated — writing
+    // size(g) and array_distinct(g) over an inline g doubles the whole
+    // gram build (measured 4-6x end-to-end on txt_repetition). The ops
+    // alias each expensive stage in its own projection; this guards that
+    // CollapseProject keeps declining to inline them.
+    Seq("txt_repetition" -> 1, "txt_chunks" -> 1, "txt_decontaminate" -> 2)
+      .foreach { case (q, maxSplits) =>
+        val p = SparkEntry.queries(q)(spark, TestSpark.sf0001)
+          .queryExecution.optimizedPlan.toString
+        val nSplit = "split\\(".r.findAllIn(p).length
+        assert(nSplit <= maxSplits,
+          s"$q: tokenization planned $nSplit times (max $maxSplits):\n$p")
+      }
+  }
+
   test("no unbounded-table broadcast hint: dedup pair generators leave the " +
       "strategy to the optimizer/AQE") {
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { q =>
