@@ -114,6 +114,47 @@ object OracleSql {
          |  md5(array_to_string(x.chunk, ' ')) AS chunk_fp
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "txt_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    CASE WHEN len(t) <= 64 THEN 1
+         |         ELSE 1 + CAST(floor((len(t) - 64 + 47) / 48.0) AS BIGINT)
+         |    END AS nc
+         |  FROM toks WHERE len(t) >= 1),
+         |e AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(0, nc - 1),
+         |    i -> {'idx': i, 'chunk': t[i*48+1 : least(i*48+64, n)]})) AS x
+         |  FROM c),
+         |chunks AS (
+         |  SELECT doc_id, CAST(x.idx AS BIGINT) AS chunk_idx,
+         |    CAST(len(x.chunk) AS BIGINT) AS n_tokens
+         |  FROM e),
+         |binned AS (
+         |  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id, chunk_idx) - n_tokens AS cum_before
+         |  FROM chunks),
+         |withbin AS (
+         |  SELECT shard, CAST(floor(cum_before / 256) AS BIGINT) AS bin_id,
+         |    doc_id, chunk_idx, n_tokens,
+         |    row_number() OVER (PARTITION BY shard,
+         |      CAST(floor(cum_before / 256) AS BIGINT)
+         |      ORDER BY doc_id, chunk_idx) AS rn,
+         |    row_number() OVER (PARTITION BY shard,
+         |      CAST(floor(cum_before / 256) AS BIGINT)
+         |      ORDER BY doc_id DESC, chunk_idx DESC) AS rnd
+         |  FROM binned)
+         |SELECT shard, bin_id,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+         |  max(CASE WHEN rn = 1 THEN chunk_idx END) AS first_idx,
+         |  max(CASE WHEN rnd = 1 THEN doc_id END) AS last_doc,
+         |  max(CASE WHEN rnd = 1 THEN chunk_idx END) AS last_idx
+         |FROM withbin GROUP BY 1, 2 ORDER BY shard, bin_id""".stripMargin,
+
     // ------------------------------------------------------------- text
     "txt_token_count" ->
       s"""SELECT doc_id,

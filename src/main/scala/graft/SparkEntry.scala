@@ -100,6 +100,7 @@ object SparkEntry {
     "txt_shuffle_export"  -> (CorpusOps.shuffleExport(_, _)),
     "txt_repetition"      -> (CorpusOps.repetitionRatio(_, _)),
     "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),
+    "txt_pack"            -> (CorpusOps.packSequences(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -132,4 +132,40 @@ object CorpusOps {
         md5(concat_ws(" ", col("col"))).as("chunk_fp"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Sequence packing: lay the chunk stream out into fixed token budgets
+    * (the batches a fixed-context trainer actually consumes), contiguous
+    * per shard — a chunk starts in the bin where the running token count
+    * left off, so bins hold ~budget tokens with document order preserved
+    * and no chunk split further.
+    *
+    * Scale shape: packing is inherently sequential, so the parallelism
+    * unit is the shard — `doc_id % shards` here; at 100 TB, thousands of
+    * shards, each packed independently by one task (a running-sum window
+    * partitioned by shard). One shuffle keyed by shard; bins never
+    * materialize as state. Emits per-bin rows: chunk count, packed
+    * tokens, and the [first, last] chunk span for traceability.
+    */
+  def packSequences(s: SparkSession, d: String,
+      budget: Int = 256, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    chunkWindows(s, d)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("bin_id", floor(col("cum_before") / budget).cast(LongType))
+      .groupBy("shard", "bin_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens_packed"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("first_chunk"),
+        max(struct(col("doc_id"), col("chunk_idx"))).as("last_chunk"))
+      .select(col("shard"), col("bin_id"), col("n_chunks"),
+        col("n_tokens_packed"),
+        col("first_chunk.doc_id").as("first_doc"),
+        col("first_chunk.chunk_idx").as("first_idx"),
+        col("last_chunk.doc_id").as("last_doc"),
+        col("last_chunk.chunk_idx").as("last_idx"))
+      .orderBy("shard", "bin_id")
+  }
 }

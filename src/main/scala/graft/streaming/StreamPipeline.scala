@@ -209,6 +209,34 @@ object StreamPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming benchmark-contamination quarantine: the continuous twin of
+    * `CorpusOps.decontaminate`. Each arriving document's token n-grams are
+    * checked against the static benchmark gram table with a stream-static
+    * LEFT SEMI join (no state — the static side is just a lookup); docs
+    * with any overlap surface once on the quarantine feed, deduplicated
+    * within the watermark horizon (16-byte id state per doc, bounded).
+    * Downstream, the trainer's ingest anti-joins this feed.
+    *
+    * Requires event-time column `ts` on the stream. The benchmark side is
+    * benchmark-sized by nature — Spark broadcasts it per micro-batch.
+    */
+  def contaminationQuarantine(docs: DataFrame, benchmarkGrams: DataFrame,
+      n: Int = 5, watermark: String = "1 hour"): DataFrame = {
+    val t = graft.ops.TextOps.tokens(lower(col("text")))
+    val grams = when(size(col("t")) >= n,
+      transform(sequence(lit(0), size(col("t")) - n),
+        i => concat_ws(" ", slice(col("t"), i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), col("ts"), t.as("t"))
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(grams)).as("gram"))
+      .join(benchmarkGrams.select(col("gram")), Seq("gram"), "left_semi")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+  }
+
   /** Start a parquet append sink with checkpoint — the engine twin of
     * `writeStream.format("delta").outputMode("append")
     * .option("checkpointLocation", ...).table(...)` (`KINESIS:174-192`).

@@ -120,6 +120,31 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination quarantine: overlapping docs surface " +
+      "exactly once; clean docs and re-sends never do") {
+    import spark.implicits._
+    val benchmark = Seq("alpha beta gamma delta epsilon")
+      .toDF("gram")
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = StreamPipeline.contaminationQuarantine(
+      docs.toDF().toDF("doc_id", "ts", "text"), benchmark)
+    val q = out.writeStream.format("memory").queryName("quarantine_out")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        (1L, t(1, 0), "intro words then alpha beta gamma delta epsilon tail"),
+        (2L, t(1, 0), "a perfectly clean document with no benchmark overlap"),
+        (3L, t(1, 1), "too short"))
+      q.processAllAvailable()
+      // re-send doc 1 within the watermark horizon: must not re-emit
+      docs.addData((1L, t(1, 30),
+        "intro words then alpha beta gamma delta epsilon tail"))
+      q.processAllAvailable()
+      val ids = spark.table("quarantine_out").collect().map(_.getLong(0))
+      assert(ids.toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases within an hour of a click") {
     import spark.implicits._
     val clicks = MemoryStream[(Long, Timestamp)](spark)

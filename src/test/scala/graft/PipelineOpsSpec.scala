@@ -225,6 +225,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: bins contiguous per shard, conserve every chunk " +
+      "token, and fill to budget within one window of slack") {
+    val budget = 256; val win = 64
+    val bins = CorpusOps.packSequences(spark, d).collect()
+    val chunkTokens = CorpusOps.chunkWindows(spark, d)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(bins.map(_.getLong(3)).sum == chunkTokens, "token conservation")
+    bins.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq,
+        s"shard $shard: bin ids not contiguous")
+      val byId = rows.sortBy(_.getLong(1))
+      byId.init.foreach { r =>
+        val packed = r.getLong(3)
+        assert(packed >= budget - win + 1 && packed <= budget + win - 1,
+          s"shard $shard bin ${r.getLong(1)}: packed=$packed outside slack")
+      }
+    }
+  }
+
   test("exact dedup partitions the corpus (sum of copies = row count)") {
     val out = DedupOps.exactDedup(spark, d)
     val total = out.agg(sum("n_copies")).head().getLong(0)
