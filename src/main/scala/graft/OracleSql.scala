@@ -907,6 +907,20 @@ object OracleSql {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
+    // identical contract through the native AsOfJoinExec operator
+    "ev_asof_native" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       p.ts AS last_purchase_ts, p.value AS last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     "r_pivot" ->
       """SELECT n_name,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')

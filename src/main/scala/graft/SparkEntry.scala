@@ -92,6 +92,7 @@ object SparkEntry {
     "r_approx_distinct_bound" -> (Relational.approxDistinctBound(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
     "ev_asof_join"        -> (EventOps.asOfClickPurchase(_, _)),
+    "ev_asof_native"      -> (EventOps.asOfClickPurchaseNative(_, _)),
     "ev_funnel"           -> (EventOps.funnel(_, _)),
     "ev_cohort_retention" -> (EventOps.cohortRetention(_, _)),
     "txt_sample_stratified" -> (TextOps.sampleStratified(_, _)),

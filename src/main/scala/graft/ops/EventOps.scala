@@ -138,6 +138,26 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** [[asOfClickPurchase]] through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinNative]]) — same contract, same oracle, but
+    * planned as the custom `AsOfJoinExec` merge instead of the
+    * union+window composition. Registered at the gate so the custom
+    * LogicalPlan → Strategy → SparkPlan path is hash-verified against
+    * DuckDB's native ASOF LEFT JOIN end to end.
+    */
+  def asOfClickPurchaseNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+    graft.plans.AsOfJoinNative.join(clicks, purchases, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as("last_purchase_ts"),
+        col("asof_value").as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Ordered funnel — sequential pattern matching: how many users did
     * view → click → purchase IN ORDER (each stage's first qualifying
     * event strictly after the previous stage's). Three user-keyed

@@ -153,6 +153,8 @@ object YearRangeToTimestampRange extends Rule[LogicalPlan] {
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => YearRangeToTimestampRange)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
