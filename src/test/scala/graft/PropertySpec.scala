@@ -97,6 +97,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of join ≡ composed union+window as-of ≡ driver-side " +
+      "model over generated keyed event streams (dup timestamps included)") {
+    import java.sql.Timestamp
+    val genRow = for {
+      k <- Gen.choose(1, 6)
+      m <- Gen.choose(0, 59)
+    } yield (k.toLong, Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"))
+    val leftRows = sample(genRow, 120).distinct
+    // right side unique per (key, ts) — the operator's documented contract
+    val rightRows = sample(genRow, 80).distinct
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toDouble) }
+    val left = leftRows.toDF("k", "ts").repartition(5)
+    val right = rightRows.toDF("k", "ts", "v").repartition(3)
+    val native = graft.plans.AsOfJoinNative.join(left, right, "k", "ts")
+      .select("k", "ts", "asof_ts", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (Option(r.getTimestamp(2)), Option(r.get(3)))).toMap
+    val composed = ops.EventOps.asOfJoin(left, right, "k", "ts", Seq("v"))
+      .select("k", "ts", "asof_ts", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (Option(r.getTimestamp(2)), Option(r.get(3)))).toMap
+    assert(native.keySet == leftRows.toSet.map(
+      (p: (Long, Timestamp)) => p))
+    leftRows.foreach { case (k, ts) =>
+      val expect = rightRows.filter(r => r._1 == k && !r._2.after(ts))
+        .sortBy(_._2.getTime).lastOption
+        .map(r => (Some(r._2), Some(r._3)))
+        .getOrElse((None, None))
+      assert(native((k, ts)) == expect, s"native vs model at ($k, $ts)")
+      assert(composed((k, ts)) == expect, s"composed vs model at ($k, $ts)")
+    }
+  }
+
+  test("connected components ≡ union-find model over generated edge sets") {
+    val genEdge = for {
+      a <- Gen.choose(0L, 40L)
+      b <- Gen.choose(0L, 40L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val edges = sample(genEdge, 60).distinct
+    val got = ops.DedupOps.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // model labels: min node id of each component
+    val byRoot = nodes.groupBy(find)
+    val label = byRoot.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }
+    assert(got == label)
+    graft.Caches.releaseAll()
+  }
+
   test("ExactMedian aggregate ≡ sorted lower-median model over generated " +
       "groups (with heavy duplicates to stress the count-map)") {
     val gen = Gen.listOfN(80, Gen.choose(-20, 20)) // narrow domain -> dups
