@@ -921,6 +921,37 @@ object OracleSql {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
+    "r_scalar_subquery" ->
+      """SELECT c1.c_custkey, c1.c_nationkey, c1.c_acctbal
+        |FROM customer c1
+        |WHERE c1.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+        |                      WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c1.c_custkey""".stripMargin,
+
+    "r_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority),
+        |                        (o_orderstatus),
+        |                        (o_orderpriority, o_orderstatus),
+        |                        ())
+        |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""".stripMargin,
+
+    "ev_moving_stats" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS mov_sum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_n,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_max
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "r_pivot" ->
       """SELECT n_name,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')

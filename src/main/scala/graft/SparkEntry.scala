@@ -88,6 +88,9 @@ object SparkEntry {
     "r_salted_join"       -> (Relational.saltedJoinCounts(_, _)),
     "r_offset_limit"      -> (Relational.offsetLimit(_, _)),
     "r_range_join"        -> (Relational.rangeJoinBinned(_, _)),
+    "r_scalar_subquery"   -> (Relational.scalarSubquery(_, _)),
+    "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
+    "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),
     "r_approx_distinct_bound" -> (Relational.approxDistinctBound(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),

@@ -214,6 +214,26 @@ object EventOps {
   /** Per-type value distribution: min/max plus exact lower-median (same
     * deterministic formulation as Queries.lowerMedian).
     */
+  /** Sliding-frame moving aggregates per user (5-row trailing window):
+    * the smoothing pass a metrics pipeline runs over an event stream.
+    * Decimal-stabilized moving sum (frame adds are exact, single cast
+    * back to double), deterministic tiebreak on event_id inside equal
+    * timestamps. One user-keyed shuffle; frame state is 5 rows.
+    */
+  def movingStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("mov_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_max", max(col("value")).over(w))
+      .orderBy("event_id")
+  }
+
   def valueStatsByType(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d).select("event_type", "value")
     val med = Queries.lowerMedian(base, Seq("event_type"), "value", "median_value")

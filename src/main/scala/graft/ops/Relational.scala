@@ -241,6 +241,44 @@ object Relational {
   /** Pivot: order counts per nation × priority as columns — Spark `pivot`
     * with pinned values; oracle expresses the same as conditional sums.
     */
+  /** Correlated scalar subquery (the per-group argmax users actually
+    * write in SQL): customers holding their nation's maximum balance.
+    * Catalyst decorrelates this to an aggregate + join — no per-row
+    * re-execution, same plan family a hand-written join would get; the
+    * query goes through the SQL entry on purpose so the decorrelation
+    * path itself is gate-covered. MAX keeps the comparison exact (no
+    * cross-engine float summation).
+    */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT c1.c_custkey, c1.c_nationkey, c1.c_acctbal
+        |FROM g_customer c1
+        |WHERE c1.c_acctbal = (SELECT max(c2.c_acctbal) FROM g_customer c2
+        |                      WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c1.c_custkey""".stripMargin)
+  }
+
+  /** GROUPING SETS with explicitly chosen combinations (cube/rollup cover
+    * the regular lattices; real reporting picks arbitrary subsets).
+    * grouping_id disambiguates a NULL group value from a rolled-up
+    * level. One Expand + one shuffle, exactly like cube.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       count(*) AS n
+        |FROM g_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority),
+        |                        (o_orderstatus),
+        |                        (o_orderpriority, o_orderstatus),
+        |                        ())
+        |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""".stripMargin)
+  }
+
   def pivotCounts(s: SparkSession, d: String): DataFrame = {
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
