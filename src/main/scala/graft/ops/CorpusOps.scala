@@ -42,8 +42,14 @@ object CorpusOps {
     * At 100 TB you'd hash grams to 64-bit before the shuffle
     * (xxhash64) — kept as strings here so the oracle is value-exact.
     */
-  def decontaminate(s: SparkSession, d: String, n: Int = 5): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def decontaminate(s: SparkSession, d: String, n: Int = 5): DataFrame =
+    decontaminateFrom(Tables.documents(s, d), n)
+
+  /** [[decontaminate]] over any (doc_id, text) frame — the composable
+    * building block (`*From` convention).
+    */
+  def decontaminateFrom(documents: DataFrame, n: Int = 5): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(grams(col("t"), n))).as("gram"))
@@ -67,10 +73,15 @@ object CorpusOps {
     * `skey`-ranges.
     */
   def shuffleExport(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        xxhash64(concat(lit("shuf:"), col("doc_id").cast("string")))
-          .as("skey"))
+    shuffleExportFrom(Tables.documents(s, d).select(col("doc_id")))
+
+  /** [[shuffleExport]] over any (doc_id, ...) frame — carries every
+    * input column through the shuffled order.
+    */
+  def shuffleExportFrom(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("skey",
+        xxhash64(concat(lit("shuf:"), col("doc_id").cast("string"))))
       .orderBy("skey", "doc_id")
 
   /** Intra-document repetition: fraction of repeated token 3-grams —
@@ -112,13 +123,18 @@ object CorpusOps {
     * presentation sort.
     */
   def chunkWindows(s: SparkSession, d: String,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    chunkWindowsFrom(Tables.documents(s, d), window, stride)
+
+  /** [[chunkWindows]] over any (doc_id, text) frame. */
+  def chunkWindowsFrom(documents: DataFrame,
       window: Int = 64, stride: Int = 48): DataFrame = {
     val t = col("t")
     val n = size(t)
     val nc = when(n <= window, lit(1L))
       .otherwise(lit(1L) +
         floor((n - window + stride - 1).cast("double") / stride).cast(LongType))
-    Tables.documents(s, d)
+    documents
       // tokens(text) is empty iff the trimmed text is — filter on the raw
       // column so pushdown doesn't re-inline the tokenize into the Filter
       .filter(length(trim(col("text"))) > 0)
@@ -147,10 +163,15 @@ object CorpusOps {
     * tokens, and the [first, last] chunk span for traceability.
     */
   def packSequences(s: SparkSession, d: String,
+      budget: Int = 256, shards: Int = 8): DataFrame =
+    packSequencesFrom(chunkWindows(s, d), budget, shards)
+
+  /** [[packSequences]] over any (doc_id, chunk_idx, n_tokens) frame. */
+  def packSequencesFrom(chunks: DataFrame,
       budget: Int = 256, shards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id", "chunk_idx")
-    chunkWindows(s, d)
+    chunks
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .withColumn("cum_before",
         coalesce(sum("n_tokens").over(w) - col("n_tokens"), lit(0L)))

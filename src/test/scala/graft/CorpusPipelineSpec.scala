@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end corpus pipeline: every stage materializes, counts only
+  * shrink through filter stages, and the final exports reconcile with
+  * the clean set.
+  */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("corpus pipeline runs end-to-end with reconciling stage outputs") {
+    val out = Files.createTempDirectory("corpus-pipe").toString
+    val c = CorpusPipeline.run(spark, TestSpark.sf0001, out)
+
+    assert(c.total >= c.survivors, "dedup only drops")
+    assert(c.survivors >= c.afterQuality, "quality gate only drops")
+    assert(c.afterQuality >= c.afterDecontam, "decontamination only drops")
+    assert(c.afterDecontam > 0, "pipeline must not drop everything")
+    assert(c.chunks >= c.afterDecontam - 1,
+      "every non-empty clean doc produces at least one chunk")
+
+    val clean = spark.read.parquet(s"$out/clean")
+    val chunks = spark.read.parquet(s"$out/chunks")
+    val packed = spark.read.parquet(s"$out/packed")
+    val shuffled = spark.read.parquet(s"$out/shuffled")
+
+    // chunk doc ids are exactly the clean docs with non-empty text
+    val cleanIds = clean.filter(length(trim(col("text"))) > 0)
+      .select("doc_id").distinct().count()
+    assert(chunks.select("doc_id").distinct().count() == cleanIds)
+
+    // packing conserves chunk tokens
+    val chunkTokens = chunks.agg(sum("n_tokens")).head().getLong(0)
+    val packedTokens = packed.agg(sum("n_tokens_packed")).head().getLong(0)
+    assert(chunkTokens == packedTokens)
+    assert(c.bins == packed.count())
+
+    // shuffled export is a permutation of the clean set, strictly ordered
+    assert(shuffled.count() == c.afterDecontam)
+    assert(shuffled.join(clean.select("doc_id"), Seq("doc_id"), "left_anti")
+      .count() == 0)
+
+    // PII never survives to the export (redaction ran before the write)
+    assert(clean.filter(col("text").rlike(ops.TextOps.emailRe)).count() == 0)
+  }
+}
