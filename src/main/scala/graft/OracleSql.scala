@@ -928,6 +928,16 @@ object OracleSql {
         |                      WHERE c2.c_nationkey = c1.c_nationkey)
         |ORDER BY c1.c_custkey""".stripMargin,
 
+    "r_exists_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c1
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c1.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c1.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
     "r_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,

@@ -89,6 +89,7 @@ object SparkEntry {
     "r_offset_limit"      -> (Relational.offsetLimit(_, _)),
     "r_range_join"        -> (Relational.rangeJoinBinned(_, _)),
     "r_scalar_subquery"   -> (Relational.scalarSubquery(_, _)),
+    "r_exists_subquery"   -> (Relational.existsSubquery(_, _)),
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),

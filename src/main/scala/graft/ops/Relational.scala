@@ -259,6 +259,26 @@ object Relational {
         |ORDER BY c1.c_custkey""".stripMargin)
   }
 
+  /** Correlated EXISTS / NOT EXISTS through the SQL entry: customers
+    * with at least one order but no urgent-priority order. Catalyst
+    * rewrites both predicates to semi/anti joins — the same physical
+    * family as `semiJoin`/`antiJoin`, reached through the subquery
+    * rewriter.
+    */
+  def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM g_customer c1
+        |WHERE EXISTS (SELECT 1 FROM g_orders o
+        |              WHERE o.o_custkey = c1.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM g_orders o
+        |                  WHERE o.o_custkey = c1.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** GROUPING SETS with explicitly chosen combinations (cube/rollup cover
     * the regular lattices; real reporting picks arbitrary subsets).
     * grouping_id disambiguates a NULL group value from a rolled-up
