@@ -81,7 +81,15 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTs, left.output)
     val rkB = BindReferences.bindReference(rightKey, right.output)
@@ -139,6 +147,8 @@ case class AsOfJoinExec(
         }
         val matched = k != null && matchRow != null &&
           keyOrd.compare(matchKey, k) == 0
+        numOutputRows += 1
+        if (matched) numMatchedRows += 1
         resultProj(joiner(lRow, if (matched) matchRow else nullRight))
       }
     }
