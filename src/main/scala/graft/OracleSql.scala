@@ -60,21 +60,25 @@ object OracleSql {
       s"generate_series(1, len(t) - ${n - 1}), " +
       s"i -> array_to_string(t[i:i+${n - 1}], ' ')) ELSE []::VARCHAR[] END"
 
+  private def decontaminateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(${gramsSql(5)})) AS gram
+       |  FROM toks),
+       |evalg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+       |traing AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM traing JOIN evalg USING (gram)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val extended: Map[String, String] = Map(
 
     // ----------------------------------------------------------- corpus
 
-    "txt_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
-         |g AS (
-         |  SELECT doc_id, unnest(list_distinct(${gramsSql(5)})) AS gram
-         |  FROM toks),
-         |evalg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-         |traing AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
-         |SELECT doc_id, count(*) AS n_shared
-         |FROM traing JOIN evalg USING (gram)
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "txt_decontaminate" -> decontaminateSql,
+    // the Bloom pre-filter must be output-invisible: same oracle
+    "txt_decontaminate_bloom" -> decontaminateSql,
 
     "txt_shuffle_export" -> {
       val base = "(SELECT doc_id, 'shuf:' || CAST(doc_id AS VARCHAR) AS s " +

@@ -102,6 +102,8 @@ object SparkEntry {
     "txt_sample_stratified" -> (TextOps.sampleStratified(_, _)),
     // corpus preparation (decontamination, shuffle, repetition, chunking)
     "txt_decontaminate"   -> (CorpusOps.decontaminate(_, _)),
+    "txt_decontaminate_bloom" -> ((s, d) =>
+      CorpusOps.decontaminateBloomFrom(Tables.documents(s, d))),
     "txt_shuffle_export"  -> (CorpusOps.shuffleExport(_, _)),
     "txt_repetition"      -> (CorpusOps.repetitionRatio(_, _)),
     "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),

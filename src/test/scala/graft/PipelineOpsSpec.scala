@@ -166,6 +166,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-prefiltered decontamination is bit-identical to the exact " +
+      "form (false positives die in the exact join)") {
+    val docs = Tables.documents(spark, d)
+    val a = ops.CorpusOps.decontaminateFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ops.CorpusOps.decontaminateBloomFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("shuffle export: permutation of the corpus, deterministic, and " +
       "source-locality actually broken") {
     val a = CorpusOps.shuffleExport(spark, d).collect()
