@@ -255,6 +255,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusters from MinHash-LSH pairs equal clusters from exact pairs " +
+      "(recall 1.0 on this corpus carries through the component step)") {
+    val exact = DedupOps.connectedComponents(
+      DedupOps.ngramJaccardPairs(spark, d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = DedupOps.connectedComponents(
+      DedupOps.minhashLshPairs(spark, d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == lsh)
+    graft.Caches.releaseAll()
+  }
+
   test("exact dedup partitions the corpus (sum of copies = row count)") {
     val out = DedupOps.exactDedup(spark, d)
     val total = out.agg(sum("n_copies")).head().getLong(0)
