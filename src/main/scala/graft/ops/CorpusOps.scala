@@ -171,6 +171,16 @@ object CorpusOps {
 
   /** [[chunkWindows]] over any (doc_id, text) frame. */
   def chunkWindowsFrom(documents: DataFrame,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    chunkWindowsStream(documents, window, stride)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Sort-free chunking core: stateless narrow transforms only, so the
+    * exact same operator runs on an unbounded stream (presentation sort
+    * is the one thing a stream can't do — callers sort, sinks don't
+    * care).
+    */
+  def chunkWindowsStream(documents: DataFrame,
       window: Int = 64, stride: Int = 48): DataFrame = {
     val t = col("t")
     val n = size(t)
@@ -189,7 +199,6 @@ object CorpusOps {
         col("pos").cast(LongType).as("chunk_idx"),
         size(col("col")).cast(LongType).as("n_tokens"),
         md5(concat_ws(" ", col("col"))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Sequence packing: lay the chunk stream out into fixed token budgets

@@ -145,6 +145,33 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunking runs unchanged on an unbounded stream and matches the " +
+      "batch chunker row-for-row") {
+    import spark.implicits._
+    val docs = MemoryStream[(Long, String)](spark)
+    val out = graft.ops.CorpusOps.chunkWindowsStream(
+      docs.toDF().toDF("doc_id", "text"), window = 8, stride = 6)
+    val q = out.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    val fixtures = Seq(
+      1L -> (1 to 20).map(i => s"w$i").mkString(" "), // 3 chunks
+      2L -> "a b c",                                   // 1 chunk
+      3L -> "")                                        // filtered out
+    try {
+      docs.addData(fixtures: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = graft.ops.CorpusOps.chunkWindowsFrom(
+        fixtures.toDF("doc_id", "text"), window = 8, stride = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      assert(streamed == batch)
+      assert(streamed.count(_._1 == 1L) == 3)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases within an hour of a click") {
     import spark.implicits._
     val clicks = MemoryStream[(Long, Timestamp)](spark)
