@@ -70,6 +70,14 @@ object Sources {
   def parquetMergedSchema(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(path)
 
+  /** ORC scan — the other columnar format Spark bundles natively; same
+    * footer-driven schema determinism as parquet. Completes the format
+    * matrix (CSV/JSON/parquet/ORC) so a reference user can point the
+    * engine at whichever layout their lake already has.
+    */
+  def orc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   /** Validate that a source's actual schema matches the declared one by
     * name and type (nullability ignored: parquet writers vary it freely).
     * Returns the mismatches; empty = compatible.

@@ -93,6 +93,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.head().getString(1) === "AK1")
   }
 
+  test("orc round-trip: documents written as ORC read back identically") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    docs.write.mode("overwrite").orc(s"$dir/docs")
+    val back = Sources.orc(spark, s"$dir/docs")
+    assert(Sources.schemaMismatches(back.schema, docs.schema).isEmpty)
+    assert(back.count() === docs.count())
+    assert(back.orderBy("doc_id").head() === docs.orderBy("doc_id").head())
+  }
+
   test("schemaMismatches detects missing/extra/mistyped columns") {
     val declared = StructType(Seq(
       StructField("a", IntegerType), StructField("b", StringType)))
