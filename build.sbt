@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit raw stdout/stderr for forked runs: sbt's default LoggedOutput
+// prefixes every line with [info]/[error], which mangles the single-line
+// JSON contract Bench/Verify print for the driver's parser.
+run / outputStrategy := Some(StdoutOutput)
+// Also drop the trailing "[success] Total time: ..." line so a parser
+// that reads only the LAST stdout line still lands on the JSON.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,9 +22,20 @@ object Bench {
     // measured: cold-vs-warm differs 5-10x on the custom-expression
     // queries while task-level work is identical. Caches are released so
     // no warm-up data survives into the measured runs.
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try run(fn(spark, warmDir)) catch { case _: Throwable => }
+    // Warm-up data comes from the smallest sibling SF of the measured dir
+    // (falling back to the measured dir itself) so the warm-up cannot
+    // silently no-op on a machine with a different testdata layout.
+    val warmDir = {
+      val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
+      val smallest = Option(parent).map(p => new java.io.File(p, "sf0.001"))
+        .filter(_.isDirectory)
+      smallest.map(_.toString).getOrElse(sfDir)
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try run(fn(spark, warmDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
     }
     Caches.releaseAll()
     spark.sqlContext.clearCache()

@@ -13,7 +13,7 @@ import graft.ops.{CorpusOps, DedupOps, TextOps}
   *
   *   1. near-dup survivors   (pair gen → connected components → minima)
   *   2. quality gate + PII   (stateless per-row)
-  *   3. decontamination      (drop docs overlapping the eval slice)
+  *   3. decontamination      (drop the eval slice AND docs overlapping it)
   *   4. context-window chunking
   *   5. sequence packing     (token-budget bins per shard)
   *   6. shuffled doc export  (deterministic hash order)
@@ -43,7 +43,11 @@ object CorpusPipeline {
 
     val contaminatedIds = CorpusOps.decontaminateFrom(quality)
       .select(col("doc_id"))
-    val clean = quality.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    // Two exclusions, not one: docs OVERLAPPING the eval slice (the
+    // contamination anti-join) AND the eval-slice documents themselves —
+    // benchmark docs must never reach chunking/packing/export.
+    val clean = quality.filter(!CorpusOps.isEvalDoc)
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
     write(clean, s"$outDir/clean")
     val cleanBack = s.read.parquet(s"$outDir/clean")
     val afterDecontam = cleanBack.count()

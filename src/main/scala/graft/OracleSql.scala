@@ -698,24 +698,40 @@ object OracleSql {
         |  CAST(acc % 9223372036854775808 AS BIGINT) AS checksum
         |FROM folded ORDER BY media_id""".stripMargin,
 
-    // Multimodal.sampleFrames stub twin: every 4th 256-byte block of video
-    // payloads, sliced from the hex string (512 hex chars per frame) and
-    // rehydrated with unhex (DuckDB 1.0 has no BLOB substring).
+    // Multimodal.sampleFrameStats stub twin: every 4th 256-byte block of
+    // video payloads, sliced from the hex string (2 hex chars per byte)
+    // and folded with the engine's byteFold (31·acc+b mod 2^64, init
+    // 1125899906842597, final mod 2^63) — scalars only, because the
+    // driver gate cannot hash-compare a binary column.
     "mm_sample_frames" ->
       """WITH vid AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
         |         octet_length(encode(text)) AS n
         |  FROM documents WHERE doc_id % 3 = 2
         |), frames AS (
-        |  SELECT media_id, h,
+        |  SELECT media_id, h, n,
         |         CAST(unnest(range(0, greatest(1, n // 256), 4)) AS BIGINT)
         |           AS frame_idx
         |  FROM vid
+        |), bounds AS (
+        |  SELECT media_id, h, frame_idx,
+        |         frame_idx * 256 AS f, least(n, frame_idx * 256 + 256) AS u
+        |  FROM frames
+        |), folded AS (
+        |  SELECT media_id, frame_idx, u - f AS frame_len,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(f + 1, u + 1), i ->
+        |          CAST((strpos('123456789ABCDEF',
+        |                  substr(h, CAST(2*i-1 AS INT), 1))) * 16
+        |             + (strpos('123456789ABCDEF',
+        |                  substr(h, CAST(2*i AS INT), 1))) AS HUGEINT))),
+        |      (acc, b) -> (31*acc + b) % 18446744073709551616) AS acc
+        |  FROM bounds
         |)
-        |SELECT media_id, frame_idx,
-        |       unhex(substr(h, CAST(frame_idx*512 + 1 AS INT), 512))
-        |         AS frame_bytes
-        |FROM frames ORDER BY media_id, frame_idx""".stripMargin,
+        |SELECT media_id, frame_idx, CAST(frame_len AS BIGINT) AS frame_len,
+        |       CAST(acc % 9223372036854775808 AS BIGINT) AS checksum
+        |FROM folded ORDER BY media_id, frame_idx""".stripMargin,
 
     // ------------------------------------------------------- relational
     "r_semi_join" ->

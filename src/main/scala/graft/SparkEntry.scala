@@ -69,7 +69,7 @@ object SparkEntry {
         .orderBy("media_id")),
     "mm_features"         -> (Multimodal.featureHistogram(_, _)),
     "mm_sample_frames"    -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
+      Multimodal.sampleFrameStats(Multimodal.mediaTable(s, d))
         .orderBy("media_id", "frame_idx")),
     "mm_resize"           -> ((s, d) =>
       Multimodal.resizeImages(Multimodal.mediaTable(s, d)).toDF()

@@ -22,6 +22,14 @@ import graft.Tables
   */
 object CorpusOps {
 
+  /** Stand-in benchmark membership: the deterministic eval slice
+    * `doc_id % 20 == 0` used by [[decontaminateFrom]]. Exposed so corpus
+    * assembly can also exclude the slice itself — the benchmark documents
+    * must never train, independent of n-gram overlap (swap this predicate
+    * for a join against a real benchmark table in production).
+    */
+  val isEvalDoc: org.apache.spark.sql.Column = col("doc_id") % 20 === 0
+
   private def grams(t: org.apache.spark.sql.Column, n: Int) =
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
@@ -53,9 +61,9 @@ object CorpusOps {
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(grams(col("t"), n))).as("gram"))
-    val evalGrams = docs.filter(col("doc_id") % 20 === 0)
+    val evalGrams = docs.filter(isEvalDoc)
       .select(col("gram")).distinct()
-    docs.filter(col("doc_id") % 20 =!= 0)
+    docs.filter(!isEvalDoc)
       .join(evalGrams, Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -83,7 +91,7 @@ object CorpusOps {
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(grams(col("t"), n))).as("gram"))
-    val evalGrams = docs.filter(col("doc_id") % 20 === 0)
+    val evalGrams = docs.filter(isEvalDoc)
       .select(col("gram")).distinct()
     val evalHashes = evalGrams.select(xxhash64(col("gram")).as("h"))
     val bloom = evalHashes.stat.bloomFilter("h",
@@ -97,7 +105,7 @@ object CorpusOps {
       Literal(bos.toByteArray,
         org.apache.spark.sql.types.BinaryType),
       ColumnBridge.expression(xxhash64(col("gram")))))
-    docs.filter(col("doc_id") % 20 =!= 0)
+    docs.filter(!isEvalDoc)
       .filter(mightContain)
       .join(evalGrams, Seq("gram"))
       .groupBy("doc_id")

@@ -136,14 +136,39 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val frameSize = 256
-      val nFrames = math.max(1, m.payload.length / frameSize)
-      (0 until nFrames by stride).map { f =>
-        val from = f * frameSize
-        val until = math.min(m.payload.length, from + frameSize)
-        (m.media_id, f.toLong, java.util.Arrays.copyOfRange(m.payload, from, until))
+      frameSlices(m.payload, stride).map { case (f, from, until) =>
+        (m.media_id, f, java.util.Arrays.copyOfRange(m.payload, from, until))
       }
     }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Gate-comparable view of [[sampleFrames]]: the frame payload is folded
+    * to (frame_len, checksum) scalars — a binary column cannot be
+    * hash-compared by the driver gate — and the checksum folds the actual
+    * sliced bytes ([[byteFold]]), so the oracle verifies the slice content,
+    * not just its shape. The typed frame-bytes API above stays for callers
+    * that feed frames onward (decode, feature extraction).
+    */
+  def sampleFrameStats(media: Dataset[MediaRecord], stride: Int = 4)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      frameSlices(m.payload, stride).map { case (f, from, until) =>
+        (m.media_id, f, (until - from).toLong,
+          byteFold(java.util.Arrays.copyOfRange(m.payload, from, until)))
+      }
+    }.toDF("media_id", "frame_idx", "frame_len", "checksum")
+  }
+
+  /** (frame_idx, from, until) byte ranges for the stub frame sampler. */
+  private def frameSlices(payload: Array[Byte], stride: Int)
+      : Seq[(Long, Int, Int)] = {
+    val frameSize = 256
+    val nFrames = math.max(1, payload.length / frameSize)
+    (0 until nFrames by stride).map { f =>
+      val from = f * frameSize
+      (f.toLong, from, math.min(payload.length, from + frameSize))
+    }
   }
 
   /** Resized-image record (stub): nearest-neighbor byte resample. */

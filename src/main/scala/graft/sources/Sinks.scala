@@ -69,15 +69,30 @@ object Sinks {
     val tmp = path + "__compact_tmp"
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: remove originals, move compacted files in
+    // Swap, new-files-first: compacted part files carry fresh UUID names,
+    // so moving them in BEFORE deleting originals means a crash mid-swap
+    // leaves a readable (at worst temporarily duplicated) table instead of
+    // a truncated one. Only then are the pre-swap originals removed —
+    // excluding any name that the move just (re)placed, e.g. _SUCCESS.
     val dest = new java.io.File(path)
-    dest.listFiles().foreach(f => if (!f.isDirectory) f.delete())
-    new java.io.File(tmp).listFiles().foreach { f =>
+    val originals = Option(dest.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.isDirectory)
+    val tmpDir = new java.io.File(tmp)
+    val compacted = Option(tmpDir.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.isDirectory)
+    compacted.foreach { f =>
       java.nio.file.Files.move(f.toPath,
         new java.io.File(dest, f.getName).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    new java.io.File(tmp).delete()
+    val newNames = compacted.map(_.getName).toSet
+    originals.filterNot(f => newNames.contains(f.getName)).foreach { f =>
+      if (!f.delete())
+        System.err.println(s"[compactParquet] failed to delete stale ${f.getPath}")
+    }
+    if (!tmpDir.delete())
+      System.err.println(
+        s"[compactParquet] temp dir not empty after swap, left behind: $tmp")
     (before, parquetFiles(path))
   }
 

@@ -27,7 +27,9 @@ object Sources {
     */
   def jsonInferred(s: SparkSession, path: String, declared: StructType)
       : (DataFrame, Seq[String]) = {
-    val df = s.read.option("inferSchema", "true").json(path)
+    // A schema-less JSON read always infers by sampling; there is no
+    // inferSchema option for JSON (that's a CSV option).
+    val df = s.read.json(path)
     (df, schemaMismatches(df.schema, declared))
   }
 
