@@ -18,6 +18,7 @@ run / outputStrategy := Some(StdoutOutput)
 // Also drop the trailing "[success] Total time: ..." line so a parser
 // that reads only the LAST stdout line still lands on the JSON.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,6 +74,118 @@ object OracleSql {
 
   val extended: Map[String, String] = Map(
 
+    // ----------------------------------------------------- round 3 ops
+
+    // Relational.mergeOrders twin: MERGE = updates ∪ (base ∖ matched keys).
+    "r_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 1)
+        |SELECT * FROM upd
+        |UNION ALL
+        |SELECT * FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // SimilarityOps.bruteForceTopKInt8 twin: identical quantization
+    // arithmetic (max/127 scale, floor(x/scale + 0.5)) — the integer dot
+    // products are exact on both engines, floats only in scale and the
+    // final cosine ratio (mirrored op-for-op).
+    "emb_topk_int8" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(emb,
+        |        x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS qv
+        |  FROM n),
+        |nn AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
+        |  FROM qz),
+        |q AS (
+        |  SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2
+        |  FROM nn WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(CAST(list_sum(list_transform(range(1, len(q.q_qv) + 1),
+        |        i -> q.q_qv[i] * c.qv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(q.q_norm2 AS DOUBLE))
+        |         * sqrt(CAST(c.norm2 AS DOUBLE))), 6) AS cosine_sim
+        |  FROM q CROSS JOIN nn c
+        |  WHERE c.vec_id <> q.query_id AND c.norm2 > 0 AND q.q_norm2 > 0),
+        |r AS (
+        |  SELECT query_id, vec_id, cosine_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_sim DESC, vec_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id, cosine_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // TextOps.qualityGate twin: keep iff rank·100 ≤ n·keepPct (floor).
+    "txt_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |        AS DOUBLE)
+        |      / greatest(length(text), 1) AS alpha_ratio
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, alpha_ratio,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY alpha_ratio DESC, doc_id) AS q_rank,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM scored)
+        |SELECT doc_id, lang, alpha_ratio, CAST(q_rank AS BIGINT) AS q_rank
+        |FROM r WHERE q_rank * 100 <= n_lang * 60
+        |ORDER BY doc_id""".stripMargin,
+
+    // TextOps.mixtureSample twin: τ=0.5 budgets, all-integer thresholds
+    // (w = floor(sqrt(n)·1e6); IEEE sqrt is correctly rounded, so both
+    // engines compute the identical BIGINT), md5 bucket % 10000.
+    "txt_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_lang,
+        |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |th AS (
+        |  SELECT lang,
+        |    CAST(least(10000, (10000 * 250 * w)
+        |      // ((SELECT sum(w) FROM c) * n_lang)) AS BIGINT) AS thresh
+        |  FROM c),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 10000
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, b.lang, bucket
+        |FROM b JOIN th USING (lang)
+        |WHERE bucket < thresh
+        |ORDER BY doc_id""".stripMargin,
+
+    // EventOps.incrementalHourly twin: the FULL recompute — equality with
+    // the engine's partial-merge result is the correctness statement.
+    "ev_incremental_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // ----------------------------------------------------------- corpus
 
     "txt_decontaminate" -> decontaminateSql,

@@ -108,6 +108,13 @@ object SparkEntry {
     "txt_repetition"      -> (CorpusOps.repetitionRatio(_, _)),
     "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),
     "txt_pack"            -> (CorpusOps.packSequences(_, _)),
+    // round 3: merge/upsert, quantized ANN, calibrated gates, mixtures,
+    // incremental aggregate maintenance
+    "r_merge_upsert"      -> (Relational.mergeOrders(_, _)),
+    "emb_topk_int8"       -> (SimilarityOps.bruteForceTopKInt8(_, _)),
+    "txt_quality_gate"    -> (TextOps.qualityGate(_, _)),
+    "txt_mixture_sample"  -> (TextOps.mixtureSample(_, _)),
+    "ev_incremental_agg"  -> (EventOps.incrementalHourly(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

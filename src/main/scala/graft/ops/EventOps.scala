@@ -243,4 +243,40 @@ object EventOps {
       .join(med, Seq("event_type"))
       .orderBy("event_type")
   }
+
+  /** Incremental aggregate maintenance: merge a new batch's partial
+    * aggregates into stored aggregates WITHOUT re-reading history — the
+    * daily-pipeline shape the reference's DAG implies (a @daily rerun
+    * that recomputes everything is O(history); merging partials is
+    * O(batch)). Partials must be decomposable: count→sum, sum→sum,
+    * min/max→min/max (decimal sums, so the merge is exact and
+    * order-independent — a double sum would drift per merge order).
+    * `countDistinct` is deliberately absent: distinct state does not
+    * merge from scalar partials; at scale you carry an HLL sketch per
+    * group instead ([[Relational.approxDistinct]]).
+    *
+    * The oracle is the full recompute over all events — equality IS the
+    * correctness statement (merge(partial(old), partial(new)) ≡
+    * aggregate(old ∪ new)).
+    */
+  def incrementalHourly(s: SparkSession, d: String,
+      cutoff: String = "2024-01-16 12:30:00"): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cut = lit(cutoff).cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+        min("value").as("min_value"), max("value").as("max_value"))
+    // "stored": everything before the cutoff (stands in for yesterday's
+    // materialized table); "batch": the new micro-batch / daily delta.
+    val stored = partial(ev.filter(col("ts") < cut))
+    val batch = partial(ev.filter(col("ts") >= cut))
+    stored.unionByName(batch)
+      .groupBy("hour", "event_type")
+      .agg(sum("n_events").as("n_events"),
+        sum("sum_dec").cast("double").as("total_value"),
+        min("min_value").as("min_value"), max("max_value").as("max_value"))
+      .orderBy("hour", "event_type")
+  }
 }

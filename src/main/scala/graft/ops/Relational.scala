@@ -311,4 +311,38 @@ object Relational {
       .na.fill(0L, prios)
       .orderBy("n_name")
   }
+
+  /** MERGE INTO (keyed upsert): rows from `updates` win on key collision,
+    * unmatched `base` rows pass through, unmatched `updates` rows insert.
+    * This is the table-maintenance primitive behind the reference's Delta
+    * streaming sink (`(Clone) Kinesis Data Stream.py:174-192` — Delta's
+    * headline op is MERGE; parquet has no transaction log, so here the
+    * merge is the relational core you'd wrap in a rewrite).
+    *
+    * Scale shape: one shuffle per side on the merge key (or zero with both
+    * sides bucketed by key, `Sinks.bucketedTable`). At 100 TB you never
+    * rewrite the whole base: join `updates` to the base's partition values
+    * first and rewrite only affected partitions — updates are typically
+    * ≪ base, so the anti-join side stays a broadcast.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame =
+    updates.unionByName(base.join(updates.select(keys.map(col): _*),
+      keys, "left_anti"))
+
+  /** Gate-facing merge: orders with every 10th key's status/price updated
+    * and a deterministic batch of new keys inserted (shifted key space).
+    */
+  def mergeOrders(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val updated = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+    val inserted = base.filter(col("o_orderkey") % 1000 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    mergeUpsert(base, updated.unionByName(inserted), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
 }

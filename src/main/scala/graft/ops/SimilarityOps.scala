@@ -317,4 +317,53 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, element
+    * q = ⌊x/scale + 0.5⌋ ∈ [-127, 127] (explicit floor, not `round` —
+    * floor is exactly specified on IEEE doubles, so any engine computes
+    * the identical integers; an all-zero vector quantizes to zeros).
+    * 4× smaller than float32 at rest and in shuffle — the representation
+    * a 100 TB ANN index actually stores.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val dv = transform(v, x => x.cast("double"))
+    val scale =
+      aggregate(dv, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+    when(scale === 0.0, transform(dv, _ => lit(0L)))
+      .otherwise(transform(dv, x => floor(x / scale + lit(0.5)).cast("long")))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: integer dot products
+    * (exact, engine-portable), cosine on the quantized grid. Same scan
+    * shape as [[bruteForceTopK]] (broadcast queries, one corpus pass) at
+    * a quarter of the memory/IO; ranking error vs float is the
+    * quantization error (spec measures recall vs [[bruteForceTopK]]).
+    * Integer sums are order-independent, so unlike the float dot this
+    * needs no sequential-accumulation caveat at all.
+    */
+  def bruteForceTopKInt8(s: SparkSession, d: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantizeInt8(col("embedding")).as("qv"))
+      .withColumn("norm2",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("norm2").as("q_norm2"))
+    val idot = aggregate(
+      zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val sim = idot.cast("double") /
+      (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .filter(col("norm2") > 0 && col("q_norm2") > 0)
+      .withColumn("cosine_sim", round(sim, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -228,4 +228,71 @@ object TextOps {
       .select(col("doc_id"),
         xxhash64(concat_ws(" ", tokens(lower(col("text"))))).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Quality-quantile gate: per language, keep the top `keepPct`% of
+    * documents ranked by alpha ratio (desc, doc_id tiebreak) — the
+    * calibrated-threshold filter a corpus pipeline runs instead of a fixed
+    * cutoff (a fixed alpha threshold that keeps 80% of English drops 99%
+    * of Chinese; per-stratum quantiles self-calibrate).
+    *
+    * Rank form (keep iff rank·100 ≤ n·pct, i.e. ⌊pct·n/100⌋ survivors per
+    * language) is integer-exact and oracle-comparable. At 100 TB the same gate is two cheap passes
+    * instead of a per-language sort: pass 1 `percentile_approx(alpha,
+    * 1-pct/100)` per language (tiny result, broadcast), pass 2 filter
+    * `alpha ≥ threshold` — sketch-bounded memory, no window. The rank
+    * form stays the spec/oracle twin for the sketch path.
+    */
+  def qualityGate(s: SparkSession, d: String, keepPct: Int = 60): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val nChars = length(col("text")).cast(LongType)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (nAlpha.cast("double") / greatest(nChars, lit(1L))).as("alpha_ratio"))
+    val byLang = Window.partitionBy("lang")
+    val ranked = scored
+      .withColumn("q_rank",
+        row_number().over(byLang.orderBy(col("alpha_ratio").desc,
+          col("doc_id"))).cast(LongType))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+    ranked
+      .filter(col("q_rank") * 100 <= col("n_lang") * keepPct)
+      .select("doc_id", "lang", "alpha_ratio", "q_rank")
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-weighted mixture sampling: per-language keep budgets
+    * ∝ √(stratum size) (temperature τ = 0.5 — the standard flattening
+    * between proportional τ=1 and uniform τ=0 when balancing a multilingual
+    * corpus), applied via the same content-hash buckets as
+    * [[trainTestSplit]]. All boundary arithmetic is integer: weights are
+    * ⌊√n·10⁶⌋ (IEEE sqrt is correctly rounded, so every engine gets the
+    * same integer), thresholds are one integer division — no float ever
+    * reaches a comparison, so sampling is bit-reproducible anywhere.
+    *
+    * Scale shape: pass 1 is a tiny per-language count (broadcast back as a
+    * join of a handful of rows); pass 2 is a stateless per-row hash filter.
+    * No shuffle of the corpus itself.
+    */
+  def mixtureSample(s: SparkSession, d: String, budget: Long = 250)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("w", floor(sqrt(col("n_lang")) * 1e6).cast(LongType))
+    val sumW = counts.agg(sum(col("w")).as("sum_w"))
+    val thresholds = counts.crossJoin(sumW)
+      // `div`, not `/`: Spark's `/` on longs is double true-division; the
+      // boundary must be one exact integer division on both engines.
+      .withColumn("thresh",
+        least(lit(10000L),
+          expr(s"(10000 * ${budget}L * w) div (sum_w * n_lang)")))
+      .select("lang", "thresh")
+    val bucket =
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 10000
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(thresholds), Seq("lang"))
+      .filter(col("bucket") < col("thresh"))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
 }

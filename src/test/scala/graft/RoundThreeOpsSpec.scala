@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventOps, Relational, SimilarityOps, TextOps}
+
+/** Specs for the round-3 operator additions: keyed merge (MERGE INTO),
+  * int8-quantized ANN, calibrated quality gates, temperature mixture
+  * sampling, and incremental aggregate maintenance. Value-level parity is
+  * the DuckDB oracle gate; these cover the algebraic invariants.
+  */
+class RoundThreeOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+  private val d = TestSpark.sf001
+
+  // ------------------------------------------------------------- merge
+
+  test("mergeUpsert: updates win on collision, inserts append, " +
+      "untouched rows pass through unchanged") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val updates = Seq((2L, "B", 99.0), (9L, "new", 1.0)).toDF("k", "tag", "v")
+    val out = Relational.mergeUpsert(base, updates, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    val byKey = out.map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(byKey(2L) == ("B", 99.0), "update must replace the base row")
+    assert(byKey(9L) == ("new", 1.0), "unmatched update must insert")
+    assert(byKey(1L) == ("a", 10.0) && byKey(3L) == ("c", 30.0))
+  }
+
+  test("mergeOrders: row count = base + inserts; merged keys unique") {
+    val base = Tables.orders(spark, d).count()
+    val inserts = Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 1000 === 1).count()
+    val merged = Relational.mergeOrders(spark, d)
+    assert(merged.count() == base + inserts)
+    assert(merged.select("o_orderkey").distinct().count() == base + inserts,
+      "merge on key must never produce duplicate keys")
+  }
+
+  // -------------------------------------------------------------- int8
+
+  test("quantizeInt8: range bounded to [-127,127], max element hits ±127, " +
+      "zero vector quantizes to zeros") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // max |x| = 1.0 -> scale 1/127
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v").select(col("id"),
+      SimilarityOps.quantizeInt8(col("v")).as("q"))
+    val rows = df.orderBy("id").collect()
+      .map(_.getSeq[Long](1).toSeq)
+    assert(rows(0) == Seq(64L, -127L, 32L),
+      s"expected floor(x*127/max + 0.5), got ${rows(0)}")
+    assert(rows(1) == Seq(0L, 0L, 0L))
+  }
+
+  test("int8 top-k recall vs float brute force is high (quantization " +
+      "error only)") {
+    val float = SimilarityOps.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8 = SimilarityOps.bruteForceTopKInt8(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(float.size == 50 && int8.size == 50)
+    val recall = (float intersect int8).size.toDouble / float.size
+    assert(recall >= 0.8, s"int8 recall vs float: $recall")
+  }
+
+  // ----------------------------------------------------- quality gate
+
+  test("qualityGate keeps exactly floor(n*pct/100) docs per language") {
+    val pct = 60
+    val perLang = Tables.documents(spark, d).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.qualityGate(spark, d, pct).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(kept.getOrElse(lang, 0L) == n * pct / 100,
+        s"$lang: expected ${n * pct / 100} of $n kept")
+    }
+  }
+
+  test("qualityGate survivors are the top-ranked docs (no survivor ranks " +
+      "below a dropped rank within a language)") {
+    val out = TextOps.qualityGate(spark, d)
+    val maxKept = out.groupBy("lang").agg(max("q_rank").as("mx"),
+      count(lit(1)).as("n"))
+    // ranks are dense from 1: max kept rank == number kept
+    assert(maxKept.filter(col("mx") =!= col("n")).count() == 0)
+  }
+
+  // --------------------------------------------------------- mixture
+
+  test("mixtureSample: per-language draws respect the integer threshold " +
+      "math and total lands near the budget") {
+    val budget = 250L
+    val out = TextOps.mixtureSample(spark, d, budget)
+    val counts = Tables.documents(spark, d).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    }
+    val sumW = w.values.sum
+    val kept = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (lang, n) =>
+      val thresh = math.min(10000L, 10000L * budget * w(lang) / (sumW * n))
+      // md5 buckets are uniform-ish; keep-count concentrates near n·thresh/1e4
+      val expected = n * thresh / 10000.0
+      val got = kept.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - expected) <= math.max(5.0, expected),
+        s"$lang: got $got, expected ~$expected (thresh $thresh of $n)")
+    }
+    val total = kept.values.sum
+    assert(total > 0 && total <= 2 * budget, s"total sampled $total")
+  }
+
+  test("mixtureSample is deterministic across reruns") {
+    val a = TextOps.mixtureSample(spark, d).collect().toSeq
+    val b = TextOps.mixtureSample(spark, d).collect().toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------- incremental agg
+
+  test("incrementalHourly (merge of stored+batch partials) equals the " +
+      "full recompute, for any cutoff") {
+    val full = Tables.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("hour", "event_type").collect().toSeq
+    // mid-hour cutoff (exercises merging a split hour) and an aligned one
+    for (cut <- Seq("2024-01-16 12:30:00", "2024-01-10 00:00:00")) {
+      val inc = EventOps.incrementalHourly(spark, d, cut).collect().toSeq
+      assert(inc == full, s"cutoff $cut: incremental != full recompute")
+    }
+  }
+}
