@@ -263,4 +263,45 @@ object StreamPipeline {
             org.apache.spark.sql.types.StringType))))
         .text(dir).withColumnRenamed("value", "data"),
       schema)
+
+  /** Streaming keyed-upsert sink: per micro-batch, MERGE the batch into a
+    * parquet table by key (latest batch wins per key). The engine twin of
+    * the Delta `foreachBatch { merge }` pattern — the upgrade path from
+    * the reference's append-only streaming table (`KINESIS:174-192`) when
+    * the stream carries updates, not just inserts.
+    *
+    * Within one batch, several rows may share a key; `orderCol` picks the
+    * survivor deterministically (max wins) BEFORE the merge so replayed
+    * batches converge to the same table (idempotent-enough for parquet;
+    * a transaction log makes replay exactly-once — out of scope offline).
+    * At 100 TB the read-merge-rewrite touches only partitions holding
+    * merged keys (see `Relational.mergeUpsert`); here the table rewrites
+    * whole, the fixture shape.
+    */
+  def startMergeSink(df: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String], orderCol: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val latest = batch
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number.over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val dir = new java.io.File(path)
+        val merged =
+          if (dir.exists() && dir.listFiles() != null
+              && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+            graft.ops.Relational.mergeUpsert(s.read.parquet(path), latest, keys)
+          else latest
+        // write via temp + swap: the source of the merge is the table
+        // being replaced, so an in-place overwrite would read-under-write
+        val tmp = path + "__merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      .start()
 }

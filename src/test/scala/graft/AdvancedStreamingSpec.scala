@@ -197,4 +197,31 @@ class AdvancedStreamingSpec extends AnyFunSuite {
       assert(!matches.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("streaming merge sink: later batches upsert by key, within-batch " +
+      "ties resolve by orderCol, state survives across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_sink").toString
+    val table = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(Long, Long, String)](spark)
+    val q = StreamPipeline.startMergeSink(
+      mem.toDF().toDF("k", "ver", "payload"), table, ckpt,
+      keys = Seq("k"), orderCol = "ver")
+    try {
+      // batch 1: two keys; key 1 appears twice — ver 3 must win
+      mem.addData((1L, 1L, "one-v1"), (1L, 3L, "one-v3"), (2L, 1L, "two-v1"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(after1 === Map(1L -> ((3L, "one-v3")), 2L -> ((1L, "two-v1"))))
+      // batch 2: update key 2, insert key 5; key 1 untouched
+      mem.addData((2L, 7L, "two-v7"), (5L, 1L, "five-v1"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(after2 === Map(1L -> ((3L, "one-v3")), 2L -> ((7L, "two-v7")),
+        5L -> ((1L, "five-v1"))))
+    } finally q.stop()
+  }
 }
