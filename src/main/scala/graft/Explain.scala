@@ -15,7 +15,11 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 2 && args(1) == "--out") Some(args(2))
       else None
-    val only = if (args.length > 1 && args(1) != "--out") Some(args(1))
+    // `<sfDir> --out <dir> [name]` snapshots one query without touching
+    // the other committed snapshots; `<sfDir> [name]` prints to stdout.
+    val only =
+      if (outDir.isDefined) args.lift(3)
+      else if (args.length > 1 && args(1) != "--out") Some(args(1))
       else None
     val spark = SparkSession.builder()
       .master("local[4]")

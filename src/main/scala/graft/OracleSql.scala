@@ -186,6 +186,63 @@ object OracleSql {
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Relational.constraintAudit twin. NOT EXISTS (not NOT IN) so the
+    // orphan check matches anti-join null semantics.
+    "r_constraint_audit" ->
+      """WITH nulls AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_key,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+        |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |        THEN 1 ELSE 0 END) AS nonpositive_price,
+        |    count(*) - count(DISTINCT o_orderkey) AS dup_keys
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS fk_orphans FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'dup_keys' AS check_name,
+        |       CAST(dup_keys AS BIGINT) AS n_violations FROM nulls
+        |UNION ALL SELECT 'fk_orphans', CAST(fk_orphans AS BIGINT) FROM orph
+        |UNION ALL SELECT 'nonpositive_price',
+        |       CAST(nonpositive_price AS BIGINT) FROM nulls
+        |UNION ALL SELECT 'null_cust', CAST(null_cust AS BIGINT) FROM nulls
+        |UNION ALL SELECT 'null_key', CAST(null_key AS BIGINT) FROM nulls
+        |ORDER BY check_name""".stripMargin,
+
+    // Relational.scd2 twin: one window, lead() closes each version.
+    "r_scd2" ->
+      """SELECT o_custkey AS key,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  o_orderstatus AS status,
+        |  CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(o_orderdate) OVER w AS TIMESTAMP) AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY key, version""".stripMargin,
+
+    // Relational.tableStats twin: exact per-column profile.
+    "r_table_stats" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.map(c =>
+        s"""sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS null_$c,
+           |    count(DISTINCT $c) AS ndv_$c""".stripMargin).mkString(",\n    ")
+      val rows = cols.map(c =>
+        s"""SELECT '$c' AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(null_$c AS BIGINT) AS n_null,
+           |  CAST(ndv_$c AS BIGINT) AS n_distinct FROM s""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |  SELECT count(*) AS n_rows,
+         |    $aggs
+         |  FROM orders)
+         |$rows
+         |ORDER BY "column"""".stripMargin
+    },
+
     // ----------------------------------------------------------- corpus
 
     "txt_decontaminate" -> decontaminateSql,

@@ -111,6 +111,9 @@ object SparkEntry {
     // round 3: merge/upsert, quantized ANN, calibrated gates, mixtures,
     // incremental aggregate maintenance
     "r_merge_upsert"      -> (Relational.mergeOrders(_, _)),
+    "r_constraint_audit"  -> (Relational.constraintAudit(_, _)),
+    "r_scd2"              -> (Relational.scd2(_, _)),
+    "r_table_stats"       -> (Relational.tableStats(_, _)),
     "emb_topk_int8"       -> (SimilarityOps.bruteForceTopKInt8(_, _)),
     "txt_quality_gate"    -> (TextOps.qualityGate(_, _)),
     "txt_mixture_sample"  -> (TextOps.mixtureSample(_, _)),

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 
@@ -329,6 +331,97 @@ object Relational {
       keys: Seq[String]): DataFrame =
     updates.unionByName(base.join(updates.select(keys.map(col): _*),
       keys, "left_anti"))
+
+  /** Data-quality constraint audit: the validation pass an ETL pipeline
+    * runs between ingest and publish (the reference "validates" by
+    * eyeballing `display()` output — `CLEAN:124,146,...`; this is that
+    * step made mechanical). One row per declared constraint with its
+    * violation count, so a scheduler can gate on `max(n_violations) == 0`.
+    *
+    * Each check is a single aggregate or anti-join over the audited
+    * table — no check adds more than one shuffle, and the null/duplicate
+    * checks share one scan. FK orphan checks broadcast the key side when
+    * small (AQE decides).
+    */
+  def constraintAudit(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val nulls = o.select(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0.0, 1L)
+        .otherwise(0L)).as("nonpositive_price"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"))
+    val orphans = o.select("o_custkey")
+      .join(Tables.customer(s, d).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    val row = nulls.crossJoin(orphans)
+    // long format via stack(): ONE aggregate pass fanned into one row per
+    // check (a per-check self-union would recompute the aggregate per
+    // branch — N scans for N checks)
+    val checks = Seq("null_key", "null_cust", "nonpositive_price",
+      "dup_keys", "fk_orphans")
+    val stacked = checks
+      .map(c => s"'$c', CAST($c AS BIGINT)").mkString(", ")
+    row.selectExpr(
+        s"stack(${checks.size}, $stacked) AS (check_name, n_violations)")
+      .orderBy("check_name")
+  }
+
+  /** SCD Type-2 dimension history: collapse a keyed changelog into
+    * versioned rows with [valid_from, valid_to) ranges — valid_to is the
+    * next change's timestamp, NULL while current. The warehouse pattern
+    * for "what did this dimension row look like at time t", and the
+    * batch twin of the streaming merge sink (which keeps only the latest
+    * version). One key-partitioned window (single shuffle); version
+    * chains are per-key, so skew equals key skew, not table size.
+    *
+    * Changelog here: each customer's orders as successive status changes
+    * (key = o_custkey, change ts = o_orderdate, tiebreak o_orderkey).
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(col("valid_from"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("key"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        col("o_orderkey"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("key", "version", "status", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("key", "version")
+  }
+
+  /** Per-column profile of the orders table: null count and distinct
+    * count per column — the ANALYZE-style statistics a pipeline collects
+    * to drive join planning and data-contract checks. Exact
+    * `countDistinct` keeps the oracle comparable at gate scale; at 100 TB
+    * every distinct becomes `approx_count_distinct` (one pass, one HLL
+    * per column, all columns in a single aggregate — see
+    * [[approxDistinct]] for the sketch-error contract).
+    */
+  def tableStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cols = o.columns.toSeq
+    val agg = o.select(
+      count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null__$c"),
+        countDistinct(col(c)).as(s"ndv__$c"))): _*)
+    // stack() the single wide row into per-column rows — one aggregate
+    // pass over the table, not one per profiled column
+    val stacked = cols.map(c =>
+      s"'$c', CAST(null__$c AS BIGINT), CAST(ndv__$c AS BIGINT)")
+      .mkString(", ")
+    agg.selectExpr("CAST(n_rows AS BIGINT) AS n_rows",
+        s"stack(${cols.size}, $stacked) AS (column, n_null, n_distinct)")
+      .select("column", "n_rows", "n_null", "n_distinct")
+      .orderBy("column")
+  }
 
   /** Gate-facing merge: orders with every 10th key's status/price updated
     * and a deterministic batch of new keys inserted (shifted key space).

@@ -128,6 +128,52 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ----------------------------------------------- audit / scd2 / stats
+
+  test("constraintAudit: declares every check, clean fixture has zero " +
+      "violations (the publish gate would pass)") {
+    val out = Relational.constraintAudit(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("null_key", "null_cust", "nonpositive_price",
+      "dup_keys", "fk_orphans"))
+    assert(out.values.forall(_ == 0L), s"unexpected violations: $out")
+  }
+
+  test("scd2: version chains are gapless, ranges abut (valid_to == next " +
+      "valid_from), exactly one current version per key") {
+    val out = Relational.scd2(spark, d)
+    val keys = out.select("key").distinct().count()
+    assert(out.filter(col("is_current")).count() == keys,
+      "each key must have exactly one open (current) version")
+    // abutting ranges: lead(valid_from) over the version order == valid_to
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("version")
+    val broken = out
+      .withColumn("next_from", lead("valid_from", 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("next_from") =!= col("valid_to"))
+    assert(broken.count() == 0, "non-abutting validity ranges")
+    // versions dense from 1
+    val dense = out.groupBy("key")
+      .agg(count(lit(1)).as("n"), max("version").as("mx"))
+      .filter(col("n") =!= col("mx"))
+    assert(dense.count() == 0, "version numbering must be dense from 1")
+  }
+
+  test("tableStats matches direct computation per column") {
+    val o = Tables.orders(spark, d)
+    val nRows = o.count()
+    val stats = Relational.tableStats(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(stats.keySet == o.columns.toSet)
+    assert(stats.values.forall(_._1 == nRows))
+    val ndvKey = o.select("o_orderkey").distinct().count()
+    assert(stats("o_orderkey")._3 == ndvKey)
+    val nullDate = o.filter(col("o_orderdate").isNull).count()
+    assert(stats("o_orderdate")._2 == nullDate)
+  }
+
   // ------------------------------------------------- incremental agg
 
   test("incrementalHourly (merge of stored+batch partials) equals the " +
