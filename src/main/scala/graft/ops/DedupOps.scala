@@ -174,7 +174,7 @@ object DedupOps {
   }
 
   /** Deterministic per-permutation seeds (splitmix64 constants). */
-  private def seeds(numHashes: Int): Seq[Long] = {
+  private[graft] def seeds(numHashes: Int): Seq[Long] = {
     var x = 0x9E3779B97F4A7C15L
     (0 until numHashes).map { _ =>
       x += 0x9E3779B97F4A7C15L

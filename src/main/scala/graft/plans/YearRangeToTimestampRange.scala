@@ -156,5 +156,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => YearRangeToTimestampRange)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    GraftFunctions.all.foreach(e.injectFunction)
   }
 }
