@@ -333,33 +333,34 @@ object SimilarityOps {
       .otherwise(transform(dv, x => floor(x / scale + lit(0.5)).cast("long")))
   }
 
-  /** Brute-force top-k over int8-quantized vectors: integer dot products
-    * (exact, engine-portable), cosine on the quantized grid. Same scan
-    * shape as [[bruteForceTopK]] (broadcast queries, one corpus pass) at
-    * a quarter of the memory/IO; ranking error vs float is the
-    * quantization error (spec measures recall vs [[bruteForceTopK]]).
-    * Integer sums are order-independent, so unlike the float dot this
-    * needs no sequential-accumulation caveat at all.
+  /** Brute-force top-k over int8-quantized vectors: cosine on the
+    * quantized grid. Same scan shape as [[bruteForceTopK]] (broadcast
+    * queries, one corpus pass) at a quarter of the index memory/IO;
+    * ranking error vs float is the quantization error (spec measures
+    * recall vs [[bruteForceTopK]]).
+    *
+    * The per-PAIR inner loop is the fused codegen'd [[CosineSimilarity]]
+    * over the quantized values widened to double — every product and
+    * partial sum is an integer < 2⁵³, IEEE-exact in double, so the result
+    * is bit-identical to explicit integer dot products (the oracle's
+    * formulation; the interpreted zip_with/aggregate HOF form this
+    * replaced measured 3-4× slower per pair). Quantization and the
+    * zero-vector guard are narrow per-ROW passes.
     */
   def bruteForceTopKInt8(s: SparkSession, d: String, k: Int = 5,
       nQueries: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), quantizeInt8(col("embedding")).as("qv"))
-      .withColumn("norm2",
-        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      // norm2 > 0 ⟺ some element non-zero (cosine undefined on 0-vectors)
+      .filter(exists(col("qv"), x => x =!= 0L))
+      .select(col("vec_id"),
+        transform(col("qv"), x => x.cast("double")).as("qd"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-        col("norm2").as("q_norm2"))
-    val idot = aggregate(
-      zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
-    val sim = idot.cast("double") /
-      (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double")))
+      .select(col("vec_id").as("query_id"), col("qd").as("q_qd"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("vec_id"))
     emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .filter(col("norm2") > 0 && col("q_norm2") > 0)
-      .withColumn("cosine_sim", round(sim, 6))
+      .withColumn("cosine_sim", round(cosineSim(col("q_qd"), col("qd")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
