@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamPipeline
@@ -222,6 +223,46 @@ class AdvancedStreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
       assert(after2 === Map(1L -> ((3L, "one-v3")), 2L -> ((7L, "two-v7")),
         5L -> ((1L, "five-v1"))))
+    } finally q.stop()
+  }
+
+  test("streaming hourly-agg sink: any batch slicing converges to the " +
+      "full-recompute aggregate table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("agg_sink").toString
+    val table = s"$dir/table"
+    val events = Seq( // (ts, event_type, value) across two hours
+      (t(1, 5), "click", 1.5), (t(1, 10), "click", 2.5),
+      (t(1, 40), "buy", 10.0), (t(1, 59), "click", 0.25),
+      (t(2, 0), "click", 4.0), (t(2, 30), "buy", 20.0),
+      (t(2, 31), "buy", 0.5))
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val q = StreamPipeline.startHourlyAggSink(
+      mem.toDF().toDF("ts", "event_type", "value"), table, s"$dir/ckpt")
+    try {
+      // uneven slicing, hour 1 and hour 2 both split across batches
+      mem.addData(events(0), events(1))
+      q.processAllAvailable()
+      mem.addData(events(2), events(3), events(4))
+      q.processAllAvailable()
+      mem.addData(events(5), events(6))
+      q.processAllAvailable()
+      val got = spark.read.parquet(table)
+        .select(col("hour"), col("event_type"), col("n_events"),
+          col("sum_dec").cast("double").as("total"),
+          col("min_value"), col("max_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      val expected = events.toDF("ts", "event_type", "value")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("tot"),
+          min("value").as("mn"), max("value").as("mx"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      assert(got === expected)
     } finally q.stop()
   }
 }
