@@ -13,10 +13,12 @@ import graft.ops.{CorpusOps, DedupOps, TextOps}
   *
   *   1. near-dup survivors   (pair gen → connected components → minima)
   *   2. quality gate + PII   (stateless per-row)
-  *   3. decontamination      (drop the eval slice AND docs overlapping it)
-  *   4. context-window chunking
-  *   5. sequence packing     (token-budget bins per shard)
-  *   6. shuffled doc export  (deterministic hash order)
+  *   3. quantile gate        (per-language top keepPct% by alpha ratio)
+  *   4. mixture balancing    (optional τ=0.5 per-language budgets)
+  *   5. decontamination      (drop the eval slice AND docs overlapping it)
+  *   6. context-window chunking
+  *   7. sequence packing     (token-budget bins per shard)
+  *   8. shuffled doc export  (deterministic hash order)
   *
   * Returns the per-stage row counts (the numbers a pipeline report
   * prints). Filter stages compose by doc_id semi/anti joins so each
@@ -25,10 +27,11 @@ import graft.ops.{CorpusOps, DedupOps, TextOps}
 object CorpusPipeline {
 
   case class StageCounts(
-      total: Long, survivors: Long, afterQuality: Long,
-      afterDecontam: Long, chunks: Long, bins: Long)
+      total: Long, survivors: Long, afterQuality: Long, afterGate: Long,
+      afterBalance: Long, afterDecontam: Long, chunks: Long, bins: Long)
 
-  def run(s: SparkSession, d: String, outDir: String): StageCounts = {
+  def run(s: SparkSession, d: String, outDir: String,
+      gatePct: Int = 80, mixtureBudget: Option[Long] = None): StageCounts = {
     val docs = Tables.documents(s, d)
     val total = docs.count()
 
@@ -41,12 +44,28 @@ object CorpusPipeline {
       .withColumn("text", TextOps.redactText(col("text")))
     val afterQuality = quality.count()
 
-    val contaminatedIds = CorpusOps.decontaminateFrom(quality)
+    // per-language quantile cut (composes by doc_id semi-join so the gate
+    // stays independently oracle-testable)
+    val gated = quality.join(
+      TextOps.qualityGateFrom(quality, gatePct).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val afterGate = gated.count()
+
+    // optional mixture balancing toward a per-language τ=0.5 budget
+    val balanced = mixtureBudget match {
+      case Some(b) => gated.join(
+        TextOps.mixtureSampleFrom(gated, b).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => gated
+    }
+    val afterBalance = balanced.count()
+
+    val contaminatedIds = CorpusOps.decontaminateFrom(balanced)
       .select(col("doc_id"))
     // Two exclusions, not one: docs OVERLAPPING the eval slice (the
     // contamination anti-join) AND the eval-slice documents themselves —
     // benchmark docs must never reach chunking/packing/export.
-    val clean = quality.filter(!CorpusOps.isEvalDoc)
+    val clean = balanced.filter(!CorpusOps.isEvalDoc)
       .join(contaminatedIds, Seq("doc_id"), "left_anti")
     write(clean, s"$outDir/clean")
     val cleanBack = s.read.parquet(s"$outDir/clean")
@@ -61,7 +80,8 @@ object CorpusPipeline {
 
     write(CorpusOps.shuffleExportFrom(cleanBack), s"$outDir/shuffled")
 
-    val counts = StageCounts(total, survivors, afterQuality, afterDecontam,
+    val counts = StageCounts(total, survivors, afterQuality, afterGate,
+      afterBalance, afterDecontam,
       chunksBack.count(), s.read.parquet(s"$outDir/packed").count())
     Caches.releaseAll()
     counts

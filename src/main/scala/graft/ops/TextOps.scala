@@ -242,8 +242,13 @@ object TextOps {
     * `alpha ≥ threshold` — sketch-bounded memory, no window. The rank
     * form stays the spec/oracle twin for the sketch path.
     */
-  def qualityGate(s: SparkSession, d: String, keepPct: Int = 60): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def qualityGate(s: SparkSession, d: String, keepPct: Int = 60): DataFrame =
+    qualityGateFrom(Tables.documents(s, d), keepPct)
+
+  /** [[qualityGate]] over any (doc_id, text, lang) frame — the composable
+    * stage the corpus pipeline inserts.
+    */
+  def qualityGateFrom(docs: DataFrame, keepPct: Int = 60): DataFrame = {
     val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
     val nChars = length(col("text")).cast(LongType)
     val scored = docs.select(col("doc_id"), col("lang"),
@@ -274,8 +279,11 @@ object TextOps {
     * No shuffle of the corpus itself.
     */
   def mixtureSample(s: SparkSession, d: String, budget: Long = 250)
-      : DataFrame = {
-    val docs = Tables.documents(s, d)
+      : DataFrame =
+    mixtureSampleFrom(Tables.documents(s, d), budget)
+
+  /** [[mixtureSample]] over any (doc_id, text, lang) frame. */
+  def mixtureSampleFrom(docs: DataFrame, budget: Long): DataFrame = {
     val counts = docs.groupBy("lang")
       .agg(count(lit(1)).as("n_lang"))
       .withColumn("w", floor(sqrt(col("n_lang")) * 1e6).cast(LongType))

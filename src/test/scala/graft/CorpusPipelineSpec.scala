@@ -20,7 +20,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     assert(c.total >= c.survivors, "dedup only drops")
     assert(c.survivors >= c.afterQuality, "quality gate only drops")
-    assert(c.afterQuality >= c.afterDecontam, "decontamination only drops")
+    assert(c.afterQuality >= c.afterGate, "quantile gate only drops")
+    assert(c.afterGate == c.afterBalance, "mixture off by default: no-op")
+    assert(c.afterBalance >= c.afterDecontam, "decontamination only drops")
     assert(c.afterDecontam > 0, "pipeline must not drop everything")
     assert(c.chunks >= c.afterDecontam - 1,
       "every non-empty clean doc produces at least one chunk")
@@ -48,5 +50,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     // PII never survives to the export (redaction ran before the write)
     assert(clean.filter(col("text").rlike(ops.TextOps.emailRe)).count() == 0)
+  }
+
+  test("mixture balancing stage reduces toward the budget and keeps the " +
+      "export reconciled") {
+    val out = Files.createTempDirectory("corpus-pipe-mix").toString
+    val c = CorpusPipeline.run(spark, TestSpark.sf0001, out,
+      mixtureBudget = Some(40L))
+    assert(c.afterBalance < c.afterGate,
+      "a binding budget must actually sample")
+    assert(c.afterBalance > 0)
+    // balanced set still reconciles downstream
+    val clean = spark.read.parquet(s"$out/clean")
+    val shuffled = spark.read.parquet(s"$out/shuffled")
+    assert(shuffled.count() == c.afterDecontam)
+    assert(clean.count() == c.afterDecontam)
   }
 }
