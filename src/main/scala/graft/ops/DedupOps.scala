@@ -302,9 +302,16 @@ object DedupOps {
     // a multi-executor cluster the same loop checkpoints the frontier to
     // reliable storage (parquet/HDFS) instead — localCheckpoint is the
     // single-JVM equivalent (and is executor-loss-unsafe there).
+    // Both edge directions from ONE evaluation of `pairs`: a union of two
+    // selects re-runs the whole (expensive) pair-generation plan per
+    // branch — measured as the bulk of the clusters query, with the
+    // fixpoint itself converging in 2 rounds. explode(array(...)) emits
+    // (a,b) and (b,a) from a single pass.
     val edges =
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))

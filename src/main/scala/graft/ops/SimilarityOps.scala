@@ -324,6 +324,10 @@ object SimilarityOps {
     * the identical integers; an all-zero vector quantizes to zeros).
     * 4× smaller than float32 at rest and in shuffle — the representation
     * a 100 TB ANN index actually stores.
+    *
+    * This HOF form is the readable spec twin; the hot path uses the
+    * compiled [[graft.functions.QuantizeInt8]] (identical values, one
+    * codegen'd pass — a property spec pins the equivalence).
     */
   def quantizeInt8(v: Column): Column = {
     val dv = transform(v, x => x.cast("double"))
@@ -350,11 +354,14 @@ object SimilarityOps {
   def bruteForceTopKInt8(s: SparkSession, d: String, k: Int = 5,
       nQueries: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantizeInt8(col("embedding")).as("qv"))
-      // norm2 > 0 ⟺ some element non-zero (cosine undefined on 0-vectors)
-      .filter(exists(col("qv"), x => x =!= 0L))
+      // compiled single-expression quantizer (exact-integer doubles); the
+      // HOF [[quantizeInt8]] is its spec twin — five interpreted array
+      // walks measured ~10× the whole fp32 scan
       .select(col("vec_id"),
-        transform(col("qv"), x => x.cast("double")).as("qd"))
+        graft.functions.QuantizeInt8.quantizeInt8Compiled(
+          col("embedding")).as("qd"))
+      // norm2 > 0 ⟺ some element non-zero (cosine undefined on 0-vectors)
+      .filter(exists(col("qd"), x => x =!= 0.0))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qd").as("q_qd"))
     val w = Window.partitionBy("query_id")

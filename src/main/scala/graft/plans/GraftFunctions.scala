@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.graftshim.Internal
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, ExactMedian, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{CosineSimilarity, ExactMedian, MinHashSignature, QuantizeInt8, ShingleHashes, SimHash64}
 import graft.ops.DedupOps
 
 /** SQL surface for the engine's custom Catalyst expressions: a user who
@@ -65,6 +65,12 @@ object GraftFunctions {
         val nGram = litInt(es(1), "graft_minhash", "nGram")
         val nHashes = litInt(es(2), "graft_minhash", "nHashes")
         MinHashSignature(es(0), nGram, DedupOps.seeds(nHashes).toArray)
+      }),
+    (FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
+      (es: Seq[Expression]) => {
+        arity("graft_quantize_int8", es, 1)
+        QuantizeInt8(es(0))
       }),
     (FunctionIdentifier("graft_exact_median"),
       new ExpressionInfo(classOf[ExactMedian].getName, "graft_exact_median"),

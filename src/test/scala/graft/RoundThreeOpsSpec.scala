@@ -60,6 +60,31 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(rows(1) == Seq(0L, 0L, 0L))
   }
 
+  test("compiled QuantizeInt8 equals the HOF spec twin, including NULL " +
+      "elements, zero, empty, and NULL vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Array[java.lang.Float])] =
+      (0L until 200L).map { i =>
+        val n = rnd.nextInt(9) // 0..8, exercises empty
+        val arr = Array.fill[java.lang.Float](n) {
+          if (rnd.nextInt(20) == 0) null
+          else java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 10f)
+        }
+        (i, arr)
+      } :+ ((200L, null: Array[java.lang.Float])) :+
+        ((201L, Array[java.lang.Float](0f, 0f, 0f)))
+    val df = rows.toDF("id", "v")
+    val both = df.select(col("id"),
+      graft.functions.QuantizeInt8.quantizeInt8Compiled(col("v"))
+        .as("compiled"),
+      transform(SimilarityOps.quantizeInt8(col("v")),
+        x => x.cast("double")).as("hof"))
+    val mismatches = both
+      .filter(!(col("compiled") <=> col("hof"))).count()
+    assert(mismatches == 0,
+      "compiled quantizer must be value-identical to the HOF twin")
+  }
+
   test("int8 top-k recall vs float brute force is high (quantization " +
       "error only)") {
     val float = SimilarityOps.bruteForceTopK(spark, d)

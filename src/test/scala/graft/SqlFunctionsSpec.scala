@@ -77,6 +77,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(global == 5.0)
   }
 
+  test("graft_quantize_int8 from SQL equals the Column entry point") {
+    import spark.implicits._
+    Seq(Array(0.5f, -1.0f, 0.25f), Array(0.0f, 0.0f, 0.0f))
+      .toDF("v").createOrReplaceTempView("q8_in")
+    val viaSql = spark.sql("SELECT graft_quantize_int8(v) AS q FROM q8_in")
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val viaCol = spark.table("q8_in")
+      .select(graft.functions.QuantizeInt8.quantizeInt8Compiled(col("v")))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head == Seq(64.0, -127.0, 32.0))
+    assert(viaSql(1) == Seq(0.0, 0.0, 0.0))
+  }
+
   test("literal-argument contract: non-literal size arguments are rejected " +
       "at analysis time") {
     val e = intercept[Exception] {

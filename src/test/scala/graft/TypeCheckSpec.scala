@@ -63,6 +63,14 @@ class TypeCheckSpec extends AnyFunSuite {
     assert(msg.contains("nearest_centroids expects array<float|double>"))
   }
 
+  test("QuantizeInt8 rejects string arrays") {
+    val df = Seq(Seq("a", "b")).toDF("xs")
+    val msg = analysisError(
+      df.select(graft.functions.QuantizeInt8.quantizeInt8Compiled($"xs"))
+        .collect())
+    assert(msg.contains("quantize_int8 expects array<float|double>"))
+  }
+
   test("ExactMedian requires an explicit double (cast guidance in message)") {
     // the Column helper casts for callers; the raw expression enforces
     val df = Seq("x").toDF("s")
