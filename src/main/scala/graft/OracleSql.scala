@@ -507,6 +507,16 @@ object OracleSql {
          |SELECT doc_a, doc_b, shared, size_a, size_b FROM jpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the incremental run is DEFINED as the full recompute restricted to
+    // pairs with a new-batch side (doc_id % 10 = 0) — the engine prunes
+    // candidate generation to new-touching postings, the oracle just
+    // filters the full pair set; both produce identical rows
+    "dedup_incremental" ->
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b, shared, size_a, size_b FROM jpairs
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // connected components over the same pairs, as a recursive
     // transitive-closure CTE: label = min over the reachable set —
     // exactly the fixpoint the engine's min-label propagation converges to
@@ -704,6 +714,69 @@ object OracleSql {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY cosine_sim DESC, vec_id) AS rank
         |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id, cosine_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ ANN — mirrors pqTopKSeeded exactly: 16 subspaces × 4 dims,
+    // 32 medoid-seeded codewords per subspace (sub-slices of vec_id < 32),
+    // L2 argmin encode (sequential fold, ties → lower code), reconstruct,
+    // then full-precision-query cosine over the reconstruction
+    "emb_topk_pq" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(range(16)) AS s),
+        |cb AS (
+        |  SELECT sd.vec_id AS code, ss.s,
+        |         sd.e[ss.s*4+1 : ss.s*4+4] AS cw
+        |  FROM emb sd, ss WHERE sd.vec_id < 32),
+        |subs AS (
+        |  SELECT v.vec_id, ss.s, v.e[ss.s*4+1 : ss.s*4+4] AS sv
+        |  FROM emb v, ss),
+        |codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT sub.vec_id, sub.s, cb.code,
+        |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY list_sum(list_transform(range(1, 5),
+        |          i -> (sub.sv[i] - cb.cw[i]) * (sub.sv[i] - cb.cw[i]))),
+        |          cb.code) AS rn
+        |    FROM subs sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id, flatten(list(cb.cw ORDER BY c.s)) AS r
+        |  FROM codes c JOIN cb ON c.s = cb.s AND c.code = cb.code
+        |  GROUP BY c.vec_id),
+        |approx AS (
+        |  SELECT q.vec_id AS query_id, r.vec_id,
+        |    list_sum(list_transform(range(1, len(q.e) + 1),
+        |      i -> q.e[i] * r.r[i])) /
+        |    (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(r.r, x -> x * x)))) AS approx_sim
+        |  FROM emb q JOIN recon r
+        |    ON q.vec_id < 10 AND r.vec_id <> q.vec_id),
+        |shortlist AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY approx_sim DESC, vec_id) AS arank
+        |    FROM approx) WHERE arank <= 50),
+        |rescored AS (
+        |  SELECT sl.query_id, sl.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+        |      AS cosine_sim
+        |  FROM shortlist sl
+        |  JOIN emb q ON sl.query_id = q.vec_id
+        |  JOIN emb v ON sl.vec_id = v.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine_sim DESC, vec_id) AS rank
+        |  FROM rescored)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank,
         |       vec_id AS neighbor_id, cosine_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -50,11 +50,13 @@ object SparkEntry {
     "dedup_survivors"     -> (DedupOps.dedupSurvivors(_, _)),
     "dedup_simhash"       -> (DedupOps.simhash(_, _)),
     "dedup_simhash_pairs" -> (DedupOps.simhashPairs(_, _)),
+    "dedup_incremental"   -> (DedupOps.incrementalJaccardPairs(_, _)),
     // similarity search
     "emb_topk_brute"      -> (SimilarityOps.bruteForceTopK(_, _)),
     "emb_topk_lsh"        -> (SimilarityOps.lshTopK(_, _)),
     "emb_topk_ivf"        -> (SimilarityOps.ivfTopK(_, _)),
     "emb_topk_ivf_seeded" -> (SimilarityOps.ivfTopKSeeded(_, _)),
+    "emb_topk_pq"         -> (SimilarityOps.pqTopKSeeded(_, _)),
     "emb_near_dup"        -> (SimilarityOps.cosineNearDupPairs(_, _, 0.3)),
     // events
     "ev_json_extract"     -> (EventOps.jsonExtract(_, _)),

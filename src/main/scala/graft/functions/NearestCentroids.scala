@@ -25,12 +25,17 @@ import org.apache.spark.sql.types._
   * the lowest-index cells (deterministic, degenerate input).
   */
 case class NearestCentroids(child: Expression,
-    centroids: Array[Array[Double]], nProbe: Int)
+    centroids: Array[Array[Double]], nProbe: Int,
+    metric: String = "cosine")
     extends UnaryExpression {
 
   require(centroids.nonEmpty, "need at least one centroid")
   require(nProbe >= 1 && nProbe <= centroids.length,
     s"nProbe ($nProbe) must be in 1..${centroids.length}")
+  require(metric == "cosine" || metric == "l2",
+    s"metric must be 'cosine' or 'l2', got '$metric'")
+
+  private val useL2 = metric == "l2"
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -73,11 +78,22 @@ case class NearestCentroids(child: Expression,
     while (c < centroids.length) {
       val p = centroids(c)
       val n = math.min(m, p.length)
-      var dot = 0.0
-      var cn = 0.0
-      var i = 0
-      while (i < n) { dot += v(i) * p(i); cn += p(i) * p(i); i += 1 }
-      val sim = dot / (math.sqrt(vn) * math.sqrt(cn))
+      // score so that LARGER is better under either metric: cosine as-is,
+      // L2 as negated squared distance (sequential left-to-right sums —
+      // the fold order an oracle engine mirrors exactly)
+      var sim = 0.0
+      if (useL2) {
+        var d2 = 0.0
+        var i = 0
+        while (i < n) { val dif = v(i) - p(i); d2 += dif * dif; i += 1 }
+        sim = -d2
+      } else {
+        var dot = 0.0
+        var cn = 0.0
+        var i = 0
+        while (i < n) { dot += v(i) * p(i); cn += p(i) * p(i); i += 1 }
+        sim = dot / (math.sqrt(vn) * math.sqrt(cn))
+      }
       // insertion position: first slot this sim strictly beats (ties keep
       // the earlier centroid index ahead — deterministic). NaN (zero-norm)
       // never beats anything, so it only fills trailing empty slots.
@@ -117,20 +133,21 @@ case class NearestCentroids(child: Expression,
   // the centroid matrix is part of the expression's identity for plan equality
   override def equals(o: Any): Boolean = o match {
     case e: NearestCentroids =>
-      e.child == child && e.nProbe == nProbe && java.util.Arrays.deepEquals(
-        centroids.asInstanceOf[Array[AnyRef]],
-        e.centroids.asInstanceOf[Array[AnyRef]])
+      e.child == child && e.nProbe == nProbe && e.metric == metric &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          e.centroids.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    31 * (31 * child.hashCode() + nProbe) + java.util.Arrays.deepHashCode(
-      centroids.asInstanceOf[Array[AnyRef]])
+    31 * (31 * (31 * child.hashCode() + nProbe) + metric.hashCode) +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
 }
 
 object NearestCentroids {
   /** Column entry point: indices of the `nProbe` nearest centroids. */
   def nearestCentroids(v: Column, centroids: Array[Array[Double]],
-      nProbe: Int): Column =
+      nProbe: Int, metric: String = "cosine"): Column =
     ColumnBridge.column(
-      NearestCentroids(ColumnBridge.expression(v), centroids, nProbe))
+      NearestCentroids(ColumnBridge.expression(v), centroids, nProbe, metric))
 }

@@ -161,6 +161,51 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-dup pairs: the pairs a NEW batch of documents adds
+    * against an already-deduplicated corpus (plus among itself) — without
+    * regenerating the corpus's own pairs. `doc_id % batchMod == 0` marks
+    * the arriving batch (the offline stand-in for "rows ingested since
+    * the last run"); everything else is the stored index.
+    *
+    * The incremental win is in candidate generation: only inverted-index
+    * postings that CONTAIN a new document produce candidates, and only
+    * pairs with a new side survive — work scales with the batch's shingle
+    * footprint, not the corpus. `shared` stays exact for every emitted
+    * pair: any shingle common to a pair with a new side contains that new
+    * doc, so the postings filter drops no contributing shingle. At 100 TB
+    * the index side reads straight from the persisted shingle index
+    * ([[writeShingleIndex]]/[[readShingleIndex]]) — the corpus itself is
+    * never re-tokenized; the oracle twin is the full recompute restricted
+    * to new-sided pairs (identical rows by the argument above).
+    */
+  def incrementalJaccardPairs(s: SparkSession, d: String, n: Int = 3,
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000,
+      batchMod: Int = 10): DataFrame = {
+    val idx = hashedShingles(s, d, n)
+    def isNew(id: Column): Column = id % batchMod === 0
+    val inverted = idx
+      .groupBy("h").agg(collect_list("doc_id").as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
+      .filter(exists(col("docs"), isNew))
+    val pairs = inverted
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("sz").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("sz").as("size_b")), Seq("doc_b"))
+      .filter(col("shared") * 100 >=
+        lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("size_a"), col("size_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** xorshift64 mixer as pure Column ops (shifts + xor only — no multiply,

@@ -254,6 +254,91 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization (PQ) ANN: split each vector into `m` subspaces,
+    * quantize each sub-vector to its nearest codeword (L2, the PQ-standard
+    * assignment metric) from a per-subspace codebook, and score queries
+    * against the RECONSTRUCTED corpus (concatenated codewords) with exact
+    * full-precision queries — the asymmetric-distance setup of Jégou et
+    * al.'s "Product Quantization for Nearest Neighbor Search".
+    *
+    * Scale shape: the stored index is `m` small ints per vector (m bytes
+    * once packed — 32× smaller than the fp32 corpus at dim=64/m=8); the
+    * codebooks are plan-time constants (m·K·(dim/m) doubles — KBs), so
+    * encode and reconstruct are row-local compiled expressions with ZERO
+    * shuffle: `slice` → [[graft.functions.NearestCentroids]](metric=l2)
+    * per subspace, then literal-array codeword lookups. One corpus pass,
+    * broadcast queries — identical join/rank tail to [[bruteForceTopK]].
+    *
+    * Codebooks here are MEDOID-seeded (the first `codebookSize` corpus
+    * vectors' sub-slices, verbatim), the same deliberate choice as
+    * [[ivfTopKSeeded]]: no data-derived floating-point averages anywhere,
+    * so every number is stored data or a sequential fold and the whole
+    * search carries a full DuckDB oracle. A k-means-refined codebook drops
+    * in by replacing `codebook` (see [[kmeansCentroids]]); recall vs
+    * brute force is spec-measured either way.
+    *
+    * Production two-stage shape: the ADC pass SHORTLISTS `rerank`
+    * candidates per query from codes alone (never touching stored
+    * vectors), then only those candidates' true vectors are fetched and
+    * re-scored exactly — output similarities are exact cosines, and the
+    * full-precision corpus is read at `rerank/|corpus|` selectivity (the
+    * IO shape that makes PQ pay at 100 TB).
+    */
+  def pqTopKSeeded(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      m: Int = 16, codebookSize: Int = 32, rerank: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // bounded driver state: `codebookSize` seed vectors (same footprint
+    // class as the k-means centroid collect)
+    val seeds: Array[Array[Double]] = emb
+      .filter(col("vec_id") < codebookSize).orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    // codebook(si)(code) = codeword: seed si-th sub-slice, code = seed row
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(si => seeds.map(_.slice(si * sub, (si + 1) * sub)))
+    // encode: per-subspace compiled L2 argmin over the plan-time codebook
+    val codeCols = (0 until m).map { si =>
+      element_at(nearestCentroids(
+        slice(col("embedding"), si * sub + 1, sub),
+        codebook(si), 1, "l2"), 1).as(s"code_$si")
+    }
+    // reconstruct: literal-array codeword lookup per subspace (codes are
+    // 0-based, element_at is 1-based), concatenated back to a dim-vector
+    val recon = flatten(array((0 until m).map { si =>
+      element_at(typedlit(codebook(si).map(_.toSeq).toSeq),
+        col(s"code_$si") + 1)
+    }: _*))
+    val coded = emb.select((col("vec_id") +: codeCols): _*)
+      .withColumn("recon", recon)
+      .select("vec_id", "recon")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // stage 1 (ADC): shortlist `rerank` per query from codes alone
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+    val shortlist = coded
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("approx_sim", cosineSim(col("q_emb"), col("recon")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select("query_id", "q_emb", "vec_id")
+    // stage 2: fetch the shortlist's true vectors, exact re-rank
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    shortlist
+      .join(emb, Seq("vec_id"))
+      .withColumn("cosine_sim",
+        round(cosineSim(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Near-duplicate pairs via banded hyperplane LSH — the 100 TB shape:
     * candidates are bucket collisions (∝ true-dup density in the near-dup
     * regime, never all-pairs), verified with exact cosine. Unlike the

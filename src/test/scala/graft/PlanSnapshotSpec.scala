@@ -91,6 +91,19 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(p.contains("nearestcentroids"), p)
   }
 
+  test("int8 quantization runs through the compiled expression (codegen), " +
+      "not interpreted HOF passes") {
+    assertProjectionCodegens("emb_topk_int8", "quantizeint8")
+  }
+
+  test("PQ encode is row-local: no exchange keyed by vec_id before the " +
+      "ADC join; codes come from the compiled L2 argmin") {
+    val p = plan("emb_topk_pq")
+    assert(p.contains("nearestcentroids"), p)
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled by vec_id during PQ encode:\n$p")
+  }
+
   test("expensive per-row stages plan exactly once: no duplicated " +
       "tokenize/gram-build in the corpus ops' optimized plans") {
     // Catalyst plans an expression once PER OCCURRENCE, and references

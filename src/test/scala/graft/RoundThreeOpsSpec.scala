@@ -85,6 +85,55 @@ class RoundThreeOpsSpec extends AnyFunSuite {
       "compiled quantizer must be value-identical to the HOF twin")
   }
 
+  // ------------------------------------------------------------- pq
+
+  test("PQ top-k: recall vs brute force is meaningful, approx scores " +
+      "bounded, and the code space is actually small") {
+    val brute = SimilarityOps.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityOps.pqTopKSeeded(spark, d)
+    val rows = pq.collect()
+    assert(rows.length == 50, "10 queries × k=5")
+    // ADC over a 16-codeword-per-subspace codebook loses precision, but a
+    // planted-cluster corpus must keep a solid fraction of true neighbors
+    val hits = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.8, s"PQ recall vs brute (ADC shortlist + exact re-rank): $recall")
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.000001),
+      "reconstructed cosine must stay a valid cosine")
+  }
+
+  test("NearestCentroids l2 metric picks the closest-by-distance " +
+      "centroid, not the closest-by-angle one") {
+    // v = (3,3): cosine prefers the far-but-aligned (100,100);
+    // L2 prefers the near-but-misaligned (4,2)
+    val cents = Array(Array(100.0, 100.0), Array(4.0, 2.0))
+    val df = Seq(Tuple1(Array(3.0f, 3.0f))).toDF("v")
+    def pick(metric: String): Int = df.select(
+      element_at(graft.functions.NearestCentroids.nearestCentroids(
+        col("v"), cents, 1, metric), 1)).collect().head.getInt(0)
+    assert(pick("cosine") == 0)
+    assert(pick("l2") == 1)
+    intercept[IllegalArgumentException](pick("manhattan"))
+  }
+
+  // ----------------------------------------------------- incremental dedup
+
+  test("incremental dedup equals the full recompute restricted to " +
+      "new-batch-sided pairs") {
+    val full = graft.ops.DedupOps.ngramJaccardPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = graft.ops.DedupOps.incrementalJaccardPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(incr == expected,
+      s"incremental must add exactly the new-sided pairs: " +
+        s"missing=${expected -- incr} extra=${incr -- expected}")
+    assert((full -- expected).nonEmpty || full.isEmpty,
+      "fixture sanity: some pairs should be index-only (not recomputed)")
+  }
+
   test("int8 top-k recall vs float brute force is high (quantization " +
       "error only)") {
     val float = SimilarityOps.bruteForceTopK(spark, d)
