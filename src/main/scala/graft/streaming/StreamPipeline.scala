@@ -323,6 +323,85 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming near-dup admission gate: each micro-batch's documents are
+    * admitted only if they do not near-duplicate (n-gram Jaccard ≥
+    * `thresholdPct`%) the already-admitted corpus or a smaller-id peer in
+    * the same batch. Admitted docs append to `outPath`; their shingles
+    * append to the persisted index at `indexPath` — the state is a TABLE,
+    * not stream state (no state store growth; a restart resumes from the
+    * checkpoint and the index). The streaming twin of
+    * [[graft.ops.DedupOps.incrementalJaccardPairs]].
+    *
+    * Per-batch work: the batch is shingled row-locally (compiled
+    * [[graft.functions.ShingleHashes]]); candidates come only from
+    * postings the batch touches, so each batch costs its own shingle
+    * footprint joined against the index — never index². At 100 TB the
+    * index parquet would be bucketed by `h` (bucket-local joins, no
+    * per-batch index shuffle) and per-doc sizes stored alongside; both are
+    * layout changes, not logic changes.
+    *
+    * Admission rule: reject iff near-dup of an indexed doc or a
+    * SMALLER-id batch peer (one pass, deterministic). On a chain-shaped
+    * cluster arriving in ONE batch (a~b, b~c, ¬a~c) this drops the whole
+    * chain where batch-internal connected components would keep `c`; the
+    * streaming contract trades that corner for O(batch) admission —
+    * documented deviation from [[graft.ops.DedupOps.dedupSurvivors]].
+    */
+  def startNearDupGate(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, n: Int = 3, thresholdPct: Int = 60,
+      maxShingleDf: Int = 1000): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val batchSh = batch.select(col("doc_id"),
+            explode(graft.functions.ShingleHashes.shingleHashes(
+              graft.ops.TextOps.tokens(lower(col("text"))), n)).as("h"))
+          .persist()
+        try {
+          val dir = new java.io.File(indexPath)
+          val hasIdx = dir.exists() && dir.listFiles() != null &&
+            dir.listFiles().exists(_.getName.endsWith(".parquet"))
+          val indexSh =
+            if (hasIdx) s.read.parquet(indexPath)
+            else Seq.empty[(Long, Long)].toDF("doc_id", "h")
+          val all = indexSh.withColumn("is_new", lit(false))
+            .unionByName(batchSh.withColumn("is_new", lit(true)))
+          // pair-forming postings only (df ∈ [2, maxShingleDf] skew guard,
+          // same contract as the batch pair generators)
+          val pairForming = all.groupBy("h")
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df").between(2, maxShingleDf))
+            .select("h")
+          val postings = all.join(pairForming, Seq("h"))
+          val newSide = postings.filter(col("is_new"))
+            .select(col("h"), col("doc_id").as("doc_new"))
+          val otherSide = postings.select(col("h"),
+            col("doc_id").as("doc_other"), col("is_new").as("other_new"))
+          val shared = newSide.join(otherSide, Seq("h"))
+            .filter(col("doc_other") =!= col("doc_new"))
+            // precedence: every indexed doc, or an earlier (smaller-id)
+            // doc of this batch
+            .filter(!col("other_new") || col("doc_other") < col("doc_new"))
+            .groupBy("doc_new", "doc_other").agg(count(lit(1)).as("shared"))
+          val sizes = all.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          val rejected = shared
+            .join(sizes.select(col("doc_id").as("doc_new"),
+              col("sz").as("size_new")), Seq("doc_new"))
+            .join(sizes.select(col("doc_id").as("doc_other"),
+              col("sz").as("size_other")), Seq("doc_other"))
+            .filter(col("shared") * 100 >= lit(thresholdPct) *
+              (col("size_new") + col("size_other") - col("shared")))
+            .select(col("doc_new").as("doc_id")).distinct()
+          val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+          admitted.write.mode("append").parquet(outPath)
+          batchSh.join(rejected, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(indexPath)
+        } finally batchSh.unpersist()
+      }
+      .start()
+
   def startMergeSink(df: DataFrame, path: String, checkpoint: String,
       keys: Seq[String], orderCol: String): StreamingQuery =
     df.writeStream

@@ -45,6 +45,37 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate: within-batch dups and cross-batch dups " +
+      "against the persisted index are rejected; uniques admitted") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("neardup-gate").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamPipeline.startNearDupGate(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ckpt")
+    try {
+      val dupText = "the quick brown fox jumps over the lazy dog again"
+      mem.addData(
+        (0L, dupText),
+        (1L, dupText), // within-batch dup of 0 -> rejected
+        (2L, "completely different words arranged in another order here"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, dupText), // cross-batch dup of indexed 0 -> rejected
+        (4L, "yet another entirely novel document with fresh content words"))
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$base/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(0L, 2L, 4L))
+      // the index holds shingles for exactly the admitted docs — rejected
+      // docs must not poison future admission decisions
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed === Set(0L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session, " +
       "emitted once in append mode") {
     import spark.implicits._
