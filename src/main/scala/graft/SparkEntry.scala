@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CorpusOps, DedupOps, EventOps, Multimodal, Queries, Relational, SimilarityOps, TextOps}
+import graft.ops.{Analytics, CorpusOps, DedupOps, EventOps, Multimodal, Queries, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,6 +120,12 @@ object SparkEntry {
     "txt_quality_gate"    -> (TextOps.qualityGate(_, _)),
     "txt_mixture_sample"  -> (TextOps.mixtureSample(_, _)),
     "ev_incremental_agg"  -> (EventOps.incrementalHourly(_, _)),
+    // round 3: multi-way join analytics over the full fact chain
+    "r_shipping_priority"     -> (Analytics.shippingPriority(_, _)),
+    "r_local_supplier_volume" -> (Analytics.localSupplierVolume(_, _)),
+    "r_late_lines"            -> (Analytics.lateLinesByPriority(_, _)),
+    "r_promo_revenue"         -> (Analytics.promoRevenueShare(_, _)),
+    "r_revenue_by_tier"       -> (Analytics.revenueByTier(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Analytics
+
+/** Invariant specs for the multi-way join analytics suite; value-level
+  * correctness is pinned by the DuckDB oracle (`OracleSql`), so these
+  * check the structural contracts the oracle can't see (plan shape,
+  * cross-query consistency).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val d = TestSpark.sf001
+
+  test("shippingPriority: ≤10 rows, revenue strictly ordered, dates " +
+      "respect both filters") {
+    val rows = Analytics.shippingPriority(spark, d).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val late = Analytics.shippingPriority(spark, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    assert(late.count() == 0)
+  }
+
+  test("localSupplierVolume: every listed nation exists; revenue positive") {
+    val out = Analytics.localSupplierVolume(spark, d)
+    val nations = Tables.nation(spark, d).select("n_name")
+      .collect().map(_.getString(0)).toSet
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => nations.contains(r.getString(0))))
+    assert(rows.forall(_.getDouble(1) > 0))
+  }
+
+  test("lateLinesByPriority: late ⊆ total, totals reconcile to the " +
+      "lineitem⋈orders row count") {
+    val rows = Analytics.lateLinesByPriority(spark, d).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2)))
+    val total = rows.map(_.getLong(2)).sum
+    val expected = Tables.lineitem(spark, d).select("l_orderkey")
+      .join(Tables.orders(spark, d).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(total == expected)
+  }
+
+  test("promoRevenueShare: 12 months, share = promo/total ∈ [0,1], " +
+      "promo ≤ total") {
+    val rows = Analytics.promoRevenueShare(spark, d).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 12))
+    rows.foreach { r =>
+      val (promo, total, share) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(promo >= 0 && promo <= total)
+      assert(share >= 0 && share <= 1)
+      assert(math.abs(share - promo / total) < 1e-12)
+    }
+  }
+
+  test("revenueByTier: n_lines ≥ n_orders per cell; grand line total " +
+      "reconciles; tier labels exhaust the domain") {
+    val rows = Analytics.revenueByTier(spark, d).collect()
+    assert(rows.forall(r => r.getLong(3) >= r.getLong(2)))
+    val tiers = rows.map(_.getString(0)).toSet
+    assert(tiers.subsetOf(Set("negative", "standard", "premium")))
+    val totalLines = rows.map(_.getLong(3)).sum
+    val expected = Tables.lineitem(spark, d).select("l_orderkey")
+      .join(Tables.orders(spark, d).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(totalLines == expected)
+  }
+
+  test("plan shape: promoRevenueShare broadcasts part; " +
+      "shippingPriority pushes the segment filter into the customer scan") {
+    val promoPlan = Analytics.promoRevenueShare(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(promoPlan.contains("BroadcastHashJoin"))
+    val shipPlan = Analytics.shippingPriority(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(shipPlan.contains("PushedFilters") &&
+      shipPlan.contains("IsNotNull(c_mktsegment)"))
+  }
+}
