@@ -370,6 +370,43 @@ object OracleSql {
          |FROM t GROUP BY term
          |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
+    "txt_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |x AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |      AS DECIMAL(20,8)) AS tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY
+         |      CAST(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |        AS DECIMAL(20,8)) DESC,
+         |      term) AS rn
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, CAST(tfidf AS DOUBLE) AS tfidf
+         |FROM x WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    "txt_lm_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(tf) AS t_total FROM tf),
+         |lp AS (
+         |  SELECT doc_id, tf,
+         |    CAST(tf * ln(CAST(ctf AS DOUBLE) / CAST(t_total AS DOUBLE))
+         |      AS DECIMAL(24,9)) AS lp
+         |  FROM tf JOIN ctf USING (term) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_logprob
+         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "txt_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id,

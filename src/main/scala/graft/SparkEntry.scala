@@ -42,6 +42,8 @@ object SparkEntry {
     "txt_pii_redact"      -> (TextOps.piiRedact(_, _)),
     "txt_train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "txt_top_terms"       -> (TextOps.topTerms(_, _)),
+    "txt_tfidf"           -> (TextOps.tfidfTop(_, _)),
+    "txt_lm_score"        -> (TextOps.lmScore(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),

@@ -210,6 +210,83 @@ object TextOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** Per-document (doc_id, term, tf) — the shared base of the weighting
+    * ops below. One explode + one (doc_id, term)-keyed shuffle.
+    */
+  private def docTermTf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k TF-IDF terms per document: tf · ln(N/df), the classic salience
+    * weighting a corpus audit / keyword extractor runs. The score is
+    * surfaced (and ranked) as DECIMAL(20,8): Spark's `log` evaluates via
+    * `StrictMath.log` (fdlibm) which differs from other engines' libm by
+    * 1 ulp on some inputs (measured), so the raw double is NOT
+    * engine-reproducible — the 8-decimal rounding absorbs the ulp while
+    * keeping the ranking exact and deterministic (ties break on term).
+    *
+    * Scale: term df is a second aggregate over the (already reduced)
+    * doc-term table, re-joined term-keyed; N arrives as a broadcast
+    * 1-row frame (no driver action, no literal bake-in); the per-doc
+    * top-k is a window with a rank filter Spark executes as a group
+    * limit (no per-doc materialization).
+    */
+  def tfidfTop(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val tf = docTermTf(s, d)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .cast("decimal(20,8)"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      // surface as double: DECIMAL(20,8) → double is exact-input
+      // correctly-rounded on both engines (scaled int < 2^53), and the
+      // gate's pandas compare only sorts/hashes primitive dtypes
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf").cast("double").as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Unigram language-model score per document: mean token log-probability
+    * under the corpus's own MLE unigram distribution — the cheap
+    * perplexity proxy used to quality-rank corpora (low mean logprob ⇒
+    * unusual/garbled text). p(t) = ctf_t / T over the whole corpus.
+    *
+    * Reproducibility: each per-term contribution tf·ln(p) is rounded to a
+    * DECIMAL(24,9) — the per-doc sum is then EXACT (decimal addition is
+    * associative; double addition is not, and a shuffled double sum
+    * would differ run-to-run). 9 fractional digits keeps the scaled sum
+    * far under 2^53 so the final to-double surfacing is exact-input
+    * correctly-rounded on both engines.
+    *
+    * Scale: two aggregates and one term-keyed join, same shape as
+    * [[tfidfTop]]; the corpus distribution (distinct terms) is the only
+    * state and it is a reduced table, never a per-token one.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val tf = docTermTf(s, d)
+    val ctf = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val tTotal = tf.agg(sum(col("tf")).as("t_total"))
+    tf.join(ctf, "term")
+      .crossJoin(broadcast(tTotal))
+      .withColumn("lp",
+        (col("tf") * log(col("ctf").cast("double") / col("t_total")))
+          .cast("decimal(24,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_lp").cast("double") / col("n_tokens"))
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint (md5 of normalized text) — md5 is identical across
     * engines, so this one is oracle-checkable; [[xxFingerprint]] is the
     * cheap 64-bit variant for engine-internal dedup at scale.
