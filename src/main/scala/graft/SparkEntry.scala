@@ -43,6 +43,7 @@ object SparkEntry {
     "txt_train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "txt_top_terms"       -> (TextOps.topTerms(_, _)),
     "txt_tfidf"           -> (TextOps.tfidfTop(_, _)),
+    "txt_top_terms_cms"   -> (TextOps.topTermsCms(_, _)),
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),

@@ -287,6 +287,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Count-min-sketch term-frequency estimates for the exact top-k terms:
+    * the third sketch family in the engine (HLL `approx_count_distinct`
+    * for cardinality, BloomFilter for membership, CMS for frequency).
+    * The sketch is built distributed (per-partition sketches merged by
+    * counter addition — commutative, so the estimate is row-order
+    * independent and deterministic for a fixed seed) and only the
+    * O(depth/eps) counter table reaches the driver; candidates come from
+    * the exact vocabulary pass. At 100 TB the candidate pass is the
+    * same top-k aggregate and the sketch cost is one narrow scan.
+    *
+    * CMS guarantees (spec-verified): est ≥ true, and
+    * est ≤ true + eps·T with probability ≥ confidence.
+    */
+  def topTermsCms(s: SparkSession, d: String, k: Int = 50,
+      eps: Double = 0.001): DataFrame = {
+    import s.implicits._
+    val terms = Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+    val sketch = terms.stat.countMinSketch(col("term"), eps, 0.99, 42)
+    val candidates = topTerms(s, d, k).select("term").as[String]
+      .collect() // k strings — the sketch query set, not data
+    candidates.toSeq
+      .map(t => (t, sketch.estimateCount(t)))
+      .toDF("term", "tf_est")
+      .orderBy(col("tf_est").desc, col("term"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — md5 is identical across
     * engines, so this one is oracle-checkable; [[xxFingerprint]] is the
     * cheap 64-bit variant for engine-internal dedup at scale.

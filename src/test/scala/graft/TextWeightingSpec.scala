@@ -48,6 +48,26 @@ class TextWeightingSpec extends AnyFunSuite {
     assert(lm.count() == tc.count())
   }
 
+  test("topTermsCms: estimates dominate true counts and respect the " +
+      "eps·T overcount bound; deterministic for the fixed seed") {
+    val eps = 0.001
+    val exact = TextOps.topTerms(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = TextOps.tokenCount(spark, d)
+      .agg(sum("n_tokens")).head.getLong(0)
+    val est = TextOps.topTermsCms(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (t, e) =>
+      assert(e >= exact(t), s"CMS undercounted $t: $e < ${exact(t)}")
+      assert(e <= exact(t) + (eps * totalTokens).toLong + 1,
+        s"CMS overcount beyond bound for $t: $e vs ${exact(t)}")
+    }
+    val again = TextOps.topTermsCms(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == est)
+  }
+
   test("lmScore is deterministic across runs (decimal-stabilized sum)") {
     val a = TextOps.lmScore(spark, d).collect().map(_.toString).sorted
     val b = TextOps.lmScore(spark, d).collect().map(_.toString).sorted
