@@ -818,6 +818,90 @@ object OracleSql {
         |       vec_id AS neighbor_id, cosine_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "emb_topk_ivfpq" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 10),
+        |csims AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, len(v.e) + 1),
+        |      i -> v.e[i] * c.ce[i])) /
+        |    (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM emb v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM csims) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM csims WHERE vec_id < 10) WHERE rn <= 3),
+        |ss AS (SELECT unnest(range(16)) AS s),
+        |cb AS (
+        |  SELECT sd.vec_id AS code, ss.s,
+        |         sd.e[ss.s*4+1 : ss.s*4+4] AS cw
+        |  FROM emb sd, ss WHERE sd.vec_id < 32),
+        |subs AS (
+        |  SELECT v.vec_id, ss.s, v.e[ss.s*4+1 : ss.s*4+4] AS sv
+        |  FROM emb v, ss),
+        |codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT sub.vec_id, sub.s, cb.code,
+        |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY list_sum(list_transform(range(1, 5),
+        |          i -> (sub.sv[i] - cb.cw[i]) * (sub.sv[i] - cb.cw[i]))),
+        |          cb.code) AS rn
+        |    FROM subs sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id, flatten(list(cb.cw ORDER BY c.s)) AS r
+        |  FROM codes c JOIN cb ON c.s = cb.s AND c.code = cb.code
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE a.vec_id <> p.query_id),
+        |approx AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, len(q.e) + 1),
+        |      i -> q.e[i] * r.r[i])) /
+        |    (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(r.r, x -> x * x)))) AS approx_sim
+        |  FROM cand c
+        |  JOIN emb q ON c.query_id = q.vec_id
+        |  JOIN recon r ON c.vec_id = r.vec_id),
+        |shortlist AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY approx_sim DESC, vec_id) AS arank
+        |    FROM approx) WHERE arank <= 50),
+        |rescored AS (
+        |  SELECT sl.query_id, sl.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+        |      AS cosine_sim
+        |  FROM shortlist sl
+        |  JOIN emb q ON sl.query_id = q.vec_id
+        |  JOIN emb v ON sl.vec_id = v.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine_sim DESC, vec_id) AS rank
+        |  FROM rescored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id, cosine_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "emb_near_dup" ->
       """WITH n AS (
         |  SELECT vec_id, label,

@@ -60,6 +60,7 @@ object SparkEntry {
     "emb_topk_ivf"        -> (SimilarityOps.ivfTopK(_, _)),
     "emb_topk_ivf_seeded" -> (SimilarityOps.ivfTopKSeeded(_, _)),
     "emb_topk_pq"         -> (SimilarityOps.pqTopKSeeded(_, _)),
+    "emb_topk_ivfpq"      -> (SimilarityOps.ivfPqTopK(_, _)),
     "emb_near_dup"        -> (SimilarityOps.cosineNearDupPairs(_, _, 0.3)),
     // events
     "ev_json_extract"     -> (EventOps.jsonExtract(_, _)),

@@ -339,6 +339,87 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ: the two coarse-to-fine stages composed — the architecture
+    * production ANN systems (FAISS IVFPQ) actually run at scale. The
+    * coarse quantizer ([[ivfTopKSeeded]]'s seeded centroids) prunes the
+    * corpus to `nProbe` cells per query; within the probed cells the
+    * ADC pass scores PQ-RECONSTRUCTED vectors ([[pqTopKSeeded]]'s seeded
+    * codebooks); only the surviving `rerank` shortlist touches true
+    * full-precision vectors.
+    *
+    * Why this composition is the 100 TB shape: IVF cuts candidates by
+    * |cells|/nProbe (coarse geometry), PQ cuts the bytes per candidate
+    * by 32× (ADC reads codes, not vectors), and the exact re-rank reads
+    * full vectors at `rerank/|corpus|` selectivity. Every stage is
+    * row-local compiled expressions (assignment, encode, reconstruct) —
+    * the only shuffles are the per-query rank windows, both over
+    * already-pruned sets.
+    *
+    * Fully deterministic (seeded centroids + seeded codebooks, no
+    * floating averages) — carries a complete DuckDB oracle like both
+    * parents. Recall vs brute force is spec-measured.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      nProbe: Int = 3, cells: Int = 10, m: Int = 16, codebookSize: Int = 32,
+      rerank: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // bounded driver state: cells + codebookSize stored vectors (the
+    // k-means/codebook-training footprint class, collected once)
+    val seedRows: Array[Array[Double]] = emb
+      .filter(col("vec_id") < math.max(cells, codebookSize))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centroids = seedRows.take(cells)
+    val seeds = seedRows.take(codebookSize)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(si => seeds.map(_.slice(si * sub, (si + 1) * sub)))
+    val codeCols = (0 until m).map { si =>
+      element_at(nearestCentroids(
+        slice(col("embedding"), si * sub + 1, sub),
+        codebook(si), 1, "l2"), 1).as(s"code_$si")
+    }
+    val recon = flatten(array((0 until m).map { si =>
+      element_at(typedlit(codebook(si).map(_.toSeq).toSeq),
+        col(s"code_$si") + 1)
+    }: _*))
+    // stored index: (vec_id, cell, codes→recon) — cell + m codes per
+    // vector; both compiled row-local, zero shuffle
+    val coded = emb
+      .withColumn("cell",
+        element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
+      .select((col("vec_id") +: col("cell") +: codeCols): _*)
+      .withColumn("recon", recon)
+      .select("vec_id", "cell", "recon")
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(nearestCentroids(col("embedding"), centroids, nProbe))
+          .as("cell"))
+    // stage 1 (IVF ∩ ADC): only probed cells, codes only
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+    val shortlist = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_sim", cosineSim(col("q_emb"), col("recon")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select("query_id", "q_emb", "vec_id")
+    // stage 2: exact re-rank of the shortlist's true vectors
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    shortlist
+      .join(emb, Seq("vec_id"))
+      .withColumn("cosine_sim",
+        round(cosineSim(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Near-duplicate pairs via banded hyperplane LSH — the 100 TB shape:
     * candidates are bucket collisions (∝ true-dup density in the near-dup
     * regime, never all-pairs), verified with exact cosine. Unlike the

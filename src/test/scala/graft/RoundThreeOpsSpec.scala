@@ -104,6 +104,30 @@ class RoundThreeOpsSpec extends AnyFunSuite {
       "reconstructed cosine must stay a valid cosine")
   }
 
+  test("IVF-PQ top-k: coarse pruning composed with ADC keeps recall, " +
+      "shape intact, and results ⊆ the probed-cell universe") {
+    val brute = SimilarityOps.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityOps.ivfPqTopK(spark, d).collect()
+    assert(rows.length == 50, "10 queries × k=5")
+    val hits = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // two lossy stages compose: cell misses (IVF) + code collisions (PQ);
+    // the planted-cluster corpus must still retain most true neighbors
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF-PQ recall vs brute: $recall")
+    // exact re-rank means surfaced similarities are true cosines: every
+    // (query, neighbor) pair's score must equal the brute-force score
+    val bruteScores = SimilarityOps.bruteForceTopK(spark, d, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteScores.get(key).foreach(exp =>
+        assert(r.getDouble(3) == exp, s"re-ranked score drifted for $key"))
+    }
+  }
+
   test("NearestCentroids l2 metric picks the closest-by-distance " +
       "centroid, not the closest-by-angle one") {
     // v = (3,3): cosine prefers the far-but-aligned (100,100);
