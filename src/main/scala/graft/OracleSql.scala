@@ -931,6 +931,30 @@ object OracleSql {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "ev_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS hour_dec,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(hour) AS first_hour, max(hour) AS last_hour
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(first_hour, last_hour,
+        |    INTERVAL 1 HOUR)) AS hour
+        |  FROM spans)
+        |SELECT g.user_id, g.hour,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  COALESCE(CAST(h.hour_dec AS DOUBLE), 0.0) AS hour_value,
+        |  CAST(last_value(h.hour_dec IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS carried_value
+        |FROM grid g
+        |LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY 1, 2""".stripMargin,
+
     "ev_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -124,6 +124,7 @@ object SparkEntry {
     "txt_quality_gate"    -> (TextOps.qualityGate(_, _)),
     "txt_mixture_sample"  -> (TextOps.mixtureSample(_, _)),
     "ev_incremental_agg"  -> (EventOps.incrementalHourly(_, _)),
+    "ev_gap_fill"         -> (EventOps.gapFillHourly(_, _)),
     // round 3: multi-way join analytics over the full fact chain
     "r_shipping_priority"     -> (Analytics.shippingPriority(_, _)),
     "r_local_supplier_volume" -> (Analytics.localSupplierVolume(_, _)),

@@ -279,4 +279,38 @@ object EventOps {
         min("min_value").as("min_value"), max("max_value").as("max_value"))
       .orderBy("hour", "event_type")
   }
+
+  /** Gap-filled hourly series per user: materialize every hour in each
+    * user's [first, last] activity span (`sequence` + explode — the
+    * generator runs rowwise, no driver loop), left-join the real hourly
+    * aggregates, and forward-fill the running value with a
+    * last-non-null window (`last(_, ignoreNulls)` over an unbounded
+    * preceding frame). The standard densify-then-fill reshape feeding
+    * time-series models from irregular event data.
+    *
+    * Scale: the grid is |users| × active-span-hours — generated, never
+    * shuffled (explode is narrow); the only shuffle is the user-keyed
+    * window, which any per-user series op needs. Money stays DECIMAL
+    * until the final surface.
+    */
+  def gapFillHourly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("hour_dec"),
+        count(lit(1)).as("n_events"))
+    val spans = hourly.groupBy("user_id")
+      .agg(min("hour").as("first_hour"), max("hour").as("last_hour"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("first_hour"), col("last_hour"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("hour_dec").cast("double"), lit(0.0)).as("hour_value"),
+        last(col("hour_dec"), ignoreNulls = true).over(w)
+          .cast("double").as("carried_value"))
+      .orderBy("user_id", "hour")
+  }
 }

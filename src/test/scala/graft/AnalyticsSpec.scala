@@ -74,6 +74,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(totalLines == expected)
   }
 
+  test("gapFillHourly: dense per-user hourly grid (no holes), " +
+      "carried_value never null, zero-filled gap rows carry the last " +
+      "real value") {
+    import graft.ops.EventOps
+    val out = EventOps.gapFillHourly(spark, d).cache()
+    try {
+      // dense grid: per user, row count == span hours + 1
+      val spans = out.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          ((unix_timestamp(max("hour")) - unix_timestamp(min("hour"))) / 3600
+            + 1).as("expected"))
+      assert(spans.filter(col("n") =!= col("expected")).count() == 0)
+      // the first row of every user is a real activity hour ⇒ carried
+      // value defined everywhere
+      assert(out.filter(col("carried_value").isNull).count() == 0)
+      // gap rows contribute no events/value of their own
+      val gaps = out.filter(col("n_events") === 0)
+      assert(gaps.count() > 0, "fixture should contain gaps")
+      assert(gaps.filter(col("hour_value") =!= 0.0).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("plan shape: promoRevenueShare broadcasts part; " +
       "shippingPriority pushes the segment filter into the customer scan") {
     val promoPlan = Analytics.promoRevenueShare(spark, d)
