@@ -931,6 +931,45 @@ object OracleSql {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "r_set_ops_all" ->
+      """WITH open_o AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |both_ops AS (
+        |  SELECT 'intersect_all' AS set_op, o_custkey
+        |  FROM (SELECT o_custkey FROM open_o
+        |        INTERSECT ALL SELECT o_custkey FROM urgent)
+        |  UNION ALL
+        |  SELECT 'except_all' AS set_op, o_custkey
+        |  FROM (SELECT o_custkey FROM open_o
+        |        EXCEPT ALL SELECT o_custkey FROM urgent))
+        |SELECT set_op, o_custkey, count(*) AS multiplicity
+        |FROM both_ops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "r_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+        |  FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_lines', n_lines FROM wide
+        |ORDER BY 1, 2""".stripMargin,
+
+    "ev_variant_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "ev_gap_fill" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

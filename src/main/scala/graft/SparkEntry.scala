@@ -125,6 +125,9 @@ object SparkEntry {
     "txt_mixture_sample"  -> (TextOps.mixtureSample(_, _)),
     "ev_incremental_agg"  -> (EventOps.incrementalHourly(_, _)),
     "ev_gap_fill"         -> (EventOps.gapFillHourly(_, _)),
+    "r_set_ops_all"       -> (Relational.setOpsAll(_, _)),
+    "r_unpivot"           -> (Relational.unpivotMetrics(_, _)),
+    "ev_variant_extract"  -> (EventOps.variantExtract(_, _)),
     // round 3: multi-way join analytics over the full fact chain
     "r_shipping_priority"     -> (Analytics.shippingPriority(_, _)),
     "r_local_supplier_volume" -> (Analytics.localSupplierVolume(_, _)),

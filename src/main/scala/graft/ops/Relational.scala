@@ -68,6 +68,46 @@ object Relational {
       .orderBy("set_op", "c_custkey")
   }
 
+  /** Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicities (SQL:2003 multiset semantics; Spark `intersectAll`/
+    * `exceptAll`). Distinct-semantics twins live in [[setOps]]. The
+    * multiset here is customer keys of orders, which genuinely repeats.
+    * Same scale shape as the distinct variants: one hash shuffle per op,
+    * but counting occurrences instead of deduping.
+    */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    open.intersectAll(urgent).withColumn("set_op", lit("intersect_all"))
+      .union(open.exceptAll(urgent).withColumn("set_op", lit("except_all")))
+      .groupBy("set_op", "o_custkey")
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy("set_op", "o_custkey")
+  }
+
+  /** UNPIVOT/melt — the wide→long reshape (inverse of [[pivotCounts]]):
+    * per-returnflag money aggregates melted into (flag, metric, value)
+    * rows. Narrow after the aggregate: unpivot is a per-row Expand, no
+    * extra shuffle.
+    */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(18,2)")
+    val wide = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_lines"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_lines")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** Generator/explode: part-name unigrams with counts — the flatMap shape
     * (Spark `explode`, SQL UNNEST).
     */

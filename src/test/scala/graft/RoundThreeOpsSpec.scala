@@ -104,6 +104,30 @@ class RoundThreeOpsSpec extends AnyFunSuite {
       "reconstructed cosine must stay a valid cosine")
   }
 
+  test("setOpsAll: bag semantics reconcile — intersectAll + exceptAll " +
+      "multiplicities rebuild the left multiset exactly") {
+    val out = Relational.setOpsAll(spark, d)
+    val rebuilt = out.groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum("multiplicity").as("m"))
+    val left = Tables.orders(spark, d)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O")
+      .groupBy("o_custkey").count()
+    val joined = rebuilt.join(left, "o_custkey")
+    assert(joined.count() == left.count())
+    assert(joined.filter(
+      org.apache.spark.sql.functions.col("m") =!=
+        org.apache.spark.sql.functions.col("count")).count() == 0)
+  }
+
+  test("variantExtract: typed path reads agree with the JSON-path twin; " +
+      "missing paths are NULL for every row") {
+    val v = EventOps.variantExtract(spark, d)
+    val j = EventOps.jsonExtract(spark, d)
+    assert(v.select("event_id", "k").exceptAll(j).count() == 0)
+    assert(v.filter(org.apache.spark.sql.functions.col("missing").isNotNull)
+      .count() == 0)
+  }
+
   test("IVF-PQ top-k: coarse pruning composed with ADC keeps recall, " +
       "shape intact, and results ⊆ the probed-cell universe") {
     val brute = SimilarityOps.bruteForceTopK(spark, d)
