@@ -24,6 +24,43 @@ object OracleSql {
     * `DedupOps.ngramJaccardPairsFrom`. Used by the ngram oracle and both
     * cluster oracles.
     */
+  /** Shared CTE chain producing `cand` — banded-SimHash candidate pairs
+    * (doc_a < doc_b, hamming distance) over `documents`; the twin of
+    * `DedupOps.simhashPairs` up to the hamming filter. Used by the
+    * simhash-pairs oracle and the recursive-reachability oracle.
+    */
+  private def simhashPairsCtes: String = {
+    val tokBase = "(SELECT doc_id, unnest(" + toksSql("lower(text)") +
+      ") AS tok FROM documents)"
+    s"""${Xxh64Sql.chain(tokBase, "tok", 2, "th")},
+       |votes AS (
+       |  SELECT doc_id, i.range AS i,
+       |         sum(CASE WHEN (th_u // power(2, i.range)::HUGEINT) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN range(64) i GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN v > 0 THEN power(2, i)::HUGEINT
+       |             ELSE 0::HUGEINT END) AS u
+       |  FROM votes GROUP BY 1),
+       |fp AS (
+       |  SELECT d.doc_id, COALESCE(s.u, 0::HUGEINT) AS u,
+       |         COALESCE(CASE WHEN s.u >= 9223372036854775808
+       |                       THEN CAST(s.u - 18446744073709551616 AS BIGINT)
+       |                       ELSE CAST(s.u AS BIGINT) END, 0) AS fphash
+       |  FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id),
+       |banded AS (
+       |  SELECT doc_id, fphash, b.range AS band,
+       |         (u // power(2, 16*b.range)::HUGEINT) % 65536 AS chunk
+       |  FROM fp CROSS JOIN range(4) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         CAST(bit_count(xor(x.fphash, y.fphash)) AS INTEGER) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.chunk = y.chunk
+       |  WHERE x.doc_id < y.doc_id)""".stripMargin
+  }
+
   private def ngramPairsCtes: String =
     s"""toks AS (
        |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
@@ -495,39 +532,27 @@ object OracleSql {
     // dedup_simhash + 4×16-bit banding, bucket join, Hamming verify —
     // the xor/bit_count run on the signed BIGINT form (two's complement
     // xor ≡ u64 xor), mirroring the engine
-    "dedup_simhash_pairs" -> {
-      val tokBase = "(SELECT doc_id, unnest(" + toksSql("lower(text)") +
-        ") AS tok FROM documents)"
-      s"""WITH ${Xxh64Sql.chain(tokBase, "tok", 2, "th")},
-         |votes AS (
-         |  SELECT doc_id, i.range AS i,
-         |         sum(CASE WHEN (th_u // power(2, i.range)::HUGEINT) % 2 = 1
-         |             THEN 1 ELSE -1 END) AS v
-         |  FROM th CROSS JOIN range(64) i GROUP BY 1, 2),
-         |sim AS (
-         |  SELECT doc_id,
-         |         sum(CASE WHEN v > 0 THEN power(2, i)::HUGEINT
-         |             ELSE 0::HUGEINT END) AS u
-         |  FROM votes GROUP BY 1),
-         |fp AS (
-         |  SELECT d.doc_id, COALESCE(s.u, 0::HUGEINT) AS u,
-         |         COALESCE(CASE WHEN s.u >= 9223372036854775808
-         |                       THEN CAST(s.u - 18446744073709551616 AS BIGINT)
-         |                       ELSE CAST(s.u AS BIGINT) END, 0) AS fphash
-         |  FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id),
-         |banded AS (
-         |  SELECT doc_id, fphash, b.range AS band,
-         |         (u // power(2, 16*b.range)::HUGEINT) % 65536 AS chunk
-         |  FROM fp CROSS JOIN range(4) b),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |         CAST(bit_count(xor(x.fphash, y.fphash)) AS INTEGER) AS hamming
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.chunk = y.chunk
-         |  WHERE x.doc_id < y.doc_id)
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashPairsCtes
          |SELECT doc_a, doc_b, hamming FROM cand
-         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Recursive-CTE DAG reachability from the smallest near-dup doc over
+    // the (doc_a < doc_b)-directed simhash edges, depth-capped at 4 —
+    // the hierarchy/BOM-walk shape of WITH RECURSIVE (Spark 4 UNION ALL
+    // semantics; min-depth aggregation dedups diamond paths).
+    "r_recursive_reach" ->
+      s"""WITH RECURSIVE $simhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM cand WHERE hamming <= 3),
+         |reach(doc_id, depth) AS (
+         |  SELECT min(doc_a), 0 FROM edges
+         |  UNION ALL
+         |  SELECT e.doc_b, r.depth + 1
+         |  FROM reach r JOIN edges e ON e.doc_a = r.doc_id
+         |  WHERE r.depth < 4)
+         |SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ------------------------------------------------------------ dedup
     "dedup_exact" ->

@@ -126,6 +126,7 @@ object SparkEntry {
     "ev_incremental_agg"  -> (EventOps.incrementalHourly(_, _)),
     "ev_gap_fill"         -> (EventOps.gapFillHourly(_, _)),
     "r_set_ops_all"       -> (Relational.setOpsAll(_, _)),
+    "r_recursive_reach"   -> (Relational.recursiveReach(_, _)),
     "r_unpivot"           -> (Relational.unpivotMetrics(_, _)),
     "ev_variant_extract"  -> (EventOps.variantExtract(_, _)),
     // round 3: multi-way join analytics over the full fact chain

@@ -108,6 +108,34 @@ object Relational {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): bounded-depth DAG
+    * reachability from the smallest near-dup document over the
+    * id-directed (doc_a < doc_b) SimHash edge list — the hierarchy /
+    * bill-of-materials walk shape. Spark's recursion is UNION ALL
+    * semantics, so the walk is kept acyclic by direction and capped at
+    * depth 4; min-depth aggregation collapses diamond paths.
+    *
+    * Scale: each recursion step is one join of the (tiny) frontier
+    * against the edge list — same per-round shape as
+    * [[graft.ops.DedupOps.connectedComponents]], which remains the
+    * engine's fixpoint-to-convergence operator (recursion depth there is
+    * data-driven, not capped; use CC for components, WITH RECURSIVE for
+    * bounded hierarchical walks).
+    */
+  def recursiveReach(s: SparkSession, d: String): DataFrame = {
+    DedupOps.simhashPairs(s, d).select("doc_a", "doc_b")
+      .createOrReplaceTempView("graft_simhash_edges")
+    s.sql("""
+      WITH RECURSIVE reach(doc_id, depth) AS (
+        SELECT min(doc_a), 0 FROM graft_simhash_edges
+        UNION ALL
+        SELECT e.doc_b, r.depth + 1
+        FROM reach r JOIN graft_simhash_edges e ON e.doc_a = r.doc_id
+        WHERE r.depth < 4)
+      SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+      FROM reach GROUP BY doc_id ORDER BY doc_id""")
+  }
+
   /** Generator/explode: part-name unigrams with counts — the flatMap shape
     * (Spark `explode`, SQL UNNEST).
     */
