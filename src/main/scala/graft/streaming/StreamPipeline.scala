@@ -145,6 +145,84 @@ object StreamPipeline {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Spark 4 `transformWithState` twin of [[sessionizeStream]] — the
+    * successor API to `flatMapGroupsWithState`: typed state variables
+    * come from a handle (`getValueState`) instead of one opaque state
+    * object, session closure runs in an explicit `handleExpiredTimer`
+    * callback on a registered event-time timer, and the operator
+    * requires the RocksDB state store (per-key state off-heap, the
+    * backend that scales state past executor memory — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`). Semantics are identical to
+    * the fMGWS sessionizer (spec: same closed sessions, batch
+    * boundaries invisible).
+    */
+  class SessionProcessor(gapMin: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    private val gapMs = gapMin * 60 * 1000L
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var closed = List.empty[SessionOut]
+      var cur = Option(state.get())
+      val hadTimer = cur.map(_.last + gapMs)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.last >= gapMs =>
+            closed ::= SessionOut(userId, new java.sql.Timestamp(st.start),
+              st.n, (st.last - st.start) / 1000L)
+            cur = Some(SessionState(t, t, 1))
+          case Some(st) =>
+            cur = Some(SessionState(st.start, math.max(st.last, t), st.n + 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        // re-arm: one live timer per key (delete the superseded one)
+        hadTimer.filter(_ != st.last + gapMs)
+          .foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(st.last + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out = Option(state.get()).map { st =>
+        SessionOut(userId, new java.sql.Timestamp(st.start),
+          st.n, (st.last - st.start) / 1000L)
+      }
+      state.clear()
+      out.iterator
+    }
+  }
+
+  /** [[sessionizeStream]] on the transformWithState API — same contract,
+    * new-generation state backend. See [[SessionProcessor]].
+    */
+  def sessionizeStreamTws(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMin: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", s"$gapMin minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMin),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** The declarative twin of [[sessionizeStream]]: Spark's native
     * `session_window` aggregation — gap-based session grouping with
     * watermark-bounded state and no hand-written state machine. Prefer

@@ -102,6 +102,45 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer (RocksDB state store) closes the " +
+      "same sessions as the flatMapGroupsWithState twin") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamPipeline.sessionizeStreamTws(mem.toDS(), gapMin = 30)
+    val q = out.writeStream.format("memory").queryName("sess_tws_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(1, t(0, 0), 1.0),
+        SessionEvent(1, t(0, 10), 1.0), SessionEvent(1, t(0, 20), 1.0),
+        SessionEvent(2, t(0, 5), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_tws_out").count() === 0) // all still open
+      // 2h later: user 1's first session closes (in-row gap), and the
+      // advancing watermark expires user 2's timer (handleExpiredTimer)
+      mem.addData(SessionEvent(1, t(2, 30), 1.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1, t(5, 0), 1.0)) // push watermark past timers
+      q.processAllAvailable()
+      val rows = spark.table("sess_tws_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec"))).toSet
+      assert(rows.contains((1L, t(0, 0), 3L, 1200L)),
+        s"user 1 first session wrong: $rows")
+      assert(rows.contains((2L, t(0, 5), 1L, 0L)),
+        s"user 2 timer-closed session missing: $rows")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming ingest: quality-gated, redacted, content-deduped " +
       "within the watermark horizon") {
     import spark.implicits._
