@@ -1,0 +1,169 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 TableProvider: a deterministic synthetic `documents`
+  * generator (`spark.read.format("graftdocs")`), the engine's from-scratch
+  * source extension — the seam the reference fills with managed connectors
+  * (Kinesis `KINESIS:38-46`, JDBC `EMU:24-31`), expressed through Spark's
+  * public connector API instead of a driver-side loop.
+  *
+  * Scale behavior this demonstrates (spec-verified):
+  *  - **Partitioned generation**: `rows` split across `partitions` input
+  *    splits, each generated independently on its executor — no driver
+  *    materialization, linear scale-out.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): doc_id range
+  *    predicates are consumed by the source, which narrows each split's
+  *    generation range — rows outside the range are never produced (the
+  *    DSv2 analog of parquet row-group pruning). Non-id filters are
+  *    left as residuals for Spark to evaluate.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): unprojected
+  *    columns are never synthesized (text generation is the expensive
+  *    part — the ReadSchema contract).
+  *
+  * Determinism: row content is a pure function of doc_id (xorshift-mixed),
+  * so any split layout, filter, or rerun yields identical rows.
+  */
+class GraftDocsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDocsSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftDocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object GraftDocsSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  private val words = Array("data", "table", "query", "scan", "join",
+    "filter", "sort", "merge", "batch", "stream", "row", "column")
+  private val langs = Array("en", "de", "fr", "es")
+
+  /** splitmix64-style mix: deterministic content from doc_id alone. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def textFor(docId: Long): String = {
+    val n = 8 + (mix(docId) & 7).toInt
+    (0 until n).map(i => words((mix(docId * 31 + i) & 0x7fffffff).toInt
+      % words.length)).mkString(" ")
+  }
+
+  def langFor(docId: Long): String =
+    langs((mix(docId ^ 0x5bf03635L) & 0x7fffffff).toInt % langs.length)
+}
+
+class GraftDocsTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftdocs($rows)"
+  override def schema(): StructType = GraftDocsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDocsScanBuilder(rows, partitions)
+}
+
+class GraftDocsScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L            // inclusive generation bound
+  private var hi = rows          // exclusive generation bound
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = GraftDocsSource.schema
+
+  /** Consume doc_id range filters (narrow [lo, hi)); everything else is
+    * a residual Spark evaluates post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftDocsScan(lo, hi, partitions, required)
+}
+
+case class GraftDocsPartition(start: Long, end: Long) extends InputPartition
+
+class GraftDocsScan(lo: Long, hi: Long, partitions: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Surfaces the pushed-down state in EXPLAIN (BatchScan prints this):
+    * the generation range after filter pushdown and the pruned column
+    * set — the DSv2 equivalent of a file scan's PushedFilters/ReadSchema
+    * lines, so plan audits can verify pushdown actually reached the
+    * source.
+    */
+  override def description(): String =
+    s"GraftDocsScan PushedRange: [$lo, $hi) " +
+      s"ReadColumns: ${required.fieldNames.mkString("[", ",", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = math.max(0L, hi - lo)
+    val per = math.max(1L, (total + partitions - 1) / math.max(1, partitions))
+    Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
+      .map(s => GraftDocsPartition(s, math.min(hi, s + per)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsReaderFactory(required)
+}
+
+class GraftDocsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftDocsPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = part.start - 1
+      override def next(): Boolean = { cur += 1; cur < part.end }
+      override def get(): InternalRow = {
+        // synthesize ONLY the pruned columns (text is the costly one)
+        val values = required.fields.map(_.name).map {
+          case "doc_id" => cur
+          case "text" => UTF8String.fromString(GraftDocsSource.textFor(cur))
+          case "lang" => UTF8String.fromString(GraftDocsSource.langFor(cur))
+          case "n_chars" => GraftDocsSource.textFor(cur).length.toLong
+          case other => throw new IllegalArgumentException(
+            s"unknown column $other")
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

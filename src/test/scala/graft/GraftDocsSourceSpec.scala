@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 contract specs for the synthetic documents source:
+  * pushdown reaches the source, pruning reaches the reader, generation
+  * is deterministic and partition-parallel.
+  */
+class GraftDocsSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def read(rows: Long = 1000, partitions: Int = 4) =
+    spark.read.format("graft.sources.v2.GraftDocsSource")
+      .option("rows", rows.toString)
+      .option("partitions", partitions.toString)
+      .load()
+
+  test("full read: exactly `rows` rows, doc_id dense 0..n-1, " +
+      "spread over `partitions` input splits") {
+    val df = read(rows = 1000, partitions = 4)
+    assert(df.count() === 1000)
+    assert(df.agg(min("doc_id"), max("doc_id"), countDistinct("doc_id"))
+      .head().toSeq === Seq(0L, 999L, 1000L))
+    assert(df.rdd.getNumPartitions === 4)
+  }
+
+  test("doc_id range filters are PUSHED (visible in the scan) and narrow " +
+      "generation; non-id filters stay residual and still apply") {
+    val df = read().filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedRange: [100, 200)"), plan)
+    assert(df.count() === 100)
+    // residual filter on a generated column composes with the pushed range
+    val en = read().filter(col("doc_id") < 400 && col("lang") === "en")
+    val rows = en.collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getAs[Long]("doc_id") < 400 && r.getAs[String]("lang") == "en"))
+  }
+
+  test("column pruning reaches the reader (ReadSchema excludes text) " +
+      "and values are deterministic across reruns and layouts") {
+    val slim = read().select("doc_id", "lang")
+    val plan = slim.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadColumns: [doc_id,lang]"), plan)
+    // determinism: same rows regardless of partition layout or run
+    val a = read(rows = 300, partitions = 2).collect()
+      .map(_.toString).sorted.toSeq
+    val b = read(rows = 300, partitions = 7).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+    // content is a pure function of doc_id: n_chars agrees with text
+    val bad = read(rows = 300, partitions = 3)
+      .filter(length(col("text")).cast("long") =!= col("n_chars")).count()
+    assert(bad === 0)
+  }
+
+  test("the source composes with engine operators (language histogram " +
+      "over generated docs)") {
+    val hist = read(rows = 2000, partitions = 8)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist.keySet === Set("en", "de", "fr", "es"))
+    assert(hist.values.sum === 2000L)
+  }
+}
