@@ -74,17 +74,19 @@ object GraftDocsSource {
     langs((mix(docId ^ 0x5bf03635L) & 0x7fffffff).toInt % langs.length)
 }
 
-class GraftDocsTable(rows: Long, partitions: Int)
+class GraftDocsTable(rows: Long, partitions: Int,
+    rowsPerBatch: Long = 100L)
     extends Table with SupportsRead {
   override def name(): String = s"graftdocs($rows)"
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocsScanBuilder(rows, partitions)
+    new GraftDocsScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-class GraftDocsScanBuilder(rows: Long, partitions: Int)
+class GraftDocsScanBuilder(rows: Long, partitions: Int,
+    rowsPerBatch: Long = 100L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -112,15 +114,28 @@ class GraftDocsScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftDocsScan(lo, hi, partitions, required)
+  override def build(): Scan =
+    new GraftDocsScan(lo, hi, partitions, required, rowsPerBatch)
 }
 
 case class GraftDocsPartition(start: Long, end: Long) extends InputPartition
 
 class GraftDocsScan(lo: Long, hi: Long, partitions: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, rowsPerBatch: Long = 100L)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Micro-batch stream over the same generated id-space: the offset IS
+    * the next doc_id (a totally ordered, replayable position — the
+    * Kinesis/Kafka sequence-number analog). Each trigger admits up to
+    * `rowsPerBatch` ids; (start, end] offset ranges are re-planned
+    * deterministically on recovery, so a checkpointed query resumes
+    * exactly-once without source-side state.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftDocsMicroBatchStream(lo, hi, partitions, required, rowsPerBatch)
 
   /** Surfaces the pushed-down state in EXPLAIN (BatchScan prints this):
     * the generation range after filter pushdown and the pruned column
@@ -142,6 +157,51 @@ class GraftDocsScan(lo: Long, hi: Long, partitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDocsReaderFactory(required)
+}
+
+case class GraftDocsOffset(next: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = next.toString
+}
+
+class GraftDocsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
+    required: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var paced = lo
+
+  override def initialOffset(): Offset = GraftDocsOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    GraftDocsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+
+  /** Admission control: each trigger's latestOffset advances by at most
+    * `rowsPerBatch` ids — the maxOffsetsPerTrigger backpressure shape
+    * (paced off the previously announced offset, as the built-in rate
+    * source does; recovery replans from checkpointed offset ranges, so
+    * this driver-side pacing state needs no durability).
+    */
+  override def latestOffset(): Offset = {
+    paced = math.min(hi, paced + rowsPerBatch)
+    GraftDocsOffset(paced)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftDocsOffset].next
+    val e = end.asInstanceOf[GraftDocsOffset].next
+    val total = math.max(0L, e - s)
+    if (total == 0) return Array.empty
+    val per = math.max(1L, (total + partitions - 1) / math.max(1, partitions))
+    Iterator.iterate(s)(_ + per).takeWhile(_ < e)
+      .map(b => GraftDocsPartition(b, math.min(e, b + per)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsReaderFactory(required)
+  override def stop(): Unit = ()
 }
 
 class GraftDocsReaderFactory(required: StructType)

@@ -57,6 +57,31 @@ class GraftDocsSourceSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("micro-batch stream: offset-paced batches, exactly-once totals, " +
+      "stream rows identical to the batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs-stream")
+    val stream = spark.readStream
+      .format("graft.sources.v2.GraftDocsSource")
+      .option("rows", "350").option("partitions", "3").load()
+    val q = stream.writeStream.format("memory").queryName("gds_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("gds_out")
+      // drained to completion: every id exactly once (350 rows over
+      // ceil(350/100)=4 offset-paced micro-batches)
+      assert(out.count() === 350)
+      assert(out.select("doc_id").distinct().count() === 350)
+      // stream content ≡ batch content (same pure-function generation)
+      val batch = read(rows = 350, partitions = 3)
+      assert(out.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(out).count() === 0)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        "expected ≥4 non-empty offset-paced micro-batches")
+    } finally q.stop()
+  }
+
   test("the source composes with engine operators (language histogram " +
       "over generated docs)") {
     val hist = read(rows = 2000, partitions = 8)
