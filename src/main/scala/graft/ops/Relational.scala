@@ -123,7 +123,12 @@ object Relational {
     * bounded hierarchical walks).
     */
   def recursiveReach(s: SparkSession, d: String): DataFrame = {
+    // materialize the edge list once: the recursion re-scans its
+    // non-recursive inputs on every iteration, so an un-checkpointed
+    // view would re-run the whole SimHash pair pipeline per depth level
+    // (measured: 12 document scans for a depth-4 walk)
     DedupOps.simhashPairs(s, d).select("doc_a", "doc_b")
+      .localCheckpoint()
       .createOrReplaceTempView("graft_simhash_edges")
     s.sql("""
       WITH RECURSIVE reach(doc_id, depth) AS (
