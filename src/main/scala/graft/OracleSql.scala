@@ -97,6 +97,57 @@ object OracleSql {
       s"generate_series(1, len(t) - ${n - 1}), " +
       s"i -> array_to_string(t[i:i+${n - 1}], ' ')) ELSE []::VARCHAR[] END"
 
+  /** Shared CTE chain producing `sig` — (media_id, uh HUGEINT, phash
+    * BIGINT) perceptual hashes of the image-kind media rows; the twin of
+    * `Multimodal.imagePhash` over the text-bytes fixture payloads.
+    */
+  private val phashSigCtes: String =
+    """hx AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |byteval AS (
+      |  SELECT media_id, unnest(list_transform(range(1, n+1), i ->
+      |    {'pos': i,
+      |     'b': (strpos('123456789ABCDEF', substr(h, 2*i-1, 1))) * 16
+      |        + (strpos('123456789ABCDEF', substr(h, 2*i, 1)))})) AS x
+      |  FROM hx),
+      |cells AS (
+      |  SELECT media_id, CAST((x.pos - 1) % 64 AS INT) AS cell,
+      |         CAST(sum(x.b) AS BIGINT) AS v
+      |  FROM byteval GROUP BY 1, 2),
+      |tot AS (SELECT media_id, sum(v) AS t FROM cells GROUP BY 1),
+      |bits AS (
+      |  SELECT cells.media_id,
+      |         sum(CASE WHEN v * 64 > t
+      |             THEN CAST(1 AS HUGEINT) << cell
+      |             ELSE CAST(0 AS HUGEINT) END) AS uh
+      |  FROM cells JOIN tot ON cells.media_id = tot.media_id GROUP BY 1),
+      |sig AS (
+      |  SELECT media_id, uh,
+      |         CAST(CASE WHEN uh >= (CAST(1 AS HUGEINT) << 63)
+      |              THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END
+      |           AS BIGINT) AS phash
+      |  FROM bits)""".stripMargin
+
+  /** [[phashSigCtes]] extended to `jpairs` — verified Hamming ≤ 3 image
+    * pairs via the 4×16-bit banding; twin of `Multimodal.phashPairs`.
+    */
+  private val phashPairsCtes: String =
+    s"""$phashSigCtes,
+       |banded AS (
+       |  SELECT media_id, phash, b.band AS band,
+       |         CAST((uh >> (b.band * 16)) & 65535 AS INT) AS chunk
+       |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+       |jpairs AS (
+       |  SELECT media_a, media_b, CAST(hamming AS INT) AS hamming FROM (
+       |    SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+       |           bit_count(xor(x.phash, y.phash)) AS hamming
+       |    FROM banded x JOIN banded y
+       |      ON x.band = y.band AND x.chunk = y.chunk
+       |    WHERE x.media_id < y.media_id) p
+       |  WHERE hamming <= 3)""".stripMargin
+
   private def decontaminateSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
@@ -305,6 +356,42 @@ object OracleSql {
          |       THEN 1.0 - len(list_distinct(gl)) / len(gl)
          |       ELSE 0.0 END AS rep_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Mirrors CorpusOps.segmentDedup exactly: 10-word fixed segments,
+    // drop segments present in >1 distinct doc, reassemble in order.
+    // DuckDB list slicing wl[a:b] is inclusive-bounds — equivalent to
+    // Spark slice(w, a, 10) truncated at len(wl).
+    "txt_segment_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+        |segs AS (
+        |  SELECT doc_id, x.seg_id AS seg_id, x.seg_text AS seg_text FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(0,
+        |        greatest(CAST(ceil(len(wl)/10.0) AS INT), 1) - 1),
+        |      i -> {'seg_id': i,
+        |            'seg_text': array_to_string(
+        |              wl[i*10+1 : least((i+1)*10, len(wl))], ' ')})) AS x
+        |    FROM w) t),
+        |shared AS (
+        |  SELECT seg_text FROM segs
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (
+        |  SELECT * FROM segs
+        |  WHERE seg_text NOT IN (SELECT seg_text FROM shared)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_id)
+        |           AS clean_text,
+        |         count(*) AS kept_segs
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id,
+        |          greatest(CAST(ceil(len(wl)/10.0) AS BIGINT), 1) AS n_segs
+        |        FROM w)
+        |SELECT tot.doc_id AS doc_id, coalesce(clean_text, '') AS clean_text,
+        |       coalesce(kept_segs, 0) AS kept_segs,
+        |       tot.n_segs - coalesce(kept_segs, 0) AS dropped_segs
+        |FROM tot LEFT JOIN rebuilt ON tot.doc_id = rebuilt.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH toks AS (
@@ -1098,6 +1185,39 @@ object OracleSql {
         |SELECT media_id, CAST(b % 64 AS INT) AS pos, count(*) AS cnt
         |FROM byteval GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Multimodal.imagePhash stub twin: bytes fold into 64 cells by
+    // position mod 64; bit c set iff cell·64 > total (integer
+    // cross-multiply). HUGEINT bit-build, then two's-complement fold to
+    // signed BIGINT (DuckDB's ** returns DOUBLE — shifts stay exact).
+    "mm_phash" ->
+      s"""WITH $phashSigCtes
+         |SELECT media_id, phash FROM sig ORDER BY media_id""".stripMargin,
+
+    // Multimodal.phashPairs twin: same 4×16-bit banding + Hamming verify
+    // as dedup_simhash_pairs, over the shared phash CTEs.
+    "mm_phash_pairs" ->
+      s"""WITH $phashPairsCtes
+         |SELECT media_a, media_b, hamming FROM jpairs
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Multimodal.phashClusters twin: min-label connected components over
+    // the phash pairs (same recursive-reach formulation as dedup_clusters).
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairsCtes,
+         |edges AS (
+         |  SELECT media_a AS src, media_b AS dst FROM jpairs
+         |  UNION SELECT media_b, media_a FROM jpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS media_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT cluster_id, count(*) AS n_members,
+         |  array_to_string(list_sort(list(media_id)), ',') AS members
+         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     // Multimodal.decodeImages stub twin: Java-long polynomial byte fold
     // (h = 31·h + b mod 2^64, init 1125899906842597, final & Long.MaxValue)
     // via HUGEINT list_reduce; width/height are modular slices of the fold.
@@ -1526,5 +1646,101 @@ object OracleSql {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ---- classic decision-support shapes (TPC-H Q13/Q18/Q19/Q17/Q15/
+    // Q16/Q11 analogues over this schema) ----
+
+    "r_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "r_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_d
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) >
+        |         CAST(200 AS DECIMAL(18,2)))
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(total_qty_d AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "r_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "r_small_qty_revenue" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#7'),
+        |stats AS (
+        |  SELECT l_partkey AS agg_partkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |         count(*) AS cnt
+        |  FROM lp GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0
+        |    AS DOUBLE) AS avg_yearly
+        |FROM lp JOIN stats ON l_partkey = agg_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""".stripMargin,
+
+    "r_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS total_rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev_d AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_d = (SELECT max(total_rev_d) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "r_supplier_part_counts" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "r_important_stock" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(l_quantity AS DECIMAL(18,2))) AS part_value_d
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(part_value_d) AS total_value,
+        |             count(*) AS n_parts FROM per_part)
+        |SELECT l_partkey AS p_partkey,
+        |       CAST(part_value_d AS DOUBLE) AS part_value
+        |FROM per_part
+        |WHERE part_value_d * (SELECT n_parts FROM g) * 4 >
+        |      (SELECT total_value FROM g) * 5
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
   )
 }

@@ -77,6 +77,9 @@ object SparkEntry {
     "mm_sample_frames"    -> ((s, d) =>
       Multimodal.sampleFrameStats(Multimodal.mediaTable(s, d))
         .orderBy("media_id", "frame_idx")),
+    "mm_phash"            -> (Multimodal.phash(_, _)),
+    "mm_phash_pairs"      -> (Multimodal.phashPairs(_, _)),
+    "mm_phash_clusters"   -> (Multimodal.phashClusters(_, _)),
     "mm_resize"           -> ((s, d) =>
       Multimodal.resizeImages(Multimodal.mediaTable(s, d)).toDF()
         .orderBy("media_id")),
@@ -112,6 +115,7 @@ object SparkEntry {
       CorpusOps.decontaminateBloomFrom(Tables.documents(s, d))),
     "txt_shuffle_export"  -> (CorpusOps.shuffleExport(_, _)),
     "txt_repetition"      -> (CorpusOps.repetitionRatio(_, _)),
+    "txt_segment_dedup"   -> (CorpusOps.segmentDedup(_, _)),
     "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),
     "txt_pack"            -> (CorpusOps.packSequences(_, _)),
     // round 3: merge/upsert, quantized ANN, calibrated gates, mixtures,
@@ -135,6 +139,13 @@ object SparkEntry {
     "r_late_lines"            -> (Analytics.lateLinesByPriority(_, _)),
     "r_promo_revenue"         -> (Analytics.promoRevenueShare(_, _)),
     "r_revenue_by_tier"       -> (Analytics.revenueByTier(_, _)),
+    "r_order_count_dist"      -> (Analytics.orderCountDistribution(_, _)),
+    "r_large_orders"          -> (Analytics.largeOrders(_, _)),
+    "r_disjunctive_revenue"   -> (Analytics.disjunctiveRevenue(_, _)),
+    "r_small_qty_revenue"     -> (Analytics.smallQuantityRevenue(_, _)),
+    "r_top_supplier"          -> (Analytics.topSupplier(_, _)),
+    "r_supplier_part_counts"  -> (Analytics.supplierPartCounts(_, _)),
+    "r_important_stock"       -> (Analytics.importantStock(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -116,6 +116,175 @@ object Analytics {
       .orderBy("ship_month")
   }
 
+  /** Order-count distribution (TPC-H Q13 shape): how many customers
+    * placed k orders, including k=0 — the left-outer join that a plain
+    * groupBy can't express (customers with no orders vanish from an
+    * inner join). The priority exclusion lives on the orders side
+    * BEFORE the join (same semantics as a join-condition filter, and it
+    * prunes the fact scan). Two aggregations: the first shuffles on
+    * custkey (the only fact-sized shuffle), the second groups the
+    * per-customer counts — at most |distinct counts| rows, trivially
+    * re-shuffled. At 100 TB both sides shuffle on custkey once; there
+    * is no smaller plan for an outer-join distribution.
+    */
+  def orderCountDistribution(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total line
+    * quantity clears a threshold, joined back to order/customer detail.
+    * The HAVING runs on the pre-join aggregate — the fact table is
+    * reduced to qualifying orderkeys (≲6 % here) before any join, so
+    * the join-back probes a small filtered set, which AQE broadcasts.
+    * Quantity sums are decimal-exact: the threshold compare cannot flip
+    * on float accumulation order.
+    */
+  def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(dec("l_quantity")).as("total_qty_d"))
+      .filter(col("total_qty_d") > lit(200).cast("decimal(18,2)"))
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        col("total_qty_d").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Disjunctive bracket revenue (TPC-H Q19 shape): revenue from three
+    * OR'd (brand × size × quantity) brackets. The part-side disjuncts
+    * (brand, size) are pushable per-branch; Catalyst extracts the
+    * common `l_quantity <= 30` conjunct and `p_partkey` equi-key, so
+    * the join stays a broadcast-hash join with the OR as a residual —
+    * not a nested-loop cross product. One fact scan, zero shuffles.
+    */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val brackets =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 10)) ||
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && brackets)
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** Small-quantity revenue (TPC-H Q17 shape): revenue lost to line
+    * items below 20 % of their part's average quantity. The correlated
+    * subquery (`avg(l_quantity) WHERE same part`) is decorrelated into
+    * one per-part aggregate joined back — the standard Catalyst-friendly
+    * rewrite; no per-row re-scan. The 20 %-of-average compare is
+    * integer cross-multiplied (5·qty·cnt < Σqty in decimal), so the
+    * boundary cannot flip on float division — bit-stable on any engine.
+    * Both the aggregate and the join-back read the same brand-pruned
+    * slice (broadcast part filter ≪ fact).
+    */
+  def smallQuantityRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#7").select("p_partkey")
+    val lp = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val stats = lp.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    lp.join(stats, col("l_partkey") === col("agg_partkey"))
+      .filter(dec("l_quantity") * lit(5) * col("cnt") < col("sum_qty"))
+      .agg((sum(dec("l_extendedprice")) / lit(7.0))
+        .cast("double").as("avg_yearly"))
+  }
+
+  /** Top supplier by period revenue (TPC-H Q15 shape): the supplier(s)
+    * whose one-quarter revenue equals the maximum. The scalar max is a
+    * 1-row aggregate of the (|suppliers|-sized) revenue table joined
+    * back as a broadcast — no window over a single global partition,
+    * no driver round-trip. Revenue is decimal-exact so the equality
+    * join cannot miss on rounding.
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice).as("total_rev_d"))
+    val mx = rev.agg(max(col("total_rev_d")).as("max_rev"))
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_rev_d") === col("max_rev"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev_d").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Supplier diversity per part group (TPC-H Q16 shape): distinct
+    * suppliers per (brand, type, size) over the observed part–supplier
+    * pairs, excluding flagged suppliers. The association is distinct
+    * (l_partkey, l_suppkey) pairs from the fact table (no partsupp
+    * table in this schema); the exclusion is a broadcast anti-join
+    * BEFORE the distinct so excluded pairs never shuffle. countDistinct
+    * expands to the standard two-phase distinct aggregate.
+    */
+  def supplierPartCounts(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pairs = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .distinct()
+    val p = Tables.part(s, d)
+      .filter(col("p_type") =!= "PROMO")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc,
+        col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Important stock share (TPC-H Q11 shape): parts whose inventory
+    * value exceeds 1.25× the average part value. The global scalars
+    * (total value, part count) ride in as a broadcast 1-row aggregate;
+    * the HAVING compare is decimal cross-multiplied
+    * (part_value·n·4 > total·5) so no float division decides
+    * membership. The fraction is relative to the average — a fixed
+    * share of the grand total (TPC-H's 0.0001/SF) empties as the
+    * catalog grows, which is why TPC-H itself scales it. Two
+    * aggregations over one fact read (per-part, then global over the
+    * |parts|-row result — not a second fact scan).
+    */
+  def importantStock(s: SparkSession, d: String): DataFrame = {
+    val value = (dec("l_extendedprice") * dec("l_quantity")).as("v")
+    val perPart = Tables.lineitem(s, d)
+      .select(col("l_partkey"), value)
+      .groupBy("l_partkey")
+      .agg(sum(col("v")).as("part_value_d"))
+    val total = perPart.agg(sum(col("part_value_d")).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(total),
+        col("part_value_d") * col("n_parts") * lit(4) >
+          col("total_value") * lit(5))
+      .select(col("l_partkey").as("p_partkey"),
+        col("part_value_d").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
   /** Customer value tiers (wide-chain rollup): order count, line count,
     * and exact revenue per customer balance tier × order status — the
     * "activity by account health" cut a growth dashboard runs. The tier

@@ -249,4 +249,61 @@ object CorpusOps {
         col("last_chunk.chunk_idx").as("last_idx"))
       .orderBy("shard", "bin_id")
   }
+
+  /** Cross-document segment dedup — the C4/RefinedWeb boilerplate-span
+    * removal stage: segment every document into fixed `segWords`-word
+    * spans, drop every span whose exact text appears in more than
+    * `maxDocs` distinct documents (navigation chrome, license footers,
+    * templated headers — content that repeats across pages carries no
+    * training signal), and reassemble the survivors in order. Documents
+    * that were pure boilerplate come back empty rather than vanishing,
+    * so downstream stages see every doc_id.
+    *
+    * Fixed segmentation (vs sentence/line splitting) is deliberate: the
+    * fixture's documents are single-line, and fixed windows make the
+    * operator deterministic on any text without a sentence model. The
+    * segmentization is a per-row array HOF (zero shuffle, one pass);
+    * the corpus-wide work is one seg-text-keyed count and one anti-join
+    * — candidates scale with repeated-span density, like the shingle
+    * index in [[graft.ops.DedupOps.ngramJaccardPairs]]. At 100 TB the
+    * join key would be a 128-bit segment hash (16-byte shuffle rows
+    * instead of span text) with the same plan shape; the raw-text key
+    * here keeps the operator oracle-exact. Hot spans (the whole point
+    * of the operator) concentrate on few keys, but the count aggregate
+    * partial-combines map-side, so the skew lands on merged counters,
+    * not row floods.
+    */
+  def segmentDedup(s: SparkSession, d: String,
+      segWords: Int = 10, maxDocs: Int = 1): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val nSegs = greatest(
+      ceil(size(col("w")).cast("double") / segWords).cast("int"), lit(1))
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(
+            slice(col("w"), i * segWords + 1, lit(segWords)), " "))))
+      .select(col("doc_id"),
+        col("pos").as("seg_id"), col("col").as("seg_text"))
+    val shared = segs.groupBy("seg_text")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select("seg_text")
+    val kept = segs.join(shared, Seq("seg_text"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("seg_id"), col("seg_text")))),
+          x => x.getField("seg_text"))).as("clean_text"),
+      count(lit(1)).as("kept_segs"))
+    docs.select(col("doc_id"), nSegs.cast(LongType).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        (col("n_segs") - coalesce(col("kept_segs"), lit(0L)))
+          .as("dropped_segs"))
+      .orderBy("doc_id")
+  }
 }

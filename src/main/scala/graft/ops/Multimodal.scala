@@ -219,6 +219,85 @@ object Multimodal {
       .orderBy("kind", "fmt")
   }
 
+  /** Perceptual-hash image fingerprint (pHash shape). STUB decode: payload
+    * bytes fold into an 8×8 "luma grid" — cell c accumulates the bytes at
+    * positions ≡ c (mod 64); a real implementation decodes, resizes to 8×8
+    * and DCTs inside this same mapPartitions. Bit c is set iff the cell
+    * clears the grid mean, integer cross-multiplied (cell·64 > total) so
+    * no float mean decides a bit. 8 bytes of dedup state per image — the
+    * image twin of [[graft.ops.DedupOps.simhash]].
+    */
+  def imagePhash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      // [real codec init would go here, once per partition]
+      it.map { m =>
+        val cells = new Array[Long](64)
+        var i = 0
+        while (i < m.payload.length) {
+          cells(i % 64) += (m.payload(i) & 0xFFL)
+          i += 1
+        }
+        var total = 0L
+        var c = 0
+        while (c < 64) { total += cells(c); c += 1 }
+        var hash = 0L
+        c = 0
+        while (c < 64) {
+          if (cells(c) * 64 > total) hash |= (1L << c)
+          c += 1
+        }
+        (m.media_id, hash)
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Gate-facing [[imagePhash]] over the fixture media table. */
+  def phash(s: SparkSession, d: String): DataFrame =
+    imagePhash(mediaTable(s, d)).orderBy("media_id")
+
+  /** Near-duplicate image pairs: band the 64-bit perceptual hash into
+    * 4×16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one equal chunk),
+    * bucket-join, verify `bit_count(a^b) <= maxHamming` — the same
+    * scale-safe shape as [[graft.ops.DedupOps.simhashPairs]]: candidates
+    * scale with near-dup density, never corpus². Both self-join sides
+    * recompute the narrow zero-shuffle fingerprint scan; at 100 TB the
+    * durable form is a materialized (media_id, phash) parquet table.
+    */
+  def phashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val fp = imagePhash(mediaTable(s, d))
+    def banded(df: DataFrame) = df
+      .select(col("media_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    banded(fp).as("x").join(banded(fp).as("y"), Seq("band", "chunk"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"),
+        col("y.media_id").as("media_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Image near-dup clusters: connected components over [[phashPairs]]
+    * (min-id labels, pointer-jumping fixpoint — see
+    * [[graft.ops.DedupOps.connectedComponents]]), rolled up to one row per
+    * cluster. Composition proof that the dedup decision layer is
+    * modality-agnostic: the same CC operator consumes text shingle pairs
+    * and image perceptual-hash pairs unchanged.
+    */
+  def phashClusters(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.connectedComponents(
+        phashPairs(s, d).select(col("media_a").as("doc_a"),
+          col("media_b").as("doc_b")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string"))).as("members"))
+      .orderBy("cluster_id")
+
   private def byteFold(b: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0

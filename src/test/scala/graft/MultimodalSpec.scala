@@ -89,4 +89,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("payload#") || plan.contains("length"),
       "payload should be reduced to a length immediately")
   }
+
+  test("imagePhash: deterministic 64-bit fingerprint; model equivalence " +
+      "on raw payload bytes") {
+    val media = Multimodal.mediaTable(spark, d)
+    val hashes = Multimodal.imagePhash(media)
+      .as[(Long, Long)].collect().toMap
+    val payloads = media.filter(_.kind == "image")
+      .collect().map(m => m.media_id -> m.payload).toMap
+    assert(hashes.keySet === payloads.keySet && hashes.nonEmpty)
+    payloads.foreach { case (id, p) =>
+      val cells = new Array[Long](64)
+      p.indices.foreach(i => cells(i % 64) += (p(i) & 0xFFL))
+      val total = cells.sum
+      var expect = 0L
+      (0 until 64).foreach(c =>
+        if (cells(c) * 64 > total) expect |= (1L << c))
+      assert(hashes(id) === expect, s"media $id")
+    }
+  }
+
+  test("phashPairs: banding finds exactly the brute-force Hamming<=3 " +
+      "pairs (pigeonhole completeness)") {
+    // sf0.01: the fixture's near-identical documents put 3 image pairs
+    // within Hamming 3; sf0.001 has none, which would vacuously pass
+    val d01 = TestSpark.sf001
+    val got = Multimodal.phashPairs(spark, d01)
+      .as[(Long, Long, Int)].collect().toSet
+    val hs = Multimodal.imagePhash(Multimodal.mediaTable(spark, d01))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (a, b, ham)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture plants near-duplicate images")
+  }
+
+  test("phashClusters: components match a reference union-find over the " +
+      "pairs") {
+    val d01 = TestSpark.sf001
+    val pairs = Multimodal.phashPairs(spark, d01)
+      .select("media_a", "media_b").as[(Long, Long)].collect()
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => (x, find(x))).toSeq
+      .groupBy(_._2).map { case (cid, ms) =>
+        (cid, ms.map(_._1).toSeq.sorted.mkString(","))
+      }.toSet
+    val got = Multimodal.phashClusters(spark, d01)
+      .select("cluster_id", "members").as[(Long, String)].collect().toSet
+    assert(got === expect && got.nonEmpty)
+  }
 }
