@@ -1553,6 +1553,19 @@ object OracleSql {
         |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_max
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // Time-range frame twin: trailing-hour window over epoch seconds
+    // (floor(epoch) matches Spark's timestamp→long truncation).
+    "ev_moving_range" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS rng_sum,
+        |  count(*) OVER w AS rng_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "r_pivot" ->
       """SELECT n_name,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')

@@ -101,6 +101,7 @@ object SparkEntry {
     "r_exists_subquery"   -> (Relational.existsSubquery(_, _)),
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
+    "ev_moving_range"     -> (EventOps.movingRange(_, _)),
     "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),
     "r_approx_distinct_bound" -> (Relational.approxDistinctBound(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),

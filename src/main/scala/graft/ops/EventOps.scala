@@ -250,6 +250,30 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Time-range moving window (the RANGE-frame twin of [[movingStats]]'s
+    * ROWS frame): per user, sum/count of events in the trailing hour —
+    * `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` over epoch seconds.
+    * Range frames are tie-stable (all peer rows at the same timestamp
+    * join the frame), so no event_id tiebreak is needed for
+    * determinism, unlike the ROWS form. One user-keyed shuffle + sort;
+    * the frame scan is the standard sliding accumulation. Decimal sum —
+    * frame contents are engine-invariant, so the value is too.
+    */
+  def movingRange(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3600, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("ts").cast("long").as("ts_sec"))
+      .withColumn("rng_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("rng_n", count(lit(1)).over(w))
+      .drop("ts_sec")
+      .orderBy("event_id")
+  }
+
   def valueStatsByType(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d).select("event_type", "value")
     val med = Queries.lowerMedian(base, Seq("event_type"), "value", "median_value")

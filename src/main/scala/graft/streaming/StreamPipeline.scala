@@ -328,6 +328,30 @@ object StreamPipeline {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** One-shot catch-up run (`Trigger.AvailableNow`): process everything
+    * the source has RIGHT NOW in rate-limited micro-batches, advance the
+    * checkpoint, and stop — the scheduled-batch face of a streaming
+    * pipeline. Repeated invocations are incremental and exactly-once:
+    * the checkpoint carries the offset across runs, so a nightly cron of
+    * this call is equivalent to having streamed continuously (the
+    * operational mode the reference's always-on notebook cluster can't
+    * express — a cluster that only exists while the job runs). Returns
+    * whether the drain finished inside `timeoutMs`.
+    */
+  def runAvailableNow(df: DataFrame, path: String, checkpoint: String,
+      timeoutMs: Long = 120000L): Boolean = {
+    val q = df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val done = q.awaitTermination(timeoutMs)
+    if (!done) q.stop()
+    done
+  }
+
   /** File-source variant of the pipeline entry: watch a directory of JSON
     * lines (each line one record, the wire shape of FIXTURES.md §3),
     * deserialize each line with the declared `schema`, and return the
@@ -335,12 +359,18 @@ object StreamPipeline {
     * connector.
     */
   def fromJsonDir(s: SparkSession, dir: String, schema: StructType): DataFrame =
-    deserialize(
-      s.readStream.schema(StructType(Seq(
-          org.apache.spark.sql.types.StructField("data",
-            org.apache.spark.sql.types.StringType))))
-        .text(dir).withColumnRenamed("value", "data"),
-      schema)
+    deserialize(rawTextDir(s, dir), schema)
+
+  /** Directory of JSON-line files as a raw wire-shaped stream — one
+    * string `data` column per record, exactly what a connector delivers
+    * (KINESIS:49). Feed to [[pinStream]]/[[geoStream]]/[[userStream]],
+    * which own their deserialize+clean.
+    */
+  def rawTextDir(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(StructType(Seq(
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.StringType))))
+      .text(dir).withColumnRenamed("value", "data")
 
   /** Streaming keyed-upsert sink: per micro-batch, MERGE the batch into a
     * parquet table by key (latest batch wins per key). The engine twin of

@@ -184,6 +184,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.length < nParts)
   }
 
+  test("movingRange: trailing-hour frame matches a brute-force recompute " +
+      "for the busiest user") {
+    import graft.ops.EventOps
+    val out = EventOps.movingRange(spark, d)
+    val busiest = Tables.events(spark, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc, col("user_id"))
+      .limit(1).collect()(0).getLong(0)
+    val rows = out.filter(col("user_id") === busiest)
+      .select("event_id", "ts", "value", "rng_sum", "rng_n")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, sec, _, rngSum, rngN) =>
+      val inFrame = rows.filter { case (_, s2, _, _, _) =>
+        s2 >= sec - 3600 && s2 <= sec
+      }
+      assert(inFrame.length.toLong == rngN)
+      val expect = inFrame.map { case (_, _, v, _, _) =>
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(math.abs(expect.toDouble - rngSum) < 1e-9)
+    }
+  }
+
   test("plan shape: disjunctiveRevenue keeps a hash join (the OR is a " +
       "residual, not a nested-loop driver); largeOrders aggregates " +
       "before any join") {

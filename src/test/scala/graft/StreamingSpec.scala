@@ -140,4 +140,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() === 60)
     assert(out.select("id").distinct().count() === 60)
   }
+
+  test("runAvailableNow: drains what exists, stops, and a second run is " +
+      "incremental and exactly-once across the shared checkpoint") {
+    val root = java.nio.file.Files.createTempDirectory("avail-now").toString
+    val src = new java.io.File(s"$root/src"); src.mkdirs()
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/src/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    writeFile("batch1.json",
+      Seq(pinJson(1, "one", "1k"), pinJson(2, "two", "2k")))
+    val stream1 = StreamPipeline.pinStream(
+      StreamPipeline.rawTextDir(spark, s"$root/src"))
+    assert(StreamPipeline.runAvailableNow(
+      stream1, s"$root/out", s"$root/ckpt"), "first drain must finish")
+    val after1 = spark.read.parquet(s"$root/out")
+    assert(after1.count() === 2)
+    // second run: one new file; the checkpoint must skip the old one
+    writeFile("batch2.json", Seq(pinJson(3, "three", "3k")))
+    val stream2 = StreamPipeline.pinStream(
+      StreamPipeline.rawTextDir(spark, s"$root/src"))
+    assert(StreamPipeline.runAvailableNow(
+      stream2, s"$root/out", s"$root/ckpt"), "second drain must finish")
+    val after2 = spark.read.parquet(s"$root/out")
+    assert(after2.count() === 3, "incremental: only the new file's rows")
+    assert(after2.select("ind").as[Int](org.apache.spark.sql.Encoders.scalaInt)
+      .collect().toSet === Set(1, 2, 3))
+  }
 }

@@ -20,4 +20,9 @@ object TestSpark {
 
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  /** Bench-sized tier. documents/embeddings are constant-sized below this
+    * (500 rows at both sf0.001 and sf0.01) — scaling comparisons on those
+    * tables must use sf001 → sf01.
+    */
+  val sf01 = "/root/testdata/sf0.1"
 }
