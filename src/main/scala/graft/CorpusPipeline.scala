@@ -12,13 +12,14 @@ import graft.ops.{CorpusOps, DedupOps, TextOps}
   * holds another's working set in memory):
   *
   *   1. near-dup survivors   (pair gen → connected components → minima)
-  *   2. quality gate + PII   (stateless per-row)
-  *   3. quantile gate        (per-language top keepPct% by alpha ratio)
-  *   4. mixture balancing    (optional τ=0.5 per-language budgets)
-  *   5. decontamination      (drop the eval slice AND docs overlapping it)
-  *   6. context-window chunking
-  *   7. sequence packing     (token-budget bins per shard)
-  *   8. shuffled doc export  (deterministic hash order)
+  *   2. boilerplate removal  (cross-doc segment dedup; hollow docs drop)
+  *   3. quality gate + PII   (stateless per-row)
+  *   4. quantile gate        (per-language top keepPct% by alpha ratio)
+  *   5. mixture balancing    (optional τ=0.5 per-language budgets)
+  *   6. decontamination      (drop the eval slice AND docs overlapping it)
+  *   7. context-window chunking
+  *   8. sequence packing     (token-budget bins per shard)
+  *   9. shuffled doc export  (deterministic hash order)
   *
   * Returns the per-stage row counts (the numbers a pipeline report
   * prints). Filter stages compose by doc_id semi/anti joins so each
@@ -27,8 +28,9 @@ import graft.ops.{CorpusOps, DedupOps, TextOps}
 object CorpusPipeline {
 
   case class StageCounts(
-      total: Long, survivors: Long, afterQuality: Long, afterGate: Long,
-      afterBalance: Long, afterDecontam: Long, chunks: Long, bins: Long)
+      total: Long, survivors: Long, afterBoiler: Long, afterQuality: Long,
+      afterGate: Long, afterBalance: Long, afterDecontam: Long,
+      chunks: Long, bins: Long)
 
   def run(s: SparkSession, d: String, outDir: String,
       gatePct: Int = 80, mixtureBudget: Option[Long] = None): StageCounts = {
@@ -39,7 +41,18 @@ object CorpusPipeline {
     val surviving = docs.join(survivorIds, Seq("doc_id"), "left_semi")
     val survivors = surviving.count()
 
-    val quality = surviving
+    // cross-doc boilerplate removal: rewrite each doc to its unshared
+    // segments; docs hollowed to nothing (pure boilerplate) drop here.
+    // Runs AFTER near-dup dedup so a surviving near-dup's text is not
+    // gutted by its dropped twin's segments.
+    val deboiled = surviving.drop("text", "n_chars")
+      .join(CorpusOps.segmentDedupFrom(surviving)
+          .filter(col("kept_segs") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    val afterBoiler = deboiled.count()
+
+    val quality = deboiled
       .filter(TextOps.qualityKeep(col("text")))
       .withColumn("text", TextOps.redactText(col("text")))
     val afterQuality = quality.count()
@@ -80,8 +93,8 @@ object CorpusPipeline {
 
     write(CorpusOps.shuffleExportFrom(cleanBack), s"$outDir/shuffled")
 
-    val counts = StageCounts(total, survivors, afterQuality, afterGate,
-      afterBalance, afterDecontam,
+    val counts = StageCounts(total, survivors, afterBoiler, afterQuality,
+      afterGate, afterBalance, afterDecontam,
       chunksBack.count(), s.read.parquet(s"$outDir/packed").count())
     Caches.releaseAll()
     counts

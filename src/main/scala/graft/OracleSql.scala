@@ -1185,6 +1185,35 @@ object OracleSql {
         |SELECT media_id, CAST(b % 64 AS INT) AS pos, count(*) AS cnt
         |FROM byteval GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Multimodal.audioEnergy stub twin: signed-8-bit-PCM energy per
+    // 256-sample frame; silence is the integer cross-multiply
+    // e < floor·n. Byte values decode unsigned here — identical to the
+    // engine's signed read because the fixture payloads are ASCII (<128).
+    "mm_audio_energy" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |byteval AS (
+        |  SELECT media_id, unnest(list_transform(range(1, n+1), i ->
+        |    {'pos': i,
+        |     'b': (strpos('123456789ABCDEF', substr(h, 2*i-1, 1))) * 16
+        |        + (strpos('123456789ABCDEF', substr(h, 2*i, 1)))})) AS x
+        |  FROM hx),
+        |frames AS (
+        |  SELECT media_id, (x.pos - 1) // 256 AS frame,
+        |         sum(x.b * x.b) AS e, count(*) AS n
+        |  FROM byteval GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT media_id, count(*) AS n_frames,
+        |         sum(CASE WHEN e < 9600 * n THEN 1 ELSE 0 END) AS n_silent,
+        |         sum(e) AS total_energy
+        |  FROM frames GROUP BY 1)
+        |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(n_silent AS BIGINT) AS n_silent,
+        |       CAST(total_energy AS BIGINT) AS total_energy
+        |FROM agg ORDER BY media_id""".stripMargin,
+
     // Multimodal.imagePhash stub twin: bytes fold into 64 cells by
     // position mod 64; bit c set iff cell·64 > total (integer
     // cross-multiply). HUGEINT bit-build, then two's-complement fold to
@@ -1659,6 +1688,14 @@ object OracleSql {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "r_lateral_topn" ->
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
 
     // ---- classic decision-support shapes (TPC-H Q13/Q18/Q19/Q17/Q15/
     // Q16/Q11 analogues over this schema) ----

@@ -77,6 +77,7 @@ object SparkEntry {
     "mm_sample_frames"    -> ((s, d) =>
       Multimodal.sampleFrameStats(Multimodal.mediaTable(s, d))
         .orderBy("media_id", "frame_idx")),
+    "mm_audio_energy"     -> (Multimodal.audioStats(_, _)),
     "mm_phash"            -> (Multimodal.phash(_, _)),
     "mm_phash_pairs"      -> (Multimodal.phashPairs(_, _)),
     "mm_phash_clusters"   -> (Multimodal.phashClusters(_, _)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "r_range_join"        -> (Relational.rangeJoinBinned(_, _)),
     "r_scalar_subquery"   -> (Relational.scalarSubquery(_, _)),
     "r_exists_subquery"   -> (Relational.existsSubquery(_, _)),
+    "r_lateral_topn"      -> (Relational.lateralTopN(_, _)),
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "ev_moving_range"     -> (EventOps.movingRange(_, _)),

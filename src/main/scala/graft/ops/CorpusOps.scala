@@ -274,8 +274,13 @@ object CorpusOps {
     * not row floods.
     */
   def segmentDedup(s: SparkSession, d: String,
+      segWords: Int = 10, maxDocs: Int = 1): DataFrame =
+    segmentDedupFrom(Tables.documents(s, d), segWords, maxDocs)
+
+  /** [[segmentDedup]] over any (doc_id, text) frame. */
+  def segmentDedupFrom(documents: DataFrame,
       segWords: Int = 10, maxDocs: Int = 1): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val nSegs = greatest(
       ceil(size(col("w")).cast("double") / segWords).cast("int"), lit(1))

@@ -281,6 +281,47 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** Audio frame energy + silence profile. STUB decode: payload bytes
+    * read as signed 8-bit PCM; a real implementation decodes the codec
+    * to PCM inside this same mapPartitions. Per `frameLen`-sample frame:
+    * energy = Σ sample² (integer — bit-stable on any engine). A frame is
+    * silent iff its MEAN square is below `silenceFloor`, integer
+    * cross-multiplied (energy < floor·n) so no float division decides
+    * membership. Emits one row per media: frame counts, silent-frame
+    * count, total energy — the signals an ASR-corpus silence/quality
+    * filter cuts on. Zero shuffle except the presentation sort.
+    */
+  def audioEnergy(media: Dataset[MediaRecord], frameLen: Int = 256,
+      silenceFloor: Long = 9600L): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      // [real codec init would go here, once per partition]
+      it.map { m =>
+        val p = m.payload
+        val nFrames = (p.length + frameLen - 1) / frameLen
+        var silent = 0L
+        var total = 0L
+        var f = 0
+        while (f < nFrames) {
+          val start = f * frameLen
+          val end = math.min(start + frameLen, p.length)
+          var e = 0L
+          var i = start
+          while (i < end) { val s = p(i).toLong; e += s * s; i += 1 }
+          total += e
+          if (e < silenceFloor * (end - start)) silent += 1
+          f += 1
+        }
+        (m.media_id, nFrames.toLong, silent, total)
+      }
+    }.toDF("media_id", "n_frames", "n_silent", "total_energy")
+      .orderBy("media_id")
+  }
+
+  /** Gate-facing [[audioEnergy]] over the fixture media table. */
+  def audioStats(s: SparkSession, d: String): DataFrame =
+    audioEnergy(mediaTable(s, d))
+
   /** Image near-dup clusters: connected components over [[phashPairs]]
     * (min-id labels, pointer-jumping fixpoint — see
     * [[graft.ops.DedupOps.connectedComponents]]), rolled up to one row per

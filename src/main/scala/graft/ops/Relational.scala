@@ -141,6 +141,26 @@ object Relational {
       FROM reach GROUP BY doc_id ORDER BY doc_id""")
   }
 
+  /** Correlated LATERAL subquery (`FROM a, LATERAL (SELECT ... WHERE
+    * corr ORDER BY ... LIMIT k)`): top-2 customers by balance per
+    * nation, written as the per-outer-row dependent subquery a SQL user
+    * reaches for. Catalyst decorrelates the per-group LIMIT into a
+    * partitioned window rank — the same `WindowGroupLimit` execution as
+    * the explicit row_number form (q3): the lateral form is sugar; no
+    * per-nation re-scan survives to the physical plan (spec-pinned).
+    */
+  def lateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    s.sql("""
+      SELECT n_name, c.c_name, c.c_acctbal
+      FROM graft_nation_v, LATERAL (
+        SELECT c_name, c_acctbal FROM graft_customer_v
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      ORDER BY n_name, c_acctbal DESC, c_name""")
+  }
+
   /** Generator/explode: part-name unigrams with counts — the flatMap shape
     * (Spark `explode`, SQL UNNEST).
     */

@@ -19,7 +19,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val c = CorpusPipeline.run(spark, TestSpark.sf0001, out)
 
     assert(c.total >= c.survivors, "dedup only drops")
-    assert(c.survivors >= c.afterQuality, "quality gate only drops")
+    assert(c.survivors >= c.afterBoiler, "boilerplate removal only drops")
+    assert(c.afterBoiler >= c.afterQuality, "quality gate only drops")
     assert(c.afterQuality >= c.afterGate, "quantile gate only drops")
     assert(c.afterGate == c.afterBalance, "mixture off by default: no-op")
     assert(c.afterBalance >= c.afterDecontam, "decontamination only drops")

@@ -126,6 +126,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture plants near-duplicate images")
   }
 
+  test("audioEnergy: model equivalence on raw payload bytes; silence " +
+      "threshold actually splits the fixture") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sf001)
+    val out = Multimodal.audioEnergy(media)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val payloads = media.filter(_.kind == "audio")
+      .collect().map(m => m.media_id -> m.payload).toMap
+    assert(out.keySet === payloads.keySet && out.nonEmpty)
+    payloads.foreach { case (id, p) =>
+      var silent = 0L; var total = 0L
+      var f = 0
+      val nFrames = (p.length + 255) / 256
+      while (f < nFrames) {
+        val start = f * 256
+        val end = math.min(start + 256, p.length)
+        var e = 0L
+        (start until end).foreach { i => val s = p(i).toLong; e += s * s }
+        total += e
+        if (e < 9600L * (end - start)) silent += 1
+        f += 1
+      }
+      assert(out(id) === ((id, nFrames.toLong, silent, total)), s"media $id")
+    }
+    val silentTotal = out.values.map(_._3).sum
+    val frameTotal = out.values.map(_._2).sum
+    assert(silentTotal > 0 && silentTotal < frameTotal,
+      "floor must mark some but not all frames silent")
+  }
+
   test("phashClusters: components match a reference union-find over the " +
       "pairs") {
     val d01 = TestSpark.sf001

@@ -32,6 +32,14 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(plan("q3_top_poster_per_country").contains("WindowGroupLimit"))
   }
 
+  test("lateral top-n decorrelates to a set-based window + hash join — " +
+      "no per-outer-row re-scan (nested loop) survives") {
+    val p = plan("r_lateral_topn")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q1 and q3 broadcast the nation dimension (no shuffle of the fact side)") {
     assert(plan("q1_category_per_country").contains("BroadcastHashJoin"))
     assert(plan("q3_top_poster_per_country").contains("BroadcastHashJoin"))

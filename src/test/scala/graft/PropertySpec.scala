@@ -173,4 +173,39 @@ class PropertySpec extends AnyFunSuite {
       assert(agg(g) === sorted((sorted.size - 1) / 2), s"group $g")
     }
   }
+
+  test("segmentDedup: identity when no segment is shared across docs " +
+      "(globally unique words ⇒ untouched verbatim round-trip)") {
+    import graft.ops.CorpusOps
+    // words unique across the whole corpus: no 10-word segment can repeat
+    val docs = (0 until 40).map { d =>
+      val n = 5 + (d * 7) % 40
+      (d.toLong, (0 until n).map(i => s"w${d}_$i").mkString(" "))
+    }
+    val out = CorpusOps.segmentDedupFrom(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id).getString(1) === text, s"doc $id must round-trip")
+      assert(out(id).getLong(3) === 0L, s"doc $id must drop nothing")
+    }
+  }
+
+  test("segmentDedup: duplicating any document hollows both copies; " +
+      "unrelated docs stay untouched") {
+    import graft.ops.CorpusOps
+    val base = (0 until 20).map { d =>
+      val n = 12 + (d * 5) % 30
+      (d.toLong, (0 until n).map(i => s"u${d}_$i").mkString(" "))
+    }
+    val dup = Seq((100L, base(3)._2), (101L, base(7)._2))
+    val out = CorpusOps.segmentDedupFrom((base ++ dup).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(3L, 7L, 100L, 101L).foreach { id =>
+      assert(out(id).getLong(2) === 0L, s"doc $id must be hollowed")
+      assert(out(id).getString(1) === "", s"doc $id must come back empty")
+    }
+    (base.map(_._1).toSet -- Set(3L, 7L)).foreach { id =>
+      assert(out(id).getLong(3) === 0L, s"doc $id must be untouched")
+    }
+  }
 }
