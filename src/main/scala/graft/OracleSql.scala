@@ -1155,6 +1155,23 @@ object OracleSql {
         |FROM agg JOIN med USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
+    // Window twin of the one-pass ExactQuantile aggregate. Rank rule is
+    // integer arithmetic — GREATEST(1, (p·cnt + 99) // 100) — matching
+    // the aggregate's ceil(p·n) without a float boundary. Ties share the
+    // value, so which tied row ROW_NUMBER picks is immaterial.
+    "ev_value_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = GREATEST(1, (25 * cnt + 99) // 100) THEN value END) AS p25,
+        |  max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100) THEN value END) AS p50,
+        |  max(CASE WHEN rn = GREATEST(1, (75 * cnt + 99) // 100) THEN value END) AS p75,
+        |  max(CASE WHEN rn = GREATEST(1, (95 * cnt + 99) // 100) THEN value END) AS p95
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // ------------------------------------------------------- multimodal
     "mm_media_stats" ->
       """WITH m AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.graftshim.Internal
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, ExactMedian, MinHashSignature, QuantizeInt8, ShingleHashes, SimHash64}
+import graft.functions.{CosineSimilarity, ExactMedian, ExactQuantile, MinHashSignature, QuantizeInt8, ShingleHashes, SimHash64}
 import graft.ops.DedupOps
 
 /** SQL surface for the engine's custom Catalyst expressions: a user who
@@ -77,6 +77,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         arity("graft_exact_median", es, 1)
         ExactMedian(Cast(es(0), DoubleType)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_exact_quantile"),
+      new ExpressionInfo(classOf[ExactQuantile].getName,
+        "graft_exact_quantile"),
+      (es: Seq[Expression]) => {
+        arity("graft_exact_quantile", es, 3)
+        ExactQuantile(Cast(es(0), DoubleType),
+          litInt(es(1), "graft_exact_quantile", "pctNum"),
+          litInt(es(2), "graft_exact_quantile", "pctDen"))
+          .toAggregateExpression()
       }))
 
   /** Install into a live session (tests, notebooks attached to an existing

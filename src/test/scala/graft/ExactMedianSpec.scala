@@ -54,4 +54,56 @@ class ExactMedianSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(many === one)
   }
+
+  test("ExactQuantile at 50/100 ≡ ExactMedian; rank rule on known sets") {
+    import graft.functions.ExactQuantile.exactQuantile
+    // 1..10: q25 -> rank ceil(2.5)=3 -> 3.0; q50 -> rank 5 -> 5.0;
+    // q75 -> rank ceil(7.5)=8 -> 8.0; q95 -> rank ceil(9.5)=10 -> 10.0
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val row = df.groupBy("g").agg(
+      exactQuantile($"v", 25, 100).as("p25"),
+      exactQuantile($"v", 50, 100).as("p50"),
+      exactQuantile($"v", 75, 100).as("p75"),
+      exactQuantile($"v", 95, 100).as("p95")).collect()(0)
+    assert((row.getDouble(1), row.getDouble(2), row.getDouble(3),
+      row.getDouble(4)) === ((3.0, 5.0, 8.0, 10.0)))
+    // the float-boundary case the integer rank rule exists for:
+    // n = 40, q = 95/100 -> 0.95·40 = 38 exactly; double math gives
+    // 38.000000000000007 whose ceil is 39. Integer rule: (95·40+99)/100 = 38.
+    val df40 = (1 to 40).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val p95 = df40.groupBy("g")
+      .agg(exactQuantile($"v", 95, 100).as("p95")).collect()(0).getDouble(1)
+    assert(p95 === 38.0)
+  }
+
+  test("ExactQuantile 50/100 equals ExactMedian on real grouped data") {
+    import graft.functions.ExactQuantile.exactQuantile
+    val base = graft.Tables.events(spark, TestSpark.sf001)
+      .select($"event_type", $"value")
+    val med = base.groupBy("event_type").agg(exactMedian($"value").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q50 = base.groupBy("event_type")
+      .agg(exactQuantile($"value", 50, 100).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q50 === med)
+  }
+
+  test("ExactQuantile merge-stability and null semantics") {
+    import graft.functions.ExactQuantile.exactQuantile
+    val df = spark.range(0, 9973)
+      .select((col("id") % 5).as("g"), (col("id") % 257).cast("double").as("v"))
+    val many = df.repartition(32).groupBy("g")
+      .agg(exactQuantile($"v", 95, 100).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = df.coalesce(1).groupBy("g")
+      .agg(exactQuantile($"v", 95, 100).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(many === one)
+    val nulls = Seq(("a", Some(1.0)), ("a", None), ("b", None))
+      .toDF("g", "v").groupBy("g")
+      .agg(exactQuantile($"v", 75, 100).as("q"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(nulls === Map("a" -> Some(1.0), "b" -> None))
+  }
 }

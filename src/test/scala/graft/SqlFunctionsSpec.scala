@@ -77,6 +77,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(global == 5.0)
   }
 
+  test("graft_exact_quantile from SQL: grouped, integer rank rule") {
+    import spark.implicits._
+    (1 to 10).map(i => ("a", i.toDouble)).toDF("g", "x")
+      .createOrReplaceTempView("qt_in")
+    val row = spark.sql(
+      """SELECT g, graft_exact_quantile(x, 25, 100) AS p25,
+        |       graft_exact_quantile(x, 95, 100) AS p95
+        |FROM qt_in GROUP BY g""".stripMargin).collect().head
+    assert(row.getDouble(1) == 3.0 && row.getDouble(2) == 10.0)
+  }
+
   test("graft_quantize_int8 from SQL equals the Column entry point") {
     import spark.implicits._
     Seq(Array(0.5f, -1.0f, 0.25f), Array(0.0f, 0.0f, 0.0f))
