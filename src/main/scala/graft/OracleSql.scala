@@ -1172,6 +1172,32 @@ object OracleSql {
         |  max(CASE WHEN rn = GREATEST(1, (95 * cnt + 99) // 100) THEN value END) AS p95
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // IQR fences from the same integer-rank quantiles; fence arithmetic
+    // written in the identical expression shape as the Spark query so the
+    // IEEE double results (and hence the outlier comparisons) agree bitwise.
+    "ev_value_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events),
+        |q AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = GREATEST(1, (25 * cnt + 99) // 100) THEN value END) AS p25,
+        |    max(CASE WHEN rn = GREATEST(1, (75 * cnt + 99) // 100) THEN value END) AS p75
+        |  FROM r GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type,
+        |    p25 - (p75 - p25) * 1.5 AS fence_lo,
+        |    p75 + (p75 - p25) * 1.5 AS fence_hi
+        |  FROM q)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN value < fence_lo OR value > fence_hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(fence_lo) AS fence_lo, max(fence_hi) AS fence_hi
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     // ------------------------------------------------------- multimodal
     "mm_media_stats" ->
       """WITH m AS (

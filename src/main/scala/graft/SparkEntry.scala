@@ -69,6 +69,7 @@ object SparkEntry {
     "ev_top_users"        -> (EventOps.topUsers(_, _)),
     "ev_value_stats"      -> (EventOps.valueStatsByType(_, _)),
     "ev_value_quantiles"  -> (EventOps.valueQuantilesByType(_, _)),
+    "ev_value_outliers"   -> (EventOps.valueOutliers(_, _)),
     // multimodal binary-column plumbing (decode stubs, real schema/batching)
     "mm_media_stats"      -> (Multimodal.mediaStats(_, _)),
     "mm_decode_images"    -> ((s, d) =>

@@ -307,6 +307,35 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** IQR outlier fences per event type — the standard data-quality gate
+    * (flag values outside [p25 − 1.5·IQR, p75 + 1.5·IQR]). Two passes
+    * over events: one aggregation for the quantiles (count-map state,
+    * [[valueQuantilesByType]]'s shape), then a broadcast join-back — the
+    * fence table is bounded by |event types|, so broadcasting it is safe
+    * at any corpus size (unlike a per-row table, which must never carry
+    * a broadcast hint). Fence arithmetic is plain IEEE double ops in the
+    * same expression shape as the oracle, so the comparison boundary is
+    * bit-identical across engines.
+    */
+  def valueOutliers(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactQuantile.exactQuantile
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val fences = ev.groupBy("event_type")
+      .agg(exactQuantile(col("value"), 25, 100).as("p25"),
+        exactQuantile(col("value"), 75, 100).as("p75"))
+      .select(col("event_type"),
+        (col("p25") - (col("p75") - col("p25")) * 1.5).as("fence_lo"),
+        (col("p75") + (col("p75") - col("p25")) * 1.5).as("fence_hi"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("fence_lo") ||
+          col("value") > col("fence_hi"), 1L).otherwise(0L)).as("n_outliers"),
+        first("fence_lo").as("fence_lo"),
+        first("fence_hi").as("fence_hi"))
+      .orderBy("event_type")
+  }
+
   /** Incremental aggregate maintenance: merge a new batch's partial
     * aggregates into stored aggregates WITHOUT re-reading history — the
     * daily-pipeline shape the reference's DAG implies (a @daily rerun

@@ -88,6 +88,31 @@ class ExactMedianSpec extends AnyFunSuite {
     assert(q50 === med)
   }
 
+  test("valueOutliers: IQR fence flags exactly the planted outliers") {
+    import graft.ops.EventOps
+    // 1..20 with two planted extremes (±100). Sorted: -100, 1..20, 100.
+    // n=22: q25 rank ceil(5.5)=6 -> 5.0; q75 rank ceil(16.5)=17 -> 16.0.
+    // IQR=11 -> fences [-11.5, 32.5] -> only ±100 are outside.
+    val df = ((1 to 20).map(_.toDouble) ++ Seq(100.0, -100.0))
+      .map(("click", _)).toDF("event_type", "value")
+    import graft.functions.ExactQuantile.exactQuantile
+    val fences = df.groupBy("event_type")
+      .agg(exactQuantile($"value", 25, 100).as("p25"),
+        exactQuantile($"value", 75, 100).as("p75")).collect()(0)
+    assert(fences.getDouble(1) === 5.0 && fences.getDouble(2) === 16.0)
+    val out = df.join(
+      broadcast(df.groupBy("event_type")
+        .agg(exactQuantile($"value", 25, 100).as("p25"),
+          exactQuantile($"value", 75, 100).as("p75"))
+        .select($"event_type",
+          ($"p25" - ($"p75" - $"p25") * 1.5).as("lo"),
+          ($"p75" + ($"p75" - $"p25") * 1.5).as("hi"))),
+      Seq("event_type"))
+      .filter($"value" < $"lo" || $"value" > $"hi")
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(out === Set(100.0, -100.0))
+  }
+
   test("ExactQuantile merge-stability and null semantics") {
     import graft.functions.ExactQuantile.exactQuantile
     val df = spark.range(0, 9973)

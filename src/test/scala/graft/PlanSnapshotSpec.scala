@@ -92,6 +92,20 @@ class PlanSnapshotSpec extends AnyFunSuite {
       s"no partial aggregation phase — the whole group would shuffle:\n$p")
   }
 
+  test("quantile profile: four quantiles share one two-phase aggregate " +
+      "(no per-quantile shuffle or window sort)") {
+    val p = plan("ev_value_quantiles")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_exactquantile"),
+      s"no partial aggregation phase — the whole group would shuffle:\n$p")
+    assert(!p.contains("Window"), s"window sort crept into the one-pass path:\n$p")
+  }
+
+  test("outlier fences broadcast back to events (fence table is bounded " +
+      "by |event types| — never a shuffle of the fact side)") {
+    assert(plan("ev_value_outliers").contains("BroadcastHashJoin"))
+  }
+
   test("IVF cell assignment is row-local: no exchange keyed by vec_id") {
     val p = plan("emb_topk_ivf")
     assert(!p.contains("hashpartitioning(vec_id"),
