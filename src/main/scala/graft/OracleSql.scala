@@ -1134,6 +1134,30 @@ object OracleSql {
         |    CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
 
+    // Twin of Spark's native session_window: exact timestamp+interval
+    // arithmetic (micros), unlike ev_sessionize's second-truncated
+    // unix_timestamp convention — and the native merge rule is
+    // touching-inclusive (split only when ts > prev + gap, strictly).
+    // session_end = max(ts) + gap.
+    "ev_session_native" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, seq
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "ev_top_users" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,

@@ -82,6 +82,31 @@ object EventOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** [[sessionize]] again via Spark's native `session_window` — the
+    * operator you'd actually deploy, because it is the same operator the
+    * streaming path uses (state-store-backed there, hash-agg here): one
+    * user-keyed shuffle, sessions merged by exact microsecond arithmetic
+    * (`ts + gap` in micros — no second-truncation like the hand-rolled
+    * `unix_timestamp` form). Two semantic deltas vs [[sessionize]], both
+    * asserted in spec: the native merge is touching-inclusive (an event
+    * exactly `gap` after the last still merges; the split is strictly
+    * `> gap`), and `session_end` is the gap-extended bound
+    * `max(ts) + gap`, the operator's window-close semantics.
+    */
+  def sessionizeNative(s: SparkSession, d: String): DataFrame =
+    sessionizeNativeFrom(Tables.events(s, d))
+
+  /** [[sessionizeNative]] over an arbitrary (user_id, ts) frame. */
+  def sessionizeNativeFrom(ev: DataFrame): DataFrame =
+    ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** As-of join (composed form): attach to every event the timestamp of
     * the user's most recent *prior* purchase. The classic as-of-join
     * semantics expressed with built-ins — a conditional max over a

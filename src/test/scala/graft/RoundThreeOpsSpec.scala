@@ -17,6 +17,32 @@ class RoundThreeOpsSpec extends AnyFunSuite {
   import spark.implicits._
   private val d = TestSpark.sf001
 
+  // ------------------------------------------------- native sessionize
+
+  test("sessionizeNative: exact-micros gap boundary — exactly 30:00 after " +
+      "the last event still merges (touching windows), +1µs splits; " +
+      "end = last + gap") {
+    import java.sql.Timestamp
+    val base = 1700000000000000L // micros
+    def ts(deltaMicros: Long): Timestamp = {
+      val t = new Timestamp((base + deltaMicros) / 1000)
+      t.setNanos((((base + deltaMicros) % 1000000) * 1000).toInt)
+      t
+    }
+    val gap = 30L * 60 * 1000000
+    val ev = Seq(
+      (7L, ts(0)),                // session 1 start
+      (7L, ts(gap)),              // exactly 30:00 later -> merges (touching)
+      (7L, ts(2 * gap + 1)),      // 30:00.000001 after prev -> splits
+    ).toDF("user_id", "ts")
+    val out = graft.ops.EventOps.sessionizeNativeFrom(ev).collect()
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getLong(3) == 2 && out(1).getLong(3) == 1)
+    // session_end is the gap-extended bound: last event ts + 30 min
+    assert(out(0).getTimestamp(2) === ts(gap + gap))
+    assert(out(1).getTimestamp(2) === ts(2 * gap + 1 + gap))
+  }
+
   // ------------------------------------------------------------- merge
 
   test("mergeUpsert: updates win on collision, inserts append, " +
