@@ -106,6 +106,38 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(plan("ev_value_outliers").contains("BroadcastHashJoin"))
   }
 
+  /** Runtime bloom-filter injection — at 100 TB the default thresholds
+    * (creation side < 10 MB after filtering, application-side scan
+    * > 10 GB) trigger naturally on every selective dim ⋈ fact join and
+    * prune fact row groups before the shuffle. Local data is far below
+    * the application-side threshold, so the spec lowers it to prove the
+    * optimizer still injects the filter for our query shapes.
+    */
+  test("selective dim ⋈ fact join gets a runtime bloom filter on the " +
+      "fact-side scan (Spark injects; thresholds met at scale)") {
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, TestSpark.sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val l = Tables.lineitem(spark, TestSpark.sf001)
+        .select("l_orderkey", "l_quantity")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IVF cell assignment is row-local: no exchange keyed by vec_id") {
     val p = plan("emb_topk_ivf")
     assert(!p.contains("hashpartitioning(vec_id"),
