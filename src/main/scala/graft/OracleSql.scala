@@ -182,6 +182,41 @@ object OracleSql {
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Relational.orderDiff twin: rebuild the merged revision (minus the
+    // deleted slice), FULL OUTER JOIN on the key, classify null-safely.
+    "r_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 1),
+        |revised AS (
+        |  SELECT * FROM (
+        |    SELECT * FROM upd
+        |    UNION ALL
+        |    SELECT * FROM base
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |  WHERE o_orderkey % 7 <> 3),
+        |j AS (
+        |  SELECT coalesce(b.o_orderkey, r.o_orderkey) AS k,
+        |    b.o_orderkey IS NOT NULL AS in_b,
+        |    r.o_orderkey IS NOT NULL AS in_r,
+        |    (b.o_custkey IS DISTINCT FROM r.o_custkey OR
+        |     b.o_orderstatus IS DISTINCT FROM r.o_orderstatus OR
+        |     b.o_totalprice IS DISTINCT FROM r.o_totalprice) AS chg
+        |  FROM base b FULL OUTER JOIN revised r
+        |    ON b.o_orderkey = r.o_orderkey)
+        |SELECT CASE WHEN NOT in_b THEN 'insert'
+        |            WHEN NOT in_r THEN 'delete'
+        |            WHEN chg THEN 'update' ELSE 'same' END AS change_type,
+        |  count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // SimilarityOps.bruteForceTopKInt8 twin: identical quantization
     // arithmetic (max/127 scale, floor(x/scale + 0.5)) — the integer dot
     // products are exact on both engines, floats only in scale and the

@@ -127,6 +127,7 @@ object SparkEntry {
     // round 3: merge/upsert, quantized ANN, calibrated gates, mixtures,
     // incremental aggregate maintenance
     "r_merge_upsert"      -> (Relational.mergeOrders(_, _)),
+    "r_table_diff"        -> (Relational.orderDiff(_, _)),
     "r_constraint_audit"  -> (Relational.constraintAudit(_, _)),
     "r_scd2"              -> (Relational.scd2(_, _)),
     "r_table_stats"       -> (Relational.tableStats(_, _)),

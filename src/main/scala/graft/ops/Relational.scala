@@ -516,6 +516,48 @@ object Relational {
       .orderBy("column")
   }
 
+  /** CDC-style diff of two keyed versions of a table: classify every key
+    * as insert / delete / update / same, null-safely (`<=>`) across all
+    * non-key columns. One full-outer shuffle join on the key —
+    * O(|base| + |revised|), no pair term — and the column comparison is
+    * row-local, so the shape survives any table size; at 100 TB both
+    * sides bucketed by the key make even that one Exchange disappear
+    * (see SCALE.md, bucketed layouts).
+    */
+  def tableDiff(base: DataFrame, revised: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val nonKey = base.columns.filterNot(keys.contains).toSeq
+    val b = base.select(keys.map(col) ++
+      nonKey.map(c => col(c).as(s"b_$c")) :+ lit(true).as("__in_b"): _*)
+    val r = revised.select(keys.map(col) ++
+      nonKey.map(c => col(c).as(s"r_$c")) :+ lit(true).as("__in_r"): _*)
+    val changed = nonKey.map(c => !(col(s"b_$c") <=> col(s"r_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(r, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_b").isNull, "insert")
+          .when(col("__in_r").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("same"))
+      .drop("__in_b", "__in_r")
+  }
+
+  /** Gate-facing diff: reconcile orders against its merged revision
+    * ([[mergeOrders]]) with a deterministic slice deleted — all four
+    * change classes populated. Publishes the reconciliation summary
+    * (class, row count, key checksum).
+    */
+  def orderDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val revised = mergeOrders(s, d).filter(col("o_orderkey") % 7 =!= 3)
+    tableDiff(base, revised, Seq("o_orderkey"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("change_type")
+  }
+
   /** Gate-facing merge: orders with every 10th key's status/price updated
     * and a deterministic batch of new keys inserted (shifted key space).
     */

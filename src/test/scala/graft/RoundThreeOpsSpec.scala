@@ -60,6 +60,38 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(byKey(1L) == ("a", 10.0) && byKey(3L) == ("c", 30.0))
   }
 
+  test("tableDiff: all four classes, null-safe column compare " +
+      "(null == null is 'same', null vs value is 'update')") {
+    val base = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, None),
+      (4L, Option("d")), (5L, None),
+    ).toDF("k", "v")
+    val revised = Seq(
+      (1L, Option("a")),  // same
+      (2L, Option("B")),  // update
+      (3L, None),         // same (null <=> null)
+      (5L, Option("e")),  // update (null -> value)
+      (9L, Option("z")),  // insert; 4 deleted
+    ).toDF("k", "v")
+    val diff = Relational.tableDiff(base, revised, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(diff === Map(1L -> "same", 2L -> "update", 3L -> "same",
+      4L -> "delete", 5L -> "update", 9L -> "insert"))
+  }
+
+  test("orderDiff: classes reconcile against the merge fixture — " +
+      "deletes are the %7 slice, inserts the shifted keys") {
+    val out = Relational.orderDiff(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("insert", "delete", "update", "same"))
+    val base = Tables.orders(spark, d).count()
+    // every base key is same/update/delete; inserts are extra
+    assert(out("same") + out("update") + out("delete") == base)
+    val deleted = Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 7 === 3).count()
+    assert(out("delete") == deleted)
+  }
+
   test("mergeOrders: row count = base + inserts; merged keys unique") {
     val base = Tables.orders(spark, d).count()
     val inserts = Tables.orders(spark, d)
