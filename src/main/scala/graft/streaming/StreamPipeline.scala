@@ -102,6 +102,27 @@ object StreamPipeline {
     * when the group times out; closed sessions are emitted in Append mode.
     * State per user is three longs — the bounded-state production shape.
     */
+  /** [[sessionizeStream]] via the native `session_window` streaming
+    * aggregation — Spark's own session operator: state-store-backed
+    * window merging, watermark-bounded state, Append-mode emission once
+    * the watermark passes a session's gap-extended end. No custom state
+    * machine to maintain, and semantics identical to the batch
+    * [[graft.ops.EventOps.sessionizeNative]] (touching windows merge,
+    * `session_end = last + gap`) — asserted in spec against the
+    * flatMapGroupsWithState twin.
+    */
+  def sessionizeStreamNative(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMin: Int = 30, watermark: String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
       gapMin: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._

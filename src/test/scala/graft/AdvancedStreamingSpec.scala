@@ -102,6 +102,33 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window streaming agg: session emits once the " +
+      "watermark passes its gap-extended end; bounds match the batch twin") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamPipeline.sessionizeStreamNative(mem.toDS(), gapMin = 30)
+    val q = out.writeStream.format("memory").queryName("sess_native_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(1, t(0, 0), 1.0),
+        SessionEvent(1, t(0, 10), 1.0), SessionEvent(1, t(0, 20), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_native_out").count() === 0,
+        "session must not emit before the watermark passes its end")
+      // watermark = max event − 1h; t(3,0) puts it at t(2,0), past the
+      // session end t(0,50) = last event t(0,20) + 30 min gap
+      mem.addData(SessionEvent(1, t(3, 0), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_native_out").collect()
+      assert(rows.length === 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") === 1L)
+      assert(r.getAs[Timestamp]("session_start") === t(0, 0))
+      assert(r.getAs[Timestamp]("session_end") === t(0, 50))
+      assert(r.getAs[Long]("n_events") === 3L)
+    } finally q.stop()
+  }
+
   test("transformWithState sessionizer (RocksDB state store) closes the " +
       "same sessions as the flatMapGroupsWithState twin") {
     import spark.implicits._
