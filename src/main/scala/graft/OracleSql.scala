@@ -182,6 +182,20 @@ object OracleSql {
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Relational.eventKeySkew twin: integer-exact ppm share and heavy
+    // flag (n·keys > 2·total), deterministic top-10 (count desc, key).
+    "r_skew_profile" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |         count(*) AS n_keys FROM c)
+        |SELECT key, n_rows, n_rows * 1000000 // total AS share_ppm,
+        |       n_rows * n_keys > 2 * total AS is_heavy
+        |FROM c, s
+        |ORDER BY n_rows DESC, key LIMIT 10""".stripMargin,
+
     // Relational.orderDiff twin: rebuild the merged revision (minus the
     // deleted slice), FULL OUTER JOIN on the key, classify null-safely.
     "r_table_diff" ->

@@ -99,6 +99,7 @@ object SparkEntry {
     "r_cube"              -> (Relational.cubeCounts(_, _)),
     "r_window_funcs"      -> (Relational.windowFunctions(_, _)),
     "r_salted_join"       -> (Relational.saltedJoinCounts(_, _)),
+    "r_skew_profile"      -> (Relational.eventKeySkew(_, _)),
     "r_offset_limit"      -> (Relational.offsetLimit(_, _)),
     "r_range_join"        -> (Relational.rangeJoinBinned(_, _)),
     "r_scalar_subquery"   -> (Relational.scalarSubquery(_, _)),

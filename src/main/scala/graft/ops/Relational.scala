@@ -247,6 +247,32 @@ object Relational {
     * feeding stateful ops). Deterministic: replica choice hashes the probe
     * row's own key column.
     */
+  /** Join-key skew profile — the diagnostic run before choosing a salt
+    * factor ([[saltedJoinCounts]]) or trusting AQE's skew split: per-key
+    * row counts, parts-per-million share, and a heavy flag
+    * (`n > 2 × mean`). All ratios in integer arithmetic
+    * (`n·1e6 div total`, `n·keys > 2·total`) so the profile is
+    * engine-exact. Shape: one key-keyed aggregation (map-side combined)
+    * + a two-row scalar aggregate broadcast back — O(distinct keys),
+    * no sort until the top-k presentation limit.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(sum("n_rows").as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key"), col("n_rows"),
+        expr("n_rows * 1000000 div total").as("share_ppm"),
+        (col("n_rows") * col("n_keys") > col("total") * 2).as("is_heavy"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
+
+  /** Gate-facing skew profile of the event stream's user key. */
+  def eventKeySkew(s: SparkSession, d: String): DataFrame =
+    skewProfile(Tables.events(s, d), "user_id")
+
   def saltedJoinCounts(s: SparkSession, d: String, salt: Int = 8): DataFrame = {
     val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
       .withColumn("salt_", pmod(xxhash64(col("o_custkey")), lit(salt)))

@@ -60,6 +60,20 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(byKey(1L) == ("a", 10.0) && byKey(3L) == ("c", 30.0))
   }
 
+  test("skewProfile: planted hot key is flagged heavy with exact ppm " +
+      "share; uniform keys are not") {
+    // key 1: 60 rows; keys 2..11: 4 rows each -> total 100, 11 keys.
+    // mean ≈ 9.09; heavy iff n·11 > 200 -> only key 1 (660 > 200).
+    val df = (Seq.fill(60)(1L) ++ (2L to 11L).flatMap(Seq.fill(4)(_)))
+      .toDF("k")
+    val rows = Relational.skewProfile(df, "k", topK = 11).collect()
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 60L)
+    assert(rows.head.getLong(2) == 600000L) // 60·1e6 div 100
+    assert(rows.head.getBoolean(3), "hot key must be flagged heavy")
+    assert(rows.tail.forall(!_.getBoolean(3)), "uniform keys must not")
+    assert(rows.tail.forall(_.getLong(2) == 40000L))
+  }
+
   test("tableDiff: all four classes, null-safe column compare " +
       "(null == null is 'same', null vs value is 'update')") {
     val base = Seq(
