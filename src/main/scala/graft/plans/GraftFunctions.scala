@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.graftshim.Internal
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, ExactMedian, ExactQuantile, MinHashSignature, QuantizeInt8, ShingleHashes, SimHash64}
+import graft.functions.{CosineSimilarity, ExactMedian, ExactQuantile, ExactQuantiles, MinHashSignature, QuantizeInt8, ShingleHashes, SimHash64}
 import graft.ops.DedupOps
 
 /** SQL surface for the engine's custom Catalyst expressions: a user who
@@ -31,6 +31,22 @@ object GraftFunctions {
         s"$fn: $arg must be an integer literal, got $other")
     } else throw new IllegalArgumentException(
       s"$fn: $arg must be a literal, got non-foldable ${e.sql}")
+
+  private def litIntArray(e: Expression, fn: String, arg: String): Seq[Int] =
+    if (e.foldable) e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(e.dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+          .toSeq.map {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"$fn: $arg elements must be integer literals, got $other")
+          }
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer array literal, got $other")
+    } else throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal array, got non-foldable ${e.sql}")
 
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
     if (es.size != n) throw new IllegalArgumentException(
@@ -86,6 +102,16 @@ object GraftFunctions {
         ExactQuantile(Cast(es(0), DoubleType),
           litInt(es(1), "graft_exact_quantile", "pctNum"),
           litInt(es(2), "graft_exact_quantile", "pctDen"))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_exact_quantiles"),
+      new ExpressionInfo(classOf[ExactQuantiles].getName,
+        "graft_exact_quantiles"),
+      (es: Seq[Expression]) => {
+        arity("graft_exact_quantiles", es, 3)
+        ExactQuantiles(Cast(es(0), DoubleType),
+          litIntArray(es(1), "graft_exact_quantiles", "pctNums"),
+          litInt(es(2), "graft_exact_quantiles", "pctDen"))
           .toAggregateExpression()
       }))
 

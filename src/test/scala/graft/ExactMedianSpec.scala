@@ -88,6 +88,40 @@ class ExactMedianSpec extends AnyFunSuite {
     assert(q50 === med)
   }
 
+  test("ExactQuantiles (shared map) ≡ independent ExactQuantile calls " +
+      "on real grouped data, any request order") {
+    import graft.functions.ExactQuantile.exactQuantile
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val base = graft.Tables.events(spark, TestSpark.sf001)
+      .select($"event_type", $"value")
+    val singles = base.groupBy("event_type")
+      .agg(exactQuantile($"value", 25, 100).as("a"),
+        exactQuantile($"value", 95, 100).as("b"),
+        exactQuantile($"value", 50, 100).as("c"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // deliberately unsorted request order: output slots must track input
+    val multi = base.groupBy("event_type")
+      .agg(exactQuantiles($"value", Seq(25, 95, 50), 100).as("qs"))
+      .collect()
+      .map { r =>
+        val a = r.getSeq[Double](1)
+        r.getString(0) -> ((a(0), a(1), a(2)))
+      }.toMap
+    assert(multi === singles)
+  }
+
+  test("ExactQuantiles: empty group is NULL; all-null group is NULL") {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val df = Seq(("a", Option(1.0)), ("b", Option.empty[Double]))
+      .toDF("g", "v")
+    val rows = df.groupBy("g")
+      .agg(exactQuantiles($"v", Seq(50, 95), 100).as("qs"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(rows === Map("a" -> false, "b" -> true))
+  }
+
   test("valueOutliers: IQR fence flags exactly the planted outliers") {
     import graft.ops.EventOps
     // 1..20 with two planted extremes (±100). Sorted: -100, 1..20, 100.

@@ -86,6 +86,10 @@ class SqlFunctionsSpec extends AnyFunSuite {
         |       graft_exact_quantile(x, 95, 100) AS p95
         |FROM qt_in GROUP BY g""".stripMargin).collect().head
     assert(row.getDouble(1) == 3.0 && row.getDouble(2) == 10.0)
+    val multi = spark.sql(
+      """SELECT g, graft_exact_quantiles(x, array(25, 95), 100) AS qs
+        |FROM qt_in GROUP BY g""".stripMargin).collect().head
+    assert(multi.getSeq[Double](1) == Seq(3.0, 10.0))
   }
 
   test("graft_quantize_int8 from SQL equals the Column entry point") {
