@@ -1207,6 +1207,37 @@ object OracleSql {
         |FROM s GROUP BY user_id, seq
         |ORDER BY user_id, session_start""".stripMargin,
 
+    // Interval-overlap twin: native session bounds vs top-5 busiest
+    // hours, half-open overlap on exact micro timestamps.
+    "ev_session_overlap" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM s GROUP BY user_id, seq),
+        |h AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |top5 AS (
+        |  SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end
+        |  FROM h ORDER BY n DESC, window_start LIMIT 5)
+        |SELECT window_start, count(*) AS n_sessions,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM sess JOIN top5
+        |  ON session_start < window_end AND window_start < session_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ev_top_users" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,

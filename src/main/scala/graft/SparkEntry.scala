@@ -67,6 +67,7 @@ object SparkEntry {
     "ev_hourly_by_type"   -> (EventOps.hourlyByType(_, _)),
     "ev_sessionize"       -> (EventOps.sessionize(_, _)),
     "ev_session_native"   -> (EventOps.sessionizeNative(_, _)),
+    "ev_session_overlap"  -> (EventOps.sessionOverlapWindows(_, _)),
     "ev_top_users"        -> (EventOps.topUsers(_, _)),
     "ev_value_stats"      -> (EventOps.valueStatsByType(_, _)),
     "ev_value_quantiles"  -> (EventOps.valueQuantilesByType(_, _)),

@@ -107,6 +107,34 @@ object EventOps {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** Interval-overlap join: user sessions (native bounds, [start,
+    * end = last + gap)) against the top-5 busiest hour windows — how
+    * many sessions and distinct users were live in each peak hour. The
+    * window set is bounded (top-k), so the non-equi overlap predicate
+    * plans as a broadcast join over a single session scan — the right
+    * shape at any corpus size. For an UNBOUNDED window set the same
+    * semantics need hour-binning first (explode each interval to the
+    * hours it spans, equi-join on the hour, then re-check the exact
+    * overlap) — the [[Relational.rangeJoinBinned]] pattern; never a
+    * nested-loop over two unbounded sides.
+    */
+  def sessionOverlapWindows(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionizeNativeFrom(Tables.events(s, d))
+    val top5 = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("window_start")).limit(5)
+      .select(col("window_start"),
+        (col("window_start") + expr("INTERVAL 1 HOUR")).as("window_end"))
+    sess.join(broadcast(top5),
+        col("session_start") < col("window_end") &&
+          col("window_start") < col("session_end"))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_start")
+  }
+
   /** As-of join (composed form): attach to every event the timestamp of
     * the user's most recent *prior* purchase. The classic as-of-join
     * semantics expressed with built-ins — a conditional max over a

@@ -60,6 +60,19 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(byKey(1L) == ("a", 10.0) && byKey(3L) == ("c", 30.0))
   }
 
+  test("sessionOverlapWindows: exactly the top-5 windows surface; " +
+      "every window's session count bounds its user count") {
+    val out = EventOps.sessionOverlapWindows(spark, d).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) > 0,
+        s"n_sessions >= n_users > 0 violated: $r")
+    }
+    // windows are distinct and ordered
+    val ws = out.map(_.getTimestamp(0))
+    assert(ws.distinct.length == 5 && ws.sorted.toSeq == ws.toSeq)
+  }
+
   test("skewProfile: planted hot key is flagged heavy with exact ppm " +
       "share; uniform keys are not") {
     // key 1: 60 rows; keys 2..11: 4 rows each -> total 100, 11 keys.
