@@ -53,6 +53,24 @@ object StreamPipeline {
     else cleaned.dropDuplicates("description")
   }
 
+  /** [[pinStream]] with per-batch data-quality counters attached via
+    * `observe` (a CollectMetrics node): row count, post-clean NULL
+    * follower_count (unparseable suffixes + sentinel hits), NULL
+    * category (sentinel hits). The counters ride the existing
+    * micro-batch — no second aggregation, no extra pass — and surface
+    * in every `StreamingQueryProgress.observedMetrics["pin_quality"]`,
+    * where an operator alerts on drift (e.g. a null-rate spike means
+    * the producer changed its schema). The 100 TB telemetry shape:
+    * monitoring cost must be O(0) passes, not a shadow pipeline.
+    */
+  def pinStreamObserved(raw: DataFrame, bounded: Boolean = false): DataFrame =
+    pinStream(raw, bounded).observe("pin_quality",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("follower_count").isNull, 1L).otherwise(0L))
+        .as("n_null_follower"),
+      sum(when(col("category").isNull, 1L).otherwise(0L))
+        .as("n_null_category"))
+
   /** Streaming geo path (`KINESIS:138-149`). */
   def geoStream(raw: DataFrame, bounded: Boolean = false): DataFrame = {
     val cleaned = deserialize(raw, Schemas.geoRaw)

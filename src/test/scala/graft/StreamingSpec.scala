@@ -48,6 +48,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pin stream observed: per-batch quality counters ride the " +
+      "micro-batch (no second aggregation) and flag parse failures") {
+    import spark.implicits._
+    val mem = MemoryStream[String](spark)
+    val observed = StreamPipeline.pinStreamObserved(mem.toDF().toDF("data"))
+    val q = observed.writeStream.format("memory").queryName("pin_obs_out")
+      .outputMode("append").start()
+    try {
+      // "2.5k" is the reference's unparseable-suffix quirk -> NULL
+      mem.addData(pinJson(1, "a", "25k"), pinJson(2, "b", "2.5k"),
+        pinJson(3, "c", "1M"))
+      q.processAllAvailable()
+      val metrics = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("pin_quality")))
+      assert(metrics.nonEmpty, "no pin_quality observation in progress")
+      val m = metrics.last
+      assert(m.getAs[Long]("n_rows") === 3L)
+      assert(m.getAs[Long]("n_null_follower") === 1L)
+      assert(m.getAs[Long]("n_null_category") === 0L)
+    } finally q.stop()
+  }
+
   test("geo stream: coordinates packed, dedup on ind across batches") {
     import spark.implicits._
     val mem = MemoryStream[String](spark)
