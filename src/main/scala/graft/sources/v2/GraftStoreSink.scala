@@ -91,6 +91,11 @@ object GraftStore {
     else { install(table, schema, staged, truncate = false); true }
   }
 
+  /** Register an empty table (the catalog's CREATE TABLE). */
+  def createEmpty(table: String, schema: StructType): Unit = synchronized {
+    schemas.update(table, schema)
+  }
+
   def drop(table: String): Unit = synchronized {
     tables.remove(table); schemas.remove(table)
     epochs.keys.filter(_._1 == table).foreach(epochs.remove)

@@ -71,6 +71,25 @@ class GraftStoreSinkSpec extends AnyFunSuite {
     assert(GraftStore.rows("t_ep").size === 3)
   }
 
+  test("TableCatalog: pure-SQL DDL + DML round trip (CREATE / INSERT / " +
+      "SELECT / DROP) through the same two-phase commit") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    GraftStore.drop("sqltab")
+    spark.sql("CREATE TABLE graft.sqltab (id BIGINT, tag STRING)")
+    assert(GraftStore.schemas.contains("sqltab"))
+    spark.sql("INSERT INTO graft.sqltab VALUES (1, 'x'), (2, 'y')")
+    val rows = spark.sql(
+      "SELECT id, tag FROM graft.sqltab ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "x"), (2L, "y")))
+    spark.sql("INSERT OVERWRITE graft.sqltab VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM graft.sqltab")
+      .collect().head.getLong(0) === 1L)
+    spark.sql("DROP TABLE graft.sqltab")
+    assert(!GraftStore.schemas.contains("sqltab"))
+  }
+
   test("end-to-end streaming write: micro-batches land via epoch commits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
