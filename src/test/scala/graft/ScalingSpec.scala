@@ -79,4 +79,46 @@ class ScalingSpec extends AnyFunSuite {
     assert(shR > 2 && shR < inR * 3,
       s"segment shuffle ${shR}x vs input ${inR}x")
   }
+
+  /** AQE skew-join splitting — at 100 TB a hot join key makes one
+    * post-shuffle partition orders of magnitude larger than the rest;
+    * AQE splits it into advisory-sized sub-partitions at runtime IF the
+    * join shape is eligible (sort-merge, no illegal reuse of the skewed
+    * side). Local data is below the default 256 MB skew threshold, so
+    * the spec lowers the thresholds and plants a hot key to prove our
+    * plain equi-join shape stays eligible — the safety net behind
+    * the manual salting path (`r_salted_join`).
+    */
+  test("planted hot key: AQE splits the skewed partition at runtime " +
+      "(join shape stays skew-eligible)") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 1 carries 200k rows; keys 2..1000 carry ~200 each
+      val left = spark.range(0, 200000)
+        .select(lit(1L).as("k"), col("id").as("v"))
+        .union(spark.range(0, 200000)
+          .select((col("id") % 999 + 2).as("k"), col("id").as("v")))
+      val right = spark.range(1, 1001)
+        .select(col("id").as("k"), (col("id") * 10).as("w"))
+      // a global aggregate, NOT a groupBy on the join key: a downstream
+      // requirement for hashpartitioning(k) would (correctly) veto the
+      // split, since splitting breaks that partitioning
+      val j = left.join(right, "k").agg(sum(col("v") + col("w")).as("s"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join as skew-split:\n$plan")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
