@@ -1557,9 +1557,12 @@ object OracleSql {
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
         |    CAST(rank() OVER win AS BIGINT) AS rnk,
         |    CAST(dense_rank() OVER win AS BIGINT) AS drnk,
+        |    percent_rank() OVER win AS prnk,
+        |    cume_dist() OVER win AS cdist,
         |    lag(c_acctbal, 1) OVER win AS prev_bal,
         |    lead(c_acctbal, 1) OVER win AS next_bal,
         |    CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |    first_value(c_acctbal) OVER win AS seg_top_bal,
         |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
         |      OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS DOUBLE) AS running_sum

@@ -215,10 +215,13 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
-  /** Window-function breadth in one query: rank, dense_rank, lag, lead,
-    * ntile, and a running sum with an explicit rows frame — the analytic
-    * surface beyond the reference's single row_number (SURVEY.md §2.6).
-    * One shuffle on the partition key; all functions share the frame sort.
+  /** Window-function breadth in one query: rank, dense_rank,
+    * percent_rank, cume_dist, lag, lead, ntile, first_value, and a
+    * running sum with an explicit rows frame — the full analytic surface
+    * beyond the reference's single row_number (SURVEY.md §2.6). One
+    * shuffle on the partition key; all functions share the frame sort.
+    * percent_rank/cume_dist are ratios of window-local integers, so the
+    * doubles are engine-exact.
     */
   def windowFunctions(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -228,9 +231,12 @@ object Relational {
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
       .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
       .withColumn("prev_bal", lag("c_acctbal", 1).over(w))
       .withColumn("next_bal", lead("c_acctbal", 1).over(w))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("seg_top_bal", first_value(col("c_acctbal")).over(w))
       .withColumn("running_sum",
         sum(col("c_acctbal").cast("decimal(18,2)"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
