@@ -182,6 +182,15 @@ object OracleSql {
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Relational.incrementalJoinOrders twin: the FULL recompute — the
+    // maintained join must equal it exactly (delta-term coverage proof).
+    "r_incremental_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Relational.eventKeySkew twin: integer-exact ppm share and heavy
     // flag (n·keys > 2·total), deterministic top-10 (count desc, key).
     "r_skew_profile" ->

@@ -130,6 +130,7 @@ object SparkEntry {
     // incremental aggregate maintenance
     "r_merge_upsert"      -> (Relational.mergeOrders(_, _)),
     "r_table_diff"        -> (Relational.orderDiff(_, _)),
+    "r_incremental_join"  -> (Relational.incrementalJoinOrders(_, _)),
     "r_constraint_audit"  -> (Relational.constraintAudit(_, _)),
     "r_scd2"              -> (Relational.scd2(_, _)),
     "r_table_stats"       -> (Relational.tableStats(_, _)),

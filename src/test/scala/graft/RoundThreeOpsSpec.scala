@@ -87,6 +87,24 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(rows.tail.forall(_.getLong(2) == 40000L))
   }
 
+  test("incrementalJoin: maintained join ≡ full recompute (delta terms " +
+      "cover every pair exactly once)") {
+    val l = Seq((1L, "h1"), (2L, "h2"), (3L, "n1"), (3L, "n2"))
+      .toDF("k", "lv")
+    val r = Seq((1L, "H"), (3L, "H3"), (2L, "N"), (3L, "N3")).toDF("k", "rv")
+    val histL = l.filter(!col("lv").startsWith("n"))
+    val newL = l.filter(col("lv").startsWith("n"))
+    val histR = r.filter(!col("rv").startsWith("N"))
+    val newR = r.filter(col("rv").startsWith("N"))
+    val maintained = Relational.incrementalJoin(
+      histL.join(histR, Seq("k")), histL, histR, newL, newR, Seq("k"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    val full = l.join(r, Seq("k")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    assert(maintained.sorted.toSeq === full.sorted.toSeq,
+      "maintained join must equal the full recompute, duplicates included")
+  }
+
   test("tableDiff: all four classes, null-safe column compare " +
       "(null == null is 'same', null vs value is 'update')") {
     val base = Seq(
