@@ -444,23 +444,49 @@ object EventOps {
     * until the final surface.
     */
   def gapFillHourly(s: SparkSession, d: String): DataFrame = {
+    // Join-free densify: each present hour emits itself PLUS the gap
+    // hours since the user's previous present hour (lag), so the dense
+    // grid — |users| × span-hours, the biggest relation here — is
+    // GENERATED narrow after the last algorithmic shuffle instead of
+    // being shuffled through a grid⋈hourly equi-join (the form this
+    // replaced; one full events scan and one join exchange cheaper).
+    // Remaining shuffles: the map-combined hourly aggregation, one
+    // hourly-sized user-keyed window, and the gate's deterministic
+    // presentation sort of the dense OUTPUT — at sf0.1 that sort is
+    // nearly all the bytes (grid ≈ 8.7M rows) and is the documented
+    // accepted test-scale cost; a production consumer would
+    // sortWithinPartitions or write partitioned instead. Forward-fill
+    // falls out for free: gap rows carry the lagged value, present rows
+    // their own — no ignoreNulls scan over the dense grid.
     val hourly = Tables.events(s, d)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("hour_dec"),
         count(lit(1)).as("n_events"))
-    val spans = hourly.groupBy("user_id")
-      .agg(min("hour").as("first_hour"), max("hour").as("last_hour"))
-    val grid = spans.select(col("user_id"),
-      explode(sequence(col("first_hour"), col("last_hour"),
-        expr("INTERVAL 1 HOUR"))).as("hour"))
     val w = Window.partitionBy("user_id").orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "hour"), "left")
-      .select(col("user_id"), col("hour"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("hour_dec").cast("double"), lit(0.0)).as("hour_value"),
-        last(col("hour_dec"), ignoreNulls = true).over(w)
-          .cast("double").as("carried_value"))
+    hourly
+      .withColumn("prev_hour", lag("hour", 1).over(w))
+      .withColumn("prev_dec", lag("hour_dec", 1).over(w))
+      .withColumn("entries", expr(
+        """concat(
+          |  CASE WHEN prev_hour IS NULL
+          |            OR prev_hour + INTERVAL 1 HOUR >= hour
+          |       THEN array()
+          |       ELSE transform(
+          |         sequence(prev_hour + INTERVAL 1 HOUR,
+          |                  hour - INTERVAL 1 HOUR, INTERVAL 1 HOUR),
+          |         h -> struct(h AS hour, CAST(0 AS BIGINT) AS n_events,
+          |                     CAST(NULL AS DECIMAL(18,2)) AS hour_dec,
+          |                     prev_dec AS carried_dec))
+          |  END,
+          |  array(struct(hour AS hour, n_events AS n_events,
+          |               hour_dec AS hour_dec, hour_dec AS carried_dec)))
+          |""".stripMargin))
+      .select(col("user_id"), explode(col("entries")).as("e"))
+      .select(col("user_id"), col("e.hour").as("hour"),
+        col("e.n_events").as("n_events"),
+        coalesce(col("e.hour_dec").cast("double"), lit(0.0))
+          .as("hour_value"),
+        col("e.carried_dec").cast("double").as("carried_value"))
       .orderBy("user_id", "hour")
   }
 }
