@@ -182,6 +182,20 @@ object OracleSql {
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // TextOps.lengthQuantiles twin: same integer rank rule as
+    // ev_value_quantiles, over the bounded n_chars domain.
+    "txt_length_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS len,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang,
+        |  max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100) THEN len END) AS len_p50,
+        |  max(CASE WHEN rn = GREATEST(1, (90 * cnt + 99) // 100) THEN len END) AS len_p90,
+        |  max(CASE WHEN rn = GREATEST(1, (99 * cnt + 99) // 100) THEN len END) AS len_p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Relational.incrementalJoinOrders twin: the FULL recompute — the
     // maintained join must equal it exactly (delta-term coverage proof).
     "r_incremental_join" ->

@@ -45,6 +45,7 @@ object SparkEntry {
     "txt_tfidf"           -> (TextOps.tfidfTop(_, _)),
     "txt_top_terms_cms"   -> (TextOps.topTermsCms(_, _)),
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
+    "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),

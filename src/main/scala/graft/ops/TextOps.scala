@@ -33,6 +33,27 @@ object TextOps {
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Per-language corpus length profile — exact p50/p90/p99 of document
+    * character length from ONE shared count-map per language
+    * ([[graft.functions.ExactQuantiles]]). Lengths are a value-bounded
+    * integer domain, the aggregate's best case: state collapses to the
+    * distinct-length count no matter how many documents — the shape that
+    * holds at a 100 TB corpus where the tail percentile drives context-
+    * window and packing decisions.
+    */
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("double").as("len"))
+      .groupBy("lang")
+      .agg(exactQuantiles(col("len"), Seq(50, 90, 99), 100).as("qs"))
+      .select(col("lang"),
+        col("qs").getItem(0).as("len_p50"),
+        col("qs").getItem(1).as("len_p90"),
+        col("qs").getItem(2).as("len_p99"))
+      .orderBy("lang")
+  }
+
   /** BPE-ish subword proxy count: runs of letters, runs of digits, or a
     * single non-space symbol — the standard pre-tokenizer shape. Uses a
     * regex with identical semantics in Java regex and RE2 (oracle parity).
