@@ -81,6 +81,19 @@ object StreamPipeline {
     else cleaned.dropDuplicates("ind")
   }
 
+  /** [[geoStream]] with [[pinStreamObserved]]'s per-batch counters:
+    * unparseable timestamps and NULL coordinate components both signal
+    * producer drift.
+    */
+  def geoStreamObserved(raw: DataFrame, bounded: Boolean = false): DataFrame =
+    geoStream(raw, bounded).observe("geo_quality",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("timestamp").isNull, 1L).otherwise(0L))
+        .as("n_null_timestamp"),
+      sum(when(col("coordinates").getItem(0).isNull ||
+        col("coordinates").getItem(1).isNull, 1L).otherwise(0L))
+        .as("n_null_coord"))
+
   /** Streaming user path (`KINESIS:153-163`). */
   def userStream(raw: DataFrame, bounded: Boolean = false): DataFrame = {
     val cleaned = deserialize(raw, Schemas.userRaw)

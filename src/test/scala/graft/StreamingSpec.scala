@@ -70,6 +70,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("geo stream observed: bad timestamp and missing coordinate are " +
+      "counted per batch") {
+    import spark.implicits._
+    val mem = MemoryStream[String](spark)
+    val observed = StreamPipeline.geoStreamObserved(mem.toDF().toDF("data"))
+    val q = observed.writeStream.format("memory").queryName("geo_obs_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        """{"ind": 1, "country": "US", "latitude": 1.5, "longitude": -2.5,
+          |"timestamp": "2021-03-04T05:06:07"}""".stripMargin
+          .replaceAll("\n", " "),
+        """{"ind": 2, "country": "DE", "latitude": null, "longitude": -2.5,
+          |"timestamp": "not-a-time"}""".stripMargin.replaceAll("\n", " "))
+      q.processAllAvailable()
+      val m = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("geo_quality"))).last
+      assert(m.getAs[Long]("n_rows") === 2L)
+      assert(m.getAs[Long]("n_null_timestamp") === 1L)
+      assert(m.getAs[Long]("n_null_coord") === 1L)
+    } finally q.stop()
+  }
+
   test("geo stream: coordinates packed, dedup on ind across batches") {
     import spark.implicits._
     val mem = MemoryStream[String](spark)
