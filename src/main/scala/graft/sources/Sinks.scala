@@ -101,6 +101,25 @@ object Sinks {
     * materialization it performs between q3 and q4
     * (`(Clone) Pinterest Data Cleaning and Queries.py:174-183`).
     */
+  /** Training-export sink: JSONL shards — the format data loaders
+    * actually stream — written as exactly `shards` files, each one a
+    * contiguous range of the deterministic shuffle order (range
+    * repartition on the provided key, in-partition sort). Compression is
+    * per-file, so shards are independently fetchable/decodable by rank;
+    * at 100 TB pick `shards` ≈ total/target-file-size, never 1-file-per-
+    * executor-task defaults. Returns the shard file count written.
+    */
+  def exportJsonlShards(df: DataFrame, path: String, orderCol: String,
+      shards: Int, compression: String = "gzip"): Int = {
+    df.repartitionByRange(shards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .json(path)
+    new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+  }
+
   def materialize(df: DataFrame, path: String, viewName: String): DataFrame = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
     val back = df.sparkSession.read.parquet(path)

@@ -29,6 +29,30 @@ class SinksAndIvfSpec extends AnyFunSuite {
       .count(_.getName.startsWith("day=")) > 5)
   }
 
+  test("exportJsonlShards: exact shard count, rows round-trip, shards " +
+      "are disjoint key ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_out").toString
+    val df = spark.range(0, 1000)
+      .selectExpr("id", "CAST(id % 7 AS STRING) AS tag")
+    val n = graft.sources.Sinks.exportJsonlShards(df, dir, "id", 4,
+      compression = "none")
+    assert(n === 4, s"expected exactly 4 shard files, got $n")
+    val back = spark.read.schema("id LONG, tag STRING").json(dir)
+    assert(back.count() === 1000)
+    assert(back.selectExpr("sum(id)").collect().head.getLong(0)
+      === (0L until 1000L).sum)
+    // each file holds a contiguous range: per-file min/max don't overlap
+    val ranges = back.selectExpr("id", "input_file_name() AS f")
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"shard ranges overlap: ${ranges.mkString(",")}")
+      case _ =>
+    }
+  }
+
   test("materialize round-trips and registers the view (q3->q4 pattern)") {
     val dir = Files.createTempDirectory("graft_mat").toString
     val q3 = ops.Queries.q3TopPosterPerCountry(spark, TestSpark.sf0001)
