@@ -104,6 +104,18 @@ object StreamPipeline {
     else cleaned.dropDuplicates("ind")
   }
 
+  /** [[userStream]] with per-batch counters: NULL date_joined flags an
+    * unparseable date; NULL user_name flags a missing name component
+    * (concat propagates NULL).
+    */
+  def userStreamObserved(raw: DataFrame, bounded: Boolean = false): DataFrame =
+    userStream(raw, bounded).observe("user_quality",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("date_joined").isNull, 1L).otherwise(0L))
+        .as("n_null_date"),
+      sum(when(col("user_name").isNull, 1L).otherwise(0L))
+        .as("n_null_name"))
+
   /** Event-time tumbling-window aggregate with watermark — the windowed
     * streaming shape the reference lacks (SURVEY.md §2.11 T4), over any
     * stream with (ts, event_type, value).

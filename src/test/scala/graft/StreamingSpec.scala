@@ -93,6 +93,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("user stream observed: bad date and missing name component are " +
+      "counted per batch") {
+    import spark.implicits._
+    val mem = MemoryStream[String](spark)
+    val observed = StreamPipeline.userStreamObserved(mem.toDF().toDF("data"))
+    val q = observed.writeStream.format("memory").queryName("user_obs_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        """{"ind": 1, "first_name": "Ada", "last_name": "L",
+          |"age": 30, "date_joined": "2020-01-02T03:04:05"}""".stripMargin
+          .replaceAll("\n", " "),
+        """{"ind": 2, "first_name": null, "last_name": "X",
+          |"age": 40, "date_joined": "nope"}""".stripMargin
+          .replaceAll("\n", " "))
+      q.processAllAvailable()
+      val m = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("user_quality"))).last
+      assert(m.getAs[Long]("n_rows") === 2L)
+      assert(m.getAs[Long]("n_null_date") === 1L)
+      assert(m.getAs[Long]("n_null_name") === 1L)
+    } finally q.stop()
+  }
+
   test("geo stream: coordinates packed, dedup on ind across batches") {
     import spark.implicits._
     val mem = MemoryStream[String](spark)
