@@ -39,20 +39,37 @@ object Bench {
     }
     Caches.releaseAll()
     spark.sqlContext.clearCache()
+    // Stability: a single run cannot distinguish a real regression from
+    // one-off interference (GC pause, OS scheduling, a concurrent process) —
+    // observed: identical code + identical plan measured 1.2s one round and
+    // 11.9s the next. Each query therefore runs REPS times and the reported
+    // number is the MEDIAN; the raw per-run times ride along under "runs" so
+    // a round-over-round diff can see the spread, not just the point.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val times = (1 to reps).flatMap { i =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run $i FAILED: ${e.getMessage}"); false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
       // a failed query must not masquerade as a fast one: record -1
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      System.err.println(f"[bench] $name%-34s $sec%8.2f s")
-      name -> sec
+      val sec = if (times.isEmpty) -1.0 else median(times)
+      System.err.println(
+        f"[bench] $name%-34s $sec%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(" ")})")
+      (name, sec, times)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runsJson = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -566,6 +566,18 @@ object OracleSql {
          |FROM t GROUP BY term
          |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
+    // CMS sketch VALUES are engine-specific; the hash-compared contract is
+    // (term, exact tf, within_bound) — the engine computes the bound check
+    // against its own sketch, the oracle states the promise as TRUE
+    // (the r_approx_distinct_bound precedent)
+    "txt_top_terms_cms" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents)
+         |SELECT term, count(*) AS tf, TRUE AS within_bound
+         |FROM t GROUP BY term
+         |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
     "txt_tfidf" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term

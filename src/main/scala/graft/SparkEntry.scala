@@ -43,7 +43,7 @@ object SparkEntry {
     "txt_train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "txt_top_terms"       -> (TextOps.topTerms(_, _)),
     "txt_tfidf"           -> (TextOps.tfidfTop(_, _)),
-    "txt_top_terms_cms"   -> (TextOps.topTermsCms(_, _)),
+    "txt_top_terms_cms"   -> (TextOps.topTermsCmsBound(_, _)),
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
     "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
     // dedup
@@ -58,7 +58,10 @@ object SparkEntry {
     // similarity search
     "emb_topk_brute"      -> (SimilarityOps.bruteForceTopK(_, _)),
     "emb_topk_lsh"        -> (SimilarityOps.lshTopK(_, _)),
-    "emb_topk_ivf"        -> (SimilarityOps.ivfTopK(_, _)),
+    // float k-means IVF (SimilarityOps.ivfTopK) is spec-only: its cell
+    // assignment depends on float-sum order, so no engine-exact oracle
+    // exists; the oracled twin below (medoid-seeded, decimal-exact) is
+    // the driver-gated form of the same IVF shape.
     "emb_topk_ivf_seeded" -> (SimilarityOps.ivfTopKSeeded(_, _)),
     "emb_topk_pq"         -> (SimilarityOps.pqTopKSeeded(_, _)),
     "emb_topk_ivfpq"      -> (SimilarityOps.ivfPqTopK(_, _)),
@@ -110,7 +113,8 @@ object SparkEntry {
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "ev_moving_range"     -> (EventOps.movingRange(_, _)),
-    "r_approx_distinct"   -> (Relational.approxDistinct(_, _)),
+    // raw HLL values (Relational.approxDistinct) are spec-only (engine-
+    // specific sketch values); the bound-contract twin is driver-gated.
     "r_approx_distinct_bound" -> (Relational.approxDistinctBound(_, _)),
     "ev_asof_purchase"    -> (EventOps.asOfLastPurchase(_, _)),
     "ev_asof_join"        -> (EventOps.asOfClickPurchase(_, _)),
@@ -141,7 +145,9 @@ object SparkEntry {
     "ev_incremental_agg"  -> (EventOps.incrementalHourly(_, _)),
     "ev_gap_fill"         -> (EventOps.gapFillHourly(_, _)),
     "r_set_ops_all"       -> (Relational.setOpsAll(_, _)),
-    "r_recursive_reach"   -> (Relational.recursiveReach(_, _)),
+    // engine path is the iterative loop (WITH RECURSIVE pays ~1.5 s/level
+    // fixed planning cost); the CTE form stays as the spec-compared twin
+    "r_recursive_reach"   -> (Relational.recursiveReachIterative(_, _)),
     "r_unpivot"           -> (Relational.unpivotMetrics(_, _)),
     "ev_variant_extract"  -> (EventOps.variantExtract(_, _)),
     // round 3: multi-way join analytics over the full fact chain

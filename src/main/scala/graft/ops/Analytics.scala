@@ -278,9 +278,19 @@ object Analytics {
       .agg(sum(col("v")).as("part_value_d"))
     val total = perPart.agg(sum(col("part_value_d")).as("total_value"),
       count(lit(1)).as("n_parts"))
+    // The cross-multiply must stay inside DECIMAL(38) NOMINAL precision,
+    // or Spark's allowPrecisionLoss rounds the product and the membership
+    // boundary can diverge from the exact oracle. Bounded-width operands:
+    // part_value ≤ 21 int digits (25,4), 4·n_parts ≤ 12 digits — product
+    // precision 25+12+1 = 38 exactly, zero loss; likewise (36,4)·(1,0)
+    // on the total side. The widths hold to ~1e21 currency units of
+    // single-part value / 2.5e11 parts — far past 100 TB; a value beyond
+    // them would null the cast (dropped row), not silently round.
     perPart.join(broadcast(total),
-        col("part_value_d") * col("n_parts") * lit(4) >
-          col("total_value") * lit(5))
+        col("part_value_d").cast("decimal(25,4)") *
+          (col("n_parts") * lit(4)).cast("decimal(12,0)") >
+          col("total_value").cast("decimal(36,4)") *
+            lit(5).cast("decimal(1,0)"))
       .select(col("l_partkey").as("p_partkey"),
         col("part_value_d").cast("double").as("part_value"))
       .orderBy(col("part_value").desc, col("p_partkey"))

@@ -141,6 +141,42 @@ object Relational {
       FROM reach GROUP BY doc_id ORDER BY doc_id""")
   }
 
+  /** Iterative-DataFrame twin of [[recursiveReach]] — the engine path.
+    * Spark's `WITH RECURSIVE` executes each level as a fresh sub-plan
+    * with fixed per-iteration planning cost that dominates small walks
+    * (measured 6.5 s for a depth-4 recursion whose data work is
+    * milliseconds); the loop below is the same UNION-ALL-of-levels
+    * semantics as four explicit joins of a frontier against the edge
+    * list — the [[graft.ops.DedupOps.connectedComponents]] loop pattern.
+    * Semantics match the CTE exactly: min-depth collapses diamond paths,
+    * direction (doc_a < doc_b) keeps the walk acyclic.
+    *
+    * Scale: per level, one join of the (small) frontier against the
+    * edge list — broadcast-able frontier, edge list scanned from its
+    * one materialization; depth is a constant, so lineage stays
+    * bounded without per-round checkpoints.
+    */
+  def recursiveReachIterative(s: SparkSession, d: String,
+      maxDepth: Int = 4): DataFrame = {
+    val edges = DedupOps.simhashPairs(s, d).select("doc_a", "doc_b")
+      .localCheckpoint() // one materialization; levels re-read it
+    val seed = edges.agg(min(col("doc_a")).as("doc_id"))
+      .withColumn("depth", lit(0))
+    var levels = List(seed)
+    for (_ <- 1 to maxDepth) {
+      val frontier = levels.head
+      val next = frontier.join(edges,
+          frontier("doc_id") === edges("doc_a"))
+        .select(col("doc_b").as("doc_id"),
+          (frontier("depth") + 1).as("depth"))
+      levels = next :: levels
+    }
+    levels.reduce(_ union _)
+      .groupBy("doc_id")
+      .agg(min(col("depth")).cast("long").as("depth"))
+      .orderBy("doc_id")
+  }
+
   /** Correlated LATERAL subquery (`FROM a, LATERAL (SELECT ... WHERE
     * corr ORDER BY ... LIMIT k)`): top-2 customers by balance per
     * nation, written as the per-outer-row dependent subquery a SQL user
@@ -150,15 +186,26 @@ object Relational {
     * per-nation re-scan survives to the physical plan (spec-pinned).
     */
   def lateralTopN(s: SparkSession, d: String): DataFrame = {
-    Tables.nation(s, d).createOrReplaceTempView("graft_nation_v")
-    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
-    s.sql("""
+    // temp views are session-global, so fixed names would clobber (and
+    // leak) a user's same-named views; unique names + drop-after-analysis
+    // keep the call side-effect-free (sql() resolves the plan eagerly,
+    // so the views are not needed at execution time)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val nv = s"graft_nation_$tag"
+    val cv = s"graft_customer_$tag"
+    Tables.nation(s, d).createOrReplaceTempView(nv)
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    try s.sql(s"""
       SELECT n_name, c.c_name, c.c_acctbal
-      FROM graft_nation_v, LATERAL (
-        SELECT c_name, c_acctbal FROM graft_customer_v
+      FROM $nv, LATERAL (
+        SELECT c_name, c_acctbal FROM $cv
         WHERE c_nationkey = n_nationkey
         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
       ORDER BY n_name, c_acctbal DESC, c_name""")
+    finally {
+      s.catalog.dropTempView(nv)
+      s.catalog.dropTempView(cv)
+    }
   }
 
   /** Generator/explode: part-name unigrams with counts — the flatMap shape

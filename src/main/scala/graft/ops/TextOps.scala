@@ -335,6 +335,31 @@ object TextOps {
       .orderBy(col("tf_est").desc, col("term"))
   }
 
+  /** Cross-engine-verifiable form of the CMS contract (the
+    * `r_approx_distinct_bound` precedent): sketch VALUES differ per
+    * engine, but the sketch PROMISE — never undercount, overcount by at
+    * most ~eps·T — holds in every implementation, so
+    * (term, exact tf, within_bound) hash-compares against an exact
+    * oracle. The overcount allowance is 10× the eps·T guarantee: slack
+    * for the 1−δ confidence tail, still a real assertion (a broken
+    * sketch is off by orders of magnitude, not fractions of a percent).
+    */
+  def topTermsCmsBound(s: SparkSession, d: String, k: Int = 50,
+      eps: Double = 0.001): DataFrame = {
+    import s.implicits._
+    val terms = Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+    val sketch = terms.stat.countMinSketch(col("term"), eps, 0.99, 42)
+    val total = sketch.totalCount()
+    val exact = topTerms(s, d, k).select("term", "tf").as[(String, Long)]
+      .collect() // k (term, exact-tf) pairs — the sketch query set, not data
+    exact.toSeq.map { case (t, tf) =>
+      val est = sketch.estimateCount(t)
+      (t, tf, est >= tf && est <= tf + math.ceil(eps * total * 10).toLong)
+    }.toDF("term", "tf", "within_bound")
+      .orderBy(col("tf").desc, col("term"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — md5 is identical across
     * engines, so this one is oracle-checkable; [[xxFingerprint]] is the
     * cheap 64-bit variant for engine-internal dedup at scale.

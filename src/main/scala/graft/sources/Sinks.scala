@@ -102,12 +102,17 @@ object Sinks {
     * (`(Clone) Pinterest Data Cleaning and Queries.py:174-183`).
     */
   /** Training-export sink: JSONL shards — the format data loaders
-    * actually stream — written as exactly `shards` files, each one a
+    * actually stream — written as AT MOST `shards` files, each one a
     * contiguous range of the deterministic shuffle order (range
-    * repartition on the provided key, in-partition sort). Compression is
-    * per-file, so shards are independently fetchable/decodable by rank;
-    * at 100 TB pick `shards` ≈ total/target-file-size, never 1-file-per-
-    * executor-task defaults. Returns the shard file count written.
+    * repartition on the provided key, in-partition sort). The count can
+    * come in under `shards`: empty range partitions write no file, and a
+    * low-cardinality or skewed `orderCol` collapses ranges — by design
+    * (range sharding trades exact fan-out for contiguous, rank-fetchable
+    * order). Compression is per-file, so shards are independently
+    * fetchable/decodable by rank; at 100 TB pick `shards` ≈
+    * total/target-file-size, never 1-file-per-executor-task defaults.
+    * Returns the shard file count actually written, via the Hadoop
+    * FileSystem API (portable to object stores, unlike java.io.File).
     */
   def exportJsonlShards(df: DataFrame, path: String, orderCol: String,
       shards: Int, compression: String = "gzip"): Int = {
@@ -116,8 +121,10 @@ object Sinks {
       .write.mode("overwrite")
       .option("compression", compression)
       .json(path)
-    new java.io.File(path).listFiles()
-      .count(f => f.getName.startsWith("part-"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
   }
 
   def materialize(df: DataFrame, path: String, viewName: String): DataFrame = {

@@ -31,7 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Truncate-on-overwrite.** `mode("overwrite")` arrives via
   *    `SupportsTruncate`; the swap happens inside the same atomic commit.
   *  - **Idempotent streaming epochs.** `StreamingWrite.commit(epochId,…)`
-  *    installs each epoch at most once (`(table, epoch)` registry): a
+  *    installs each epoch at most once per QUERY (`(table, queryId,
+  *    epoch)` registry — epoch ids are per-query counters, so a second
+  *    query with a fresh checkpoint legitimately restarts at epoch 0): a
   *    replayed micro-batch after checkpoint recovery is a no-op — the
   *    foreachBatch-with-txn-table pattern, natively.
   *
@@ -69,7 +71,7 @@ object GraftStoreSink {
 object GraftStore {
   val schemas: TrieMap[String, StructType] = TrieMap.empty
   private val tables: TrieMap[String, Vector[Array[Any]]] = TrieMap.empty
-  private val epochs: TrieMap[(String, Long), Boolean] = TrieMap.empty
+  private val epochs: TrieMap[(String, String, Long), Boolean] = TrieMap.empty
 
   def rows(table: String): Vector[Array[Any]] =
     tables.getOrElse(table, Vector.empty)
@@ -82,12 +84,16 @@ object GraftStore {
   }
 
   /** Epoch-idempotent install: returns false (and changes nothing) if
-    * this (table, epoch) already committed — the streaming exactly-once
-    * contract under micro-batch replay.
+    * this (table, QUERY, epoch) already committed — the streaming
+    * exactly-once contract under micro-batch replay. The query id is
+    * part of the key because epoch ids are per-query counters: a SECOND
+    * streaming query (fresh checkpoint) appending to the same table
+    * restarts at epoch 0, and keying by (table, epoch) alone would
+    * silently drop its first epochs as "replays".
     */
-  def installEpoch(table: String, schema: StructType, epochId: Long,
-      staged: Seq[Array[Any]]): Boolean = synchronized {
-    if (epochs.putIfAbsent((table, epochId), true).isDefined) false
+  def installEpoch(table: String, schema: StructType, queryId: String,
+      epochId: Long, staged: Seq[Array[Any]]): Boolean = synchronized {
+    if (epochs.putIfAbsent((table, queryId, epochId), true).isDefined) false
     else { install(table, schema, staged, truncate = false); true }
   }
 
@@ -111,7 +117,7 @@ class GraftStoreTable(table: String, schema0: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftStoreWriteBuilder(table, info.schema())
+    new GraftStoreWriteBuilder(table, info.schema(), info.queryId())
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -120,15 +126,15 @@ class GraftStoreTable(table: String, schema0: StructType)
     }
 }
 
-class GraftStoreWriteBuilder(table: String, schema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+class GraftStoreWriteBuilder(table: String, schema: StructType,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(table, schema, truncateFirst)
     override def toStreaming: StreamingWrite =
-      new GraftStoreStreamingWrite(table, schema)
+      new GraftStoreStreamingWrite(table, schema, queryId)
   }
 }
 
@@ -148,13 +154,13 @@ class GraftStoreBatchWrite(table: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GraftStoreStreamingWrite(table: String, schema: StructType)
-    extends StreamingWrite {
+class GraftStoreStreamingWrite(table: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = new GraftStoreWriterFactory(schema)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    GraftStore.installEpoch(table, schema, epochId,
+    GraftStore.installEpoch(table, schema, queryId, epochId,
       messages.toSeq.flatMap(
         _.asInstanceOf[GraftStoreCommitMessage].rows))
   override def abort(epochId: Long,
@@ -172,9 +178,17 @@ class GraftStoreWriterFactory(schema: StructType)
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[Array[Any]]
       override def write(row: InternalRow): Unit =
+        // Spark REUSES the InternalRow buffer between write() calls, so
+        // every buffer-backed view must be deep-copied at the task
+        // boundary: UTF8String → String (also makes the commit message a
+        // plain JVM value), and Unsafe array/map/struct views → .copy()
+        // (without it, every staged row would alias the LAST row's bytes)
         buf += schema.fields.zipWithIndex.map { case (f, i) =>
           row.get(i, f.dataType) match {
             case s: UTF8String => s.toString
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case r: InternalRow => r.copy()
             case other => other
           }
         }

@@ -30,6 +30,30 @@ class GraftStoreSinkSpec extends AnyFunSuite {
     assert(GraftStore.rows("t_rt").size === 3)
   }
 
+  test("complex-typed columns (array/struct) are deep-copied at the task " +
+      "boundary — rows must NOT alias the last row's buffer bytes") {
+    import spark.implicits._
+    GraftStore.drop("t_cpx")
+    // one partition, many rows: the same InternalRow buffer is reused
+    // for every write() call, so a missing copy makes all rows read
+    // back as the final row's values
+    spark.range(0, 100, 1, 1)
+      .selectExpr("id", "array(id, id + 1) AS arr",
+        "named_struct('a', id, 'b', CAST(id AS STRING)) AS st")
+      .write.format(fmt).option("table", "t_cpx").mode("append").save()
+    val back = spark.read.format(fmt).option("table", "t_cpx").load()
+      .selectExpr("id", "arr[0] AS a0", "arr[1] AS a1", "st.a", "st.b")
+      .collect()
+    assert(back.length === 100)
+    back.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === id && r.getLong(2) === id + 1,
+        s"array aliased for id=$id: $r")
+      assert(r.getLong(3) === id && r.getString(4) === id.toString,
+        s"struct aliased for id=$id: $r")
+    }
+  }
+
   test("overwrite truncates inside the same atomic commit") {
     import spark.implicits._
     GraftStore.drop("t_ow")
@@ -60,15 +84,25 @@ class GraftStoreSinkSpec extends AnyFunSuite {
       "is a no-op") {
     val schema = StructType(Seq(StructField("id", LongType)))
     GraftStore.drop("t_ep")
-    assert(GraftStore.installEpoch("t_ep", schema, 0L,
+    assert(GraftStore.installEpoch("t_ep", schema, "qA", 0L,
       Seq(Array[Any](1L), Array[Any](2L))))
     assert(GraftStore.rows("t_ep").size === 2)
     // checkpoint-recovery replay of the same epoch: must not duplicate
-    assert(!GraftStore.installEpoch("t_ep", schema, 0L,
+    assert(!GraftStore.installEpoch("t_ep", schema, "qA", 0L,
       Seq(Array[Any](1L), Array[Any](2L))))
     assert(GraftStore.rows("t_ep").size === 2)
-    assert(GraftStore.installEpoch("t_ep", schema, 1L, Seq(Array[Any](3L))))
+    assert(GraftStore.installEpoch("t_ep", schema, "qA", 1L,
+      Seq(Array[Any](3L))))
     assert(GraftStore.rows("t_ep").size === 3)
+    // a SECOND query (fresh checkpoint) restarts at epoch 0 — its first
+    // epoch is NOT a replay of query A's epoch 0 and must install
+    assert(GraftStore.installEpoch("t_ep", schema, "qB", 0L,
+      Seq(Array[Any](4L))))
+    assert(GraftStore.rows("t_ep").size === 4)
+    // ... and query B's own replay of its epoch 0 is still a no-op
+    assert(!GraftStore.installEpoch("t_ep", schema, "qB", 0L,
+      Seq(Array[Any](4L))))
+    assert(GraftStore.rows("t_ep").size === 4)
   }
 
   test("TableCatalog: pure-SQL DDL + DML round trip (CREATE / INSERT / " +

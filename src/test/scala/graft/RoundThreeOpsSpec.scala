@@ -416,4 +416,14 @@ class RoundThreeOpsSpec extends AnyFunSuite {
       assert(inc == full, s"cutoff $cut: incremental != full recompute")
     }
   }
+
+  // ------------------------------------------------- recursive reach
+
+  test("recursiveReachIterative (engine path) equals the WITH RECURSIVE " +
+      "CTE form row-for-row") {
+    val cte = Relational.recursiveReach(spark, d).collect().toSeq
+    val it = Relational.recursiveReachIterative(spark, d).collect().toSeq
+    assert(it == cte, s"iterative $it != CTE $cte")
+    assert(it.nonEmpty)
+  }
 }

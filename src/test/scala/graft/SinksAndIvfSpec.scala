@@ -53,6 +53,18 @@ class SinksAndIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("exportJsonlShards: low-cardinality order key collapses ranges — " +
+      "count comes in at most `shards`, rows still round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_lc").toString
+    // 2 distinct keys, 8 requested shards: at most 8 files, no NPE/crash
+    val df = spark.range(0, 100).selectExpr("id % 2 AS k", "id")
+    val n = graft.sources.Sinks.exportJsonlShards(df, dir, "k", 8,
+      compression = "none")
+    assert(n >= 1 && n <= 8, s"shard count $n outside [1, 8]")
+    assert(spark.read.schema("k LONG, id LONG").json(dir).count() === 100)
+  }
+
   test("materialize round-trips and registers the view (q3->q4 pattern)") {
     val dir = Files.createTempDirectory("graft_mat").toString
     val q3 = ops.Queries.q3TopPosterPerCountry(spark, TestSpark.sf0001)

@@ -68,6 +68,18 @@ class TextWeightingSpec extends AnyFunSuite {
     assert(again == est)
   }
 
+  test("topTermsCmsBound: exact tf matches topTerms and every row is " +
+      "within_bound (the driver-gated contract form)") {
+    val exact = TextOps.topTerms(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = TextOps.topTermsCmsBound(spark, d).collect()
+    assert(bound.map(_.getString(0)).toSet == exact.keySet)
+    bound.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)))
+      assert(r.getBoolean(2), s"bound violated for ${r.getString(0)}")
+    }
+  }
+
   test("lmScore is deterministic across runs (decimal-stabilized sum)") {
     val a = TextOps.lmScore(spark, d).collect().map(_.toString).sorted
     val b = TextOps.lmScore(spark, d).collect().map(_.toString).sorted
