@@ -166,26 +166,32 @@ case class GraftDocsOffset(next: Long)
 
 class GraftDocsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
     required: StructType, rowsPerBatch: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private var paced = lo
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = GraftDocsOffset(lo)
   override def deserializeOffset(json: String): Offset =
     GraftDocsOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
 
-  /** Admission control: each trigger's latestOffset advances by at most
-    * `rowsPerBatch` ids — the maxOffsetsPerTrigger backpressure shape
-    * (paced off the previously announced offset, as the built-in rate
-    * source does; recovery replans from checkpointed offset ranges, so
-    * this driver-side pacing state needs no durability).
+  /** Admission control: each trigger admits at most `rowsPerBatch` ids
+    * past the last committed position — the maxOffsetsPerTrigger
+    * backpressure shape, expressed through SupportsAdmissionControl so
+    * the pacing is a pure function of the checkpointed offset (no
+    * driver-side pacing state; a fresh instance after restart resumes
+    * exactly where the checkpoint says).
     */
-  override def latestOffset(): Offset = {
-    paced = math.min(hi, paced + rowsPerBatch)
-    GraftDocsOffset(paced)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftDocsOffset].next
+    GraftDocsOffset(math.min(hi, s + rowsPerBatch))
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl sources are driven via latestOffset(start, limit)")
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {

@@ -379,6 +379,35 @@ object StreamPipeline {
       .select(col("doc_id"), col("ts"))
   }
 
+  /** The reference's wire streams through the DSv2 seam: an offset-tracked
+    * [[graft.sources.v2.GraftWireSource]] micro-batch stream of raw JSON
+    * (`stream` = pin|geo|user) — the Kinesis-consumer position the
+    * MemoryStream/file variants stub. Feed to [[pinStreamObserved]] /
+    * [[geoStreamObserved]] / [[userStreamObserved]].
+    */
+  def wireStream(s: SparkSession, stream: String, rows: Long,
+      rowsPerBatch: Long = 25L, partitions: Int = 2): DataFrame =
+    s.readStream.format("graft.sources.v2.GraftWireSource")
+      .option("stream", stream)
+      .option("rows", rows.toString)
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("partitions", partitions.toString)
+      .load()
+
+  /** Append sink into the DSv2 [[graft.sources.v2.GraftStoreSink]] table
+    * store — the two-phase-commit write path with per-(query, epoch)
+    * idempotent installs, i.e. the engine twin of the reference's Delta
+    * streaming table (`KINESIS:174-192`) with exactly-once under replay.
+    */
+  def startStoreSink(df: DataFrame, table: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("graft.sources.v2.GraftStoreSink")
+      .option("table", table)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Start a parquet append sink with checkpoint — the engine twin of
     * `writeStream.format("delta").outputMode("append")
     * .option("checkpointLocation", ...).table(...)` (`KINESIS:174-192`).
