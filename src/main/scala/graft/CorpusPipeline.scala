@@ -34,43 +34,52 @@ object CorpusPipeline {
 
   def run(s: SparkSession, d: String, outDir: String,
       gatePct: Int = 80, mixtureBudget: Option[Long] = None): StageCounts = {
+    // every stage boundary below is write-then-read-back: the staged
+    // parquet IS the stage's output (restartable, externally countable —
+    // the driver oracle re-counts these files), and downstream stages
+    // read the materialization instead of recomputing lineage
+    def stage(df: DataFrame, name: String): DataFrame = {
+      write(df, s"$outDir/$name")
+      s.read.parquet(s"$outDir/$name")
+    }
     val docs = Tables.documents(s, d)
     val total = docs.count()
 
     val survivorIds = DedupOps.dedupSurvivors(s, d)
-    val surviving = docs.join(survivorIds, Seq("doc_id"), "left_semi")
+    val surviving = stage(
+      docs.join(survivorIds, Seq("doc_id"), "left_semi"), "survivors")
     val survivors = surviving.count()
 
     // cross-doc boilerplate removal: rewrite each doc to its unshared
     // segments; docs hollowed to nothing (pure boilerplate) drop here.
     // Runs AFTER near-dup dedup so a surviving near-dup's text is not
     // gutted by its dropped twin's segments.
-    val deboiled = surviving.drop("text", "n_chars")
+    val deboiled = stage(surviving.drop("text", "n_chars")
       .join(CorpusOps.segmentDedupFrom(surviving)
           .filter(col("kept_segs") > 0)
           .select(col("doc_id"), col("clean_text").as("text")),
-        Seq("doc_id"))
+        Seq("doc_id")), "deboiled")
     val afterBoiler = deboiled.count()
 
-    val quality = deboiled
+    val quality = stage(deboiled
       .filter(TextOps.qualityKeep(col("text")))
-      .withColumn("text", TextOps.redactText(col("text")))
+      .withColumn("text", TextOps.redactText(col("text"))), "quality")
     val afterQuality = quality.count()
 
     // per-language quantile cut (composes by doc_id semi-join so the gate
     // stays independently oracle-testable)
-    val gated = quality.join(
+    val gated = stage(quality.join(
       TextOps.qualityGateFrom(quality, gatePct).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"), "gated")
     val afterGate = gated.count()
 
     // optional mixture balancing toward a per-language τ=0.5 budget
-    val balanced = mixtureBudget match {
+    val balanced = stage(mixtureBudget match {
       case Some(b) => gated.join(
         TextOps.mixtureSampleFrom(gated, b).select("doc_id"),
         Seq("doc_id"), "left_semi")
       case None => gated
-    }
+    }, "balanced")
     val afterBalance = balanced.count()
 
     val contaminatedIds = CorpusOps.decontaminateFrom(balanced)
@@ -98,6 +107,32 @@ object CorpusPipeline {
       chunksBack.count(), s.read.parquet(s"$outDir/packed").count())
     Caches.releaseAll()
     counts
+  }
+
+  /** Per-SF staging root — SF-keyed so a bench run at one SF cannot
+    * clobber the staging a correctness gate at another SF is about to
+    * re-count (the driver's oracle reads the sf0.01 paths).
+    */
+  def stageDir(d: String): String =
+    s"/tmp/graft_corpus_stages/${new java.io.File(d).getName}"
+
+  /** Driver-gate face of the pipeline: run end-to-end, then surface the
+    * stage-count reconciliation (total → survivors → … → packed) as a
+    * deterministic (stage, n_rows) frame. The DuckDB twin re-counts the
+    * STAGED PARQUET for every stage — an independent audit that the
+    * numbers the pipeline reports are the numbers it actually wrote, the
+    * reconciliation row a 100 TB corpus build publishes per run.
+    */
+  def stageSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = run(s, d, stageDir(d))
+    Seq(
+      ("1_total", c.total), ("2_survivors", c.survivors),
+      ("3_boilerplate", c.afterBoiler), ("4_quality", c.afterQuality),
+      ("5_gate", c.afterGate), ("6_balance", c.afterBalance),
+      ("7_decontam", c.afterDecontam), ("8_chunks", c.chunks),
+      ("9_packed", c.bins)
+    ).toDF("stage", "n_rows").orderBy("stage")
   }
 
   private def write(df: DataFrame, path: String): Unit =

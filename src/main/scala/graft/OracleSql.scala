@@ -566,6 +566,30 @@ object OracleSql {
          |FROM t GROUP BY term
          |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
+    // Independent audit of the corpus pipeline's reported stage counts:
+    // DuckDB re-counts the parquet each stage STAGED (CorpusPipeline
+    // writes under /tmp/graft_corpus_stages/<sf>; the gate runs sf0.01).
+    // A mismatch means the pipeline's report diverged from what it wrote.
+    "corpus_pipeline_stages" ->
+      """SELECT '1_total' AS stage, count(*) AS n_rows FROM documents
+        |UNION ALL SELECT '2_survivors', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/survivors/*.parquet')
+        |UNION ALL SELECT '3_boilerplate', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/deboiled/*.parquet')
+        |UNION ALL SELECT '4_quality', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/quality/*.parquet')
+        |UNION ALL SELECT '5_gate', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/gated/*.parquet')
+        |UNION ALL SELECT '6_balance', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/balanced/*.parquet')
+        |UNION ALL SELECT '7_decontam', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/clean/*.parquet')
+        |UNION ALL SELECT '8_chunks', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/chunks/*.parquet')
+        |UNION ALL SELECT '9_packed', count(*)
+        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/packed/*.parquet')
+        |ORDER BY stage""".stripMargin,
+
     // CMS sketch VALUES are engine-specific; the hash-compared contract is
     // (term, exact tf, within_bound) — the engine computes the bound check
     // against its own sketch, the oracle states the promise as TRUE

@@ -131,6 +131,8 @@ object SparkEntry {
     "txt_segment_dedup"   -> (CorpusOps.segmentDedup(_, _)),
     "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),
     "txt_pack"            -> (CorpusOps.packSequences(_, _)),
+    // end-to-end corpus build; the oracle re-counts the staged parquet
+    "corpus_pipeline_stages" -> (CorpusPipeline.stageSummary(_, _)),
     // round 3: merge/upsert, quantized ANN, calibrated gates, mixtures,
     // incremental aggregate maintenance
     "r_merge_upsert"      -> (Relational.mergeOrders(_, _)),

@@ -103,6 +103,27 @@ object Queries {
       .orderBy("post_year", "category")
   }
 
+  /** [[q2CategoryPerYear]] over a year-partitioned layout — the scale
+    * answer to the reference's weak point (SURVEY §4.1, `CLEAN:139-140`):
+    * with the fact table written `PARTITION BY (year)` (one directory per
+    * year, [[graft.sources.Sinks.partitionedParquet]]), the year-range
+    * predicate becomes a PARTITION filter — non-matching years are
+    * eliminated at planning from directory metadata, zero I/O, where the
+    * unpartitioned form still scans every file and relies on row-group
+    * stats. The predicate targets the partition column directly; the
+    * year() repair rule covers the unpartitioned/stats path.
+    * PlanSnapshotSpec pins PartitionFilters + the pruned partition count.
+    */
+  def q2CategoryPerYearPartitioned(s: SparkSession,
+      partitionedPath: String): DataFrame =
+    s.read.parquet(partitionedPath)
+      .filter(col("o_year").between(1996, 1999))
+      .select(col("o_year").cast(LongType).as("post_year"),
+        col("o_orderpriority").as("category"))
+      .groupBy("post_year", "category")
+      .agg(count(lit(1)).as("category_count"))
+      .orderBy("post_year", "category")
+
   /** q3 / Task 6a (`CLEAN:151-174`): most-followed poster per country —
     * row_number over (country, followers desc) with a deterministic
     * unique tiebreak key, then rank=1. At scale this is one shuffle by

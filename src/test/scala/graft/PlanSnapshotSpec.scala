@@ -27,6 +27,37 @@ class PlanSnapshotSpec extends AnyFunSuite {
     try f finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("q2 on a year-partitioned layout: the year range prunes PARTITIONS " +
+      "(directory-level elimination), not just row groups, and results " +
+      "match the unpartitioned form") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("orders_by_year").toString + "/orders"
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Sinks.partitionedParquet(orders, dir, Seq("o_year"))
+    val years = orders.select("o_year").distinct().count()
+    withAqeOff {
+      val df = graft.ops.Queries.q2CategoryPerYearPartitioned(spark, dir)
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters"), scan)
+      assert(scan.contains("o_year"), scan)
+      // planning-time proof: the scan selected only the 4 matching year
+      // directories out of all written years
+      val selected = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.get
+      assert(selected === 4, s"expected 4 pruned partitions of $years, got $selected")
+      assert(years > 4, "fixture must span more years than the filter keeps")
+      // same answer as the unpartitioned range form
+      val exp = SparkEntry.queries("q2_category_per_year")(spark, TestSpark.sf0001)
+        .collect().toSeq
+      assert(df.collect().toSeq === exp)
+    }
+  }
+
   test("q3: rank=1 compiles to WindowGroupLimit — no per-country group " +
       "materialization") {
     assert(plan("q3_top_poster_per_country").contains("WindowGroupLimit"))
@@ -139,7 +170,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
   }
 
   test("IVF cell assignment is row-local: no exchange keyed by vec_id") {
-    val p = plan("emb_topk_ivf")
+    // spec-only op (float k-means has no engine-exact oracle) — plan
+    // straight from the operator, not the driver map
+    val p = graft.ops.SimilarityOps.ivfTopK(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("hashpartitioning(vec_id"),
       s"corpus shuffled by vec_id before cell assignment:\n$p")
     assert(p.contains("nearestcentroids"), p)
