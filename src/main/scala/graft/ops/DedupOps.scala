@@ -449,11 +449,74 @@ object DedupOps {
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashFingerprints(s, d).orderBy("doc_id")
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
-    * one exact chunk), bucket-join, verify with `bit_count(a^b) <= maxHamming`.
+  /** Candidate-pair counts per banded generator over an arbitrary
+    * documents frame — the banding-behavior audit: candidates are counted
+    * BUCKET-SIDE as Σ C(bucket_size, 2) (one aggregate, no pair
+    * materialization), so the audit itself costs one narrow scan + one
+    * bucket-keyed shuffle per generator at any corpus size. This is the
+    * number that must grow LINEARLY with the corpus (at constant dup
+    * density) for a banded dedup to survive 100 TB; Sf1BandingSpec pins
+    * exactly that on a 10× corpus, including the failure mode (a
+    * fixed-width bucket space saturates — the birthday term goes
+    * quadratic — which is why `simhashChunkBits` is a knob: chunk width
+    * must grow with log₂|corpus|).
     */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+  def candidateCounts(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxShingleDf: Int = 1000,
+      simhashChunkBits: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(64 % simhashChunkBits == 0, "chunk bits must divide 64")
+    val rows = numHashes / bands
+    val simBands = 64 / simhashChunkBits
+    val toks = TextOps.tokens(lower(col("text")))
+    def pairSum(buckets: DataFrame, label: String): DataFrame =
+      buckets
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+          .as("n_candidates"))
+        .select(lit(label).as("generator"),
+          col("n_candidates").cast("long"))
+    val ngram = pairSum(
+      docs.select(explode(graft.functions.ShingleHashes
+          .shingleHashes(toks, n)).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, maxShingleDf)),
+      "ngram_postings")
+    val minhash = pairSum(
+      docs.select(graft.functions.MinHashSignature
+          .minhashSignature(toks, n, seeds(numHashes).toArray).as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
+        .groupBy("pos", "col").agg(count(lit(1)).as("c")),
+      "minhash_bands")
+    val chunkMask = (1L << simhashChunkBits) - 1
+    val simhashC = pairSum(
+      docs.select(coalesce(graft.functions.SimHash64.simhash64(toks),
+          lit(0L)).as("simhash"))
+        .select(posexplode(array((0 until simBands).map(b =>
+          shiftright(col("simhash"), b * simhashChunkBits)
+            .bitwiseAND(chunkMask)): _*)))
+        .groupBy("pos", "col").agg(count(lit(1)).as("c")),
+      s"simhash_bands_$simhashChunkBits")
+    ngram.union(minhash).union(simhashC).orderBy("generator")
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into
+    * `64/chunkBits` exact chunks (pigeonhole: any pair within Hamming
+    * distance `bands − 1` shares at least one chunk — the default 4×16
+    * covers Hamming ≤ 3), bucket-join, verify with
+    * `bit_count(a^b) <= maxHamming`. `chunkBits` must grow with
+    * log₂|corpus| (see [[candidateCounts]]): a fixed 16-bit chunk space
+    * saturates around 10⁵ docs and the chance-collision term goes
+    * quadratic.
+    */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3,
+      chunkBits: Int = 16): DataFrame = {
+    require(64 % chunkBits == 0, "chunk bits must divide 64")
+    val bands = 64 / chunkBits
+    require(maxHamming <= bands - 1,
+      s"pigeonhole coverage needs maxHamming <= ${bands - 1} at $bands bands")
+    val mask = (1L << chunkBits) - 1
     // both self-join sides recompute the fingerprint scan — deliberately:
     // the compiled fingerprint is a narrow zero-shuffle pass, so two scans
     // beat pinning a corpus-sized cache (at 100 TB the durable form is a
@@ -461,8 +524,8 @@ object DedupOps {
     // index).
     val fp = simhashFingerprints(s, d)
     val banded = fp.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * chunkBits).bitwiseAND(mask)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
     banded.as("x").join(banded.as("y"), Seq("band", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -87,6 +87,29 @@ object SimilarityOps {
     graft.functions.HyperplaneSignature.hyperplaneSignature(v,
       (0 until nBits).map(j => hyperplane(j + 1, dim).toArray).toArray)
 
+  /** Candidate-pair count of the banded hyperplane LSH over an arbitrary
+    * (vec_id, embedding) frame: Σ C(bucket, 2) over (band, chunk)
+    * buckets, counted bucket-side (no pair materialization). The audit
+    * number behind the all-pairs near-dup path: with the bucket space
+    * fixed (`2^bandBits` per band), the chance-collision term grows with
+    * |corpus|²/2^bandBits — `bandBits` must scale with log₂|corpus| to
+    * hold candidates linear (Sf1BandingSpec measures both regimes).
+    */
+  def lshCandidateCount(emb: DataFrame, nBits: Int = 32,
+      bandBits: Int = 8, dim: Int = 64): DataFrame = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    val mask = (1L << bandBits) - 1
+    emb
+      .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
+      .select(posexplode(array((0 until nBits / bandBits).map(b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
+      .groupBy("pos", "col").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+        .as("n_candidates"))
+      .select(lit(s"hyperplane_bands_$bandBits").as("generator"),
+        col("n_candidates").cast("long"))
+  }
+
   /** ANN via banded hyperplane LSH: signature → `bandBits`-bit chunks →
     * bucket join → exact cosine on candidates → per-query top-k. Same
     * output schema as [[bruteForceTopK]]; recall < 1 by construction (ANN).

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, SimilarityOps}
+
+/** Order-of-magnitude banding guards (the sf1 run): candidate COUNTS —
+  * not wall-clock — measured on the sf0.1 corpus vs a 10× corpus built
+  * from it, validating which generators stay linear and where the
+  * fixed-bucket birthday term bites.
+  *
+  * 10× construction (docs): ten DISJOINT replicas — replica r prefixes
+  * every token with `r<r>q`, an injective relabeling of the shingle
+  * space, so each replica reproduces the base corpus's dup structure
+  * exactly and shares nothing across replicas. A linear banded generator
+  * must therefore produce ~10× the candidates; a quadratic one ~100×.
+  *
+  * 10× construction (embeddings): replica r multiplies every vector
+  * element-wise by a deterministic ±1 pattern s_r. Within a replica this
+  * is an isometry (⟨s∘a, s∘b⟩ = ⟨a, b⟩ — angles, hence LSH collision
+  * probabilities, preserved); across replicas the sign patterns
+  * decorrelate the dot products.
+  *
+  * Measured guard rows (this VM, committed for round-over-round diff —
+  * SCALE.md §Banding at 10× quotes them):
+  *   ngram_postings      ~10×    (disjoint shingle spaces: exact)
+  *   minhash_bands       ~10×    (64-bit band hashes don't chance-collide)
+  *   simhash_bands_16    ~17×    (4×16-bit chunks saturating: 2^16
+  *                                buckets at 5·10⁴ docs — documented)
+  *   simhash_bands_32    ~14×    (2×32-bit chunks: linear + the
+  *                                zero-fingerprint bucket tail; covers
+  *                                Hamming ≤ 1 — radius traded for scale)
+  *   hyperplane_bands_8  37 381 → 3 696 786 (99×: 2^8 buckets saturated)
+  *   hyperplane_bands_16    125 →    12 315 (birthday-dominated but 300×
+  *                                           lower volume)
+  *   hyperplane_bands_32      0 →         3 (chance collisions gone)
+  */
+class Sf1BandingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def docsBase: DataFrame =
+    Tables.documents(spark, TestSpark.sf01).select("doc_id", "text")
+
+  private def docs10x: DataFrame =
+    (0 until 10).map { r =>
+      docsBase.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r${r}q$$1").as("text"))
+    }.reduce(_ union _)
+
+  private def embBase: DataFrame =
+    Tables.embeddings(spark, TestSpark.sf01).select("vec_id", "embedding")
+
+  private def emb10x: DataFrame =
+    (0 until 10).map { r =>
+      embBase.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (pmod(xxhash64(lit(r), i), lit(2)) * 2 - 1).cast("float"))
+          .as("embedding"))
+    }.reduce(_ union _)
+
+  private def counts(df: DataFrame, chunkBits: Int): Map[String, Long] =
+    DedupOps.candidateCounts(df, simhashChunkBits = chunkBits)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("10x corpus: ngram postings and minhash bands stay ~linear; " +
+      "16-bit simhash chunks saturate (documented failure mode) and " +
+      "32-bit chunks restore linearity") {
+    val base16 = counts(docsBase, 16)
+    val big16 = counts(docs10x, 16)
+    val base32 = counts(docsBase, 32)
+    val big32 = counts(docs10x, 32)
+
+    def ratio(k: String, base: Map[String, Long], big: Map[String, Long]) = {
+      assert(base(k) > 0, s"$k produced no candidates at sf0.1")
+      big(k).toDouble / base(k)
+    }
+
+    val ngramR = ratio("ngram_postings", base16, big16)
+    assert(ngramR > 8 && ngramR < 12.5,
+      f"ngram candidates scaled $ngramR%.1fx, want ~10x (linear)")
+
+    val mhR = ratio("minhash_bands", base16, big16)
+    assert(mhR > 7 && mhR < 14,
+      f"minhash candidates scaled $mhR%.1fx, want ~10x (linear)")
+
+    // the committed failure mode: fixed 2^16-bucket space saturates at
+    // 5e4 docs, the birthday term dominates and scaling goes superlinear
+    val sh16R = ratio("simhash_bands_16", base16, big16)
+    assert(sh16R > 13,
+      f"expected 16-bit chunk saturation (superlinear), got $sh16R%.1fx")
+
+    // widening the chunk to 32 bits (2^32 buckets) restores linearity up
+    // to one real residual: token-empty docs all fingerprint 0L and share
+    // ONE bucket, a term quadratic in their count (measured 14.4x vs the
+    // linear 10x) — which is why a production pipeline runs exact dedup /
+    // empty-doc filtering BEFORE simhash banding
+    val sh32R = ratio("simhash_bands_32", base32, big32)
+    assert(sh32R > 7 && sh32R < 16,
+      f"simhash-32 candidates scaled $sh32R%.1fx, want ~10x + zero-bucket tail")
+
+    info(f"ngram ${base16("ngram_postings")} -> ${big16("ngram_postings")} ($ngramR%.1fx)")
+    info(f"minhash ${base16("minhash_bands")} -> ${big16("minhash_bands")} ($mhR%.1fx)")
+    info(f"simhash16 ${base16("simhash_bands_16")} -> ${big16("simhash_bands_16")} ($sh16R%.1fx)")
+    info(f"simhash32 ${base32("simhash_bands_32")} -> ${big32("simhash_bands_32")} ($sh32R%.1fx)")
+  }
+
+  test("10x embeddings: widening hyperplane bands is the knob that tames " +
+      "LSH candidate volume (absolute counts drop with bucket width)") {
+    def cnt(df: DataFrame, bandBits: Int): Long =
+      SimilarityOps.lshCandidateCount(df, nBits = 32, bandBits = bandBits)
+        .collect().head.getLong(1)
+    val (b8, g8) = (cnt(embBase, 8), cnt(emb10x, 8))
+    val (b16, g16) = (cnt(embBase, 16), cnt(emb10x, 16))
+    val (b32, g32) = (cnt(embBase, 32), cnt(emb10x, 32))
+    info(s"hyperplane8  $b8 -> $g8 (${g8.toDouble / math.max(b8, 1)}x)")
+    info(s"hyperplane16 $b16 -> $g16 (${g16.toDouble / math.max(b16, 1)}x)")
+    info(s"hyperplane32 $b32 -> $g32 (${g32.toDouble / math.max(b32, 1)}x)")
+    assert(g16 < g8 && g32 < g16,
+      s"candidate volume must drop with band width: $g8, $g16, $g32")
+  }
+
+  test("simhashPairs chunk-width knob: identical pairs at Hamming<=1 " +
+      "whether banded 4x16 or 2x32 (pigeonhole still covers the radius)") {
+    val p16 = DedupOps.simhashPairs(spark, TestSpark.sf001, maxHamming = 1)
+      .collect().map(_.toString).sorted
+    val p32 = DedupOps.simhashPairs(spark, TestSpark.sf001, maxHamming = 1,
+      chunkBits = 32).collect().map(_.toString).sorted
+    assert(p16.sameElements(p32))
+  }
+}
