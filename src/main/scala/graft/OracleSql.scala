@@ -2001,5 +2001,139 @@ object OracleSql {
         |WHERE part_value_d * (SELECT n_parts FROM g) * 4 >
         |      (SELECT total_value FROM g) * 5
         |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    // ----------------------------------------------------- round 4 ops
+
+    // TextOps.gopherRules twin: same tokenization, same per-rule
+    // thresholds; ratios are int-over-int double divisions in both
+    // engines (IEEE-exact).
+    "txt_gopher_rules" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    ${toksSql("text")} AS toks,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         |      AS BIGINT) AS sum_len,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines,
+         |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines,
+         |      l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')))
+         |      AS BIGINT) AS n_ell,
+         |    CAST(len(list_filter(toks,
+         |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_w,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+         |      AS BIGINT) AS n_sym,
+         |    CAST((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_stop_kinds
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id, n_words,
+         |    CAST(sum_len AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+         |    CAST(n_sym AS DOUBLE) / greatest(n_words, 1) AS symbol_ratio,
+         |    CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1)
+         |      AS bullet_line_ratio,
+         |    CAST(n_ell AS DOUBLE) / greatest(n_lines, 1)
+         |      AS ellipsis_line_ratio,
+         |    CAST(n_alpha_w AS DOUBLE) / greatest(n_words, 1)
+         |      AS alpha_word_ratio,
+         |    n_stop_kinds
+         |  FROM sig)
+         |SELECT *,
+         |  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AS rule_mean_word_len,
+         |  (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+         |  (bullet_line_ratio <= 0.9) AS rule_bullet_lines,
+         |  (ellipsis_line_ratio <= 0.3) AS rule_ellipsis_lines,
+         |  (alpha_word_ratio >= 0.8) AS rule_alpha_words,
+         |  (n_stop_kinds >= 2) AS rule_stop_words,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+         |   AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         |   AND n_stop_kinds >= 2) AS keep
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // TextOps.ccnetBuckets twin: lmScore's CTE chain, then a per-language
+    // ntile(3) tercile cut (avg_logprob DESC, doc_id tiebreak) and a
+    // DECIMAL-stabilized bucket mean.
+    "txt_ccnet_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(tf) AS t_total FROM tf),
+         |lp AS (
+         |  SELECT doc_id, tf,
+         |    CAST(tf * ln(CAST(ctf AS DOUBLE) / CAST(t_total AS DOUBLE))
+         |      AS DECIMAL(24,9)) AS lp
+         |  FROM tf JOIN ctf USING (term) CROSS JOIN tot),
+         |doc AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    sum(lp) AS sum_lp,
+         |    CAST(sum(lp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_logprob
+         |  FROM lp GROUP BY 1),
+         |scored AS (
+         |  SELECT dd.lang, d.n_tokens, d.sum_lp,
+         |    ntile(3) OVER (PARTITION BY dd.lang
+         |                   ORDER BY d.avg_logprob DESC, d.doc_id) AS tile
+         |  FROM doc d JOIN documents dd USING (doc_id)),
+         |b AS (
+         |  SELECT lang,
+         |    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |              ELSE 'tail' END AS bucket,
+         |    n_tokens, sum_lp
+         |  FROM scored)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(sum_lp) AS DOUBLE)
+         |    / CAST(sum(n_tokens) AS BIGINT) AS mean_logprob
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // SimilarityOps.clusterProfile twin: the seeded-IVF assignment CTE
+    // (centroids = first 10 corpus vectors verbatim, nearest by cosine
+    // with cell-asc tiebreak), then per-cell count and min/mean/max of
+    // the 1e-6-rounded cosine (DECIMAL sum, one double division).
+    "emb_cluster_profile" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, len(v.e) + 1),
+        |      i -> v.e[i] * c.ce[i])) /
+        |    (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM emb v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, cell, sim FROM (
+        |    SELECT vec_id, cell, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |r AS (
+        |  SELECT cell, round(sim, 6) AS sim_r,
+        |    CAST(round(sim, 6) AS DECIMAL(10,6)) AS sim_d
+        |  FROM assign)
+        |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vectors,
+        |  CAST(sum(sim_d) AS DOUBLE) / count(*) AS mean_sim,
+        |  min(sim_r) AS min_sim, max(sim_r) AS max_sim
+        |FROM r GROUP BY cell ORDER BY cell""".stripMargin,
   )
 }

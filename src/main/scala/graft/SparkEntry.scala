@@ -46,6 +46,8 @@ object SparkEntry {
     "txt_top_terms_cms"   -> (TextOps.topTermsCmsBound(_, _)),
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
     "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
+    "txt_gopher_rules"    -> (TextOps.gopherRules(_, _)),
+    "txt_ccnet_buckets"   -> (TextOps.ccnetBuckets(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),
@@ -66,6 +68,7 @@ object SparkEntry {
     "emb_topk_pq"         -> (SimilarityOps.pqTopKSeeded(_, _)),
     "emb_topk_ivfpq"      -> (SimilarityOps.ivfPqTopK(_, _)),
     "emb_near_dup"        -> (SimilarityOps.cosineNearDupPairs(_, _, 0.3)),
+    "emb_cluster_profile" -> (SimilarityOps.clusterProfile(_, _)),
     // events
     "ev_json_extract"     -> (EventOps.jsonExtract(_, _)),
     "ev_hourly_by_type"   -> (EventOps.hourlyByType(_, _)),

@@ -277,6 +277,48 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-cluster corpus profile over the medoid-seeded cells of
+    * [[ivfTopKSeeded]]: assign EVERY vector to its nearest centroid (the
+    * row-local [[NearestCentroids]] pass — no crossJoin, no window) and
+    * aggregate per cell: member count and min / mean / max cosine to the
+    * centroid. This is the audit a semantic-dedup or topic-balance pass
+    * runs before sampling at 100 TB — cell sizes expose skew (a mega-
+    * cluster means the centroid set is too coarse), the cosine spread
+    * exposes cell tightness.
+    *
+    * Determinism / oracle parity: centroids are stored vectors VERBATIM
+    * (no floating averages), per-row cosine is rounded to 1e-6 and summed
+    * as DECIMAL(10,6) (associative — safe under partial-aggregate merge),
+    * one double division at the end. Scale: one narrow corpus pass + one
+    * O(cells)-row aggregate; the centroid collect is the same bounded
+    * driver state as [[ivfTopKSeeded]] (cells × dim doubles).
+    */
+  def clusterProfile(s: SparkSession, d: String, cells: Int = 10)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val centroids: Array[Array[Double]] = emb
+      .filter(col("vec_id") < cells).orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("c_emb"))
+    emb
+      .withColumn("cell",
+        element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("sim", round(cosineSim(col("c_emb"), col("embedding")), 6))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("sim").cast("decimal(10,6)")).as("sum_sim"),
+        min(col("sim")).as("min_sim"),
+        max(col("sim")).as("max_sim"))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        (col("sum_sim").cast("double") / col("n_vectors")).as("mean_sim"),
+        col("min_sim"), col("max_sim"))
+      .orderBy("cell")
+  }
+
   /** Product-quantization (PQ) ANN: split each vector into `m` subspaces,
     * quantize each sub-vector to its nearest codeword (L2, the PQ-standard
     * assignment metric) from a per-subspace codebook, and score queries

@@ -291,7 +291,20 @@ object TextOps {
     * [[tfidfTop]]; the corpus distribution (distinct terms) is the only
     * state and it is a reduced table, never a per-token one.
     */
-  def lmScore(s: SparkSession, d: String): DataFrame = {
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmPerDoc(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_lp").cast("double") / col("n_tokens"))
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+
+  /** [[lmScore]] internals: per-doc token count and EXACT decimal logprob
+    * sum (pre-division) — kept separate so downstream aggregates
+    * ([[ccnetBuckets]]) can keep summing the associative decimal instead
+    * of re-rounding the double quotient (a double→decimal recast is NOT
+    * engine-portable: the rounding of a near-midpoint double differs).
+    */
+  private[graft] def lmPerDoc(s: SparkSession, d: String): DataFrame = {
     val tf = docTermTf(s, d)
     val ctf = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
     val tTotal = tf.agg(sum(col("tf")).as("t_total"))
@@ -302,10 +315,6 @@ object TextOps {
           .cast("decimal(24,9)"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"), sum(col("lp")).as("sum_lp"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("sum_lp").cast("double") / col("n_tokens"))
-          .as("avg_logprob"))
-      .orderBy("doc_id")
   }
 
   /** Count-min-sketch term-frequency estimates for the exact top-k terms:
@@ -452,5 +461,131 @@ object TextOps {
       .filter(col("bucket") < col("thresh"))
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
+  }
+
+  /** Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models"
+    * table A1 — the public rule set Dolma/RefinedWeb reuse): per-document
+    * structural signals and one boolean per rule, plus the composite
+    * `keep`. Surfaced per-rule (not just the conjunction) because a corpus
+    * audit needs the rejection breakdown — which rule fires — before
+    * committing to a filter at 100 TB.
+    *
+    * Signals (thresholds are the paper's):
+    *  - word count ∈ [50, 100 000]
+    *  - mean word length ∈ [3, 10]
+    *  - symbol-to-word ratio (`#` / ellipsis) ≤ 0.1
+    *  - lines starting with a bullet ≤ 90 %
+    *  - lines ending in an ellipsis ≤ 30 %
+    *  - words containing an alphabetic character ≥ 80 %
+    *  - ≥ 2 distinct members of the 8-word stop list present
+    *
+    * All signals are one codegen'd pass over `text` (HOFs over the token /
+    * line arrays — zero shuffle, embarrassingly parallel); ratios are
+    * int-over-int double divisions (IEEE-exact, engine-reproducible).
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRulesFrom(Tables.documents(s, d))
+
+  /** [[gopherRules]] over any (doc_id, text) frame. */
+  def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast(LongType)
+    val sumWordLen =
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast(LongType)
+    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+      .cast(LongType)
+    val nEllipsisEnd =
+      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast(LongType)
+    val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(LongType)
+    val nSymbols =
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast(LongType)
+    // distinct stop-list PRESENCE (not occurrence count): 8 cheap rlike
+    // probes summed — a fixed-size expression, no tokenize-and-join
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStopKinds = stopList
+      .map(w => when(lower(col("text")).rlike("\\b" + w + "\\b"), 1L)
+        .otherwise(0L).cast(LongType))
+      .reduce(_ + _)
+    docs.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        (sumWordLen.cast("double") / greatest(nWords, lit(1L)))
+          .as("mean_word_len"),
+        (nSymbols.cast("double") / greatest(nWords, lit(1L)))
+          .as("symbol_ratio"),
+        (nBullet.cast("double") / greatest(nLines, lit(1L)))
+          .as("bullet_line_ratio"),
+        (nEllipsisEnd.cast("double") / greatest(nLines, lit(1L)))
+          .as("ellipsis_line_ratio"),
+        (nAlphaWords.cast("double") / greatest(nWords, lit(1L)))
+          .as("alpha_word_ratio"),
+        nStopKinds.as("n_stop_kinds"))
+      .withColumn("rule_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("rule_bullet_lines", col("bullet_line_ratio") <= 0.9)
+      .withColumn("rule_ellipsis_lines", col("ellipsis_line_ratio") <= 0.3)
+      .withColumn("rule_alpha_words", col("alpha_word_ratio") >= 0.8)
+      .withColumn("rule_stop_words", col("n_stop_kinds") >= 2)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+        col("rule_symbol_ratio") && col("rule_bullet_lines") &&
+        col("rule_ellipsis_lines") && col("rule_alpha_words") &&
+        col("rule_stop_words"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    * document by its unigram-LM score ([[lmScore]]) WITHIN its language
+    * and cut the ranking into head / middle / tail terciles — the public
+    * recipe for quality-stratifying a multilingual crawl before sampling.
+    * Output is the per-(lang, bucket) profile: doc count, token mass, and
+    * the bucket's TOKEN-WEIGHTED mean log-probability (total decimal
+    * logprob mass over total tokens).
+    *
+    * Determinism: the per-doc score is the oracled [[lmScore]] double
+    * (identical bit pattern on both engines), ordering ties break on
+    * doc_id, and `ntile` places remainder docs in the earliest buckets on
+    * every engine. The bucket mean sums the per-doc DECIMAL(24,9) logprob
+    * mass ([[lmPerDoc]] — associative, safe under any partial-aggregate
+    * merge order) and divides ONCE at the end; re-rounding the per-doc
+    * double quotient through a decimal cast is deliberately avoided (a
+    * near-midpoint double rounds differently across engines — measured).
+    *
+    * Scale: the LM pass is [[lmScore]]'s shape (term aggregate + one
+    * broadcast total); the tercile cut is one window over (lang) — at
+    * 100 TB that is the same per-language sort a quality gate already
+    * pays, and the output is O(languages) rows.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = lmPerDoc(s, d)
+      .withColumn("avg_logprob",
+        col("sum_lp").cast("double") / col("n_tokens"))
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored
+      .withColumn("tile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_lp")).as("sum_lp"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        (col("sum_lp").cast("double") / col("n_tokens").cast(LongType))
+          .as("mean_logprob"))
+      .orderBy("lang", "bucket")
   }
 }

@@ -72,6 +72,20 @@ object GraftStore {
   val schemas: TrieMap[String, StructType] = TrieMap.empty
   private val tables: TrieMap[String, Vector[Array[Any]]] = TrieMap.empty
   private val epochs: TrieMap[(String, String, Long), Boolean] = TrieMap.empty
+  private val layouts: TrieMap[String, Map[Int, Array[Array[Any]]]] =
+    TrieMap.empty
+
+  /** Last BATCH write's physical layout: writer partition id → the rows
+    * that writer received, in arrival order. Test observability for
+    * `RequiresDistributionAndOrdering` (clustered keys land in exactly
+    * one writer; requested sort holds within each writer).
+    */
+  def lastLayout(table: String): Map[Int, Array[Array[Any]]] =
+    layouts.getOrElse(table, Map.empty)
+
+  def recordLayout(table: String,
+      layout: Map[Int, Array[Array[Any]]]): Unit =
+    layouts.update(table, layout)
 
   def rows(table: String): Vector[Array[Any]] =
     tables.getOrElse(table, Vector.empty)
@@ -103,7 +117,7 @@ object GraftStore {
   }
 
   def drop(table: String): Unit = synchronized {
-    tables.remove(table); schemas.remove(table)
+    tables.remove(table); schemas.remove(table); layouts.remove(table)
     epochs.keys.filter(_._1 == table).foreach(epochs.remove)
   }
 }
@@ -117,7 +131,12 @@ class GraftStoreTable(table: String, schema0: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftStoreWriteBuilder(table, info.schema(), info.queryId())
+    new GraftStoreWriteBuilder(table, info.schema(), info.queryId(),
+      Option(info.options.get("clusterBy"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty),
+      Option(info.options.get("orderBy"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty),
+      Option(info.options.get("numPartitions")).map(_.toInt).getOrElse(0))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -126,11 +145,43 @@ class GraftStoreTable(table: String, schema0: StructType)
     }
 }
 
+/** Write builder; with `clusterBy` (comma-separated columns, optionally
+  * plus `orderBy`) the produced [[Write]] implements
+  * `RequiresDistributionAndOrdering` — the DSv2 seam through which a real
+  * table format (Iceberg's write.distribution-mode, Delta's optimized
+  * write) asks SPARK to insert the clustering exchange and in-partition
+  * sort before rows reach the writers. At 100 TB this is what keeps one
+  * writer per key-group (no small-file explosion, no writer-side
+  * re-buffering): the engine shuffles once, the sink just streams sorted
+  * runs. Ordering is requested as clusterBy ++ orderBy so each writer
+  * sees its key groups as contiguous sorted runs. `numPartitions` pins
+  * the writer count (Iceberg's fixed distribution mode) — 0 leaves it to
+  * the engine, where AQE sizes/coalesces the exchange by data volume.
+  */
 class GraftStoreWriteBuilder(table: String, schema: StructType,
-    queryId: String) extends WriteBuilder with SupportsTruncate {
+    queryId: String, clusterBy: Array[String] = Array.empty,
+    orderBy: Array[String] = Array.empty, numPartitions: Int = 0)
+    extends WriteBuilder with SupportsTruncate {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write =
+    if (clusterBy.isEmpty) plainWrite
+    else new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(
+          clusterBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression))
+      override def requiredOrdering(): Array[SortOrder] =
+        (clusterBy ++ orderBy).map(c =>
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      override def requiredNumPartitions(): Int = numPartitions
+      override def toBatch: BatchWrite =
+        new GraftStoreBatchWrite(table, schema, truncateFirst)
+      override def toStreaming: StreamingWrite =
+        new GraftStoreStreamingWrite(table, schema, queryId)
+    }
+  private def plainWrite: Write = new Write {
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(table, schema, truncateFirst)
     override def toStreaming: StreamingWrite =
@@ -138,19 +189,24 @@ class GraftStoreWriteBuilder(table: String, schema: StructType,
   }
 }
 
-/** Rows staged by one task, carried to the driver for the atomic commit. */
-case class GraftStoreCommitMessage(rows: Array[Array[Any]])
+/** Rows staged by one task, carried to the driver for the atomic commit.
+  * Carries the writer's partition id so the committed layout (which rows
+  * which writer received, in what order) is auditable — the observable a
+  * clustered-write spec checks.
+  */
+case class GraftStoreCommitMessage(partitionId: Int, rows: Array[Array[Any]])
     extends WriterCommitMessage
 
 class GraftStoreBatchWrite(table: String, schema: StructType,
     truncateFirst: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new GraftStoreWriterFactory(schema)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftStore.install(table, schema,
-      messages.toSeq.flatMap(
-        _.asInstanceOf[GraftStoreCommitMessage].rows),
-      truncateFirst)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.map(_.asInstanceOf[GraftStoreCommitMessage])
+    GraftStore.recordLayout(table,
+      msgs.map(m => m.partitionId -> m.rows).toMap)
+    GraftStore.install(table, schema, msgs.flatMap(_.rows), truncateFirst)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -163,6 +219,7 @@ class GraftStoreStreamingWrite(table: String, schema: StructType,
     GraftStore.installEpoch(table, schema, queryId, epochId,
       messages.toSeq.flatMap(
         _.asInstanceOf[GraftStoreCommitMessage].rows))
+  // layout audit is batch-only: streaming epochs interleave
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -170,11 +227,11 @@ class GraftStoreStreamingWrite(table: String, schema: StructType,
 class GraftStoreWriterFactory(schema: StructType)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-      : DataWriter[InternalRow] = writer
+      : DataWriter[InternalRow] = writer(partitionId)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
-      : DataWriter[InternalRow] = writer
+      : DataWriter[InternalRow] = writer(partitionId)
 
-  private def writer: DataWriter[InternalRow] =
+  private def writer(partitionId: Int): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[Array[Any]]
       override def write(row: InternalRow): Unit =
@@ -193,7 +250,7 @@ class GraftStoreWriterFactory(schema: StructType)
           }
         }
       override def commit(): WriterCommitMessage =
-        GraftStoreCommitMessage(buf.result().toArray)
+        GraftStoreCommitMessage(partitionId, buf.result().toArray)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
     }

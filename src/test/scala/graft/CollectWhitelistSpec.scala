@@ -17,7 +17,8 @@ class CollectWhitelistSpec extends AnyFunSuite {
 
   // file (relative to src/main/scala/graft) -> max allowed .collect() sites
   private val whitelist = Map(
-    "ops/SimilarityOps.scala" -> 5, // k-means centroids, PQ codebooks
+    "ops/SimilarityOps.scala" -> 6, // k-means centroids, PQ codebooks,
+    // clusterProfile's medoid centroid set (cells × dim doubles)
     "ops/TextOps.scala" -> 2 // CMS top-terms sketch query set (k strings)
   )
 

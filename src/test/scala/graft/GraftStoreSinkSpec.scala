@@ -144,4 +144,54 @@ class GraftStoreSinkSpec extends AnyFunSuite {
         === Set(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("clusterBy write: RequiresDistributionAndOrdering makes SPARK " +
+      "cluster rows so each key reaches exactly one writer, as sorted " +
+      "runs — the no-small-files contract of a real table format") {
+    GraftStore.drop("t_clus")
+    // 8 keys deliberately scattered across 6 input partitions: without
+    // the sink-requested exchange, every writer would see most keys
+    // numPartitions pins 4 writers: without it AQE correctly coalesces
+    // this KB-sized exchange into one writer and the multi-writer claim
+    // would be vacuous at test scale
+    spark.range(0, 2000, 1, 6)
+      .selectExpr("id % 8 AS k", "id AS v")
+      .write.format(fmt).option("table", "t_clus")
+      .option("clusterBy", "k").option("orderBy", "v")
+      .option("numPartitions", "4")
+      .mode("append").save()
+    val layout = GraftStore.lastLayout("t_clus")
+    assert(layout.nonEmpty, "no layout recorded")
+    assert(layout.size > 1,
+      "need >1 writer for the clustering claim to be non-vacuous")
+    // every key's rows landed in exactly ONE writer partition
+    val keyToWriters = layout.toSeq
+      .flatMap { case (pid, rows) => rows.map(r => r(0) -> pid) }
+      .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).distinct }
+    assert(keyToWriters.values.forall(_.size == 1),
+      s"keys split across writers: ${keyToWriters.filter(_._2.size > 1)}")
+    // within each writer: rows arrive sorted by (k, v) — contiguous
+    // sorted runs per key, no writer-side re-buffering needed
+    layout.values.foreach { rows =>
+      val kv = rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(kv.sameElements(kv.sortBy(identity)),
+        "writer did not receive its rows as (k, v)-sorted runs")
+    }
+    // and nothing was lost or duplicated through the exchange
+    assert(GraftStore.rows("t_clus").size === 2000)
+    val back = spark.read.format(fmt).option("table", "t_clus").load()
+    assert(back.selectExpr("sum(v)").collect().head.getLong(0)
+      === (0L until 2000L).sum)
+  }
+
+  test("plain write (no clusterBy) is unchanged: no distribution " +
+      "requested, input partitioning passes through") {
+    GraftStore.drop("t_plain")
+    spark.range(0, 100, 1, 4).selectExpr("id % 8 AS k", "id AS v")
+      .write.format(fmt).option("table", "t_plain").mode("append").save()
+    val layout = GraftStore.lastLayout("t_plain")
+    // 4 input partitions → 4 writers, keys scattered (no exchange)
+    assert(layout.size === 4)
+    assert(GraftStore.rows("t_plain").size === 100)
+  }
 }
