@@ -2135,5 +2135,44 @@ object OracleSql {
         |  CAST(sum(sim_d) AS DOUBLE) / count(*) AS mean_sim,
         |  min(sim_r) AS min_sim, max(sim_r) AS max_sim
         |FROM r GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // SimilarityOps.semanticDedup twin: same assignment CTE, then the
+    // in-cell pair join and the greedy-by-id drop (v dropped iff SOME
+    // lower-id cell-mate has rounded cosine >= threshold).
+    "emb_semantic_dedup" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, len(v.e) + 1),
+        |      i -> v.e[i] * c.ce[i])) /
+        |    (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS sim
+        |  FROM emb v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell
+        |    AND a.vec_id < b.vec_id
+        |  JOIN emb va ON a.vec_id = va.vec_id
+        |  JOIN emb vb ON b.vec_id = vb.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(va.e) + 1),
+        |        i -> va.e[i] * vb.e[i])) /
+        |      (sqrt(list_sum(list_transform(va.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(vb.e, x -> x * x)))), 6)
+        |    >= 0.4)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+        |FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY a.vec_id""".stripMargin,
   )
 }

@@ -69,6 +69,7 @@ object SparkEntry {
     "emb_topk_ivfpq"      -> (SimilarityOps.ivfPqTopK(_, _)),
     "emb_near_dup"        -> (SimilarityOps.cosineNearDupPairs(_, _, 0.3)),
     "emb_cluster_profile" -> (SimilarityOps.clusterProfile(_, _)),
+    "emb_semantic_dedup"  -> (SimilarityOps.semanticDedup(_, _)),
     // events
     "ev_json_extract"     -> (EventOps.jsonExtract(_, _)),
     "ev_hourly_by_type"   -> (EventOps.hourlyByType(_, _)),

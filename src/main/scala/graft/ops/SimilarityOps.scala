@@ -549,6 +549,56 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster-blocked semantic
+    * dedup. Assign every vector to its nearest medoid centroid (the same
+    * row-local pass as [[clusterProfile]]), compare pairs ONLY within a
+    * cell (exact cosine), and greedily drop the higher-id member of every
+    * pair above `threshold` — keeping, per semantic-duplicate group, its
+    * lowest id. Returns the survivors.
+    *
+    * Scale shape: the paper's exact recipe — clustering makes the
+    * quadratic term per-cell (Σ|cell|² ≪ n² with balanced cells; the
+    * [[clusterProfile]] audit is how you check that balance BEFORE paying
+    * for the join), the pair join shuffles on the cell key only, and the
+    * greedy-by-id rule needs one anti-join rather than connected
+    * components (a dropped vector can itself still drop others — matching
+    * the paper's "keep one representative per ε-ball around the
+    * kept set" greedy, evaluated deterministically: v is dropped iff
+    * SOME lower-id cell-mate is within ε, kept otherwise).
+    *
+    * `cells` is simultaneously the pair join's parallelism (it is the
+    * only join key) and the quadratic divisor — it must GROW with the
+    * corpus (the paper runs ~10⁵ clusters at web scale; 10 here matches
+    * the oracle's seeded centroid set). At real scale seed from a
+    * clustering pass ([[kmeansCentroids]]) instead of the first rows.
+    */
+  def semanticDedup(s: SparkSession, d: String, cells: Int = 10,
+      threshold: Double = 0.4): DataFrame = {
+    // default ε: the paper runs ~0.95+ on L2-normalized real embeddings;
+    // the synthetic corpus is near-orthogonal (zero in-cell pairs above
+    // 0.5 at sf0.01), so the shipped default sits where the operator has
+    // observable work — callers tune per embedding space
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val centroids: Array[Array[Double]] = emb
+      .filter(col("vec_id") < cells).orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val assigned = emb.withColumn("cell",
+      element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("e_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("e_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(cosineSim(col("e_a"), col("e_b")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy("vec_id")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, element
     * q = ⌊x/scale + 0.5⌋ ∈ [-127, 127] (explicit floor, not `round` —
     * floor is exactly specified on IEEE doubles, so any engine computes

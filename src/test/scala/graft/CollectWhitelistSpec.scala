@@ -17,8 +17,8 @@ class CollectWhitelistSpec extends AnyFunSuite {
 
   // file (relative to src/main/scala/graft) -> max allowed .collect() sites
   private val whitelist = Map(
-    "ops/SimilarityOps.scala" -> 6, // k-means centroids, PQ codebooks,
-    // clusterProfile's medoid centroid set (cells × dim doubles)
+    "ops/SimilarityOps.scala" -> 7, // k-means centroids, PQ codebooks,
+    // clusterProfile's/semanticDedup's medoid centroid sets (cells × dim)
     "ops/TextOps.scala" -> 2 // CMS top-terms sketch query set (k strings)
   )
 

@@ -123,4 +123,41 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.exists(r => math.abs(r.getDouble(4) - 1.0) < 1e-9),
       "no cell contains its own centroid at cosine 1.0")
   }
+
+  // ----------------------------------------------------- semanticDedup
+
+  test("semanticDedup: survivors are an independent set — no in-cell " +
+      "pair of survivors at or above the threshold — and every drop " +
+      "has a lower-id cell-mate within it") {
+    import graft.functions.CosineSimilarity.cosineSim
+    val thr = 0.4
+    val survivors = SimilarityOps
+      .semanticDedup(spark, TestSpark.sf001, threshold = thr)
+    val n = Tables.embeddings(spark, TestSpark.sf001).count()
+    val sCount = survivors.count()
+    assert(sCount > 0 && sCount < n,
+      s"want a non-trivial split, got $sCount of $n survivors")
+    // recompute in-cell pairs restricted to survivors: must be empty
+    val emb = Tables.embeddings(spark, TestSpark.sf001)
+      .select("vec_id", "embedding")
+    val sv = survivors.join(emb, "vec_id")
+    val a = sv.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = sv.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val residual = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(round(cosineSim(col("ea"), col("eb")), 6) >= thr)
+      .count()
+    assert(residual == 0,
+      s"$residual surviving in-cell pairs above threshold remain")
+  }
+
+  test("semanticDedup: deterministic across runs") {
+    val a = SimilarityOps.semanticDedup(spark, TestSpark.sf001)
+      .collect().toSeq
+    val b = SimilarityOps.semanticDedup(spark, TestSpark.sf001)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
