@@ -57,8 +57,11 @@ object Bench {
             System.err.println(s"[bench] $name run $i FAILED: ${e.getMessage}"); false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      // a failed query must not masquerade as a fast one: record -1
-      val sec = if (times.isEmpty) -1.0 else median(times)
+      // a failed query must not masquerade as a fast one: ANY failed rep
+      // records -1 (a query that crashes on some reps and survives others
+      // is exactly the flakiness this bench exists to surface — the
+      // median of its surviving runs would read as healthy)
+      val sec = if (times.size < reps) -1.0 else median(times)
       System.err.println(
         f"[bench] $name%-34s $sec%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(" ")})")
       (name, sec, times)

@@ -570,6 +570,12 @@ object OracleSql {
     // DuckDB re-counts the parquet each stage STAGED (CorpusPipeline
     // writes under /tmp/graft_corpus_stages/<sf>; the gate runs sf0.01).
     // A mismatch means the pipeline's report diverged from what it wrote.
+    // The sf0.01 literal is a deliberate coupling to the gate's pinned SF
+    // (this map is static — no runtime templating seam exists): running
+    // the gate at another SF fails LOUD (absent path, or '1_total' from
+    // the new SF vs stage counts from the old staging — never a silent
+    // false pass), because stageSummary always re-runs the pipeline and
+    // rewrites its staging in the same invocation.
     "corpus_pipeline_stages" ->
       """SELECT '1_total' AS stage, count(*) AS n_rows FROM documents
         |UNION ALL SELECT '2_survivors', count(*)

@@ -469,12 +469,19 @@ object DedupOps {
     val rows = numHashes / bands
     val simBands = 64 / simhashChunkBits
     val toks = TextOps.tokens(lower(col("text")))
+    // Σ C(c,2) accumulates in DECIMAL, not LONG: a saturated bucket past
+    // ~3·10⁹ rows overflows the long product at exactly the moment the
+    // audit must report quadratic blowup (ANSI-off Spark would wrap it
+    // negative). The (pathological) beyond-2^63 total saturates to
+    // Long.MaxValue instead of wrapping.
     def pairSum(buckets: DataFrame, label: String): DataFrame =
       buckets
-        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
-          .as("n_candidates"))
+        .agg(coalesce(
+            sum(col("c").cast("decimal(20,0)") * (col("c") - lit(1))),
+            lit(0).cast("decimal(38,0)")).as("cc2"))
         .select(lit(label).as("generator"),
-          col("n_candidates").cast("long"))
+          least(col("cc2") / lit(2), lit(Long.MaxValue).cast("decimal(38,0)"))
+            .cast("long").as("n_candidates"))
     val ngram = pairSum(
       docs.select(explode(graft.functions.ShingleHashes
           .shingleHashes(toks, n)).as("h"))
@@ -489,7 +496,10 @@ object DedupOps {
           xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
         .groupBy("pos", "col").agg(count(lit(1)).as("c")),
       "minhash_bands")
-    val chunkMask = (1L << simhashChunkBits) - 1
+    // -1L >>> (64-n), not (1L<<n)-1: JVM shifts are mod-64, so the latter
+    // yields mask 0 at n=64 (one all-fingerprint chunk) — every row would
+    // share one bucket and the audit itself would go quadratic
+    val chunkMask = -1L >>> (64 - simhashChunkBits)
     val simhashC = pairSum(
       docs.select(coalesce(graft.functions.SimHash64.simhash64(toks),
           lit(0L)).as("simhash"))
@@ -516,7 +526,7 @@ object DedupOps {
     val bands = 64 / chunkBits
     require(maxHamming <= bands - 1,
       s"pigeonhole coverage needs maxHamming <= ${bands - 1} at $bands bands")
-    val mask = (1L << chunkBits) - 1
+    val mask = -1L >>> (64 - chunkBits) // mod-64-shift-safe at chunkBits=64
     // both self-join sides recompute the fingerprint scan — deliberately:
     // the compiled fingerprint is a narrow zero-shuffle pass, so two scans
     // beat pinning a corpus-sized cache (at 100 TB the durable form is a

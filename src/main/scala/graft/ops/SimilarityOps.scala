@@ -98,16 +98,21 @@ object SimilarityOps {
   def lshCandidateCount(emb: DataFrame, nBits: Int = 32,
       bandBits: Int = 8, dim: Int = 64): DataFrame = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
-    val mask = (1L << bandBits) - 1
+    val mask = -1L >>> (64 - bandBits) // mod-64-shift-safe at bandBits=64
     emb
       .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
       .select(posexplode(array((0 until nBits / bandBits).map(b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
       .groupBy("pos", "col").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
-        .as("n_candidates"))
+      // decimal accumulate + saturating surface, same rationale as
+      // DedupOps.candidateCounts.pairSum: the long product would wrap
+      // negative exactly when a saturated bucket must be reported
+      .agg(coalesce(
+          sum(col("c").cast("decimal(20,0)") * (col("c") - lit(1))),
+          lit(0).cast("decimal(38,0)")).as("cc2"))
       .select(lit(s"hyperplane_bands_$bandBits").as("generator"),
-        col("n_candidates").cast("long"))
+        least(col("cc2") / lit(2), lit(Long.MaxValue).cast("decimal(38,0)"))
+          .cast("long").as("n_candidates"))
   }
 
   /** ANN via banded hyperplane LSH: signature → `bandBits`-bit chunks →
@@ -122,7 +127,7 @@ object SimilarityOps {
       s"bandBits ($bandBits) must divide nBits ($nBits) or signature bits are silently unused")
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
-    val mask = (1L << bandBits) - 1
+    val mask = -1L >>> (64 - bandBits) // mod-64-shift-safe at bandBits=64
     val banded = emb.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until nBits / bandBits).map(b =>
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
@@ -145,6 +150,19 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), col("cosine_sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** The first `cells` corpus vectors VERBATIM (cast to double) as the
+    * medoid-seeded centroid matrix — the ONE bounded driver-state collect
+    * (cells × dim doubles) behind [[ivfTopKSeeded]], [[clusterProfile]]
+    * and [[semanticDedup]]; at real scale seed from a clustering pass
+    * ([[kmeansCentroids]]) instead of the first rows.
+    */
+  private def medoidCentroids(emb: DataFrame, cells: Int)
+      : Array[Array[Double]] =
+    emb.select("vec_id", "embedding")
+      .filter(col("vec_id") < cells).orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
   /** Element-wise mean vectors per cell key, collected to the driver as a
     * dense matrix — the k-means "update" step. The collect is bounded by
@@ -252,10 +270,7 @@ object SimilarityOps {
       nQueries: Int = 10, nProbe: Int = 3, cells: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     // bounded driver state: `cells` vectors, the k-means-style footprint
-    val centroids: Array[Array[Double]] = emb
-      .filter(col("vec_id") < cells).orderBy("vec_id")
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centroids = medoidCentroids(emb, cells)
     val assigned = emb
       .withColumn("cell",
         element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
@@ -296,10 +311,7 @@ object SimilarityOps {
   def clusterProfile(s: SparkSession, d: String, cells: Int = 10)
       : DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val centroids: Array[Array[Double]] = emb
-      .filter(col("vec_id") < cells).orderBy("vec_id")
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centroids = medoidCentroids(emb, cells)
     val cents = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").as("c_emb"))
@@ -504,7 +516,7 @@ object SimilarityOps {
     require(nBits % bandBits == 0,
       s"bandBits ($bandBits) must divide nBits ($nBits) or signature bits are silently unused")
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val mask = (1L << bandBits) - 1
+    val mask = -1L >>> (64 - bandBits) // mod-64-shift-safe at bandBits=64
     // candidate generation carries IDs only (16-byte rows through the
     // band shuffle); embeddings are fetched per candidate pair for the
     // verify step — work ∝ candidates, not corpus × bands
@@ -580,10 +592,7 @@ object SimilarityOps {
     // 0.5 at sf0.01), so the shipped default sits where the operator has
     // observable work — callers tune per embedding space
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val centroids: Array[Array[Double]] = emb
-      .filter(col("vec_id") < cells).orderBy("vec_id")
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centroids = medoidCentroids(emb, cells)
     val assigned = emb.withColumn("cell",
       element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),

@@ -186,7 +186,7 @@ class GraftDocsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftDocsOffset].next
-    GraftDocsOffset(math.min(hi, s + rowsPerBatch))
+    GraftDocsOffset(Admission.admit(s, hi, limit))
   }
 
   override def latestOffset(): Offset =

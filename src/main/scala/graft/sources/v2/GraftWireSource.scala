@@ -194,11 +194,14 @@ class GraftWireMicroBatchStream(stream: String, rows: Long, partitions: Int,
   // checkpoint offset straight back in — stateless pacing, so recovery
   // resumes exactly where the checkpoint says (a driver-side `var` here
   // starts at 0 on the fresh instance and would stall or re-pace).
+  // The engine's limit is honored (not this default): Trigger.Once /
+  // AvailableNow ask for all-available and must not be truncated to one
+  // paced batch — see [[Admission.admit]].
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftWireOffset].next
-    GraftWireOffset(math.min(rows, s + rowsPerBatch))
+    GraftWireOffset(Admission.admit(s, rows, limit))
   }
 
   override def latestOffset(): Offset =

@@ -17,8 +17,8 @@ class CollectWhitelistSpec extends AnyFunSuite {
 
   // file (relative to src/main/scala/graft) -> max allowed .collect() sites
   private val whitelist = Map(
-    "ops/SimilarityOps.scala" -> 7, // k-means centroids, PQ codebooks,
-    // clusterProfile's/semanticDedup's medoid centroid sets (cells × dim)
+    "ops/SimilarityOps.scala" -> 5, // k-means centroids, PQ codebooks,
+    // the shared medoidCentroids matrix (cells × dim doubles)
     "ops/TextOps.scala" -> 2 // CMS top-terms sketch query set (k strings)
   )
 

@@ -157,4 +157,31 @@ class GraftWirePipelineSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicated rows after restart: " +
       dups.collect().take(5).mkString(", "))
   }
+
+  test("Trigger.AvailableNow drains the WHOLE wire stream, paced in " +
+      "rowsPerBatch micro-batches — the engine's all-available ReadLimit " +
+      "must override the source's per-trigger default") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.v2.GraftStore.drop("w_avail")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("wire_avail_ckpt").toString
+    var epochs = 0
+    val q = StreamPipeline.wireStream(spark, "pin", rows = 100,
+        rowsPerBatch = 25)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        epochs += 1
+        df.write.format(storeFmt).option("table", "w_avail")
+          .mode("append").save()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // before honoring ReadLimit.allAvailable() this stopped "complete"
+    // after ONE paced batch (25 of 100 rows) — silent truncation
+    assert(graft.sources.v2.GraftStore.rows("w_avail").size === 100,
+      s"AvailableNow drained ${graft.sources.v2.GraftStore.rows("w_avail").size} of 100 rows")
+    assert(epochs >= 1)
+  }
 }
