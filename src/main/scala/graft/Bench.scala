@@ -72,7 +72,25 @@ object Bench {
     val runsJson = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    println(line)
+    // Persisted per-query history: one JSONL line per bench invocation,
+    // so a round-over-round diff sees the spread (all reps), not just
+    // the point — the record that distinguishes a real regression from
+    // one-off interference (observed: identical code, 1.2s vs 11.9s).
+    try {
+      val ts = java.time.Instant.now().toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_history.jsonl"),
+        (s"""{"at":"$ts",""" + line.drop(1) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

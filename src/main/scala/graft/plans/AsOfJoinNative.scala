@@ -139,7 +139,11 @@ case class AsOfJoinExec(
             val kc = keyOrd.compare(rKey, k)
             if (kc < 0) advanceRight()
             else if (kc == 0 && tsOrd.compare(rTs, t) <= 0) {
-              matchRow = rRow.copy(); matchKey = rKey
+              // retain via the COPY on both row and key: rKey may be a
+              // UTF8String/binary view into the sort iterator's reused
+              // buffer, which advanceRight() overwrites — re-evaluating
+              // against the copied row deep-copies for any key type
+              matchRow = rRow.copy(); matchKey = rkB.eval(matchRow)
               advanceRight()
             } else continue = false
             if (rRow == null) continue = false

@@ -39,10 +39,15 @@ class GraftDocsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftDocsSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive by contract; the raw properties
+    // map is not — wrap it or `.option("Rows", …)` is silently dropped
+    val opts = new CaseInsensitiveStringMap(properties)
     new GraftDocsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      Option(opts.get("rows")).map(_.toLong).getOrElse(1000L),
+      Option(opts.get("partitions")).map(_.toInt).getOrElse(4),
+      Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(100L))
+  }
 }
 
 object GraftDocsSource {
@@ -218,12 +223,14 @@ class GraftDocsReaderFactory(required: StructType)
       private var cur = part.start - 1
       override def next(): Boolean = { cur += 1; cur < part.end }
       override def get(): InternalRow = {
-        // synthesize ONLY the pruned columns (text is the costly one)
+        // synthesize ONLY the pruned columns, and the costly text at most
+        // ONCE per row even when both text and n_chars are projected
+        lazy val text = GraftDocsSource.textFor(cur)
         val values = required.fields.map(_.name).map {
           case "doc_id" => cur
-          case "text" => UTF8String.fromString(GraftDocsSource.textFor(cur))
+          case "text" => UTF8String.fromString(text)
           case "lang" => UTF8String.fromString(GraftDocsSource.langFor(cur))
-          case "n_chars" => GraftDocsSource.textFor(cur).length.toLong
+          case "n_chars" => text.length.toLong
           case other => throw new IllegalArgumentException(
             s"unknown column $other")
         }

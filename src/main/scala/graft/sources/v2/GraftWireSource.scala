@@ -38,12 +38,16 @@ class GraftWireSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftWireSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive by contract; the raw properties
+    // map is not — wrap it or `.option("Rows", …)` is silently dropped
+    val opts = new CaseInsensitiveStringMap(properties)
     new GraftWireTable(
-      properties.getOrDefault("stream", "pin"),
-      properties.getOrDefault("rows", "100").toLong,
-      properties.getOrDefault("partitions", "2").toInt,
-      properties.getOrDefault("rowsPerBatch", "25").toLong)
+      Option(opts.get("stream")).getOrElse("pin"),
+      Option(opts.get("rows")).map(_.toLong).getOrElse(100L),
+      Option(opts.get("partitions")).map(_.toInt).getOrElse(2),
+      Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(25L))
+  }
 }
 
 object GraftWireSource {

@@ -8,6 +8,54 @@ import org.apache.spark.sql.types.StructType
 import graft.ops.Cleaners
 import graft.schemas.Schemas
 
+/** Shared plumbing for the foreachBatch table-maintenance sinks: portable
+  * filesystem probes (java.io.File answers `false` for every hdfs://s3a://
+  * path — an existence check through it silently degrades "merge into the
+  * table" to "overwrite with the latest batch") and a per-sink BATCH
+  * LEDGER that makes micro-batch REPLAY a no-op: foreachBatch's batchId
+  * is replayed verbatim after checkpoint recovery, so recording the last
+  * applied id next to the table and skipping `batchId <= recorded` is
+  * the standard idempotent-foreachBatch pattern. The ledger closes the
+  * common replay window (batch fully applied, checkpoint commit lost); a
+  * crash INSIDE a batch's non-atomic writes still needs a transaction
+  * log — out of scope offline, called out per sink.
+  */
+private[graft] object TableSink {
+  import org.apache.hadoop.fs.Path
+
+  private def fs(s: SparkSession, path: String) =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  def hasParquet(s: SparkSession, path: String): Boolean = {
+    val f = fs(s, path)
+    val p = new Path(path)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  def delete(s: SparkSession, path: String): Unit =
+    fs(s, path).delete(new Path(path), true)
+
+  private def ledger(path: String) = new Path(path + "__ledger")
+
+  def alreadyApplied(s: SparkSession, path: String, batchId: Long): Boolean = {
+    val f = fs(s, path)
+    val l = ledger(path)
+    f.exists(l) && {
+      val in = f.open(l)
+      try {
+        val b = new Array[Byte](32)
+        val n = in.read(b)
+        n > 0 && new String(b, 0, n).trim.toLong >= batchId
+      } finally in.close()
+    }
+  }
+
+  def record(s: SparkSession, path: String, batchId: Long): Unit = {
+    val out = fs(s, path).create(ledger(path), true)
+    try out.write(batchId.toString.getBytes) finally out.close()
+  }
+}
+
 /** The reference's streaming entry point (`(Clone) Kinesis Data Stream.py`)
   * re-expressed as Structured Streaming: an unbounded source of JSON bytes
   * → `CAST(data AS STRING)` → `from_json(schema)` → struct flatten → the
@@ -198,7 +246,15 @@ object StreamPipeline {
       }
       cur.foreach { st =>
         state.update(st)
-        state.setTimeoutTimestamp(st.last + gapMs)
+        // With EventTimeTimeout Spark drops input rows behind the
+        // watermark BEFORE they reach this function (spec-pinned), so a
+        // below-watermark expiry "cannot" arise from late data — but
+        // setTimeoutTimestamp throws (killing the whole query) if it
+        // ever does, e.g. on a watermark-config change across restart.
+        // Clamp to watermark+1 as defense: the session then closes on a
+        // following trigger instead of crashing the stream.
+        state.setTimeoutTimestamp(
+          math.max(st.last + gapMs, state.getCurrentWatermarkMs + 1))
       }
       closed.reverse.iterator
     }
@@ -486,7 +542,10 @@ object StreamPipeline {
     * and what the reference's append-only Delta sink would need to become
     * to serve the batch queries without a daily recompute. State lives in
     * the table, not the stream (no watermark, no state store): a restart
-    * resumes from the checkpoint and the table.
+    * resumes from the checkpoint and the table, and a REPLAYED micro-batch
+    * is a no-op via the [[TableSink]] batch ledger — counts and sums are
+    * not idempotent under re-merge, so without the ledger a replay would
+    * double-count every group the batch touched.
     *
     * Column contract: `merged(old, batch)` sums counts/sums and
     * min/maxes bounds groupwise — associative + commutative, so ANY batch
@@ -497,30 +556,30 @@ object StreamPipeline {
       checkpoint: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val partial = batch
-          .groupBy(date_trunc("hour", col("ts")).as("hour"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
-            min("value").as("min_value"), max("value").as("max_value"))
-        val dir = new java.io.File(path)
-        val hasTable = dir.exists() && dir.listFiles() != null &&
-          dir.listFiles().exists(_.getName.endsWith(".parquet"))
-        val merged =
-          if (hasTable)
-            s.read.parquet(path).unionByName(partial)
-              .groupBy("hour", "event_type")
-              .agg(sum("n_events").as("n_events"),
-                sum("sum_dec").cast("decimal(18,2)").as("sum_dec"),
-                min("min_value").as("min_value"),
-                max("max_value").as("max_value"))
-          else partial
-        val tmp = path + "__agg_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        if (!TableSink.alreadyApplied(s, path, batchId)) {
+          val partial = batch
+            .groupBy(date_trunc("hour", col("ts")).as("hour"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+              min("value").as("min_value"), max("value").as("max_value"))
+          val merged =
+            if (TableSink.hasParquet(s, path))
+              s.read.parquet(path).unionByName(partial)
+                .groupBy("hour", "event_type")
+                .agg(sum("n_events").as("n_events"),
+                  sum("sum_dec").cast("decimal(18,2)").as("sum_dec"),
+                  min("min_value").as("min_value"),
+                  max("max_value").as("max_value"))
+            else partial
+          val tmp = path + "__agg_tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          s.read.parquet(tmp).write.mode("overwrite").parquet(path)
+          TableSink.delete(s, tmp)
+          TableSink.record(s, path, batchId)
+        }
       }
       .start()
 
@@ -530,7 +589,13 @@ object StreamPipeline {
     * the same batch. Admitted docs append to `outPath`; their shingles
     * append to the persisted index at `indexPath` — the state is a TABLE,
     * not stream state (no state store growth; a restart resumes from the
-    * checkpoint and the index). The streaming twin of
+    * checkpoint and the index, and a replayed micro-batch is a no-op via
+    * the [[TableSink]] batch ledger: without it a replay would append the
+    * admitted docs twice AND double their index shingle counts, silently
+    * inflating future Jaccard denominators). The two appends themselves
+    * are not atomic — a crash between them leaves out/index divergent
+    * until a transaction log (out of scope offline) closes that window.
+    * The streaming twin of
     * [[graft.ops.DedupOps.incrementalJaccardPairs]].
     *
     * Per-batch work: the batch is shingled row-locally (compiled
@@ -553,19 +618,17 @@ object StreamPipeline {
       maxShingleDf: Int = 1000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import s.implicits._
+        if (!TableSink.alreadyApplied(s, indexPath, batchId)) {
         val batchSh = batch.select(col("doc_id"),
             explode(graft.functions.ShingleHashes.shingleHashes(
               graft.ops.TextOps.tokens(lower(col("text"))), n)).as("h"))
           .persist()
         try {
-          val dir = new java.io.File(indexPath)
-          val hasIdx = dir.exists() && dir.listFiles() != null &&
-            dir.listFiles().exists(_.getName.endsWith(".parquet"))
           val indexSh =
-            if (hasIdx) s.read.parquet(indexPath)
+            if (TableSink.hasParquet(s, indexPath)) s.read.parquet(indexPath)
             else Seq.empty[(Long, Long)].toDF("doc_id", "h")
           val all = indexSh.withColumn("is_new", lit(false))
             .unionByName(batchSh.withColumn("is_new", lit(true)))
@@ -599,7 +662,9 @@ object StreamPipeline {
           admitted.write.mode("append").parquet(outPath)
           batchSh.join(rejected, Seq("doc_id"), "left_anti")
             .write.mode("append").parquet(indexPath)
+          TableSink.record(s, indexPath, batchId)
         } finally batchSh.unpersist()
+        }
       }
       .start()
 
@@ -607,26 +672,27 @@ object StreamPipeline {
       keys: Seq[String], orderCol: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)
-          .orderBy(col(orderCol).desc)
-        val latest = batch
-          .withColumn("__rn", org.apache.spark.sql.functions.row_number.over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val dir = new java.io.File(path)
-        val merged =
-          if (dir.exists() && dir.listFiles() != null
-              && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-            graft.ops.Relational.mergeUpsert(s.read.parquet(path), latest, keys)
-          else latest
-        // write via temp + swap: the source of the merge is the table
-        // being replaced, so an in-place overwrite would read-under-write
-        val tmp = path + "__merge_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        if (!TableSink.alreadyApplied(s, path, batchId)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          val latest = batch
+            .withColumn("__rn", org.apache.spark.sql.functions.row_number.over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val merged =
+            if (TableSink.hasParquet(s, path))
+              graft.ops.Relational.mergeUpsert(s.read.parquet(path), latest, keys)
+            else latest
+          // write via temp + swap: the source of the merge is the table
+          // being replaced, so an in-place overwrite would read-under-write
+          val tmp = path + "__merge_tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          s.read.parquet(tmp).write.mode("overwrite").parquet(path)
+          TableSink.delete(s, tmp)
+          TableSink.record(s, path, batchId)
+        }
       }
       .start()
 

@@ -362,4 +362,49 @@ class AdvancedStreamingSpec extends AnyFunSuite {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("fMGWS sessionization and a LATE group: with EventTimeTimeout the " +
+      "engine drops below-watermark rows before the function — the query " +
+      "survives and no phantom session is created") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent](spark)
+    val out = StreamPipeline.sessionizeStream(mem.toDS(), gapMin = 30)
+    val q = out.writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 9 far in the future — advances the watermark hours
+      // past t(0,*) once the batch commits
+      mem.addData(SessionEvent(9, t(9, 0), 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 arrives entirely BEHIND the watermark. Spark
+      // filters it before fn() (so no state, no below-watermark timeout);
+      // the clamp in sessionizeStream guards the residual paths
+      mem.addData(SessionEvent(1, t(0, 0), 1.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(9, t(9, 10), 1.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(9, t(9, 20), 1.0))
+      q.processAllAvailable()
+      assert(q.isActive, "query died on the late group")
+      // dropped means dropped: the late event creates no session, closed
+      // or open — matching the native session_window twin's late policy
+      val users = spark.table("sess_late_out")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(!users.contains(1L),
+        s"late event must be dropped, not sessionized: $users")
+    } finally q.stop()
+  }
+
+  test("TableSink ledger: replayed batch ids read as applied, later ids " +
+      "do not — the foreachBatch idempotence gate") {
+    val base = java.nio.file.Files
+      .createTempDirectory("ledger_spec").toString + "/table"
+    assert(!graft.streaming.TableSink.alreadyApplied(spark, base, 0L))
+    graft.streaming.TableSink.record(spark, base, 3L)
+    assert(graft.streaming.TableSink.alreadyApplied(spark, base, 3L))
+    assert(graft.streaming.TableSink.alreadyApplied(spark, base, 2L))
+    assert(!graft.streaming.TableSink.alreadyApplied(spark, base, 4L))
+    graft.streaming.TableSink.record(spark, base, 4L)
+    assert(graft.streaming.TableSink.alreadyApplied(spark, base, 4L))
+  }
 }

@@ -48,6 +48,24 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     native.zip(composed).foreach { case (n, c) => assert(n == c) }
   }
 
+  test("STRING keys survive the sort iterator's buffer reuse: the " +
+      "retained match key must be a deep copy, not a view") {
+    // many keys/rows so the sorted right iterator cycles its UnsafeRow
+    // buffer between the retain and the compare; with a shallow-retained
+    // UTF8String view every group after the first would mismatch
+    val left = (0 until 500).map(i => (f"k$i%03d", t(30), i))
+      .toDF("k", "ts", "i")
+    val right = (0 until 500).map(i => (f"k$i%03d", t(10), i * 10))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoinNative.join(left, right, "k", "ts")
+      .select("i", "asof_v").collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(!r.isNullAt(1) && r.getInt(1) == r.getInt(0) * 10,
+        s"row ${r.getInt(0)} matched ${r.get(1)}, want ${r.getInt(0) * 10}")
+    }
+  }
+
   test("plans as AsOfJoinExec over key-clustered sorted children — no " +
       "union inflation, no window") {
     val d = TestSpark.sf001
