@@ -49,7 +49,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch => NULL, matching the composed HOF form
+    // (zip_with null-pads the shorter side, nulling the sum) — a silent
+    // common-prefix cosine would let a corrupt embedding pass threshold
+    // filters instead of dropping out
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -82,9 +87,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getR = if (elemIsFloat(right)) s"(double) $y.getFloat($i)"
                  else s"$y.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = $getL;
          |  double $yi = $getR;

@@ -1,13 +1,9 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -29,82 +25,24 @@ import org.apache.spark.sql.types._
   * and the DuckDB oracle's `rn = floor((cnt+1)/2)`. NULL inputs are
   * ignored; an all-NULL (or empty) group evaluates to NULL. -0.0 and 0.0
   * are distinct map keys but sort adjacently, so ranks are unaffected.
+  *
+  * Buffer/merge/serialization live in [[CountMapAggregate]], shared with
+  * [[ExactQuantile]] and [[ExactQuantiles]].
   */
 case class ExactMedian(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+    extends CountMapAggregate {
 
-  override def children: Seq[Expression] = Seq(child)
-
-  override def nullable: Boolean = true
+  override protected def fnName: String = "exact_median"
 
   override def dataType: DataType = DoubleType
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case DoubleType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"exact_median expects double (cast numerics first), got ${t.catalogString}")
-    }
-
-  override def createAggregationBuffer(): mutable.LongMap[Long] =
-    mutable.LongMap.empty[Long]
-
-  override def update(buf: mutable.LongMap[Long], input: InternalRow)
-      : mutable.LongMap[Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
-      buf.update(bits, buf.getOrElse(bits, 0L) + 1L)
-    }
-    buf
-  }
-
-  override def merge(buf: mutable.LongMap[Long], other: mutable.LongMap[Long])
-      : mutable.LongMap[Long] = {
-    other.foreachEntry((bits, c) =>
-      buf.update(bits, buf.getOrElse(bits, 0L) + c))
-    buf
-  }
-
   override def eval(buf: mutable.LongMap[Long]): Any = {
     if (buf.isEmpty) return null
-    val keys = new Array[Double](buf.size)
-    var i = 0
-    buf.foreachKey { bits => keys(i) = java.lang.Double.longBitsToDouble(bits); i += 1 }
-    java.util.Arrays.sort(keys)
-    var total = 0L
-    buf.foreachValue(total += _)
-    val rank = (total + 1) / 2 // lower median, 1-based
-    var cum = 0L
-    i = 0
-    while (i < keys.length) {
-      cum += buf(java.lang.Double.doubleToLongBits(keys(i)))
-      if (cum >= rank) return keys(i)
-      i += 1
-    }
-    keys(keys.length - 1) // unreachable: cum reaches total >= rank
-  }
-
-  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    buf.foreachEntry((bits, c) => { bb.putLong(bits); bb.putLong(c) })
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = mutable.LongMap.empty[Long]
-    var i = 0
-    while (i < n) { buf.update(bb.getLong, bb.getLong); i += 1 }
-    buf
+    // lower median = rank ceil(total/2) = (total+1)/2, 1-based
+    valueAtRank(buf, sortedKeys(buf), rankOf(1, 2, totalCount(buf)))
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ExactMedian =

@@ -17,8 +17,8 @@ import org.apache.spark.sql.types._
   * on the ANN corpus scan (every row, every signature build) that is the
   * difference between the signature being free and being the bottleneck.
   *
-  * NULL input → NULL. Vectors shorter than a plane use the common prefix
-  * (same as the zip_with semantics).
+  * NULL input → NULL; a vector whose dimension disagrees with the plane
+  * matrix → NULL (the zip_with form's null-padding semantics).
   */
 case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
@@ -53,23 +53,31 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     * ANN corpus scan inside whole-stage codegen.
     */
   def compute(input: ArrayData): java.lang.Long = {
-    val v = input
-    val m = v.numElements()
-    // a vector with NULL elements has no meaningful signature
+    val m = input.numElements()
+    // a vector with NULL elements has no meaningful signature; neither
+    // does one whose dimension disagrees with the plane matrix — a
+    // common-prefix dot would hand a corrupt vector a plausible-looking
+    // signature and file it into arbitrary LSH bands (the composed
+    // zip_with form returns NULL here; this matches it)
+    if (planes.nonEmpty && planes(0).length != m) return null
     var k = 0
-    while (k < m) { if (v.isNullAt(k)) return null; k += 1 }
+    while (k < m) { if (input.isNullAt(k)) return null; k += 1 }
+    // copy through the ArrayData accessor ONCE: the plane loop below
+    // re-reads every element planes.length times, and primitive array
+    // reads beat repeated Unsafe accessor calls on this hot path
+    val v = new Array[Double](m)
+    k = 0
+    while (k < m) {
+      v(k) = if (isFloat) input.getFloat(k).toDouble else input.getDouble(k)
+      k += 1
+    }
     var sig = 0L
     var j = 0
     while (j < planes.length) {
       val p = planes(j)
-      val n = math.min(m, p.length)
       var dot = 0.0
       var i = 0
-      while (i < n) {
-        val xi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        dot += xi * p(i)
-        i += 1
-      }
+      while (i < m) { dot += v(i) * p(i); i += 1 }
       if (dot >= 0) sig |= (1L << j)
       j += 1
     }

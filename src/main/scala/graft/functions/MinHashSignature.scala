@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -50,29 +50,21 @@ case class MinHashSignature(child: Expression, n: Int, seeds: Array[Long])
           s"minhash_signature expects array<string>, got ${t.catalogString}")
     }
 
-  private val shingleSeed = 42L
-
-  /** Signature loop; also the codegen target. Returns null if no shingles. */
+  /** Signature loop; also the codegen target. Returns null if no
+    * shingles. Shingle hashing goes through [[ShingleKernel]] — the SAME
+    * kernel [[ShingleHashes]] uses, so signatures and exact shingle sets
+    * describe identical shingles by construction.
+    */
   def compute(tokens: ArrayData): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return null
-    val th = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val t = tokens.getUTF8String(i)
-      th(i) = if (t == null) shingleSeed
-        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-          t.numBytes, shingleSeed)
-      i += 1
-    }
+    val th = ShingleKernel.tokenHashes(tokens)
     val k = seeds.length
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    i = 0
+    var i = 0
     while (i <= m - n) {
-      var h = shingleSeed
-      var j = 0
-      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      val h = ShingleKernel.chain(th, i, n)
       var s = 0
       while (s < k) {
         var x = h ^ seeds(s)

@@ -94,9 +94,14 @@ case class NearestCentroids(child: Expression,
         while (i < n) { dot += v(i) * p(i); cn += p(i) * p(i); i += 1 }
         sim = dot / (math.sqrt(vn) * math.sqrt(cn))
       }
+      // NaN (zero-norm centroid or vector under cosine) maps to -inf so
+      // the ranking stays a total order: a raw NaN that grabbed a slot
+      // would be unbeatable (x > NaN is always false) and every later,
+      // genuinely better centroid would be rejected — degenerate
+      // centroids must rank LAST, not first
+      if (sim.isNaN) sim = Double.NegativeInfinity
       // insertion position: first slot this sim strictly beats (ties keep
-      // the earlier centroid index ahead — deterministic). NaN (zero-norm)
-      // never beats anything, so it only fills trailing empty slots.
+      // the earlier centroid index ahead — deterministic)
       var pos = filled
       while (pos > 0 && sim > bestSim(pos - 1)) pos -= 1
       if (pos < nProbe) {

@@ -29,6 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
 
+  // SQL-reachable (graft_shingle_hashes) with an arbitrary literal n:
+  // n < 1 would silently hash every position to the bare seed and make
+  // every document a near-duplicate of every other
+  require(n >= 1, s"shingle width n must be >= 1, got $n")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()
@@ -41,8 +46,6 @@ case class ShingleHashes(child: Expression, n: Int)
           s"shingle_hashes expects array<string>, got ${t.catalogString}")
     }
 
-  private val seed = 42L
-
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
@@ -54,22 +57,11 @@ case class ShingleHashes(child: Expression, n: Int)
   def compute(tokens: ArrayData): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
-    val th = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val t = tokens.getUTF8String(i)
-      th(i) = if (t == null) seed
-        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-          t.numBytes, seed)
-      i += 1
-    }
+    val th = ShingleKernel.tokenHashes(tokens)
     val out = new Array[Long](m - n + 1)
-    i = 0
+    var i = 0
     while (i <= m - n) {
-      var h = seed
-      var j = 0
-      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
-      out(i) = h
+      out(i) = ShingleKernel.chain(th, i, n)
       i += 1
     }
     Arrays.sort(out)
@@ -96,4 +88,37 @@ object ShingleHashes {
   /** Column entry point: distinct n-gram shingle hashes of a token array. */
   def shingleHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
+}
+
+/** The ONE shingle-hash kernel, shared by [[ShingleHashes]] and
+  * [[MinHashSignature]]: per-token XXH64 over the UTF8 bytes (null token
+  * → bare seed) and seed-chained n-gram hashing. The dedup pipeline's
+  * invariant that MinHash signatures and exact shingle sets describe the
+  * SAME shingles holds only while both expressions hash identically —
+  * one kernel makes drift impossible.
+  */
+private[functions] object ShingleKernel {
+  val Seed = 42L
+
+  def tokenHashes(tokens: ArrayData): Array[Long] = {
+    val m = tokens.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = tokens.getUTF8String(i)
+      th(i) = if (t == null) Seed
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+          t.numBytes, Seed)
+      i += 1
+    }
+    th
+  }
+
+  /** Chained hash of the n-gram starting at position `i`. */
+  def chain(th: Array[Long], i: Int, n: Int): Long = {
+    var h = Seed
+    var j = 0
+    while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+    h
+  }
 }

@@ -77,7 +77,7 @@ class SimilaritySpec extends AnyFunSuite {
       }
   }
 
-  test("null input -> null; mismatched lengths use common prefix") {
+  test("null input -> null") {
     val withNull = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
       .select(cosineSim(col("a"), col("b")).as("c")).head()
@@ -101,5 +101,36 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"),
       s"unexpected plan: $plan")
+  }
+
+  test("DIMENSION mismatch -> null (both eval and codegen paths), " +
+      "matching the composed zip_with null-padding — a common-prefix " +
+      "cosine would let a corrupt embedding pass threshold filters") {
+    val df = spark.sql(
+      "SELECT array(1.0D, 2.0D, 3.0D) AS a, array(1.0D, 2.0D) AS b")
+    val r = df.select(
+      cosineSim(col("a"), col("b")).as("fused"),
+      SimilarityOps.cosineComposed(col("a"), col("b")).as("composed")).head()
+    assert(r.isNullAt(0), "fused must be null on dimension mismatch")
+    assert(r.isNullAt(1), "composed is null on dimension mismatch")
+    // hyperplane signature: same contract vs its plane matrix
+    import graft.functions.HyperplaneSignature.hyperplaneSignature
+    val sig = df.select(hyperplaneSignature(col("b"),
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))).as("s")).head()
+    assert(sig.isNullAt(0), "mismatched vector must get no LSH signature")
+  }
+
+  test("a degenerate (zero-norm) centroid ranks LAST, never first: NaN " +
+      "cosine maps to -inf in the top-k insertion") {
+    import graft.functions.NearestCentroids.nearestCentroids
+    val centroids = Array(
+      Array(0.0, 0.0), // zero-norm: cosine NaN against anything
+      Array(1.0, 0.0),
+      Array(0.0, 1.0))
+    val df = spark.sql("SELECT array(CAST(0.9 AS FLOAT), CAST(0.1 AS FLOAT)) AS v")
+    val cells = df.select(nearestCentroids(col("v"), centroids, 3).as("c"))
+      .head().getSeq[Int](0)
+    assert(cells == Seq(1, 2, 0),
+      s"zero centroid must sort last, got $cells")
   }
 }
