@@ -21,9 +21,10 @@ import org.apache.spark.sql.types._
   * materialization, and duplicate shingles are harmlessly re-folded (min is
   * idempotent) so no dedup pass is needed.
   *
-  * The per-seed mixing is exactly the Column-level form it replaced
-  * (`xorshift64(h ^ seed)` with Spark's arithmetic `shiftright`), so
-  * signatures — and therefore LSH candidates — are unchanged.
+  * The per-seed mixing is a plain xorshift64 of `h ^ seed` (shifts + xor
+  * only) — value-identical to the interpreted Column formulation this
+  * expression replaced, so signatures — and therefore LSH candidates —
+  * are unchanged across that migration.
   *
   * Returns NULL when the doc has no shingles (fewer than n tokens) — such
   * docs can't form pairs and are filtered out, matching the explode

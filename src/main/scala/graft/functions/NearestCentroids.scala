@@ -60,6 +60,10 @@ case class NearestCentroids(child: Expression,
     */
   def compute(input: ArrayData): ArrayData = {
     val m = input.numElements()
+    // dimension mismatch vs the centroid matrix → NULL, the same policy
+    // as CosineSimilarity/HyperplaneSignature: a common-prefix score
+    // would file a corrupt vector into a plausible cell
+    if (centroids.nonEmpty && centroids(0).length != m) return null
     var k = 0
     while (k < m) { if (input.isNullAt(k)) return null; k += 1 }
     val v = new Array[Double](m)

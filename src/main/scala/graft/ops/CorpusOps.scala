@@ -91,8 +91,11 @@ object CorpusOps {
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(grams(col("t"), n))).as("gram"))
-    val evalGrams = docs.filter(isEvalDoc)
-      .select(col("gram")).distinct()
+    // persist the (benchmark-sized) eval gram set: three consumers below
+    // (the count sizing the bloom, the bloom build, the exact-join side)
+    // would each re-derive it from the documents scan otherwise
+    val evalGrams = graft.Caches.register(
+      docs.filter(isEvalDoc).select(col("gram")).distinct().persist())
     val evalHashes = evalGrams.select(xxhash64(col("gram")).as("h"))
     val bloom = evalHashes.stat.bloomFilter("h",
       math.max(evalHashes.count(), 1L), fpp)

@@ -51,15 +51,6 @@ object DedupOps {
 
   // ------------------------------------------------------------- shingles
 
-  /** `n`-word shingles of `text` as an array column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(lower(text))
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
-
   /** (doc_id, h) — 64-bit hashed distinct shingles per doc, staged so each
     * array is materialized once per row (token hashes as a bound attribute;
     * inlining them into the shingle transform would rehash every token per
@@ -149,6 +140,18 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    jaccardVerify(pairs, sizes, thresholdPct)
+  }
+
+  /** The ONE integer-Jaccard verify tail behind every pair generator
+    * (exact inverted-index, incremental, MinHash-banded): join per-doc
+    * shingle-set sizes onto (doc_a, doc_b, shared) candidates and keep
+    * pairs with `shared·100 ≥ pct·(|A|+|B|−shared)` — the cross-multiplied
+    * integer form of Jaccard ≥ pct/100 (no float division decides
+    * membership, so the boundary is identical on any engine).
+    */
+  private def jaccardVerify(pairs: DataFrame, sizes: DataFrame,
+      thresholdPct: Int): DataFrame =
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"),
         col("sz").as("size_a")), Seq("doc_a"))
@@ -159,7 +162,6 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("shared"),
         col("size_a"), col("size_b"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Incremental near-dup pairs: the pairs a NEW batch of documents adds
     * against an already-deduplicated corpus (plus among itself) — without
@@ -194,29 +196,10 @@ object DedupOps {
       .filter(isNew(col("doc_a")) || isNew(col("doc_b")))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"),
-        col("sz").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"),
-        col("sz").as("size_b")), Seq("doc_b"))
-      .filter(col("shared") * 100 >=
-        lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
-      .select(col("doc_a"), col("doc_b"), col("shared"),
-        col("size_a"), col("size_b"))
-      .orderBy("doc_a", "doc_b")
+    jaccardVerify(pairs, sizes, thresholdPct)
   }
 
   // -------------------------------------------------------------- minhash
-
-  /** xorshift64 mixer as pure Column ops (shifts + xor only — no multiply,
-    * so ANSI overflow checking never trips). Good enough dispersion for
-    * MinHash band bucketing.
-    */
-  def xorshift64(c: Column): Column = {
-    val a = c.bitwiseXOR(shiftleft(c, 13))
-    val b = a.bitwiseXOR(shiftright(a, 7))
-    b.bitwiseXOR(shiftleft(b, 17))
-  }
 
   /** Deterministic per-permutation seeds (splitmix64 constants). */
   private[graft] def seeds(numHashes: Int): Seq[Long] = {
@@ -302,16 +285,7 @@ object DedupOps {
       .join(candShingles.select(col("doc_id").as("doc_b"), col("h")),
         Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
-        Seq("doc_b"))
-      .filter(col("shared") * 100 >=
-        lit(thresholdPct) * (col("size_a") + col("size_b") - col("shared")))
-      .select(col("doc_a"), col("doc_b"), col("shared"),
-        col("size_a"), col("size_b"))
-      .orderBy("doc_a", "doc_b")
+    jaccardVerify(shared, sizes, thresholdPct)
   }
 
   // ------------------------------------------------------------- clusters

@@ -127,18 +127,20 @@ object Relational {
     // non-recursive inputs on every iteration, so an un-checkpointed
     // view would re-run the whole SimHash pair pipeline per depth level
     // (measured: 12 document scans for a depth-4 walk)
+    val ev = s"graft_simhash_edges_${java.util.UUID.randomUUID().toString.take(8)}"
     DedupOps.simhashPairs(s, d).select("doc_a", "doc_b")
       .localCheckpoint()
-      .createOrReplaceTempView("graft_simhash_edges")
-    s.sql("""
+      .createOrReplaceTempView(ev)
+    try s.sql(s"""
       WITH RECURSIVE reach(doc_id, depth) AS (
-        SELECT min(doc_a), 0 FROM graft_simhash_edges
+        SELECT min(doc_a), 0 FROM $ev
         UNION ALL
         SELECT e.doc_b, r.depth + 1
-        FROM reach r JOIN graft_simhash_edges e ON e.doc_a = r.doc_id
+        FROM reach r JOIN $ev e ON e.doc_a = r.doc_id
         WHERE r.depth < 4)
       SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
       FROM reach GROUP BY doc_id ORDER BY doc_id""")
+    finally s.catalog.dropTempView(ev)
   }
 
   /** Iterative-DataFrame twin of [[recursiveReach]] — the engine path.
@@ -424,13 +426,18 @@ object Relational {
     * cross-engine float summation).
     */
   def scalarSubquery(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("g_customer")
-    s.sql(
-      """SELECT c1.c_custkey, c1.c_nationkey, c1.c_acctbal
-        |FROM g_customer c1
-        |WHERE c1.c_acctbal = (SELECT max(c2.c_acctbal) FROM g_customer c2
-        |                      WHERE c2.c_nationkey = c1.c_nationkey)
-        |ORDER BY c1.c_custkey""".stripMargin)
+    // unique view name + drop-after-analysis, the lateralTopN pattern:
+    // a fixed name would clobber (and leak) a user's same-named session
+    // view; sql() resolves eagerly so the view is not needed afterwards
+    val cv = s"graft_customer_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    try s.sql(
+      s"""SELECT c1.c_custkey, c1.c_nationkey, c1.c_acctbal
+         |FROM $cv c1
+         |WHERE c1.c_acctbal = (SELECT max(c2.c_acctbal) FROM $cv c2
+         |                      WHERE c2.c_nationkey = c1.c_nationkey)
+         |ORDER BY c1.c_custkey""".stripMargin)
+    finally s.catalog.dropTempView(cv)
   }
 
   /** Correlated EXISTS / NOT EXISTS through the SQL entry: customers
@@ -440,17 +447,21 @@ object Relational {
     * rewriter.
     */
   def existsSubquery(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("g_orders")
-    Tables.customer(s, d).createOrReplaceTempView("g_customer")
-    s.sql(
-      """SELECT c_custkey, c_nationkey, c_acctbal
-        |FROM g_customer c1
-        |WHERE EXISTS (SELECT 1 FROM g_orders o
-        |              WHERE o.o_custkey = c1.c_custkey)
-        |  AND NOT EXISTS (SELECT 1 FROM g_orders o
-        |                  WHERE o.o_custkey = c1.c_custkey
-        |                    AND o.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val ov = s"graft_orders_$tag"
+    val cv = s"graft_customer_$tag"
+    Tables.orders(s, d).createOrReplaceTempView(ov)
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    try s.sql(
+      s"""SELECT c_custkey, c_nationkey, c_acctbal
+         |FROM $cv c1
+         |WHERE EXISTS (SELECT 1 FROM $ov o
+         |              WHERE o.o_custkey = c1.c_custkey)
+         |  AND NOT EXISTS (SELECT 1 FROM $ov o
+         |                  WHERE o.o_custkey = c1.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |ORDER BY c_custkey""".stripMargin)
+    finally { s.catalog.dropTempView(ov); s.catalog.dropTempView(cv) }
   }
 
   /** GROUPING SETS with explicitly chosen combinations (cube/rollup cover
@@ -459,18 +470,20 @@ object Relational {
     * level. One Expand + one shuffle, exactly like cube.
     */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("g_orders")
-    s.sql(
-      """SELECT o_orderpriority, o_orderstatus,
-        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-        |       count(*) AS n
-        |FROM g_orders
-        |GROUP BY GROUPING SETS ((o_orderpriority),
-        |                        (o_orderstatus),
-        |                        (o_orderpriority, o_orderstatus),
-        |                        ())
-        |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""".stripMargin)
+    val ov = s"graft_orders_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.orders(s, d).createOrReplaceTempView(ov)
+    try s.sql(
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+         |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         |       count(*) AS n
+         |FROM $ov
+         |GROUP BY GROUPING SETS ((o_orderpriority),
+         |                        (o_orderstatus),
+         |                        (o_orderpriority, o_orderstatus),
+         |                        ())
+         |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""".stripMargin)
+    finally s.catalog.dropTempView(ov)
   }
 
   def pivotCounts(s: SparkSession, d: String): DataFrame = {

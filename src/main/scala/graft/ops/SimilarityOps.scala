@@ -42,6 +42,35 @@ object SimilarityOps {
   def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** The score EVERY fp32 similarity operator ranks/filters on: cosine
+    * rounded to 1e-6 with NaN (a zero-norm side: 0/0) mapped to NULL.
+    * Spark orders NaN ABOVE every real double and `NaN >= t` is true, so
+    * an unguarded zero-norm embedding (a failed encoder output) would
+    * rank #1 for every query and "near-duplicate" every cell-mate; as
+    * NULL it drops out of `>= threshold` filters and sorts last
+    * (NULLS LAST) in every desc rank window instead.
+    */
+  private def cosineScore(a: Column, b: Column): Column = {
+    val c = round(cosineSim(a, b), 6)
+    when(!isnan(c), c)
+  }
+
+  /** The shared per-query exact-rank tail every top-k operator ends
+    * with: rank on (cosine_sim desc, vec_id) within query_id, keep `k`,
+    * surface the driver-contract schema. One definition so a
+    * scoring-policy change (e.g. [[cosineScore]]'s NaN→NULL guard)
+    * reaches every variant at once.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
     * nearest corpus vectors (self excluded). Deterministic: rank on cosine
     * rounded to 1e-6 with vec_id tiebreak.
@@ -53,14 +82,8 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cosine_sim",
-        round(cosineSim(col("q_emb"), col("embedding")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_sim"))
-      .orderBy("query_id", "rank")
+        cosineScore(col("q_emb"), col("embedding")))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random unit hyperplane components: splitmix64 →
@@ -101,6 +124,11 @@ object SimilarityOps {
     val mask = -1L >>> (64 - bandBits) // mod-64-shift-safe at bandBits=64
     emb
       .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
+      // signature-less rows (NULL elements / dimension mismatch) never
+      // join in the real LSH ops (equi-join keys drop NULLs) — counting
+      // them here as one giant colliding bucket would report phantom
+      // quadratic blowup the operator can never produce
+      .filter(col("sig").isNotNull)
       .select(posexplode(array((0 until nBits / bandBits).map(b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
       .groupBy("pos", "col").agg(count(lit(1)).as("c"))
@@ -140,15 +168,8 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "q_emb", "vec_id", "embedding")
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-    cand.withColumn("cosine_sim",
-        round(cosineSim(col("q_emb"), col("embedding")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_sim"))
-      .orderBy("query_id", "rank")
+    rankTopK(cand.withColumn("cosine_sim",
+      cosineScore(col("q_emb"), col("embedding"))), k)
   }
 
   /** The first `cells` corpus vectors VERBATIM (cast to double) as the
@@ -242,17 +263,10 @@ object SimilarityOps {
         explode(nearestCentroids(col("embedding"), centroids, nProbe))
           .as("cell"))
     // search only the probed cells
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    rankTopK(assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine_sim",
-        round(cosineSim(col("q_emb"), col("embedding")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_sim"))
-      .orderBy("query_id", "rank")
+        cosineScore(col("q_emb"), col("embedding"))), k)
   }
 
   /** IVF with MEDOID seeding: the centroids are the first `cells` corpus
@@ -279,17 +293,10 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(nearestCentroids(col("embedding"), centroids, nProbe))
           .as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    rankTopK(assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine_sim",
-        round(cosineSim(col("q_emb"), col("embedding")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_sim"))
-      .orderBy("query_id", "rank")
+        cosineScore(col("q_emb"), col("embedding"))), k)
   }
 
   /** Per-cluster corpus profile over the medoid-seeded cells of
@@ -319,7 +326,7 @@ object SimilarityOps {
       .withColumn("cell",
         element_at(nearestCentroids(col("embedding"), centroids, 1), 1))
       .join(broadcast(cents), Seq("cell"))
-      .withColumn("sim", round(cosineSim(col("c_emb"), col("embedding")), 6))
+      .withColumn("sim", cosineScore(col("c_emb"), col("embedding")))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("sim").cast("decimal(10,6)")).as("sum_sim"),
@@ -403,17 +410,10 @@ object SimilarityOps {
       .filter(col("arank") <= rerank)
       .select("query_id", "q_emb", "vec_id")
     // stage 2: fetch the shortlist's true vectors, exact re-rank
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-    shortlist
+    rankTopK(shortlist
       .join(emb, Seq("vec_id"))
       .withColumn("cosine_sim",
-        round(cosineSim(col("q_emb"), col("embedding")), 6))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_sim"))
-      .orderBy("query_id", "rank")
+        cosineScore(col("q_emb"), col("embedding"))), k)
   }
 
   /** IVF-PQ: the two coarse-to-fine stages composed — the architecture
@@ -484,17 +484,10 @@ object SimilarityOps {
       .filter(col("arank") <= rerank)
       .select("query_id", "q_emb", "vec_id")
     // stage 2: exact re-rank of the shortlist's true vectors
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-    shortlist
+    rankTopK(shortlist
       .join(emb, Seq("vec_id"))
       .withColumn("cosine_sim",
-        round(cosineSim(col("q_emb"), col("embedding")), 6))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_sim"))
-      .orderBy("query_id", "rank")
+        cosineScore(col("q_emb"), col("embedding"))), k)
   }
 
   /** Near-duplicate pairs via banded hyperplane LSH — the 100 TB shape:
@@ -535,7 +528,7 @@ object SimilarityOps {
         Seq("vec_a"))
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")),
         Seq("vec_b"))
-      .withColumn("cosine_sim", round(cosineSim(col("e_a"), col("e_b")), 6))
+      .withColumn("cosine_sim", cosineScore(col("e_a"), col("e_b")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine_sim"))
       .orderBy("vec_a", "vec_b")
@@ -555,7 +548,7 @@ object SimilarityOps {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine_sim",
-        round(cosineSim(col("e_a"), col("e_b")), 6))
+        cosineScore(col("e_a"), col("e_b")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine_sim"))
       .orderBy("vec_a", "vec_b")
@@ -601,7 +594,7 @@ object SimilarityOps {
       col("embedding").as("e_b"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
-      .filter(round(cosineSim(col("e_a"), col("e_b")), 6) >= threshold)
+      .filter(cosineScore(col("e_a"), col("e_b")) >= threshold)
       .select(col("vec_b").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
@@ -654,14 +647,7 @@ object SimilarityOps {
       .filter(exists(col("qd"), x => x =!= 0.0))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qd").as("q_qd"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("vec_id"))
-    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine_sim", round(cosineSim(col("q_qd"), col("qd")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_sim"))
-      .orderBy("query_id", "rank")
+    rankTopK(emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosineScore(col("q_qd"), col("qd"))), k)
   }
 }

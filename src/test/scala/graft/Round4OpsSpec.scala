@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{SimilarityOps, TextOps}
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
 
 /** Round-4 operators: Gopher-rule filtering, CCNet perplexity terciles,
   * embedding cluster profile.
@@ -151,6 +151,15 @@ class Round4OpsSpec extends AnyFunSuite {
       .count()
     assert(residual == 0,
       s"$residual surviving in-cell pairs above threshold remain")
+  }
+
+  test("keepFirstByKey: deterministic survivor per key by explicit order " +
+      "(the dropDuplicates twin that cannot flip between runs)") {
+    val df = Seq((1L, "b", 20), (1L, "a", 10), (2L, "c", 30), (1L, "d", 5))
+      .toDF("k", "tag", "ord")
+    val out = DedupOps.keepFirstByKey(df, Seq("k"), "ord")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "d", 2L -> "c")) // min ord wins, always
   }
 
   test("semanticDedup: deterministic across runs") {
