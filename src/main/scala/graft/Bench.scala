@@ -51,6 +51,13 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { i =>
+        // cold engine caches per rep: operators memoize expensive state
+        // (shingle index, CC fixpoint) across calls, and a warm rep would
+        // measure a cache hit — hiding a regression in exactly the
+        // dominant cost the bench exists to watch. JIT/codegen stay warm
+        // (that is what the warm-up pass is for); only data caches drop.
+        Caches.releaseAll()
+        spark.sqlContext.clearCache()
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
@@ -67,13 +74,18 @@ object Bench {
       (name, sec, times)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // failed queries are EXCLUDED from total (a -1 must not subtract),
+    // so the total alone would silently compare different query sets
+    // across rounds — the failed list rides along to make that loud
+    val failed = results.filter(_._2 < 0).map(_._1)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Persisted per-query history: one JSONL line per bench invocation,
     // so a round-over-round diff sees the spread (all reps), not just

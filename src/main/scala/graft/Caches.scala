@@ -44,15 +44,20 @@ object Caches {
     * are STILL PERSISTED — after [[releaseAll]] (or any unpersist) the
     * next call recomputes, so the release path stays authoritative.
     */
-  def memoize(key: String)(f: => DataFrame): DataFrame = synchronized {
-    memo.get(key) match {
-      case Some(df)
-          if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
-        df
-      case _ =>
-        val df = f
-        memo(key) = df
-        df
+  def memoize(key: String)(f: => DataFrame): DataFrame = {
+    // f can run eager multi-job Spark work (the CC fixpoint loops with a
+    // count per round) — computing it INSIDE the lock would block every
+    // register/releaseAll caller for its whole duration; check-compute-
+    // install instead (a racing duplicate compute is wasted work, never
+    // wrong: last install wins and both frames are identical)
+    val cached = synchronized {
+      memo.get(key).filter(
+        _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    }
+    cached.getOrElse {
+      val df = f
+      synchronized { memo(key) = df }
+      df
     }
   }
 }

@@ -67,7 +67,12 @@ object CorpusPipeline {
     val afterQuality = quality.count()
 
     // per-language quantile cut (composes by doc_id semi-join so the gate
-    // stays independently oracle-testable)
+    // stays independently oracle-testable). Deliberate: the eval slice
+    // (~5%) still competes here and in the mixture budgets even though
+    // stage 6 drops it — keep rates apply to the whole corpus, the
+    // simpler contract; gate on trainable-only instead by filtering
+    // isEvalDoc before this stage if budgets must be post-eval exact
+
     val gated = stage(quality.join(
       TextOps.qualityGateFrom(quality, gatePct).select("doc_id"),
       Seq("doc_id"), "left_semi"), "gated")
@@ -82,23 +87,21 @@ object CorpusPipeline {
     }, "balanced")
     val afterBalance = balanced.count()
 
-    val contaminatedIds = CorpusOps.decontaminateFrom(balanced)
+    // eval grams come from the FULL documents frame, not the pipeline
+    // survivors: an eval doc dropped by dedup/quality/gate must still
+    // contaminate the training docs that overlap it
+    val contaminatedIds = CorpusOps.decontaminateAgainst(balanced, docs)
       .select(col("doc_id"))
     // Two exclusions, not one: docs OVERLAPPING the eval slice (the
     // contamination anti-join) AND the eval-slice documents themselves —
     // benchmark docs must never reach chunking/packing/export.
-    val clean = balanced.filter(!CorpusOps.isEvalDoc)
-      .join(contaminatedIds, Seq("doc_id"), "left_anti")
-    write(clean, s"$outDir/clean")
-    val cleanBack = s.read.parquet(s"$outDir/clean")
+    val cleanBack = stage(balanced.filter(!CorpusOps.isEvalDoc)
+      .join(contaminatedIds, Seq("doc_id"), "left_anti"), "clean")
     val afterDecontam = cleanBack.count()
 
-    val chunks = CorpusOps.chunkWindowsFrom(cleanBack)
-    write(chunks, s"$outDir/chunks")
-    val chunksBack = s.read.parquet(s"$outDir/chunks")
+    val chunksBack = stage(CorpusOps.chunkWindowsFrom(cleanBack), "chunks")
 
-    val packed = CorpusOps.packSequencesFrom(chunksBack)
-    write(packed, s"$outDir/packed")
+    write(CorpusOps.packSequencesFrom(chunksBack), s"$outDir/packed")
 
     write(CorpusOps.shuffleExportFrom(cleanBack), s"$outDir/shuffled")
 

@@ -27,7 +27,11 @@ object ScheduledRunner {
     while (true) {
       try return attempt(tryNo)
       catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError / dead SparkContext cannot
+        // succeed on retry (each attempt would fail instantly and still
+        // burn the full backoff schedule), and an interrupt is a
+        // cancellation, not a transient — both must surface immediately
+        case scala.util.control.NonFatal(e) =>
           tryNo += 1
           if (tryNo > maxRetries) throw e
           sleeper(delay)
@@ -41,12 +45,25 @@ object ScheduledRunner {
     * retry unit is the whole notebook run, `0eeeb621168f_dag.py:29-33`).
     */
   def runOnce(s: SparkSession, pinDir: String, geoDir: String,
-      userDir: String, outDir: String): Unit =
-    BatchPipeline.run(s, pinDir, geoDir, userDir)
+      userDir: String, outDir: String): Unit = {
+    import graft.schemas.Schemas
+    val c = BatchPipeline.clean(
+      BatchPipeline.readTopic(s, pinDir, Schemas.pinRaw),
+      BatchPipeline.readTopic(s, geoDir, Schemas.geoRaw),
+      BatchPipeline.readTopic(s, userDir, Schemas.userRaw))
+    // persist the cleaned tables ONCE and fan the 9 writes over the
+    // materialization — BatchPipeline's documented caller contract;
+    // without it every write re-reads and re-cleans the raw JSON
+    c.pin.persist(); c.geo.persist(); c.user.persist()
+    try BatchPipeline.queriesOver(c)
       .toSeq.sortBy(_._1)
       .foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$outDir/$name")
       }
+    finally {
+      c.pin.unpersist(false); c.geo.unpersist(false); c.user.unpersist(false)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,

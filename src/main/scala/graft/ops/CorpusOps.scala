@@ -56,14 +56,25 @@ object CorpusOps {
   /** [[decontaminate]] over any (doc_id, text) frame — the composable
     * building block (`*From` convention).
     */
-  def decontaminateFrom(documents: DataFrame, n: Int = 5): DataFrame = {
-    val docs = documents
+  def decontaminateFrom(documents: DataFrame, n: Int = 5): DataFrame =
+    decontaminateAgainst(documents, documents, n)
+
+  /** [[decontaminateFrom]] probing `corpus` against eval grams built from
+    * `evalSource` — the PIPELINE form. The eval gram set must come from
+    * the FULL benchmark slice (the raw documents), never from whatever
+    * survived earlier pipeline stages: an eval doc dropped by dedup or a
+    * quality gate would otherwise take its n-grams with it, and training
+    * docs overlapping it would leak through the contamination anti-join.
+    */
+  def decontaminateAgainst(corpus: DataFrame, evalSource: DataFrame,
+      n: Int = 5): DataFrame = {
+    def gramsOf(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(grams(col("t"), n))).as("gram"))
-    val evalGrams = docs.filter(isEvalDoc)
+    val evalGrams = gramsOf(evalSource.filter(isEvalDoc))
       .select(col("gram")).distinct()
-    docs.filter(!isEvalDoc)
+    gramsOf(corpus.filter(!isEvalDoc))
       .join(evalGrams, Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
