@@ -31,10 +31,23 @@ object Bench {
         .filter(_.isDirectory)
       smallest.map(_.toString).getOrElse(sfDir)
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    sorted.foreach { case (name, fn) =>
       try run(fn(spark, warmDir)) catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
+    }
+    // Sacrificial pass AT THE MEASURED SF: the sf0.001 warm-up compiles the
+    // code paths but not the process-level ramp the first measured query
+    // otherwise absorbs — OS page cache for the measured-SF parquet and C2
+    // recompiles on real-scale loops (observed: the alphabetically-first
+    // query's reps cooling monotonically [57.3, 26.7, 10.2] on unchanged
+    // code). One discarded run of the first sorted query, then caches drop.
+    sorted.headOption.foreach { case (name, fn) =>
+      try run(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sacrificial $name failed: ${e.getMessage}")
       }
     }
     Caches.releaseAll()
@@ -43,13 +56,15 @@ object Bench {
     // one-off interference (GC pause, OS scheduling, a concurrent process) —
     // observed: identical code + identical plan measured 1.2s one round and
     // 11.9s the next. Each query therefore runs REPS times and the reported
-    // number is the MEDIAN; the raw per-run times ride along under "runs" so
-    // a round-over-round diff can see the spread, not just the point.
+    // number is the MEDIAN; the raw per-run times ride along under "runs"
+    // and the MIN under "mins" — min is the noise-robust floor that tells a
+    // ramp-shaped spread (min fine, median inflated) from a real regression
+    // (even the best rep slow).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = sorted.map { case (name, fn) =>
       val times = (1 to reps).flatMap { i =>
         // cold engine caches per rep: operators memoize expensive state
         // (shingle index, CC fixpoint) across calls, and a warm rep would
@@ -69,23 +84,66 @@ object Bench {
       // is exactly the flakiness this bench exists to surface — the
       // median of its surviving runs would read as healthy)
       val sec = if (times.size < reps) -1.0 else median(times)
+      val minSec = if (times.size < reps) -1.0 else times.min
+      // per-stage breakdown for the staged pipeline: its one number is a
+      // 9-stage black box otherwise — a regression should name its stage
+      val stages: Seq[(String, Double)] =
+        if (name == "corpus_pipeline_stages") CorpusPipeline.lastStageSeconds
+        else Nil
       System.err.println(
         f"[bench] $name%-34s $sec%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(" ")})")
-      (name, sec, times)
+      (name, sec, minSec, times, stages)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed queries are EXCLUDED from total (a -1 must not subtract),
     // so the total alone would silently compare different query sets
     // across rounds — the failed list rides along to make that loud
     val failed = results.filter(_._2 < 0).map(_._1)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // machine-checked round-over-round regression list: a query regressed
+    // when even its BEST rep is >2x the previous bench line's median at
+    // the same SF (median-vs-median flags environment ramp; min-vs-median
+    // only fires when no rep reached the old speed — code got slower)
+    val prevMedians: Map[String, Double] = try {
+      val hist = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(hist)) Map.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(hist).asScala
+          .flatMap { line =>
+            try Some(mapper.readTree(line)) catch { case _: Exception => None }
+          }
+          .filter(n => n.path("sf").asText() == sfDir)
+          .lastOption.map { n =>
+            n.path("queries").fields().asScala
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          }.getOrElse(Map.empty)
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] history read failed: ${e.getMessage}")
+      Map.empty
+    }
+    val regressed = results.collect {
+      case (name, med, minSec, _, _)
+        if med >= 0 && minSec > 0 &&
+          prevMedians.get(name).exists(p => p > 0 && minSec > 2 * p) => name
+    }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, ts) =>
+    val minsJson = results.map { case (k, _, m, _, _) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, _, ts, _) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val stagesJson = results.collect { case (k, _, _, _, st) if st.nonEmpty =>
+      s"\"" + k + "\":" +
+        st.map { case (sn, sv) => s"\"" + sn + "\":" + sv }
+          .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"regressed":$regressedJson,"queries":$qs,"mins":$minsJson,"stages":$stagesJson,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Persisted per-query history: one JSONL line per bench invocation,
     // so a round-over-round diff sees the spread (all reps), not just

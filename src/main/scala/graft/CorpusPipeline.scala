@@ -32,8 +32,23 @@ object CorpusPipeline {
       afterGate: Long, afterBalance: Long, afterDecontam: Long,
       chunks: Long, bins: Long)
 
+  /** Per-stage wall-times of the most recent [[run]], in execution order.
+    * The pipeline's bench number is otherwise a 9-stage black box — a
+    * regression should name its stage, not the whole pipeline. Written at
+    * the end of every run (driver-thread only; the bench reads it right
+    * after the measured rep it belongs to).
+    */
+  @volatile var lastStageSeconds: Seq[(String, Double)] = Nil
+
   def run(s: SparkSession, d: String, outDir: String,
       gatePct: Int = 80, mixtureBudget: Option[Long] = None): StageCounts = {
+    val stageSecs = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageSecs += ((name, (System.nanoTime() - t0) / 1e9))
+      r
+    }
     // every stage boundary below is write-then-read-back: the staged
     // parquet IS the stage's output (restartable, externally countable —
     // the driver oracle re-counts these files), and downstream stages
@@ -43,28 +58,34 @@ object CorpusPipeline {
       s.read.parquet(s"$outDir/$name")
     }
     val docs = Tables.documents(s, d)
-    val total = docs.count()
+    val total = timed("1_total") { docs.count() }
 
-    val survivorIds = DedupOps.dedupSurvivors(s, d)
-    val surviving = stage(
-      docs.join(survivorIds, Seq("doc_id"), "left_semi"), "survivors")
-    val survivors = surviving.count()
+    val (surviving, survivors) = timed("2_survivors") {
+      val survivorIds = DedupOps.dedupSurvivors(s, d)
+      val sv = stage(
+        docs.join(survivorIds, Seq("doc_id"), "left_semi"), "survivors")
+      (sv, sv.count())
+    }
 
     // cross-doc boilerplate removal: rewrite each doc to its unshared
     // segments; docs hollowed to nothing (pure boilerplate) drop here.
     // Runs AFTER near-dup dedup so a surviving near-dup's text is not
     // gutted by its dropped twin's segments.
-    val deboiled = stage(surviving.drop("text", "n_chars")
-      .join(CorpusOps.segmentDedupFrom(surviving)
-          .filter(col("kept_segs") > 0)
-          .select(col("doc_id"), col("clean_text").as("text")),
-        Seq("doc_id")), "deboiled")
-    val afterBoiler = deboiled.count()
+    val (deboiled, afterBoiler) = timed("3_boilerplate") {
+      val db = stage(surviving.drop("text", "n_chars")
+        .join(CorpusOps.segmentDedupFrom(surviving)
+            .filter(col("kept_segs") > 0)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          Seq("doc_id")), "deboiled")
+      (db, db.count())
+    }
 
-    val quality = stage(deboiled
-      .filter(TextOps.qualityKeep(col("text")))
-      .withColumn("text", TextOps.redactText(col("text"))), "quality")
-    val afterQuality = quality.count()
+    val (quality, afterQuality) = timed("4_quality") {
+      val qf = stage(deboiled
+        .filter(TextOps.qualityKeep(col("text")))
+        .withColumn("text", TextOps.redactText(col("text"))), "quality")
+      (qf, qf.count())
+    }
 
     // per-language quantile cut (composes by doc_id semi-join so the gate
     // stays independently oracle-testable). Deliberate: the eval slice
@@ -73,41 +94,55 @@ object CorpusPipeline {
     // simpler contract; gate on trainable-only instead by filtering
     // isEvalDoc before this stage if budgets must be post-eval exact
 
-    val gated = stage(quality.join(
-      TextOps.qualityGateFrom(quality, gatePct).select("doc_id"),
-      Seq("doc_id"), "left_semi"), "gated")
-    val afterGate = gated.count()
+    val (gated, afterGate) = timed("5_gate") {
+      val g = stage(quality.join(
+        TextOps.qualityGateFrom(quality, gatePct).select("doc_id"),
+        Seq("doc_id"), "left_semi"), "gated")
+      (g, g.count())
+    }
 
     // optional mixture balancing toward a per-language τ=0.5 budget
-    val balanced = stage(mixtureBudget match {
-      case Some(b) => gated.join(
-        TextOps.mixtureSampleFrom(gated, b).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      case None => gated
-    }, "balanced")
-    val afterBalance = balanced.count()
+    val (balanced, afterBalance) = timed("6_balance") {
+      val b = stage(mixtureBudget match {
+        case Some(budget) => gated.join(
+          TextOps.mixtureSampleFrom(gated, budget).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        case None => gated
+      }, "balanced")
+      (b, b.count())
+    }
 
     // eval grams come from the FULL documents frame, not the pipeline
     // survivors: an eval doc dropped by dedup/quality/gate must still
     // contaminate the training docs that overlap it
-    val contaminatedIds = CorpusOps.decontaminateAgainst(balanced, docs)
-      .select(col("doc_id"))
-    // Two exclusions, not one: docs OVERLAPPING the eval slice (the
-    // contamination anti-join) AND the eval-slice documents themselves —
-    // benchmark docs must never reach chunking/packing/export.
-    val cleanBack = stage(balanced.filter(!CorpusOps.isEvalDoc)
-      .join(contaminatedIds, Seq("doc_id"), "left_anti"), "clean")
-    val afterDecontam = cleanBack.count()
+    val (cleanBack, afterDecontam) = timed("7_decontam") {
+      val contaminatedIds = CorpusOps.decontaminateAgainst(balanced, docs)
+        .select(col("doc_id"))
+      // Two exclusions, not one: docs OVERLAPPING the eval slice (the
+      // contamination anti-join) AND the eval-slice documents themselves —
+      // benchmark docs must never reach chunking/packing/export.
+      val cb = stage(balanced.filter(!CorpusOps.isEvalDoc)
+        .join(contaminatedIds, Seq("doc_id"), "left_anti"), "clean")
+      (cb, cb.count())
+    }
 
-    val chunksBack = stage(CorpusOps.chunkWindowsFrom(cleanBack), "chunks")
+    val (chunksBack, nChunks) = timed("8_chunks") {
+      val cw = stage(CorpusOps.chunkWindowsFrom(cleanBack), "chunks")
+      (cw, cw.count())
+    }
 
-    write(CorpusOps.packSequencesFrom(chunksBack), s"$outDir/packed")
+    val bins = timed("9_packed") {
+      write(CorpusOps.packSequencesFrom(chunksBack), s"$outDir/packed")
+      s.read.parquet(s"$outDir/packed").count()
+    }
 
-    write(CorpusOps.shuffleExportFrom(cleanBack), s"$outDir/shuffled")
+    timed("10_shuffled") {
+      write(CorpusOps.shuffleExportFrom(cleanBack), s"$outDir/shuffled")
+    }
 
     val counts = StageCounts(total, survivors, afterBoiler, afterQuality,
-      afterGate, afterBalance, afterDecontam,
-      chunksBack.count(), s.read.parquet(s"$outDir/packed").count())
+      afterGate, afterBalance, afterDecontam, nChunks, bins)
+    lastStageSeconds = stageSecs.toSeq
     Caches.releaseAll()
     counts
   }

@@ -2017,6 +2017,9 @@ object OracleSql {
       s"""WITH base AS (
          |  SELECT doc_id, text,
          |    ${toksSql("text")} AS toks,
+         |    list_transform(${toksSql("text")},
+         |      t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$$', '', 'g'))
+         |      AS ltoks,
          |    string_split(text, chr(10)) AS lines
          |  FROM documents),
          |sig AS (
@@ -2034,14 +2037,14 @@ object OracleSql {
          |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_w,
          |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
          |      AS BIGINT) AS n_sym,
-         |    CAST((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
-         |       + (CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END)
-         |       + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
-         |       + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
-         |       + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END)
-         |       + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END)
-         |       + (CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END)
-         |       + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)
+         |    CAST((CASE WHEN list_contains(ltoks, 'the') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(ltoks, 'be') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(ltoks, 'to') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(ltoks, 'of') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(ltoks, 'and') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(ltoks, 'that') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(ltoks, 'have') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(ltoks, 'with') THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_stop_kinds
          |  FROM base),
          |q AS (

@@ -488,30 +488,47 @@ object TextOps {
 
   /** [[gopherRules]] over any (doc_id, text) frame. */
   def gopherRulesFrom(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // Single pass over `text`: the token and line arrays are materialized
+    // ONCE in their own projection (multi-referenced non-cheap aliases keep
+    // CollapseProject from inlining them into each consuming signal), and
+    // every signal below reads the in-memory arrays. Stop-word presence is
+    // one array_intersect against the stripped lowered tokens — a token
+    // counts as a stop word when, lowercased and stripped of leading and
+    // trailing non-letters, it equals a list member.
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val prepared = docs.select(
+      col("doc_id"),
+      col("text"),
+      tokens(col("text")).as("_toks"),
+      transform(tokens(col("text")),
+        t => regexp_replace(lower(t), "^[^a-z]+|[^a-z]+$", "")).as("_ltoks"),
+      split(col("text"), "\n").as("_lines"))
+    val toks = col("_toks")
+    val lines = col("_lines")
     val nWords = size(toks).cast(LongType)
-    val sumWordLen =
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
-    val lines = split(col("text"), "\n")
+    // total token chars == length of the separator-less join (codegen'd,
+    // no per-token interpreted aggregate)
+    val sumWordLen = length(concat_ws("", toks)).cast(LongType)
     val nLines = size(lines).cast(LongType)
-    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]")))
-      .cast(LongType)
+    val nBullet =
+      size(filter(lines, l => trim(l).substr(lit(1), lit(1)).isin("-", "*", "•")))
+        .cast(LongType)
     val nEllipsisEnd =
-      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+      size(filter(lines,
+        l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
         .cast(LongType)
     val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
       .cast(LongType)
     val nSymbols =
       size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
         .cast(LongType)
-    // distinct stop-list PRESENCE (not occurrence count): 8 cheap rlike
-    // probes summed — a fixed-size expression, no tokenize-and-join
-    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStopKinds = stopList
-      .map(w => when(lower(col("text")).rlike("\\b" + w + "\\b"), 1L)
-        .otherwise(0L).cast(LongType))
-      .reduce(_ + _)
-    docs.select(
+    // distinct stop-list PRESENCE (not occurrence count): one intersection
+    // of the stripped lowered token array with the 8-word list — replaces
+    // round-4's 8 separate lower-and-regex passes over the full text
+    val nStopKinds =
+      size(array_intersect(col("_ltoks"), array(stopList.map(lit): _*)))
+        .cast(LongType)
+    prepared.select(
         col("doc_id"),
         nWords.as("n_words"),
         (sumWordLen.cast("double") / greatest(nWords, lit(1L)))
