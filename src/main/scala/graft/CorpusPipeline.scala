@@ -173,6 +173,44 @@ object CorpusPipeline {
     ).toDF("stage", "n_rows").orderBy("stage")
   }
 
+  /** The stage DataFrames composed IN-MEMORY (no parquet boundaries) —
+    * the plan-audit face of [[run]]: each stage's full operator plan is
+    * visible instead of a scan of the previous stage's materialization.
+    * `Explain` snapshots these as the `corpus_pipeline_stages` stage-plan
+    * set. Building them executes the bounded prep jobs some ops run at
+    * construction (CC fixpoint, bloom build) — cheap at audit SFs.
+    */
+  def stagePlanFrames(s: SparkSession, d: String,
+      gatePct: Int = 80): Seq[(String, DataFrame)] = {
+    val docs = Tables.documents(s, d)
+    val surviving = docs.join(
+      DedupOps.dedupSurvivors(s, d), Seq("doc_id"), "left_semi")
+    val deboiled = surviving.drop("text", "n_chars")
+      .join(CorpusOps.segmentDedupFrom(surviving)
+          .filter(col("kept_segs") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    val quality = deboiled
+      .filter(TextOps.qualityKeep(col("text")))
+      .withColumn("text", TextOps.redactText(col("text")))
+    val gated = quality.join(
+      TextOps.qualityGateFrom(quality, gatePct).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val clean = gated.filter(!CorpusOps.isEvalDoc)
+      .join(CorpusOps.decontaminateAgainst(gated, docs).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val chunks = CorpusOps.chunkWindowsFrom(clean)
+    Seq(
+      "2_survivors" -> surviving,
+      "3_boilerplate" -> deboiled,
+      "4_quality" -> quality,
+      "5_gate" -> gated,
+      "7_decontam" -> clean,
+      "8_chunks" -> chunks,
+      "9_packed" -> CorpusOps.packSequencesFrom(chunks),
+      "10_shuffled" -> CorpusOps.shuffleExportFrom(clean))
+  }
+
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 }

@@ -32,10 +32,20 @@ object Explain {
       .filter { case (n, _) => only.forall(_ == n) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
-        val plan =
-          try fn(spark, sfDir).queryExecution.explainString(
+        def fmt(df: org.apache.spark.sql.DataFrame): String =
+          try df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           catch { case e: Throwable => s"[explain failed] $e" }
+        // the staged pipeline's driver face is a 9-row local summary —
+        // its useful plan audit is the per-stage operator plans, composed
+        // in-memory so each stage's full lineage is visible
+        val plan =
+          if (name == "corpus_pipeline_stages")
+            try CorpusPipeline.stagePlanFrames(spark, sfDir)
+              .map { case (sn, df) => s"===== stage $sn =====\n${fmt(df)}" }
+              .mkString("\n")
+            catch { case e: Throwable => s"[explain failed] $e" }
+          else fmt(fn(spark, sfDir))
         outDir match {
           case Some(dir) =>
             new java.io.File(dir).mkdirs()

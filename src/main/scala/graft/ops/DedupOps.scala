@@ -485,6 +485,47 @@ object DedupOps {
     ngram.union(minhash).union(simhashC).orderBy("generator")
   }
 
+  /** Corpus-sized power-of-two bit-width: the smallest width in
+    * {floorBits, 2·floorBits, …, capBits} with at least
+    * ceil(log₂ n) + `slackBits` bits. Rationale: a band's chance-collision
+    * pair count is ≈ n²/2^(bits+1), so at bits = log₂(n) + 6 that term is
+    * ≤ n/128 — sublinear against the linear true-duplicate term, which is
+    * what keeps banded candidate growth ~linear as the corpus grows.
+    * Sf1BandingSpec measures both regimes: the fixed 16-bit chunk space
+    * saturating at 5·10⁴ docs (~17× candidates at 10×) and the
+    * size-derived width restoring ~10×.
+    */
+  private[graft] def sizedPow2Bits(n: Long, floorBits: Int, capBits: Int,
+      slackBits: Int): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    Iterator.iterate(floorBits)(_ * 2).takeWhile(_ <= capBits)
+      .find(_ >= ceilLog2 + slackBits).getOrElse(capBits)
+  }
+
+  /** SimHash chunk width sized to the corpus ([[sizedPow2Bits]]): 16 bits
+    * below ~2¹⁰ docs (the test-scale default), 32 above. Capped at 32 —
+    * two 32-bit chunks still pigeonhole Hamming ≤ 1, while a single
+    * 64-bit "chunk" would degenerate to exact-fingerprint match. Past the
+    * ~2²⁶-doc point where even 32-bit chunks saturate, the scale move is
+    * BLOCKING (band within language/domain/length shards, each shard
+    * re-sized by this function), not a wider chunk.
+    */
+  def sizedChunkBits(nDocs: Long, slackBits: Int = 6): Int =
+    sizedPow2Bits(nDocs, 16, 32, slackBits)
+
+  /** [[simhashPairs]] with the chunk width derived from one corpus
+    * count — the production entry when the scale is not known up front.
+    * The covered Hamming radius shrinks as chunks widen (bands − 1 by
+    * pigeonhole): radius 3 at ≤16-bit chunks, radius 1 at 32. Callers
+    * needing radius 3 beyond 10⁵ docs should block the corpus first and
+    * run per block.
+    */
+  def simhashPairsAuto(s: SparkSession, d: String, maxHamming: Int = 3)
+      : DataFrame = {
+    val bits = sizedChunkBits(Tables.documents(s, d).count())
+    simhashPairs(s, d, math.min(maxHamming, 64 / bits - 1), bits)
+  }
+
   /** SimHash near-dup pairs: band the 64-bit fingerprint into
     * `64/chunkBits` exact chunks (pigeonhole: any pair within Hamming
     * distance `bands − 1` shares at least one chunk — the default 4×16

@@ -490,6 +490,39 @@ object SimilarityOps {
         cosineScore(col("q_emb"), col("embedding"))), k)
   }
 
+  /** Hyperplane band width sized to the corpus (rationale at
+    * [[DedupOps.sizedPow2Bits]]): floor 8 (the fixture geometry),
+    * widening with log₂ n up to `nBits`. Sf1BandingSpec measured the
+    * fixed 8-bit space saturating 99× at 10×; the sized width restores
+    * ~linear candidate growth.
+    *
+    * The recall trade, stated honestly: per-band recall is
+    * p^bandBits with p = 1 − θ/π, total 1-(1-p^bandBits)^L over
+    * L = nBits/bandBits bands. Widening bands therefore narrows the
+    * similarity regime the operator catches: at 2×32-bit bands, recall
+    * is ~86 % at cosine 0.999, ~41 % at 0.99, ~2 % at 0.9. That makes
+    * wide-band LSH a NEAR-IDENTICAL dedup operator (the regime where
+    * candidate linearity matters most); holding 90 % recall at cosine
+    * 0.9 needs L ≈ ln(0.1)/ln(1-p^32) ≈ 290 independent bands — at that
+    * point the right tool is the IVF / semantic-cluster path
+    * ([[ivfTopKSeeded]], [[semanticDedup]]), which preserves recall by
+    * partitioning the space instead of hashing it.
+    */
+  def sizedBandBits(nVecs: Long, nBits: Int = 32, slackBits: Int = 6): Int =
+    DedupOps.sizedPow2Bits(nVecs, 8, nBits, slackBits)
+
+  /** [[cosineNearDupPairsLsh]] with the band width derived from one
+    * corpus count — the production entry when the scale is not known up
+    * front. nBits 64 keeps ≥ 2 bands even at the 32-bit cap; see
+    * [[sizedBandBits]] for the similarity regime each width serves.
+    */
+  def cosineNearDupPairsLshAuto(s: SparkSession, d: String,
+      threshold: Double = 0.9): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    cosineNearDupPairsLsh(s, d, threshold, nBits = 64,
+      bandBits = sizedBandBits(n, nBits = 64))
+  }
+
   /** Near-duplicate pairs via banded hyperplane LSH — the 100 TB shape:
     * candidates are bucket collisions (∝ true-dup density in the near-dup
     * regime, never all-pairs), verified with exact cosine. Unlike the

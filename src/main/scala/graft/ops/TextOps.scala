@@ -497,12 +497,14 @@ object TextOps {
     // trailing non-letters, it equals a list member.
     val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val prepared = docs.select(
-      col("doc_id"),
-      col("text"),
-      tokens(col("text")).as("_toks"),
-      transform(tokens(col("text")),
-        t => regexp_replace(lower(t), "^[^a-z]+|[^a-z]+$", "")).as("_ltoks"),
-      split(col("text"), "\n").as("_lines"))
+        col("doc_id"),
+        col("text"),
+        tokens(col("text")).as("_toks"),
+        split(col("text"), "\n").as("_lines"))
+      // derived from the materialized _toks so the tokenizing split runs
+      // once per row, not once per consumer
+      .withColumn("_ltoks", transform(col("_toks"),
+        t => regexp_replace(lower(t), "^[^a-z]+|[^a-z]+$", "")))
     val toks = col("_toks")
     val lines = col("_lines")
     val nWords = size(toks).cast(LongType)

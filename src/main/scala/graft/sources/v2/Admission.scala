@@ -21,7 +21,11 @@ object Admission {
     */
   def admit(start: Long, hi: Long, limit: ReadLimit): Long = limit match {
     case _: ReadAllAvailable => hi
-    case m: ReadMaxRows => math.min(hi, start + m.maxRows())
+    case m: ReadMaxRows =>
+      // overflow-safe advance: start + maxRows past Long.MaxValue must
+      // saturate to hi, not wrap negative and drag the offset backwards
+      val advanced = start + m.maxRows()
+      if (advanced < start) hi else math.min(hi, advanced)
     case _: ReadMinRows => hi
     case c: CompositeReadLimit =>
       c.getReadLimits.map(l => admit(start, hi, l)).min

@@ -184,7 +184,8 @@ object GraftWireScan {
 
 class GraftWireMicroBatchStream(stream: String, rows: Long, partitions: Int,
     rowsPerBatch: Long) extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   override def initialOffset(): Offset = GraftWireOffset(0L)
@@ -198,14 +199,23 @@ class GraftWireMicroBatchStream(stream: String, rows: Long, partitions: Int,
   // checkpoint offset straight back in — stateless pacing, so recovery
   // resumes exactly where the checkpoint says (a driver-side `var` here
   // starts at 0 on the fresh instance and would stall or re-pace).
-  // The engine's limit is honored (not this default): Trigger.Once /
-  // AvailableNow ask for all-available and must not be truncated to one
-  // paced batch — see [[Admission.admit]].
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  // SupportsTriggerAvailableNow: without it the engine falls back to ONE
+  // Trigger.Once batch that ignores the read limit entirely (observed: a
+  // 2e5-row stream delivered as a single 2e5-row batch). With it,
+  // AvailableNow pins the target offset at query start and drains to it
+  // in default-read-limit-paced micro-batches — the same admission path
+  // a continuous trigger uses, which is the backpressure contract the
+  // load spec asserts. The synthetic wire's "latest available" is the
+  // static row count, so preparing is recording that bound.
+  @volatile private var targetOffset: Long = rows
+  override def prepareForTriggerAvailableNow(): Unit = { targetOffset = rows }
+  override def reportLatestOffset(): Offset = GraftWireOffset(targetOffset)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftWireOffset].next
-    GraftWireOffset(Admission.admit(s, rows, limit))
+    GraftWireOffset(Admission.admit(s, targetOffset, limit))
   }
 
   override def latestOffset(): Offset =

@@ -22,18 +22,22 @@ class CollectWhitelistSpec extends AnyFunSuite {
     "ops/TextOps.scala" -> 2 // CMS top-terms sketch query set (k strings)
   )
 
-  test("every .collect() in src/main is a whitelisted bounded-state site") {
+  private def countSites(needles: Seq[String]): Map[String, Int] = {
     val root = Paths.get("src/main/scala/graft")
-    val counts = Files.walk(root).iterator().asScala
+    Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .map { p =>
-        val n = new String(Files.readAllBytes(p))
-          .sliding(".collect()".length).count(_ == ".collect()")
+        val src = new String(Files.readAllBytes(p))
+        val n = needles.map(needle =>
+          src.sliding(needle.length).count(_ == needle)).sum
         root.relativize(p).toString -> n
       }
       .filter(_._2 > 0)
       .toMap
-    val offenders = counts.filter { case (f, n) =>
+  }
+
+  test("every .collect() in src/main is a whitelisted bounded-state site") {
+    val offenders = countSites(Seq(".collect()")).filter { case (f, n) =>
       n > whitelist.getOrElse(f, 0)
     }
     assert(offenders.isEmpty,
@@ -41,5 +45,16 @@ class CollectWhitelistSpec extends AnyFunSuite {
         "either make the operator distributed or, if the collected state " +
         "is provably bounded (centroids/codebooks/sketch queries), add it " +
         "to the whitelist with a justification")
+  }
+
+  test("no .toLocalIterator / .first() / .head() sneaks a driver-side " +
+      "loop past the collect whitelist") {
+    // same contract, adjacent escape hatches: an iterator pull or a
+    // first-row probe in a hot path is the same anti-pattern wearing a
+    // different method name. Currently ZERO sites are allowed.
+    val offenders =
+      countSites(Seq(".toLocalIterator", ".first()", ".head()"))
+    assert(offenders.isEmpty,
+      s"driver-side row pulls outside the whitelist: $offenders")
   }
 }

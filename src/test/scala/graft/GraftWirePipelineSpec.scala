@@ -158,9 +158,55 @@ class GraftWirePipelineSpec extends AnyFunSuite {
       dups.collect().take(5).mkString(", "))
   }
 
+  test("load at 2e5 rows: every micro-batch bounded by rowsPerBatch " +
+      "admission, batch count = rows/rowsPerBatch, and exactly-once " +
+      "totals — the backpressure story at 10^3x the functional tests") {
+    import org.apache.spark.sql.streaming.Trigger
+    val rows = 200000L
+    val perBatch = 20000L
+    val ckpt = Files.createTempDirectory("wire_load_ck").toString
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val distinctTotal = new java.util.concurrent.atomic.AtomicLong
+    val q = StreamPipeline.wireStream(spark, "pin", rows,
+        rowsPerBatch = perBatch, partitions = 8)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // both counts in ONE action: a second action would rescan the
+        // micro-batch and double the engine's numInputRows accounting,
+        // which the progress assertion below reads
+        val row = df.agg(count(lit(1)), count_distinct(col("data")))
+          .collect()(0)
+        val n = row.getLong(0)
+        if (n > 0) sizes.add(n)
+        // per-batch distinct: summed across disjoint offset ranges this
+        // equals `rows` iff every record was delivered exactly once
+        distinctTotal.addAndGet(row.getLong(1))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "load drain did not finish in 5 min")
+
+    import scala.jdk.CollectionConverters._
+    val batchSizes = sizes.asScala.toSeq
+    assert(batchSizes.forall(_ <= perBatch),
+      s"admission exceeded: ${batchSizes.filter(_ > perBatch)}")
+    assert(batchSizes.size === (rows / perBatch),
+      s"expected ${rows / perBatch} paced batches, got ${batchSizes.size}: $batchSizes")
+    assert(batchSizes.sum === rows,
+      s"drained ${batchSizes.sum} of $rows rows")
+    assert(distinctTotal.get === rows,
+      s"duplicate or missing records: distinct sum ${distinctTotal.get} != $rows")
+    // the engine's own per-trigger accounting agrees with the sink's
+    val progressRows = q.recentProgress.toSeq.map(_.numInputRows)
+    assert(progressRows.forall(_ <= perBatch),
+      s"progress reports a batch above the admission cap: $progressRows")
+  }
+
   test("Trigger.AvailableNow drains the WHOLE wire stream, paced in " +
-      "rowsPerBatch micro-batches — the engine's all-available ReadLimit " +
-      "must override the source's per-trigger default") {
+      "rowsPerBatch micro-batches — SupportsTriggerAvailableNow pins the " +
+      "target offset and the default read limit paces the drain to it") {
     import org.apache.spark.sql.streaming.Trigger
     graft.sources.v2.GraftStore.drop("w_avail")
     val ckpt = java.nio.file.Files
@@ -178,10 +224,13 @@ class GraftWirePipelineSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    // before honoring ReadLimit.allAvailable() this stopped "complete"
-    // after ONE paced batch (25 of 100 rows) — silent truncation
+    // two regressions this pins against: stopping "complete" after ONE
+    // paced batch (25 of 100 — silent truncation), and the
+    // no-SupportsTriggerAvailableNow fallback (all 100 in ONE unpaced
+    // batch — admission silently ignored)
     assert(graft.sources.v2.GraftStore.rows("w_avail").size === 100,
       s"AvailableNow drained ${graft.sources.v2.GraftStore.rows("w_avail").size} of 100 rows")
-    assert(epochs >= 1)
+    assert(epochs === 4,
+      s"expected 100 rows drained in 4 paced batches of 25, got $epochs epochs")
   }
 }

@@ -27,6 +27,19 @@ class PlanSnapshotSpec extends AnyFunSuite {
     try f finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("plans/ snapshot dir is exactly the registered query set (the " +
+      "plan-audit surface must not drift from SparkEntry.queries)") {
+    val snaps = Option(new java.io.File("plans").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".txt"))
+      .map(_.getName.stripSuffix(".txt")).toSet
+    val queries = SparkEntry.queries.keySet
+    assert(snaps == queries,
+      s"stale snapshots: ${(snaps -- queries).toSeq.sorted.mkString(", ")}; " +
+        s"missing snapshots: ${(queries -- snaps).toSeq.sorted.mkString(", ")} " +
+        "(regenerate: runMain graft.Explain /root/testdata/sf0.001 --out plans)")
+  }
+
   test("q2 on a year-partitioned layout: the year range prunes PARTITIONS " +
       "(directory-level elimination), not just row groups, and results " +
       "match the unpartitioned form") {

@@ -124,6 +124,50 @@ class Sf1BandingSpec extends AnyFunSuite {
       s"candidate volume must drop with band width: $g8, $g16, $g32")
   }
 
+  test("size-derived widths pick the measured-linear configs: narrow at " +
+      "test scale, 32-bit at the scales where fixed widths saturate") {
+    // SimHash chunks: 16 (the radius-3 default) holds through ~2^10 docs;
+    // the corpora this spec measures saturating at 16 bits pick 32 — the
+    // width the sh32R assertion above measures as ~linear
+    assert(DedupOps.sizedChunkBits(500) == 16)    // sf0.001 documents
+    assert(DedupOps.sizedChunkBits(1000) == 16)
+    assert(DedupOps.sizedChunkBits(5000) == 32)   // sf0.1
+    assert(DedupOps.sizedChunkBits(50000) == 32)  // the 10x corpus
+    // capped: a 64-bit "chunk" would be exact-fingerprint match only —
+    // past 32-bit saturation the documented move is blocking, not width
+    assert(DedupOps.sizedChunkBits(1L << 40) == 32)
+
+    // hyperplane bands: the 8-bit space saturated 99x at 10x and the
+    // 16-bit space was still birthday-dominated (98x) — both corpora
+    // must pick 32, the width measured to shed chance collisions
+    assert(SimilarityOps.sizedBandBits(4) == 8)
+    assert(SimilarityOps.sizedBandBits(6017) == 32)     // sf0.1 embeddings
+    assert(SimilarityOps.sizedBandBits(60170) == 32)    // the 10x corpus
+    assert(SimilarityOps.sizedBandBits(60170, nBits = 64) == 32)
+  }
+
+  test("simhashPairsAuto == explicit 16-bit banding at test scale, and " +
+      "auto near-dup LSH pairs are a subset of the default-band pairs") {
+    val auto = DedupOps.simhashPairsAuto(spark, TestSpark.sf001)
+      .collect().map(_.toString).sorted
+    val explicit16 = DedupOps.simhashPairs(spark, TestSpark.sf001)
+      .collect().map(_.toString).sorted
+    assert(auto.sameElements(explicit16))
+
+    // wider aligned chunks only MERGE adjacent narrow chunks, so a wide
+    // collision implies the narrow collision: auto (64-bit sig, sized
+    // bands) must be a subset of the 8-bit-band pairs at the same nBits —
+    // and every surfaced pair is verify-filtered at the threshold
+    val autoPairs = SimilarityOps
+      .cosineNearDupPairsLshAuto(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val densePairs = SimilarityOps
+      .cosineNearDupPairsLsh(spark, TestSpark.sf001, nBits = 64, bandBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoPairs.subsetOf(densePairs),
+      s"auto pairs not a subset: ${autoPairs.diff(densePairs).take(5)}")
+  }
+
   test("simhashPairs chunk-width knob: identical pairs at Hamming<=1 " +
       "whether banded 4x16 or 2x32 (pigeonhole still covers the radius)") {
     val p16 = DedupOps.simhashPairs(spark, TestSpark.sf001, maxHamming = 1)
