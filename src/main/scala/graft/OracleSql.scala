@@ -2075,6 +2075,81 @@ object OracleSql {
          |   AND n_stop_kinds >= 2) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
 
+    // TextOps.c4Rules twin: same line predicate (terminal punctuation,
+    // >=5 tokens, no "javascript"), same page rules, list ops mirrored
+    // HOF-for-HOF.
+    "txt_c4_rules" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, text, lines,
+         |    list_filter(lines, l ->
+         |      regexp_matches(rtrim(l), '[.!?"]$$')
+         |      AND len(${toksSql("l")}) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM base),
+         |c AS (
+         |  SELECT doc_id, text, lines, kept,
+         |    coalesce(array_to_string(kept, chr(10)), '') AS clean
+         |  FROM k),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |    CAST(length(clean) AS BIGINT) AS clean_len,
+         |    CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+         |      AS n_sentences,
+         |    contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         |    contains(text, '{') AS has_brace
+         |  FROM c)
+         |SELECT *,
+         |  (n_kept_lines >= 1 AND n_sentences >= 3
+         |   AND NOT has_lorem_ipsum AND NOT has_brace) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // TextOps.dsirWeights twin: add-one-smoothed unigram target/raw log
+    // ratio, target = the lang='en' slice, per-(doc, term) contribution
+    // rounded DECIMAL(24,9) before the exact decimal sum (lmScore
+    // discipline), quotient surfaced as double once.
+    "txt_dsir_weights" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |target AS (
+         |  SELECT doc_id FROM documents WHERE lang = 'en'),
+         |rawct AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS rct FROM tf GROUP BY 1),
+         |tgtct AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS tct FROM tf
+         |  WHERE doc_id IN (SELECT doc_id FROM target) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(rct) AS BIGINT) AS r_total,
+         |    CAST(count(*) AS BIGINT) AS v FROM rawct),
+         |ttot AS (
+         |  SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS t_total FROM tf
+         |  WHERE doc_id IN (SELECT doc_id FROM target)),
+         |lr AS (
+         |  SELECT r.term,
+         |    ln((CAST(coalesce(g.tct, 0) + 1 AS DOUBLE)
+         |          / CAST(ttot.t_total + tot.v AS DOUBLE))
+         |       / (CAST(r.rct + 1 AS DOUBLE)
+         |          / CAST(tot.r_total + tot.v AS DOUBLE))) AS lratio
+         |  FROM rawct r LEFT JOIN tgtct g ON r.term = g.term
+         |  CROSS JOIN tot CROSS JOIN ttot),
+         |per AS (
+         |  SELECT tf.doc_id,
+         |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    sum(CAST(tf.tf * lr.lratio AS DECIMAL(24,9))) AS sum_lr
+         |  FROM tf JOIN lr ON tf.term = lr.term
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum_lr AS DOUBLE) / n_tokens AS avg_log_ratio,
+         |  (CAST(sum_lr AS DOUBLE) / n_tokens > 0.0) AS selected
+         |FROM per ORDER BY doc_id""".stripMargin,
+
     // TextOps.ccnetBuckets twin: lmScore's CTE chain, then a per-language
     // ntile(3) tercile cut (avg_logprob DESC, doc_id tiebreak) and a
     // DECIMAL-stabilized bucket mean.

@@ -47,7 +47,9 @@ object SparkEntry {
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
     "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
     "txt_gopher_rules"    -> (TextOps.gopherRules(_, _)),
+    "txt_c4_rules"        -> (TextOps.c4Rules(_, _)),
     "txt_ccnet_buckets"   -> (TextOps.ccnetBuckets(_, _)),
+    "txt_dsir_weights"    -> (TextOps.dsirWeights(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),

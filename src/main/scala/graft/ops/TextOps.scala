@@ -607,4 +607,115 @@ object TextOps {
           .as("mean_logprob"))
       .orderBy("lang", "bucket")
   }
+
+  /** C4-style line/page filter (Raffel et al. 2020, §2.2 — the public
+    * recipe behind the C4 corpus). Line level: a line survives iff it ends
+    * in terminal punctuation (`.` `!` `?` `"`), has ≥ 5 whitespace tokens,
+    * and does not mention "javascript" (case-insensitive). Page level: a
+    * document is kept iff at least one line survives, the surviving text
+    * has ≥ 3 sentences (terminal-punctuation occurrences — the cheap
+    * deterministic stand-in for C4's sentence splitter), and the raw page
+    * contains neither "lorem ipsum" nor a curly brace.
+    *
+    * Same execution shape as [[gopherRulesFrom]]: the line array is
+    * materialized once per row, every signal is a HOF over it, and the
+    * whole operator is one stateless codegen'd pass — zero shuffle beyond
+    * the presentation sort, embarrassingly parallel at any scale.
+    */
+  def c4Rules(s: SparkSession, d: String): DataFrame =
+    c4RulesFrom(Tables.documents(s, d))
+
+  /** [[c4Rules]] over any (doc_id, text) frame. */
+  def c4RulesFrom(docs: DataFrame): DataFrame = {
+    val prepared = docs.select(
+        col("doc_id"), col("text"),
+        split(col("text"), "\n").as("_lines"))
+      .withColumn("_kept", filter(col("_lines"), l =>
+        rtrim(l).rlike("[.!?\"]$") &&
+          size(tokens(l)) >= 5 &&
+          !lower(l).contains("javascript")))
+      .withColumn("_clean", concat_ws("\n", col("_kept")))
+    prepared.select(
+        col("doc_id"),
+        size(col("_lines")).cast(LongType).as("n_lines"),
+        size(col("_kept")).cast(LongType).as("n_kept_lines"),
+        length(col("_clean")).cast(LongType).as("clean_len"),
+        size(regexp_extract_all(col("_clean"), lit("[.!?]"), lit(0)))
+          .cast(LongType).as("n_sentences"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem_ipsum"),
+        col("text").contains("{").as("has_brace"))
+      .withColumn("keep",
+        col("n_kept_lines") >= 1 && col("n_sentences") >= 3 &&
+          !col("has_lorem_ipsum") && !col("has_brace"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weight per document (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score each
+    * raw document by how much more likely its tokens are under a TARGET
+    * distribution than under the RAW corpus distribution. The target slice
+    * is any row predicate — the registered query uses `lang = 'en'`, the
+    * paper's canonical shape (select crawl data resembling a target
+    * language/domain); both distributions are add-one-smoothed unigram LMs
+    * over lowered whitespace tokens, sharing the raw vocabulary size V:
+    * p(t) = (count(t) + 1) / (total + V). The per-doc weight is the mean
+    * per-token log ratio ln(p_target/p_raw); `selected` = weight > 0 is
+    * the row-local importance filter face (doc looks more target-like
+    * than corpus-like) — the paper's Gumbel-top-k resampling consumes
+    * these same weights with sampling noise, which an oracle cannot
+    * reproduce, so the deterministic surface is the weight itself.
+    *
+    * Reproducibility (the [[lmScore]] discipline): the two smoothed
+    * probabilities and their ratio are IEEE double arithmetic — identical
+    * operation order on both engines, correctly-rounded ops, so the
+    * doubles agree bit-for-bit except `ln`'s 1-ulp libm spread, which the
+    * per-(doc, term) DECIMAL(24,9) rounding of tf·ln(ratio) absorbs; the
+    * per-doc sum is then exact decimal addition (associative under any
+    * partial-aggregate merge order) and the final quotient surfaces as
+    * double once.
+    *
+    * Scale: two term aggregates (target counts are a semi-joined subset
+    * of the same pass), one broadcast totals row, one term-keyed join
+    * back to the doc-term table — [[tfidfTop]]'s shape. The paper's
+    * hashed-n-gram feature space is a drop-in replacement for the term
+    * string key (xxhash64 bucket instead of `term`) when the vocabulary
+    * itself is too wide, trading collisions for a bounded feature table.
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsFrom(Tables.documents(s, d), col("lang") === "en")
+
+  /** [[dsirWeights]] over any (doc_id, text, ...) frame with an arbitrary
+    * target-slice predicate (evaluated against the frame's columns).
+    */
+  def dsirWeightsFrom(docs: DataFrame, targetPred: Column): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val targetIds = docs.filter(targetPred).select("doc_id")
+    val rawCt = tf.groupBy("term").agg(sum(col("tf")).as("rct"))
+    val tgtCt = tf.join(targetIds, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(sum(col("tf")).as("tct"))
+    val totals = rawCt
+      .agg(sum(col("rct")).as("r_total"), count(lit(1)).as("v"))
+      .crossJoin(tf.join(targetIds, Seq("doc_id"), "left_semi")
+        .agg(coalesce(sum(col("tf")), lit(0L)).as("t_total")))
+    val lratio = rawCt.join(tgtCt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("term"),
+        log(((coalesce(col("tct"), lit(0L)) + 1).cast("double")
+            / (col("t_total") + col("v")).cast("double"))
+          / ((col("rct") + 1).cast("double")
+            / (col("r_total") + col("v")).cast("double"))).as("lratio"))
+    tf.join(lratio, "term")
+      .withColumn("contrib",
+        (col("tf") * col("lratio")).cast("decimal(24,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("contrib")).as("sum_lr"))
+      .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+        (col("sum_lr").cast("double") / col("n_tokens").cast(LongType))
+          .as("avg_log_ratio"))
+      .withColumn("selected", col("avg_log_ratio") > 0.0)
+      .orderBy("doc_id")
+  }
 }
