@@ -61,7 +61,11 @@ object OracleSql {
        |  WHERE x.doc_id < y.doc_id)""".stripMargin
   }
 
-  private def ngramPairsCtes: String =
+  /** Shared candidate chain (toks → distinct shingles → df∈[2,1000]
+    * inverted-index pairs with per-doc sizes) behind both the Jaccard and
+    * the containment pair oracles; `rawpairs`/`sizes` are the last CTEs.
+    */
+  private def ngramBaseCtes: String =
     s"""toks AS (
        |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
        |sh AS (
@@ -81,7 +85,10 @@ object OracleSql {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
        |  FROM idx a JOIN idx b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def ngramPairsCtes: String =
+    s"""$ngramBaseCtes,
        |jpairs AS (
        |  SELECT doc_a, doc_b, shared, sa.n_sh AS size_a, sb.n_sh AS size_b
        |  FROM rawpairs
@@ -779,6 +786,72 @@ object OracleSql {
          |SELECT doc_a, doc_b, shared, size_a, size_b FROM jpairs
          |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // DedupOps.containmentPairs twin: the same candidate chain, decided by
+    // the overlap coefficient 100·shared >= 80·min(|A|,|B|) instead of
+    // Jaccard — subset/quote duplication.
+    "dedup_containment" ->
+      s"""WITH $ngramBaseCtes,
+         |cpairs AS (
+         |  SELECT doc_a, doc_b, shared, sa.n_sh AS size_a, sb.n_sh AS size_b
+         |  FROM rawpairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE shared * 100 >= 80 * least(sa.n_sh, sb.n_sh))
+         |SELECT doc_a, doc_b, shared, size_a, size_b FROM cpairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // DedupOps.dupSpans twin (k=8): windows keyed by their text where the
+    // engine uses xxhash64 (injective relabeling); parallel unnest zips
+    // positions with window strings; islands merged by the same running
+    // max(pos+k) frame; the single double division mirrors the engine.
+    "dedup_substring_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+         |wins AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, len(t) - 7)) - 1 AS pos,
+         |    unnest(list_transform(generate_series(1, len(t) - 7),
+         |      i -> array_to_string(t[i:i+7], ' '))) AS w
+         |  FROM base WHERE len(t) >= 8),
+         |duph AS (
+         |  SELECT w FROM wins GROUP BY w
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |flag AS (
+         |  SELECT doc_id, pos FROM wins
+         |  WHERE w IN (SELECT w FROM duph)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM flag),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e,
+         |         count(*) AS nw
+         |  FROM sp GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens,
+         |         sum(nw) AS n_dup_windows
+         |  FROM spans GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(greatest(b.n_tokens - 7, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN b.n_tokens > 0
+         |       THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens
+         |       ELSE 0.0 END AS dup_frac
+         |FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     // connected components over the same pairs, as a recursive
     // transitive-closure CTE: label = min over the reachable set —

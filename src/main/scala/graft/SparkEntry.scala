@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_simhash"       -> (DedupOps.simhash(_, _)),
     "dedup_simhash_pairs" -> (DedupOps.simhashPairs(_, _)),
     "dedup_incremental"   -> (DedupOps.incrementalJaccardPairs(_, _)),
+    "dedup_containment"   -> (DedupOps.containmentPairs(_, _)),
+    "dedup_substring_spans" -> (DedupOps.dupSpans(_, _)),
     // similarity search
     "emb_topk_brute"      -> (SimilarityOps.bruteForceTopK(_, _)),
     "emb_topk_lsh"        -> (SimilarityOps.lshTopK(_, _)),

@@ -163,6 +163,47 @@ object DedupOps {
         col("size_a"), col("size_b"))
       .orderBy("doc_a", "doc_b")
 
+  /** Near-duplicate pairs by containment (overlap coefficient):
+    * |A∩B| / min(|A|,|B|) ≥ thresholdPct/100 — the asymmetric twin of
+    * [[ngramJaccardPairsFrom]] for SUBSET duplication, which Jaccard
+    * structurally misses: a short document quoted wholesale inside a long
+    * one has containment 1.0 but Jaccard |A|/|B| (arbitrarily small as
+    * the host grows). The standard recipe for quote/excerpt/boilerplate
+    * inclusion detection (Broder 1997's "containment" alongside
+    * "resemblance").
+    *
+    * Same machinery end to end — shingle index, df∈[2,maxShingleDf]
+    * inverted-index candidates, integer cross-multiplied decision
+    * `100·shared ≥ pct·min(|A|,|B|)` — so candidates stay ∝ shared-shingle
+    * density (never O(n²)) and the boundary is engine-exact. The skew
+    * guard's lower-bound caveat on [[ngramJaccardPairsFrom]] applies to
+    * the numerator here identically.
+    */
+  def containmentPairs(s: SparkSession, d: String, n: Int = 3,
+      thresholdPct: Int = 80, maxShingleDf: Int = 1000): DataFrame =
+    containmentPairsFrom(hashedShingles(s, d, n), thresholdPct, maxShingleDf)
+
+  /** [[containmentPairs]] over an existing (doc_id, h) shingle index. */
+  def containmentPairsFrom(idx: DataFrame, thresholdPct: Int = 80,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val pairs = invertedIndex(idx, maxShingleDf)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("sz").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("sz").as("size_b")), Seq("doc_b"))
+      .filter(col("shared") * 100 >=
+        lit(thresholdPct) * least(col("size_a"), col("size_b")))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("size_a"), col("size_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental near-dup pairs: the pairs a NEW batch of documents adds
     * against an already-deduplicated corpus (plus among itself) — without
     * regenerating the corpus's own pairs. `doc_id % batchMod == 0` marks
@@ -559,5 +600,82 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  // --------------------------------------------------- exact substrings
+
+  /** Cross-document exact-substring duplication profile (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr): flag every k-token window whose content occurs in ≥ 2
+    * distinct documents, merge each document's flagged windows into
+    * maximal duplicated SPANS, and report per-doc span statistics — the
+    * remove-the-span (not the document) dedup family the doc-level ops
+    * above can't express.
+    *
+    * The paper builds a corpus-wide suffix array; the distributed
+    * re-expression is window-hash postings: a (doc, pos, window) table,
+    * df ≥ 2 on the 64-bit window hash (one groupBy — the only corpus-wide
+    * shuffle, keyed on 8-byte hashes, never window text), a semi-join back
+    * to positions, then a per-doc sort-free islands merge (running
+    * `max(pos+k)` window) — every stage is join/agg-shaped and skew-safe:
+    * a boilerplate window occurring in millions of docs costs one posting
+    * row per occurrence, never a pairwise join.
+    *
+    * Output per doc: window/dup-window counts, merged span count, union
+    * token coverage `dup_tokens` (overlaps counted once), and
+    * `dup_frac` = dup_tokens/n_tokens (one exactly-rounded double
+    * division — engine-portable). Oracle twin keys windows by their text
+    * (engine-side 64-bit hashing is the usual injective relabeling).
+    */
+  def dupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    dupSpansFrom(Tables.documents(s, d), k)
+
+  /** [[dupSpans]] over any (doc_id, text) frame. */
+  def dupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "window width must be >= 2 tokens")
+    val toks = docs.select(col("doc_id"),
+        TextOps.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"))
+    // 0-based window starts; slice() is 1-based, posexplode pos is 0-based
+    val wins = toks.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("n_tokens") - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k)))))))
+      .withColumnsRenamed(Map("col" -> "h"))
+    val dupWindows = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val flagged = wins.join(dupWindows, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("prev_end", max(col("pos") + k).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        (col("prev_end").isNull || col("pos") > col("prev_end")).cast("int"))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"),
+        count(lit(1)).as("nw"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s")).as("dup_tokens"),
+      sum(col("nw")).as("n_dup_windows"))
+    toks
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0))
+          .cast("long").as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).cast("long")
+          .as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
   }
 }

@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.TextOps
+import graft.ops.{DedupOps, TextOps}
 
-/** Round-5 operators: C4 line/page filtering, DSIR importance weights. */
+/** Round-5 operators: C4 line/page filtering, DSIR importance weights,
+  * containment pairs, exact-substring duplicate spans.
+  */
 class Round5OpsSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.session
@@ -119,6 +121,105 @@ class Round5OpsSpec extends AnyFunSuite {
       val v = r.getAs[Double]("avg_log_ratio")
       assert(!v.isNaN && !v.isInfinite, s"non-finite weight $v")
     }
+  }
+
+  // ------------------------------------------------- containmentPairs
+
+  /** Shingle index of a (doc_id, text) frame — the spec-side twin of the
+    * private production index builder.
+    */
+  private def specIndex(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(
+          TextOps.tokens(lower(col("text"))), 3).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+
+  test("containmentPairs: a wholesale-quoted excerpt passes containment " +
+      "but fails Jaccard — the asymmetric case the operator exists for") {
+    val long = (0 until 30).map(i => s"a$i").mkString(" ")
+    val excerpt = (0 until 10).map(i => s"a$i").mkString(" ")
+    val idx = specIndex(Seq((1L, long), (2L, excerpt)).toDF("doc_id", "text"))
+    val cont = DedupOps.containmentPairsFrom(idx).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    // B's 8 shingles all live inside A: containment 8/min(28,8) = 100%
+    assert(r.getAs[Long]("shared") === 8L)
+    assert(r.getAs[Long]("size_a") === 28L)
+    assert(r.getAs[Long]("size_b") === 8L)
+    // Jaccard 8/28 = 28.6% < 60% -> invisible to the resemblance op
+    assert(DedupOps.ngramJaccardPairsFrom(idx).count() === 0)
+  }
+
+  test("containmentPairs: unrelated docs produce no pair; identical docs " +
+      "pass both faces") {
+    val t1 = (0 until 20).map(i => s"x$i").mkString(" ")
+    val t2 = (0 until 20).map(i => s"y$i").mkString(" ")
+    val idx = specIndex(Seq((1L, t1), (2L, t2), (3L, t1))
+      .toDF("doc_id", "text"))
+    val cont = DedupOps.containmentPairsFrom(idx).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 3L)))
+    assert(DedupOps.ngramJaccardPairsFrom(idx).count() === 1)
+  }
+
+  // -------------------------------------------------------- dupSpans
+
+  test("dupSpans: a shared 16-token run yields one merged span with " +
+      "exact union coverage on both sides") {
+    val shared = (0 until 16).map(i => s"s$i")
+    val doc1 = ((0 until 10).map(i => s"a$i") ++ shared ++
+      (0 until 14).map(i => s"a${10 + i}")).mkString(" ") // 40 tokens
+    val doc2 = ((0 until 10).map(i => s"b$i") ++ shared ++
+      (0 until 10).map(i => s"b${10 + i}")).mkString(" ") // 36 tokens
+    val out = DedupOps.dupSpansFrom(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") === 40L)
+    assert(r1.getAs[Long]("n_windows") === 33L)
+    // flagged starts 10..18 (windows fully inside the shared run)
+    assert(r1.getAs[Long]("n_dup_windows") === 9L)
+    assert(r1.getAs[Long]("n_spans") === 1L)
+    assert(r1.getAs[Long]("dup_tokens") === 16L)
+    assert(r1.getAs[Double]("dup_frac") === 16.0 / 40.0)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_spans") === 1L &&
+      r2.getAs[Long]("dup_tokens") === 16L)
+  }
+
+  test("dupSpans: two disjoint shared runs stay two spans; a unique doc " +
+      "and a doc shorter than k report zeros") {
+    val runX = (0 until 8).map(i => s"x$i")
+    val runY = (0 until 8).map(i => s"y$i")
+    val doc5 = ((0 until 5).map(i => s"c$i") ++ runX ++
+      (0 until 5).map(i => s"c${5 + i}") ++ runY ++
+      (0 until 5).map(i => s"c${10 + i}")).mkString(" ") // 31 tokens
+    val doc6 = (runX ++ (0 until 6).map(i => s"d$i") ++ runY).mkString(" ")
+    val out = DedupOps.dupSpansFrom(Seq(
+        (5L, doc5), (6L, doc6),
+        (7L, (0 until 20).map(i => s"u$i").mkString(" ")),
+        (8L, "only five little tokens here")).toDF("doc_id", "text"), k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(5L).getAs[Long]("n_spans") === 2L)
+    assert(out(5L).getAs[Long]("dup_tokens") === 16L)
+    assert(out(6L).getAs[Long]("n_spans") === 2L)
+    assert(out(7L).getAs[Long]("n_spans") === 0L &&
+      out(7L).getAs[Long]("dup_tokens") === 0L)
+    assert(out(8L).getAs[Long]("n_windows") === 0L &&
+      out(8L).getAs[Double]("dup_frac") === 0.0)
+  }
+
+  test("dupSpans: overlapping flagged windows merge — a 9-token shared " +
+      "run is 2 windows, 1 span, 9 covered tokens") {
+    val shared = (0 until 9).map(i => s"s$i")
+    val doc1 = ((0 until 6).map(i => s"a$i") ++ shared ++
+      (0 until 6).map(i => s"a${6 + i}")).mkString(" ")
+    val doc2 = (shared ++ (0 until 12).map(i => s"b$i")).mkString(" ")
+    val out = DedupOps.dupSpansFrom(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_dup_windows") === 2L)
+    assert(out(1L).getAs[Long]("n_spans") === 1L)
+    assert(out(1L).getAs[Long]("dup_tokens") === 9L)
   }
 
   test("dsirWeights: on the sf0.001 corpus the lang='en' target slice " +
