@@ -853,6 +853,104 @@ object OracleSql {
          |FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
+    // DedupOps.removeDupSpans twin (k=8): same window/islands chain as
+    // dedup_substring_spans, but windows keep their canonical
+    // (min-doc_id) copy; removable positions cut, survivors re-joined.
+    // Correlated NOT EXISTS does the span-coverage test per token.
+    "dedup_remove_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+         |wins AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, len(t) - 7)) - 1 AS pos,
+         |    unnest(list_transform(generate_series(1, len(t) - 7),
+         |      i -> array_to_string(t[i:i+7], ' '))) AS w
+         |  FROM base WHERE len(t) >= 8),
+         |canon AS (
+         |  SELECT w, min(doc_id) AS keeper FROM wins GROUP BY w
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |rem AS (
+         |  SELECT doc_id, pos FROM wins JOIN canon USING (w)
+         |  WHERE doc_id <> keeper),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM rem),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e
+         |  FROM sp GROUP BY 1, 2),
+         |tokpos AS (
+         |  SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(1, len(t))) - 1 AS p
+         |  FROM base),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s2
+         |    WHERE s2.doc_id = tp.doc_id AND tp.p >= s2.s AND tp.p < s2.e)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |  FROM kept GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(b.n_tokens - coalesce(a.kept_tokens, 0) AS BIGINT)
+         |    AS removed_tokens,
+         |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // DedupOps.dedupSurvivorsByQuality twin: the dedup_clusters recursive
+    // CC labels + the txt_quality keep/n_tokens slice; per-cluster argmax
+    // by (keep DESC, n_tokens DESC, doc_id) — boolean+integer keys only.
+    "dedup_survivors_quality" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+         |    (len(${toksSql("text")}) >= 5
+         |     AND len(${toksSql("text")}) <= 100000
+         |     AND CAST(length(text) AS DOUBLE)
+         |         / greatest(len(${toksSql("text")}), 1) >= 2.0
+         |     AND CAST(length(text) AS DOUBLE)
+         |         / greatest(len(${toksSql("text")}), 1) <= 15.0
+         |     AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |           AS DOUBLE) / greatest(length(text), 1) >= 0.5) AS keep
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT q.doc_id, l.cluster_id, q.n_tokens, q.keep,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.keep DESC, q.n_tokens DESC, q.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |  FROM q JOIN lab l ON q.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |       n_tokens, keep
+         |FROM ranked WHERE rn = 1
+         |UNION ALL
+         |SELECT q.doc_id, q.doc_id AS cluster_id, CAST(1 AS BIGINT),
+         |       q.n_tokens, q.keep
+         |FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM lab)
+         |ORDER BY doc_id""".stripMargin,
+
     // connected components over the same pairs, as a recursive
     // transitive-closure CTE: label = min over the reachable set —
     // exactly the fixpoint the engine's min-label propagation converges to

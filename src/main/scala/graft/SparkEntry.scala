@@ -61,6 +61,8 @@ object SparkEntry {
     "dedup_incremental"   -> (DedupOps.incrementalJaccardPairs(_, _)),
     "dedup_containment"   -> (DedupOps.containmentPairs(_, _)),
     "dedup_substring_spans" -> (DedupOps.dupSpans(_, _)),
+    "dedup_remove_spans"  -> (DedupOps.removeDupSpans(_, _)),
+    "dedup_survivors_quality" -> (DedupOps.dedupSurvivorsByQuality(_, _)),
     // similarity search
     "emb_topk_brute"      -> (SimilarityOps.bruteForceTopK(_, _)),
     "emb_topk_lsh"        -> (SimilarityOps.lshTopK(_, _)),

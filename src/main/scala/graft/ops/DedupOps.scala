@@ -630,26 +630,31 @@ object DedupOps {
   def dupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
     dupSpansFrom(Tables.documents(s, d), k)
 
-  /** [[dupSpans]] over any (doc_id, text) frame. */
-  def dupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame = {
-    require(k >= 2, "window width must be >= 2 tokens")
-    val toks = docs.select(col("doc_id"),
+  /** (doc_id, t, n_tokens) of a (doc_id, text) frame — the tokenized
+    * shape every exact-substring stage consumes.
+    */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         TextOps.tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"))
-    // 0-based window starts; slice() is 1-based, posexplode pos is 0-based
-    val wins = toks.filter(col("n_tokens") >= k)
+
+  /** (doc_id, pos, h): every k-token window as its 64-bit content hash.
+    * 0-based window starts; slice() is 1-based, posexplode pos is 0-based.
+    */
+  private def windowHashes(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), col("n_tokens") - (k - 1)),
           i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k)))))))
       .withColumnsRenamed(Map("col" -> "h"))
-    val dupWindows = wins.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
-      .select("h")
-    val flagged = wins.join(dupWindows, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+
+  /** Merge a doc's flagged window starts (doc_id, pos) into maximal
+    * [s, e) spans via the running `max(pos+k)` islands window — sort-free
+    * beyond the per-doc window shuffle; (doc_id, span_id, s, e, nw).
+    */
+  private def mergeIslands(flagged: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = flagged
+    flagged
       .withColumn("prev_end", max(col("pos") + k).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_span",
@@ -658,6 +663,20 @@ object DedupOps {
       .groupBy("doc_id", "span_id")
       .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"),
         count(lit(1)).as("nw"))
+  }
+
+  /** [[dupSpans]] over any (doc_id, text) frame. */
+  def dupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "window width must be >= 2 tokens")
+    val toks = docTokens(docs)
+    val wins = windowHashes(toks, k)
+    val dupWindows = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val flagged = wins.join(dupWindows, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val spans = mergeIslands(flagged, k)
     val perDoc = spans.groupBy("doc_id").agg(
       count(lit(1)).as("n_spans"),
       sum(col("e") - col("s")).as("dup_tokens"),
@@ -677,5 +696,89 @@ object DedupOps {
           col("dup_tokens").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
+  }
+
+  /** The actionable half of ExactSubstr (Lee et al. 2021 §4.2 remove
+    * duplicated substrings, not documents): CUT every duplicated span out
+    * of the text, keeping exactly the copy in each window's canonical
+    * document. Canonical = min(doc_id) over the docs containing the
+    * window (the paper keeps one arbitrary occurrence; min-id makes the
+    * choice deterministic and engine-reproducible). A window occurrence
+    * is removable iff its doc is not the window's canonical; removable
+    * occurrences merge into maximal spans per doc ([[mergeIslands]]) and
+    * the surviving tokens re-join into `clean_text` — so at least one
+    * copy of every duplicated run survives corpus-wide, and no text is
+    * lost that only ever occurred once.
+    *
+    * Scale shape is [[dupSpansFrom]]'s (window-hash postings, one
+    * 8-byte-keyed shuffle, no pairwise term) plus one row-local
+    * higher-order filter: tokens × per-doc spans, both bounded by the
+    * doc's own length — never a corpus-sized dimension.
+    */
+  def removeDupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    removeDupSpansFrom(Tables.documents(s, d), k)
+
+  /** [[removeDupSpans]] over any (doc_id, text) frame. */
+  def removeDupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "window width must be >= 2 tokens")
+    val toks = docTokens(docs)
+    val wins = windowHashes(toks, k)
+    val keepers = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2)
+      .select("h", "keeper")
+    val removable = wins.join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+    val cuts = mergeIslands(removable, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .withColumn("cuts", coalesce(col("cuts"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("t"), (_, i) =>
+        !exists(col("cuts"), c => i >= c("s") && i < c("e"))))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------- quality-aware survivors
+
+  /** Near-dup survivors chosen by QUALITY instead of min-id: within each
+    * duplicate cluster keep the best document by (quality-keep flag,
+    * token count, doc_id) — the production selection rule (dedup should
+    * discard the truncated/boilerplate variant, not whichever happens to
+    * have the smaller id). Unpaired documents pass through as their own
+    * singleton cluster.
+    *
+    * Ranking keys are a boolean and two integers — no float ordering, so
+    * the choice is engine-exact. Scale shape: the ranking window runs
+    * ONLY over the paired slice (at 100 TB the unpaired corpus dominates
+    * and takes the anti-join fast path); one window shuffle keyed by
+    * cluster_id, cluster sizes bounded by near-dup fan-in.
+    */
+  def dedupSurvivorsByQuality(s: SparkSession, d: String): DataFrame = {
+    val cc = ccLabels(s, d)
+    val q = TextOps.qualityScore(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val pick = q.join(cc, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byCluster
+        .orderBy(col("keep").desc, col("n_tokens").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"),
+        col("n_members").cast("long").as("n_members"),
+        col("n_tokens"), col("keep"))
+    val unpaired = q.join(cc, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("n_members"), col("n_tokens"), col("keep"))
+    pick.unionByName(unpaired).orderBy("doc_id")
   }
 }

@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{DedupOps, TextOps}
 
 /** Round-5 operators: C4 line/page filtering, DSIR importance weights,
-  * containment pairs, exact-substring duplicate spans.
+  * containment pairs, exact-substring duplicate spans, span removal,
+  * quality-aware survivors.
   */
 class Round5OpsSpec extends AnyFunSuite {
 
@@ -220,6 +221,96 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("n_dup_windows") === 2L)
     assert(out(1L).getAs[Long]("n_spans") === 1L)
     assert(out(1L).getAs[Long]("dup_tokens") === 9L)
+  }
+
+  // -------------------------------------------------- removeDupSpans
+
+  test("removeDupSpans: the canonical (min doc_id) copy keeps its text; " +
+      "every other copy is cut; unique surroundings survive verbatim") {
+    val shared = (0 until 12).map(i => s"s$i")
+    val doc1 = ((0 until 6).map(i => s"a$i") ++ shared ++
+      (0 until 6).map(i => s"a${6 + i}")).mkString(" ") // 24 tokens
+    val doc2 = ((0 until 4).map(i => s"b$i") ++ shared ++
+      (0 until 4).map(i => s"b${4 + i}")).mkString(" ") // 20 tokens
+    val out = DedupOps.removeDupSpansFrom(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 is every shared window's min-id owner: untouched
+    assert(out(1L).getAs[Long]("removed_tokens") === 0L)
+    assert(out(1L).getAs[String]("clean_text") === doc1)
+    // doc 2 loses exactly the 12 shared tokens, keeps its unique halves
+    assert(out(2L).getAs[Long]("removed_tokens") === 12L)
+    assert(out(2L).getAs[Long]("kept_tokens") === 8L)
+    assert(out(2L).getAs[String]("clean_text") ===
+      ((0 until 4).map(i => s"b$i") ++
+        (0 until 4).map(i => s"b${4 + i}")).mkString(" "))
+  }
+
+  test("removeDupSpans: three-way copies keep exactly one occurrence " +
+      "corpus-wide; short and unique docs pass through whole") {
+    val run = (0 until 10).map(i => s"r$i").mkString(" ")
+    val out = DedupOps.removeDupSpansFrom(Seq(
+        (3L, run), (7L, run), (9L, run),
+        (11L, (0 until 15).map(i => s"u$i").mkString(" ")),
+        (12L, "short doc here")).toDF("doc_id", "text"), k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getAs[String]("clean_text") === run)
+    assert(out(7L).getAs[String]("clean_text") === "")
+    assert(out(9L).getAs[String]("clean_text") === "")
+    assert(out(7L).getAs[Long]("removed_tokens") === 10L)
+    assert(out(11L).getAs[Long]("removed_tokens") === 0L)
+    assert(out(12L).getAs[String]("clean_text") === "short doc here")
+  }
+
+  test("removeDupSpans: total tokens are conserved — removed + kept = n " +
+      "per doc, and each doc's kept tokens are a subsequence of its own") {
+    val shared = (0 until 9).map(i => s"z$i")
+    val docs = Seq(
+      (1L, (shared ++ (0 until 5).map(i => s"p$i")).mkString(" ")),
+      (2L, ((0 until 3).map(i => s"q$i") ++ shared).mkString(" ")))
+    val rows = DedupOps.removeDupSpansFrom(docs.toDF("doc_id", "text"), k = 8)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("removed_tokens") + r.getAs[Long]("kept_tokens")
+        === r.getAs[Long]("n_tokens"))
+    }
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val orig = byId(r.getLong(0)).split(" ").toSeq
+      val kept = r.getAs[String]("clean_text") match {
+        case "" => Seq.empty[String]
+        case t  => t.split(" ").toSeq
+      }
+      // subsequence check: kept tokens appear in orig order
+      val it = orig.iterator
+      assert(kept.forall(tok => it.contains(tok)),
+        s"doc ${r.getLong(0)}: $kept not a subsequence of $orig")
+    }
+  }
+
+  // ------------------------------------------- dedupSurvivorsByQuality
+
+  test("dedupSurvivorsByQuality: within a near-dup cluster the longer " +
+      "quality-keep doc survives even when it has the larger doc_id") {
+    val base = (0 until 40).map(i => s"alpha beta gamma delta w$i").mkString(" ")
+    val longer = base + " " + (0 until 20).map(i => s"extra token e$i").mkString(" ")
+    val sfDir = java.nio.file.Files.createTempDirectory("qsurv").toString
+    Seq((1L, base, "en", "web", base.length.toLong),
+        (2L, longer, "en", "web", longer.length.toLong),
+        (5L, "lone unique document with plenty of distinct words here",
+          "en", "web", 55L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val out = DedupOps.dedupSurvivorsByQuality(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1,2 are near-dups (shared prefix dominates); 2 is longer → wins
+    assert(!out.contains(1L), "cluster loser must not survive")
+    assert(out(2L).getAs[Long]("cluster_id") === 1L)
+    assert(out(2L).getAs[Long]("n_members") === 2L)
+    // unpaired doc passes through as its own singleton
+    assert(out(5L).getAs[Long]("cluster_id") === 5L)
+    assert(out(5L).getAs[Long]("n_members") === 1L)
+    graft.Caches.releaseAll()
   }
 
   test("dsirWeights: on the sf0.001 corpus the lang='en' target slice " +
