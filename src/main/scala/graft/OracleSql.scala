@@ -2321,6 +2321,56 @@ object OracleSql {
          |  (CAST(sum_lr AS DOUBLE) / n_tokens > 0.0) AS selected
          |FROM per ORDER BY doc_id""".stripMargin,
 
+    // TextOps.fertility twin: whitespace words vs the BPE-ish subword
+    // regex, summed per language; one exact long/long double division.
+    "txt_fertility" ->
+      s"""WITH per AS (
+         |  SELECT lang,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sw
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+         |  CAST(sum(sw) AS DOUBLE) / greatest(CAST(sum(w) AS BIGINT), 1)
+         |    AS fertility
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // TextOps.unimaxBudget twin (maxEpochs=4, budget=total div 2): the
+    // sequential waterfall as a recursive CTE over capacity-ascending
+    // rank — each step takes min(cap, floor(remaining / langs_left)),
+    // the identical long->double->floor arithmetic as the engine's
+    // aggregate() fold.
+    "txt_unimax_budget" ->
+      s"""WITH RECURSIVE pl AS (
+         |  SELECT lang,
+         |    CAST(sum(len(${toksSql("text")})) AS BIGINT) AS toks
+         |  FROM documents GROUP BY lang),
+         |par AS (
+         |  SELECT CAST(sum(toks) AS BIGINT) // 2 AS budget,
+         |    count(*) AS nl FROM pl),
+         |ord AS (
+         |  SELECT lang, toks, toks * 4 AS cap,
+         |    row_number() OVER (ORDER BY toks * 4, lang) AS rk
+         |  FROM pl),
+         |alloc(rk, lang, toks, cap, a, rem_after) AS (
+         |  SELECT o.rk, o.lang, o.toks, o.cap,
+         |    least(o.cap, CAST(floor(p.budget / p.nl) AS BIGINT)),
+         |    p.budget
+         |      - least(o.cap, CAST(floor(p.budget / p.nl) AS BIGINT))
+         |  FROM ord o, par p WHERE o.rk = 1
+         |  UNION ALL
+         |  SELECT o.rk, o.lang, o.toks, o.cap,
+         |    least(o.cap,
+         |      CAST(floor(prev.rem_after / (p.nl - o.rk + 1)) AS BIGINT)),
+         |    prev.rem_after - least(o.cap,
+         |      CAST(floor(prev.rem_after / (p.nl - o.rk + 1)) AS BIGINT))
+         |  FROM alloc prev, ord o, par p WHERE o.rk = prev.rk + 1)
+         |SELECT lang, toks AS n_tokens, cap, a AS alloc,
+         |  CASE WHEN toks > 0 THEN a / toks ELSE 0.0 END AS epochs
+         |FROM alloc ORDER BY lang""".stripMargin,
+
     // TextOps.ccnetBuckets twin: lmScore's CTE chain, then a per-language
     // ntile(3) tercile cut (avg_logprob DESC, doc_id tiebreak) and a
     // DECIMAL-stabilized bucket mean.

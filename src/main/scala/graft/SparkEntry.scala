@@ -50,6 +50,8 @@ object SparkEntry {
     "txt_c4_rules"        -> (TextOps.c4Rules(_, _)),
     "txt_ccnet_buckets"   -> (TextOps.ccnetBuckets(_, _)),
     "txt_dsir_weights"    -> (TextOps.dsirWeights(_, _)),
+    "txt_fertility"       -> (TextOps.fertility(_, _)),
+    "txt_unimax_budget"   -> (TextOps.unimaxBudget(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),

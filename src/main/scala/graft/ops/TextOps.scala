@@ -718,4 +718,83 @@ object TextOps {
       .withColumn("selected", col("avg_log_ratio") > 0.0)
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------- tokenizer planning
+
+  /** Per-language tokenizer fertility: subwords-per-word, the metric
+    * that decides whether a tokenizer's budget is being spent evenly
+    * across languages (fertility ≫ 1 for a language means its text costs
+    * proportionally more context window). Words are whitespace tokens;
+    * subwords are the BPE-ish pre-tokenizer proxy of [[subwordCount]].
+    * One narrow per-doc pass + one groupBy(lang) shuffle of ~|langs|
+    * groups; the ratio is a single long/long double division
+    * (exactly rounded ⇒ engine-reproducible).
+    */
+  def fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("w"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("sw"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sw")).as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_subwords"),
+        (col("n_subwords").cast("double")
+          / greatest(col("n_words"), lit(1L))).as("fertility"))
+      .orderBy("lang")
+
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): distribute a token budget across
+    * languages so every language gets an equal share UNLESS that share
+    * would exceed `maxEpochs` passes over its available tokens — capped
+    * languages yield their surplus to the rest. The sequential waterfall
+    * (ascending capacity; each language takes
+    * `min(cap, ⌊remaining/langs_left⌋)`) runs inside ONE
+    * `aggregate()` higher-order fold over the per-language array — the
+    * language table is bounded (the paper's own corpus has ~100 rows),
+    * so the single-row collect_list is engine-side bounded state, never
+    * a driver loop. Budget defaults to half the corpus's total tokens
+    * (integer division) so the operator is closed over its input at any
+    * scale. All arithmetic is integer except the fair-share division,
+    * a long/int double division + floor — exactly rounded, so the
+    * waterfall is engine-exact step by step.
+    */
+  def unimaxBudget(s: SparkSession, d: String, maxEpochs: Int = 4)
+      : DataFrame = {
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("w"))
+      .groupBy("lang").agg(sum(col("w")).as("toks"))
+    val one = perLang.agg(
+      sort_array(collect_list(struct(
+        (col("toks") * maxEpochs).as("cap"), col("lang"),
+        col("toks")))).as("arr"),
+      sum(col("toks")).as("total"))
+    val folded = one
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("nl", size(col("arr")))
+      .withColumn("res", aggregate(
+        col("arr"),
+        struct(col("budget").as("rem"), lit(0).as("i"),
+          array().cast(
+            "array<struct<lang:string,toks:bigint,cap:bigint,alloc:bigint>>")
+            .as("out")),
+        (acc, x) => {
+          val share = floor(acc("rem") / (col("nl") - acc("i"))).cast("long")
+          val alloc = least(x("cap"), share)
+          struct((acc("rem") - alloc).as("rem"), (acc("i") + 1).as("i"),
+            concat(acc("out"), array(struct(
+              x("lang").as("lang"), x("toks").as("toks"),
+              x("cap").as("cap"), alloc.as("alloc")))).as("out"))
+        }))
+    folded.select(explode(col("res")("out")).as("r"))
+      .select(col("r.lang").as("lang"), col("r.toks").as("n_tokens"),
+        col("r.cap").as("cap"), col("r.alloc").as("alloc"),
+        when(col("r.toks") > 0, col("r.alloc") / col("r.toks"))
+          .otherwise(lit(0.0)).as("epochs"))
+      .orderBy("lang")
+  }
 }

@@ -313,6 +313,64 @@ class Round5OpsSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  // ------------------------------------------- fertility / unimaxBudget
+
+  /** Write a (doc_id, text, lang) set as a documents.parquet table dir. */
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("tokplan").toString
+    rows.map { case (id, text, lang) =>
+        (id, text, lang, "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("fertility: plain words score 1.0; punctuation-heavy text costs " +
+      "proportionally more subwords per word") {
+    val dir = docsDir(Seq(
+      (1L, "hello world again", "en"),          // 3 words, 3 subwords
+      (2L, "don't stop-me now!", "fr")))        // 3 words, 8 subwords
+    val out = TextOps.fertility(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("n_words") === 3L)
+    assert(out("en").getAs[Long]("n_subwords") === 3L)
+    assert(out("en").getAs[Double]("fertility") === 1.0)
+    assert(out("fr").getAs[Long]("n_subwords") === 8L)
+    assert(out("fr").getAs[Double]("fertility") === 8.0 / 3.0)
+  }
+
+  test("unimaxBudget: capped low-resource language yields surplus to the " +
+      "rest; allocations exhaust the budget exactly") {
+    // token counts 10 / 100 / 1000; budget = 1110 div 2 = 555; caps x4.
+    val dir = docsDir(Seq(
+      (1L, Seq.fill(10)("a").mkString(" "), "aa"),
+      (2L, Seq.fill(100)("b").mkString(" "), "bb"),
+      (3L, Seq.fill(1000)("c").mkString(" "), "cc")))
+    val out = TextOps.unimaxBudget(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // waterfall: aa min(40, 555/3=185)=40; bb min(400, 515/2=257)=257;
+    // cc min(4000, 258)=258
+    assert(out("aa").getAs[Long]("alloc") === 40L)
+    assert(out("bb").getAs[Long]("alloc") === 257L)
+    assert(out("cc").getAs[Long]("alloc") === 258L)
+    assert(out.values.map(_.getAs[Long]("alloc")).sum === 555L)
+    // the capped language sits exactly at maxEpochs; no one exceeds it
+    assert(out("aa").getAs[Double]("epochs") === 4.0)
+    out.values.foreach(r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap")))
+  }
+
+  test("unimaxBudget: equal-size languages split the budget evenly " +
+      "(the fairness face: no language starves)") {
+    val dir = docsDir(Seq(
+      (1L, Seq.fill(200)("x").mkString(" "), "xx"),
+      (2L, Seq.fill(200)("y").mkString(" "), "yy")))
+    val out = TextOps.unimaxBudget(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("xx").getAs[Long]("alloc") === 100L)
+    assert(out("yy").getAs[Long]("alloc") === 100L)
+  }
+
   test("dsirWeights: on the sf0.001 corpus the lang='en' target slice " +
       "averages higher than its complement (the operator's ranking " +
       "purpose) and every weight is finite") {
