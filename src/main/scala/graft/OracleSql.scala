@@ -2479,5 +2479,119 @@ object OracleSql {
         |FROM assign a
         |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY a.vec_id""".stripMargin,
+
+    // TextOps.weightedSample twin: Efraimidis–Spirakis priority with the
+    // content-hash bucket standing in for the uniform key; one integer
+    // division, smallest-k, doc_id tiebreak.
+    "txt_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    greatest(CAST(len(${toksSql("text")}) AS BIGINT), 1) AS weight,
+         |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 10000
+         |      AS bucket
+         |  FROM documents)
+         |SELECT doc_id, weight, (bucket * 1000000) // weight AS priority
+         |FROM w ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    // TextOps.curriculum twin: exact p25/p50/p75 length cutoffs via the
+    // same integer rank rule as ExactQuantiles ((p·n + 99) div 100),
+    // phase by threshold comparison, within-(phase, shard) row_number
+    // over the content-hash order.
+    "txt_curriculum" ->
+      """WITH r AS (
+        |  SELECT n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT
+        |    max(CASE WHEN rn = GREATEST(1, (25 * cnt + 99) // 100)
+        |        THEN CAST(n_chars AS DOUBLE) END) AS c25,
+        |    max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |        THEN CAST(n_chars AS DOUBLE) END) AS c50,
+        |    max(CASE WHEN rn = GREATEST(1, (75 * cnt + 99) // 100)
+        |        THEN CAST(n_chars AS DOUBLE) END) AS c75
+        |  FROM r),
+        |p AS (
+        |  SELECT doc_id,
+        |    1 + CASE WHEN n_chars > c25 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_chars > c50 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_chars > c75 THEN 1 ELSE 0 END AS phase,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS bucket
+        |  FROM documents CROSS JOIN cuts)
+        |SELECT doc_id, phase, CAST(bucket % 8 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY phase, bucket % 8
+        |                          ORDER BY bucket, doc_id) AS INT) AS ord
+        |FROM p ORDER BY phase, shard, ord""".stripMargin,
+
+    // TextOps.classifierScore twin: the identical 16-bit md5 feature
+    // hash and [-100, 100] pseudo-weight per token, integer sum, one
+    // exact double division.
+    "txt_classifier_score" ->
+      s"""WITH per AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(toks, tk ->
+         |      CAST(concat('0x', substr(md5(tk), 1, 4)) AS BIGINT)
+         |        % 201 - 100)), 0) AS BIGINT) AS raw_score
+         |  FROM (SELECT doc_id, ${toksSql("lower(text)")} AS toks
+         |        FROM documents))
+         |SELECT doc_id, n_tokens, raw_score,
+         |  CAST(raw_score AS DOUBLE) / greatest(n_tokens, 1) AS score,
+         |  CAST(raw_score AS DOUBLE) / greatest(n_tokens, 1) > 0 AS keep
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // CorpusOps.corpusDatasheet twin: one grouped scan, distinct
+    // fingerprints/langs, exactly-rounded double divisions.
+    "corpus_datasheet" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT fp) AS n_distinct,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(1 AS DOUBLE)
+         |    - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate,
+         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+         |FROM (SELECT source, lang, n_chars,
+         |        CAST(len(${toksSql("text")}) AS BIGINT) AS w,
+         |        md5(text) AS fp
+         |      FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Relational.bloomSemiJoin twin: the Bloom prefilter has no false
+    // negatives and the exact semi-join removes its false positives, so
+    // the oracle is the plain semi-join aggregate.
+    "r_bloom_join" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // EventOps.grainRollup twin: the same minute→hour→day re-aggregation
+    // ladder over DECIMAL partials, doubles only at the edge.
+    "ev_grain_rollup" ->
+      """WITH minute AS (
+        |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+        |    count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS dec_v
+        |  FROM events GROUP BY 1),
+        |hour AS (
+        |  SELECT date_trunc('hour', bucket_ts) AS bucket_ts,
+        |    CAST(sum(n_events) AS BIGINT) AS n_events,
+        |    sum(dec_v) AS dec_v
+        |  FROM minute GROUP BY 1),
+        |day AS (
+        |  SELECT date_trunc('day', bucket_ts) AS bucket_ts,
+        |    CAST(sum(n_events) AS BIGINT) AS n_events,
+        |    sum(dec_v) AS dec_v
+        |  FROM hour GROUP BY 1)
+        |SELECT 'minute' AS grain, bucket_ts, n_events,
+        |  CAST(dec_v AS DOUBLE) AS sum_value FROM minute
+        |UNION ALL SELECT 'hour', bucket_ts, n_events,
+        |  CAST(dec_v AS DOUBLE) FROM hour
+        |UNION ALL SELECT 'day', bucket_ts, n_events,
+        |  CAST(dec_v AS DOUBLE) FROM day
+        |ORDER BY grain, bucket_ts""".stripMargin,
   )
 }

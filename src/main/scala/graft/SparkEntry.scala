@@ -52,6 +52,9 @@ object SparkEntry {
     "txt_dsir_weights"    -> (TextOps.dsirWeights(_, _)),
     "txt_fertility"       -> (TextOps.fertility(_, _)),
     "txt_unimax_budget"   -> (TextOps.unimaxBudget(_, _)),
+    "txt_weighted_sample" -> (TextOps.weightedSample(_, _)),
+    "txt_curriculum"      -> (TextOps.curriculum(_, _)),
+    "txt_classifier_score" -> (TextOps.classifierScore(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),
@@ -123,6 +126,8 @@ object SparkEntry {
     "r_exists_subquery"   -> (Relational.existsSubquery(_, _)),
     "r_lateral_topn"      -> (Relational.lateralTopN(_, _)),
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
+    "r_bloom_join"        -> (Relational.bloomSemiJoin(_, _)),
+    "ev_grain_rollup"     -> (EventOps.grainRollup(_, _)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "ev_moving_range"     -> (EventOps.movingRange(_, _)),
     // raw HLL values (Relational.approxDistinct) are spec-only (engine-
@@ -143,6 +148,7 @@ object SparkEntry {
     "txt_segment_dedup"   -> (CorpusOps.segmentDedup(_, _)),
     "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),
     "txt_pack"            -> (CorpusOps.packSequences(_, _)),
+    "corpus_datasheet"    -> (CorpusOps.corpusDatasheet(_, _)),
     // end-to-end corpus build; the oracle re-counts the staged parquet
     "corpus_pipeline_stages" -> (CorpusPipeline.stageSummary(_, _)),
     // round 3: merge/upsert, quantized ANN, calibrated gates, mixtures,

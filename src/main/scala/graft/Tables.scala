@@ -41,10 +41,21 @@ object Tables {
     * double arithmetic would corrupt them). The DuckDB oracle mirrors this
     * with CAST(ts AS TIMESTAMP), the same floor-to-micros truncation.
     */
+  /** Events with `ts` normalized to TIMESTAMP regardless of how the
+    * fixture writer encoded it — int64 nanos (pre-regeneration driver
+    * fixtures) or a native parquet timestamp (current fixtures). The
+    * branch is on the FOOTER type, so both generations load identically.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -325,4 +325,35 @@ object CorpusOps {
           .as("dropped_segs"))
       .orderBy("doc_id")
   }
+
+  /** Per-source corpus datasheet ("Datasheets for Datasets", Gebru et
+    * al. 2018 — the audit table a curation run publishes next to the
+    * corpus): one row per source with volume, token mass, exact-dup
+    * rate, language spread, and mean length. Composes the engine's own
+    * statistics in ONE scan + ONE source-keyed aggregate; the two
+    * `countDistinct`s expand to a multi-phase distinct aggregate (no
+    * per-source sets materialized), and the dup rate / mean are single
+    * exactly-rounded double divisions, so the row is engine-exact.
+    * Scale: |sources| output rows; the distinct-expand shuffle is keyed
+    * by (source, fingerprint) — the canonical two-round distinct shape.
+    */
+  def corpusDatasheet(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_toks"),
+        md5(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+      .withColumn("mean_chars",
+        col("sum_chars").cast("double") / col("n_docs"))
+      .select("source", "n_docs", "n_tokens", "n_distinct", "n_langs",
+        "dup_rate", "mean_chars")
+      .orderBy("source")
 }

@@ -489,4 +489,35 @@ object EventOps {
         col("e.carried_dec").cast("double").as("carried_value"))
       .orderBy("user_id", "hour")
   }
+
+  /** Hierarchical grain rollup with partial reuse — the materialized-view
+    * ladder every streaming-OLAP store keeps (minute → hour → day):
+    * events aggregate ONCE to minute grain, hours re-aggregate the
+    * MINUTE partials, days re-aggregate the HOUR partials. At 100 TB the
+    * raw fact scan happens exactly once; each higher grain reads the
+    * previous grain's (tiny) output, so the ladder costs three
+    * progressively smaller shuffles instead of three fact scans. Sums
+    * ride a decimal(18,2) through every level (associative ⇒ the re-
+    * aggregation is exact and engine-reproducible), cast to double only
+    * at the edge. Output: all three grains unioned with a `grain` tag —
+    * the serving table a dashboard range-scans by (grain, bucket_ts).
+    */
+  def grainRollup(s: SparkSession, d: String): DataFrame = {
+    val minute = Tables.events(s, d)
+      .groupBy(date_trunc("minute", col("ts")).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("dec_v"))
+    val hour = minute
+      .groupBy(date_trunc("hour", col("bucket_ts")).as("bucket_ts"))
+      .agg(sum(col("n_events")).as("n_events"), sum(col("dec_v")).as("dec_v"))
+    val day = hour
+      .groupBy(date_trunc("day", col("bucket_ts")).as("bucket_ts"))
+      .agg(sum(col("n_events")).as("n_events"), sum(col("dec_v")).as("dec_v"))
+    def tag(df: DataFrame, g: String): DataFrame =
+      df.select(lit(g).as("grain"), col("bucket_ts"), col("n_events"),
+        col("dec_v").cast("double").as("sum_value"))
+    tag(minute, "minute").unionByName(tag(hour, "hour"))
+      .unionByName(tag(day, "day"))
+      .orderBy("grain", "bucket_ts")
+  }
 }

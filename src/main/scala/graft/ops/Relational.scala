@@ -714,4 +714,43 @@ object Relational {
     mergeUpsert(base, updated.unionByName(inserted), Seq("o_orderkey"))
       .orderBy("o_orderkey")
   }
+
+  /** Bloom-filter semi-join (the sideways-information-passing shape
+    * Spark's own AQE runtime filters use, expressed relationally so the
+    * plan is explicit): the fact side is pre-filtered by the DIM side's
+    * Bloom positions before the exact join ever shuffles a fact row.
+    *
+    * The dim's keys hash into k=3 positions of an m=2²⁰ bit space; the
+    * distinct position set (≤ min(m, 3·|dim|) ints — **bounded by m = 8
+    * MB no matter how large the dim grows**, which is the whole Bloom
+    * property) broadcasts, and three broadcast LEFT SEMI probes drop
+    * every fact row with any unmatched position. Only survivors (true
+    * matches + the Bloom false-positive sliver) reach the exact
+    * semi-join. At 100 TB this turns a full-fact shuffle into a shuffle
+    * of the ~matching sliver; correctness is unconditional because Bloom
+    * filters have no false negatives and the exact join removes the
+    * false positives — which is also why the oracle is the plain join.
+    */
+  def bloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val m = 1L << 20
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val positions = dim
+      .select(explode(array((0 until 3).map(i =>
+        pmod(xxhash64(lit(i), col("o_orderkey")), lit(m))): _*)).as("p"))
+      .distinct()
+    val pre = (0 until 3).foldLeft(Tables.lineitem(s, d)) { (f, i) =>
+      f.join(broadcast(positions),
+        pmod(xxhash64(lit(i), col("l_orderkey")), lit(m)) === col("p"),
+        "left_semi")
+    }
+    pre
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 }

@@ -797,4 +797,99 @@ object TextOps {
           .otherwise(lit(0.0)).as("epochs"))
       .orderBy("lang")
   }
+
+  /** Deterministic weighted sampling — the Efraimidis–Spirakis (2006)
+    * weighted-reservoir shape with the uniform random key replaced by a
+    * content-derived integer bucket, so the draw is engine-exact,
+    * duplicate-consistent, and rerun-stable (no engine RNG). Each
+    * document's priority is `(bucket · 10⁶) div weight`; heavier
+    * documents (more tokens) get proportionally smaller priorities and
+    * therefore higher selection odds. Smallest-k priorities win, doc_id
+    * breaks ties.
+    *
+    * Scale shape: stateless per-row scoring, then ONE top-k reduction
+    * (`TakeOrderedAndProject`: per-partition bounded heaps merged on the
+    * driver, k rows total) — no global sort, no shuffle of the corpus.
+    */
+  def weightedSample(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    weightedSampleFrom(Tables.documents(s, d), k)
+
+  /** [[weightedSample]] over any (doc_id, text) frame. */
+  def weightedSampleFrom(docs: DataFrame, k: Int): DataFrame =
+    docs.select(
+        col("doc_id"),
+        greatest(size(tokens(col("text"))).cast(LongType), lit(1L))
+          .as("weight"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType)
+          % 10000L).as("bucket"))
+      // `div`, not `/`: the priority must be one exact integer division
+      // on both engines (long `/` is double true-division in Spark SQL).
+      .withColumn("priority", expr("(bucket * 1000000) div weight"))
+      .select("doc_id", "weight", "priority")
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
+  /** Curriculum ordering (Bengio et al. 2009): schedule documents easy →
+    * hard, shuffled within each phase. Difficulty proxy is document
+    * length; the phase cutoffs are the exact p25/p50/p75 lengths from
+    * ONE [[graft.functions.ExactQuantiles]] aggregation (count-map
+    * state) — NOT a global `ntile` window, which would serialize the
+    * corpus through a single task at 100 TB. Phase assignment is then a
+    * broadcast of 3 numbers + a stateless comparison. Within a phase the
+    * order is a content-hash shuffle sharded 8 ways, so each
+    * `row_number` window sorts only its (phase, shard) slice — at scale
+    * shards are sized to executor memory and the windows stay parallel.
+    */
+  def curriculum(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val docs = Tables.documents(s, d)
+    val cuts = docs.agg(
+        exactQuantiles(col("n_chars"), Seq(25, 50, 75), 100).as("qs"))
+      .select(col("qs").getItem(0).as("c25"),
+        col("qs").getItem(1).as("c50"), col("qs").getItem(2).as("c75"))
+    val bucket =
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType)
+    val phased = docs
+      .select(col("doc_id"), col("n_chars"), bucket.as("bucket"))
+      .crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        lit(1) + when(col("n_chars") > col("c25"), 1).otherwise(0)
+          + when(col("n_chars") > col("c50"), 1).otherwise(0)
+          + when(col("n_chars") > col("c75"), 1).otherwise(0))
+      .withColumn("shard", (col("bucket") % shards).cast("int"))
+    phased
+      .withColumn("ord", row_number().over(
+        Window.partitionBy("phase", "shard")
+          .orderBy(col("bucket"), col("doc_id"))))
+      .select("doc_id", "phase", "shard", "ord")
+      .orderBy("phase", "shard", "ord")
+  }
+
+  /** Hashed linear quality classifier — the fastText shape (Joulin et
+    * al. 2017) used as the model-based filter stage of CCNet/LLaMA-style
+    * corpus pipelines. Each token hashes into a 16-bit feature space;
+    * the feature's weight is a deterministic pseudo-weight in
+    * [-100, 100] derived from the token hash (a stand-in for trained
+    * weights — the feature hashing, scoring, and gating plumbing are the
+    * real contract). Score = mean token weight, keep = score > 0.
+    *
+    * One `aggregate` HOF pass over the token array per row — no explode,
+    * no shuffle, stays inside whole-stage codegen. All-integer sums plus
+    * one exactly-rounded final division ⇒ engine-reproducible.
+    */
+  def classifierScore(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val raw = aggregate(toks, lit(0L), (acc, t) =>
+      acc + (conv(substring(md5(t), 1, 4), 16, 10).cast(LongType)
+        % 201L - 100L))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        raw.as("raw_score"))
+      .withColumn("score",
+        col("raw_score").cast("double") /
+          greatest(col("n_tokens"), lit(1L)))
+      .withColumn("keep", col("score") > 0)
+      .orderBy("doc_id")
+  }
 }
