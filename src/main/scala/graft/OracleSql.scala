@@ -2593,5 +2593,121 @@ object OracleSql {
         |UNION ALL SELECT 'day', bucket_ts, n_events,
         |  CAST(dec_v AS DOUBLE) FROM day
         |ORDER BY grain, bucket_ts""".stripMargin,
+
+    // TextOps.hashEmbedding twin: identical md5 bucket/sign per token,
+    // sparse signed counts, L2 norm from the integer sum of squares.
+    "txt_hash_embedding" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS tk
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tk), 1, 4)) AS BIGINT) % 64
+         |      AS dim,
+         |    CASE WHEN CAST(concat('0x', substr(md5(tk), 5, 1)) AS BIGINT)
+         |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM t),
+         |sp AS (
+         |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS value
+         |  FROM e GROUP BY 1, 2 HAVING CAST(sum(sgn) AS BIGINT) <> 0)
+         |SELECT doc_id, dim, value,
+         |  CAST(value AS DOUBLE) / sqrt(CAST(
+         |    sum(value * value) OVER (PARTITION BY doc_id) AS DOUBLE))
+         |    AS unit_value
+         |FROM sp ORDER BY doc_id, dim""".stripMargin,
+
+    // Analytics.rfmSegments twin: per-customer RFM metrics, exact
+    // 20/40/60/80 cutoffs via the (p·n + 99) div 100 rank rule per
+    // metric (recency scored on its negation), threshold-comparison
+    // scores.
+    "r_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    max(o_orderdate) AS last_order,
+        |    count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+        |  FROM orders GROUP BY 1),
+        |anch AS (SELECT max(last_order) AS anchor FROM per),
+        |a AS (
+        |  SELECT custkey,
+        |    date_diff('day', CAST(last_order AS DATE),
+        |              CAST(anchor AS DATE)) AS recency_days,
+        |    n_orders,
+        |    CAST(spend_dec AS DOUBLE) AS monetary
+        |  FROM per CROSS JOIN anch),
+        |rr AS (SELECT -recency_days AS v,
+        |    ROW_NUMBER() OVER (ORDER BY -recency_days) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM a),
+        |rc AS (SELECT
+        |    max(CASE WHEN rn = GREATEST(1, (20 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q1,
+        |    max(CASE WHEN rn = GREATEST(1, (40 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q2,
+        |    max(CASE WHEN rn = GREATEST(1, (60 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q3,
+        |    max(CASE WHEN rn = GREATEST(1, (80 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q4 FROM rr),
+        |fr AS (SELECT n_orders AS v,
+        |    ROW_NUMBER() OVER (ORDER BY n_orders) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM a),
+        |fc AS (SELECT
+        |    max(CASE WHEN rn = GREATEST(1, (20 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q1,
+        |    max(CASE WHEN rn = GREATEST(1, (40 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q2,
+        |    max(CASE WHEN rn = GREATEST(1, (60 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q3,
+        |    max(CASE WHEN rn = GREATEST(1, (80 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q4 FROM fr),
+        |mr AS (SELECT monetary AS v,
+        |    ROW_NUMBER() OVER (ORDER BY monetary) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM a),
+        |mc AS (SELECT
+        |    max(CASE WHEN rn = GREATEST(1, (20 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q1,
+        |    max(CASE WHEN rn = GREATEST(1, (40 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q2,
+        |    max(CASE WHEN rn = GREATEST(1, (60 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q3,
+        |    max(CASE WHEN rn = GREATEST(1, (80 * cnt + 99) // 100)
+        |        THEN CAST(v AS DOUBLE) END) AS q4 FROM mr)
+        |SELECT custkey, recency_days, n_orders, monetary,
+        |  1 + (CASE WHEN -recency_days > rc.q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN -recency_days > rc.q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN -recency_days > rc.q3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN -recency_days > rc.q4 THEN 1 ELSE 0 END)
+        |    AS r_score,
+        |  1 + (CASE WHEN n_orders > fc.q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_orders > fc.q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_orders > fc.q3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_orders > fc.q4 THEN 1 ELSE 0 END)
+        |    AS f_score,
+        |  1 + (CASE WHEN monetary > mc.q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc.q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc.q3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc.q4 THEN 1 ELSE 0 END)
+        |    AS m_score
+        |FROM a CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc
+        |ORDER BY custkey""".stripMargin,
+
+    // Analytics.yoyRevenue twin: DECIMAL yearly revenue, lag over the
+    // (priority, year) grid, exact delta and one exactly-rounded ratio.
+    "r_yoy_revenue" ->
+      """WITH y AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |    o_orderpriority AS priority,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT *, lag(rev_dec) OVER (PARTITION BY priority
+        |                               ORDER BY order_year) AS prev_dec
+        |  FROM y)
+        |SELECT order_year, priority,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(prev_dec AS DOUBLE) AS prev_revenue,
+        |  CAST(rev_dec - prev_dec AS DOUBLE) AS delta,
+        |  CAST(rev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE) - 1.0
+        |    AS growth
+        |FROM l ORDER BY priority, order_year""".stripMargin,
   )
 }

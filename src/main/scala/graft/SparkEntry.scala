@@ -55,6 +55,7 @@ object SparkEntry {
     "txt_weighted_sample" -> (TextOps.weightedSample(_, _)),
     "txt_curriculum"      -> (TextOps.curriculum(_, _)),
     "txt_classifier_score" -> (TextOps.classifierScore(_, _)),
+    "txt_hash_embedding"  -> (TextOps.hashEmbedding(_, _)),
     // dedup
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),
@@ -183,6 +184,8 @@ object SparkEntry {
     "r_top_supplier"          -> (Analytics.topSupplier(_, _)),
     "r_supplier_part_counts"  -> (Analytics.supplierPartCounts(_, _)),
     "r_important_stock"       -> (Analytics.importantStock(_, _)),
+    "r_rfm_segments"          -> (Analytics.rfmSegments(_, _)),
+    "r_yoy_revenue"           -> (Analytics.yoyRevenue(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -319,4 +319,78 @@ object Analytics {
         sum(discPrice).cast("double").as("revenue"))
       .orderBy("tier", "o_orderstatus")
   }
+
+  /** RFM customer segmentation (Hughes 1994 — the classic
+    * recency/frequency/monetary quintile scoring every CRM and
+    * retention pipeline runs): per customer, days since last order
+    * (relative to the corpus's max order date, so the op is closed over
+    * its input), order count, and DECIMAL-exact lifetime spend, each
+    * scored 1–5 against the exact 20/40/60/80th-percentile cutoffs of
+    * the metric's distribution.
+    *
+    * Scale shape: ONE customer-keyed aggregate over orders, then ONE
+    * [[graft.functions.ExactQuantiles]] pass (count-map state, 12
+    * numbers out) broadcast back as thresholds — no per-metric window,
+    * no global ntile sort. Scores are threshold comparisons, so the row
+    * is engine-exact; higher is better on every axis (recency scores
+    * against the negated-days ordering). The per-customer frame feeds
+    * three consumers (anchor, cutoffs, final scoring) and column
+    * pruning specializes each subtree, so the plan re-derives it rather
+    * than exchange-reusing — at 100 TB materialize `per` once (one
+    * orders scan) and the rest touches only |customers| rows.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend_dec"))
+    val anchored = per
+      .crossJoin(broadcast(per.agg(max(col("last_order")).as("anchor"))))
+      .select(col("custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("n_orders"),
+        col("spend_dec").cast("double").as("monetary"))
+    val pcts = Seq(20, 40, 60, 80)
+    val cuts = anchored.agg(
+        exactQuantiles(-col("recency_days"), pcts, 100).as("rq"),
+        exactQuantiles(col("n_orders"), pcts, 100).as("fq"),
+        exactQuantiles(col("monetary"), pcts, 100).as("mq"))
+    def score(v: Column, qs: Column): Column =
+      (0 until 4).map(i => when(v > qs.getItem(i), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+    anchored.crossJoin(broadcast(cuts))
+      .select(col("custkey"), col("recency_days"), col("n_orders"),
+        col("monetary"),
+        score(-col("recency_days"), col("rq")).as("r_score"),
+        score(col("n_orders"), col("fq")).as("f_score"),
+        score(col("monetary"), col("mq")).as("m_score"))
+      .orderBy("custkey")
+  }
+
+  /** Year-over-year revenue growth per order priority: DECIMAL-exact
+    * yearly revenue, previous year's via `lag` over the tiny
+    * (priority, year) grid, delta and an exactly-rounded growth ratio.
+    * One fact shuffle (the groupBy); the window sorts |priorities|×
+    * |years| rows — never the fact table.
+    */
+  def yoyRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("order_year")
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority").as("priority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+      .withColumn("prev_dec", lag("rev_dec", 1).over(w))
+      .select(col("order_year").cast("long").as("order_year"),
+        col("priority"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("prev_dec").cast("double").as("prev_revenue"),
+        (col("rev_dec") - col("prev_dec")).cast("double").as("delta"),
+        (col("rev_dec").cast("double") / col("prev_dec").cast("double") -
+          1.0).as("growth"))
+      .orderBy("priority", "order_year")
+  }
 }

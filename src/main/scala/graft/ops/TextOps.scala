@@ -865,6 +865,47 @@ object TextOps {
       .orderBy("phase", "shard", "ord")
   }
 
+  /** Feature-hashed document embedding (the hashing trick — Weinberger
+    * et al. 2009; fastText's input layer): tokens hash into `dims`
+    * signed buckets, giving every document a deterministic sparse
+    * bag-of-words vector with no trained vocabulary — the text→vector
+    * bridge that feeds the embedding-side dedup/ANN family when no
+    * model is in the loop. Output is the SPARSE form, one row per
+    * non-zero dimension (exact sign cancellations drop; empty docs emit
+    * nothing), plus the L2-normalized coordinate so downstream cosine
+    * is a plain dot product.
+    *
+    * Engine-exact: integer bucket/sign from md5, integer counts, and a
+    * norm built from an integer sum of squares (one correctly-rounded
+    * sqrt + one exact division — no order-sensitive double sums).
+    * Scale: one explode + one (doc, dim)-keyed shuffle of MAP-SIDE
+    * COMBINED partials (≤ dims rows per doc cross the wire, not the
+    * token stream), then the norm window's doc-keyed shuffle of those
+    * same ≤ dims-per-doc sparse rows — deliberately NOT a pre-
+    * `repartition(doc_id)`, which would save that tiny second exchange
+    * by shuffling every raw token instead.
+    */
+  def hashEmbedding(s: SparkSession, d: String, dims: Int = 64)
+      : DataFrame = {
+    val tkMd5 = md5(col("tk"))
+    val sparse = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tk"))
+      .select(col("doc_id"),
+        pmod(conv(substring(tkMd5, 1, 4), 16, 10).cast(LongType),
+          lit(dims.toLong)).as("dim"),
+        when(conv(substring(tkMd5, 5, 1), 16, 10).cast(LongType) % 2 === 0,
+          1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).as("value"))
+      .filter(col("value") =!= 0)
+    val w = Window.partitionBy("doc_id")
+    sparse
+      .withColumn("unit_value",
+        col("value").cast("double") /
+          sqrt(sum(col("value") * col("value")).over(w).cast("double")))
+      .orderBy("doc_id", "dim")
+  }
+
   /** Hashed linear quality classifier — the fastText shape (Joulin et
     * al. 2017) used as the model-based filter stage of CCNet/LLaMA-style
     * corpus pipelines. Each token hashes into a 16-bit feature space;

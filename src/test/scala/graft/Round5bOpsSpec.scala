@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{CorpusOps, EventOps, Relational, TextOps}
+import graft.ops.{Analytics, CorpusOps, EventOps, Relational, TextOps}
 
 /** Round-5 second batch: weighted sampling, curriculum ordering, hashed
   * classifier score, corpus datasheet, Bloom semi-join, grain rollup.
@@ -172,5 +172,92 @@ class Round5bOpsSpec extends AnyFunSuite {
     // coarser grain -> fewer-or-equal buckets
     assert(grains("day").length <= grains("hour").length)
     assert(grains("hour").length <= grains("minute").length)
+  }
+
+  // ---------------------------------------------------- rfmSegments
+
+  test("rfmSegments: scores recomputed from collected metrics via the " +
+      "(p*n + 99) div 100 rank rule match exactly; all scores in 1..5") {
+    val out = Analytics.rfmSegments(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    def cuts(vs: Seq[Double]): Seq[Double] = {
+      val s = vs.sorted
+      Seq(20, 40, 60, 80).map(p =>
+        s(math.max(1, (p * s.size + 99) / 100) - 1))
+    }
+    def score(v: Double, qs: Seq[Double]): Int =
+      1 + qs.count(v > _)
+    val rq = cuts(out.map(r => -r.getLong(1).toDouble).toSeq)
+    val fq = cuts(out.map(_.getLong(2).toDouble).toSeq)
+    val mq = cuts(out.map(_.getDouble(3)).toSeq)
+    out.foreach { r =>
+      assert(r.getInt(4) === score(-r.getLong(1).toDouble, rq))
+      assert(r.getInt(5) === score(r.getLong(2).toDouble, fq))
+      assert(r.getInt(6) === score(r.getDouble(3), mq))
+      Seq(r.getInt(4), r.getInt(5), r.getInt(6)).foreach(sc =>
+        assert(sc >= 1 && sc <= 5))
+    }
+    // quintile cuts must spread: top and bottom scores both inhabited
+    assert(out.exists(_.getInt(6) === 5) && out.exists(_.getInt(6) === 1))
+  }
+
+  // ----------------------------------------------------- yoyRevenue
+
+  test("yoyRevenue: delta/growth reconcile against the previous year's " +
+      "revenue; first year per priority is NULL") {
+    val out = Analytics.yoyRevenue(spark, TestSpark.sf0001).collect()
+    val byPriority = out.groupBy(_.getString(1))
+    byPriority.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      assert(sorted.head.isNullAt(3) && sorted.head.isNullAt(5))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(cur.getDouble(3) === prev.getDouble(2))
+          assert(math.abs(
+            cur.getDouble(4) - (cur.getDouble(2) - prev.getDouble(2)))
+            < 1e-6)
+          assert(math.abs(cur.getDouble(5) -
+            (cur.getDouble(2) / prev.getDouble(2) - 1.0)) < 1e-12)
+        case _ =>
+      }
+    }
+  }
+
+  // -------------------------------------------------- hashEmbedding
+
+  test("hashEmbedding: sparse signed bag-of-words with exact unit norm; " +
+      "identical texts embed identically; empty docs emit nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("hemb").toString
+    Seq((1L, "alpha beta gamma alpha", "en", "s", 22L),
+      (2L, "alpha beta gamma alpha", "en", "s", 22L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.hashEmbedding(spark, tmp).collect()
+    assert(!out.exists(_.getLong(0) === 3L), "empty doc must emit no rows")
+    val v1 = out.filter(_.getLong(0) === 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val v2 = out.filter(_.getLong(0) === 2L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(v1.nonEmpty && v1.toSeq === v2.toSeq,
+      "identical text must hash to the identical sparse vector")
+    val norm = v1.map(_._3).map(x => x * x).sum
+    assert(math.abs(norm - 1.0) < 1e-9, s"unit norm violated: $norm")
+    // recompute the expected sparse vector from md5 directly
+    val expected = Seq("alpha", "beta", "gamma", "alpha")
+      .map { t =>
+        val h = md5hex(t)
+        val dim = java.lang.Long.parseLong(h.substring(0, 4), 16) % 64L
+        val sgn =
+          if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1L
+          else -1L
+        dim -> sgn
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .filter(_._2 != 0L).sortBy(_._1)
+    val ss = expected.map(p => p._2 * p._2).sum.toDouble
+    assert(v1.toSeq === expected.map { case (dim, v) =>
+      (dim, v, v.toDouble / math.sqrt(ss))
+    })
   }
 }
