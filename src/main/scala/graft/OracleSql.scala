@@ -1100,6 +1100,61 @@ object OracleSql {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    // SimilarityOps.lshTopKMultiprobe twin: the lshTopK oracle with the
+    // query side fanned out over the chunk's Hamming-1 probes
+    // (xor with 0 and each single-bit mask) before the same bucket join.
+    "emb_topk_lsh_mp" -> {
+      val dim = 64
+      val nBits = 32
+      val planes = (0 until nBits)
+        .map(j => ops.SimilarityOps.hyperplane(j + 1, dim))
+      def dotSql(p: Seq[Double]) =
+        "(" + p.zipWithIndex.map { case (c, i) =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ($c)" }.mkString(" + ") + ")"
+      val sigBits = planes.zipWithIndex.map { case (p, j) =>
+        s"CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      val probeMasks = (0L +: (0 until 8).map(j => 1L << j))
+        .mkString("[", ", ", "]")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding, CAST($sigBits AS BIGINT) AS sig
+         |  FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, embedding, b.range AS band,
+         |         (sig // power(2, 8*b.range)::BIGINT) % 256 AS chunk
+         |  FROM sigs CROSS JOIN range(4) b),
+         |probes AS (
+         |  SELECT vec_id, embedding, band,
+         |         xor(chunk, CAST(pm.m AS BIGINT)) AS chunk
+         |  FROM banded,
+         |       (SELECT unnest($probeMasks) AS m) pm
+         |  WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_emb,
+         |         c.vec_id, c.embedding
+         |  FROM banded c JOIN probes q
+         |    ON c.band = q.band AND c.chunk = q.chunk
+         |  WHERE c.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(q_emb) + 1),
+         |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(q_emb,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine_sim
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cosine_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine_sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+         |       vec_id AS neighbor_id, cosine_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     // Medoid-seeded IVF: centroids are stored vectors, so assignment and
     // probing are pure sequential dot products — reproducible across
     // engines with no rounding needed until the final cosine
@@ -2557,6 +2612,33 @@ object OracleSql {
          |      FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // CorpusOps.corpusDiff twin: reconstruct the derived v2 snapshot,
+    // full outer join on doc_id, classify by md5 fingerprint.
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+        |      AS text
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM v1 WHERE doc_id % 11 = 0),
+        |a AS (SELECT doc_id, md5(text) AS fp1 FROM v1),
+        |b AS (SELECT doc_id, md5(text) AS fp2 FROM v2),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, fp1, fp2
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN fp1 IS NULL THEN 'added'
+        |       WHEN fp2 IS NULL THEN 'removed'
+        |       WHEN fp1 <> fp2 THEN 'changed' END AS change
+        |FROM j
+        |WHERE (CASE WHEN fp1 IS NULL THEN 'added'
+        |            WHEN fp2 IS NULL THEN 'removed'
+        |            WHEN fp1 <> fp2 THEN 'changed' END) IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
     // Relational.bloomSemiJoin twin: the Bloom prefilter has no false
     // negatives and the exact semi-join removes its false positives, so
     // the oracle is the plain semi-join aggregate.
@@ -2689,6 +2771,35 @@ object OracleSql {
         |    AS m_score
         |FROM a CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc
         |ORDER BY custkey""".stripMargin,
+
+    // EventOps.anomalyMad twin: lower-median and MAD per type via the
+    // (50·n + 99) div 100 rank rule, identical 4.4478·MAD flag boundary.
+    "ev_anomaly_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, v AS med FROM (
+        |    SELECT event_type, value AS v,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |                         ORDER BY value) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM events)
+        |  WHERE rn = GREATEST(1, (50 * cnt + 99) // 100)),
+        |d AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, v AS mad FROM (
+        |    SELECT event_type, dev AS v,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |                         ORDER BY dev) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM d)
+        |  WHERE rn = GREATEST(1, (50 * cnt + 99) // 100))
+        |SELECT event_type, count(*) AS n_events,
+        |  min(d.med) AS med, min(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Analytics.yoyRevenue twin: DECIMAL yearly revenue, lag over the
     // (priority, year) grid, exact delta and one exactly-rounded ratio.

@@ -72,6 +72,7 @@ object SparkEntry {
     // similarity search
     "emb_topk_brute"      -> (SimilarityOps.bruteForceTopK(_, _)),
     "emb_topk_lsh"        -> (SimilarityOps.lshTopK(_, _)),
+    "emb_topk_lsh_mp"     -> (SimilarityOps.lshTopKMultiprobe(_, _)),
     // float k-means IVF (SimilarityOps.ivfTopK) is spec-only: its cell
     // assignment depends on float-sum order, so no engine-exact oracle
     // exists; the oracled twin below (medoid-seeded, decimal-exact) is
@@ -129,6 +130,7 @@ object SparkEntry {
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "r_bloom_join"        -> (Relational.bloomSemiJoin(_, _)),
     "ev_grain_rollup"     -> (EventOps.grainRollup(_, _)),
+    "ev_anomaly_mad"      -> (EventOps.anomalyMad(_, _)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "ev_moving_range"     -> (EventOps.movingRange(_, _)),
     // raw HLL values (Relational.approxDistinct) are spec-only (engine-
@@ -150,6 +152,7 @@ object SparkEntry {
     "txt_chunks"          -> (CorpusOps.chunkWindows(_, _)),
     "txt_pack"            -> (CorpusOps.packSequences(_, _)),
     "corpus_datasheet"    -> (CorpusOps.corpusDatasheet(_, _)),
+    "corpus_diff"         -> (CorpusOps.corpusDiff(_, _)),
     // end-to-end corpus build; the oracle re-counts the staged parquet
     "corpus_pipeline_stages" -> (CorpusPipeline.stageSummary(_, _)),
     // round 3: merge/upsert, quantized ANN, calibrated gates, mixtures,

@@ -326,6 +326,40 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the content-level CDC a curation loop runs
+    * between corpus versions (v_{n} vs v_{n+1}) before re-training:
+    * which documents were added, removed, or text-changed. Identity is
+    * `doc_id`; change detection is the md5 content fingerprint, so a
+    * rewrite that lands byte-identical text is (correctly) not a
+    * change. The v2 snapshot here is DERIVED deterministically from the
+    * fixture corpus (every 13th doc dropped, every 7th surviving doc
+    * edited, one re-keyed addition per 11th doc) so the oracle can
+    * reconstruct it; in production both sides are real snapshots.
+    *
+    * Scale: one full outer join keyed by doc_id (16-byte fingerprint
+    * rows, not text) + a stateless classify — the
+    * [[graft.ops.Relational.orderDiff]] shape at corpus width.
+    */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val a = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("fp2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed"))
+      .filter(col("change").isNotNull)
+      .select("doc_id", "change")
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus datasheet ("Datasheets for Datasets", Gebru et
     * al. 2018 — the audit table a curation run publishes next to the
     * corpus): one row per source with volume, token mass, exact-dup

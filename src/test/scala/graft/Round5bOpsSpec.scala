@@ -223,6 +223,64 @@ class Round5bOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- corpusDiff
+
+  test("corpusDiff: added/removed/changed partition exactly along the " +
+      "derived-snapshot rules; untouched docs emit nothing") {
+    val out = CorpusOps.corpusDiff(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val ids = Tables.documents(spark, TestSpark.sf001)
+      .select("doc_id").as[Long].collect().toSeq
+    val expRemoved = ids.filter(_ % 13 == 0).toSet
+    val expChanged = ids.filter(i => i % 13 != 0 && i % 7 == 0).toSet
+    val expAdded = ids.filter(_ % 11 == 0).map(_ + 1000000L).toSet
+    assert(out.collect { case (id, "removed") => id }.toSet === expRemoved)
+    assert(out.collect { case (id, "changed") => id }.toSet === expChanged)
+    assert(out.collect { case (id, "added") => id }.toSet === expAdded)
+    assert(out.length === expRemoved.size + expChanged.size + expAdded.size)
+  }
+
+  // ------------------------------------------------------ edge cases
+
+  test("weightedSample on an empty frame returns zero rows (no NPE on " +
+      "the top-k of nothing)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.weightedSampleFrom(empty, k = 10).collect().isEmpty)
+  }
+
+  test("grainRollup on an empty events table returns zero rows at every " +
+      "grain") {
+    val tmp = java.nio.file.Files.createTempDirectory("gr_empty").toString
+    Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    assert(EventOps.grainRollup(spark, tmp).collect().isEmpty)
+  }
+
+  // ----------------------------------------------------- anomalyMad
+
+  test("anomalyMad: med/MAD/anomaly counts reconcile against an exact " +
+      "recompute with the lower-median rank rule") {
+    val out = EventOps.anomalyMad(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    val byType = Tables.events(spark, TestSpark.sf0001)
+      .select("event_type", "value").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def lowerMedian(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      s(math.max(1, (50 * s.size + 99) / 100) - 1)
+    }
+    out.foreach { r =>
+      val vs = byType(r.getString(0))
+      val med = lowerMedian(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = lowerMedian(devs)
+      assert(r.getLong(1) === vs.size.toLong)
+      assert(r.getDouble(2) === med)
+      assert(r.getDouble(3) === mad)
+      assert(r.getLong(4) === devs.count(_ > 4.4478 * mad).toLong)
+    }
+  }
+
   // -------------------------------------------------- hashEmbedding
 
   test("hashEmbedding: sparse signed bag-of-words with exact unit norm; " +
