@@ -2801,6 +2801,35 @@ object OracleSql {
         |FROM d JOIN md USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // EventOps.cusumChangepoint twin: identical DECIMAL-exact mean,
+    // DECIMAL(24,9)-rounded deviations so the running sum is associative
+    // (engines group window additions differently), identical
+    // |CUSUM|-desc argmax tiebreak.
+    "ev_cusum_changepoint" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |      AS mean,
+        |    count(*) AS n_events
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, e.event_id,
+        |    st.n_events,
+        |    sum(CAST(e.value - st.mean AS DECIMAL(24,9))) OVER (
+        |      PARTITION BY e.event_type
+        |      ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM events e JOIN st USING (event_type)
+        |  WHERE e.value IS NOT NULL)
+        |SELECT event_type, n_events, ts AS cp_ts,
+        |  CAST(abs(cusum) AS DOUBLE) AS max_abs_cusum
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, ts, event_id) AS rn
+        |  FROM c)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
     // Analytics.yoyRevenue twin: DECIMAL yearly revenue, lag over the
     // (priority, year) grid, exact delta and one exactly-rounded ratio.
     "r_yoy_revenue" ->

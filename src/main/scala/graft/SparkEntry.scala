@@ -131,6 +131,7 @@ object SparkEntry {
     "r_bloom_join"        -> (Relational.bloomSemiJoin(_, _)),
     "ev_grain_rollup"     -> (EventOps.grainRollup(_, _)),
     "ev_anomaly_mad"      -> (EventOps.anomalyMad(_, _)),
+    "ev_cusum_changepoint" -> (EventOps.cusumChangepoint(_, _)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "ev_moving_range"     -> (EventOps.movingRange(_, _)),
     // raw HLL values (Relational.approxDistinct) are spec-only (engine-

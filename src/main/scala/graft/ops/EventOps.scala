@@ -523,6 +523,48 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** CUSUM changepoint per event type (Page 1954 — the sequential
+    * drift detector behind most metric-regression alarms): running sum
+    * of deviations from the type mean over time order; the row where
+    * |CUSUM| peaks is the level-shift point. Mean comes from the
+    * DECIMAL-stabilized sum (exact division); the running sum is a
+    * sequential double accumulation over the SAME (ts, event_id) order
+    * on both engines — but engines are free to GROUP the additions
+    * differently (DuckDB's window aggregate is a segment tree), so each
+    * deviation is first rounded onto DECIMAL(24,9): decimal addition is
+    * associative, making every partial — and therefore the argmax row —
+    * engine-identical regardless of evaluation shape (the lmScore
+    * discipline).
+    *
+    * Scale: one stats aggregate + ONE time-sort per event type (the
+    * window). A time-ordered scan is inherent to CUSUM; at 100 TB this
+    * runs per day-partition with the carry-in offset of the previous
+    * day (associativity of the running sum over concatenated runs), not
+    * as one global sort.
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select("event_type", "event_id", "ts", "value")
+      .filter(col("value").isNotNull)
+    val stats = ev.groupBy("event_type").agg(
+      (sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("mean"),
+      count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("cusum",
+        sum((col("value") - col("mean")).cast("decimal(24,9)")).over(w))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("ts"), col("event_id"))
+    cus.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_events"), col("ts").as("cp_ts"),
+        abs(col("cusum")).cast("double").as("max_abs_cusum"))
+      .orderBy("event_type")
+  }
+
   /** Hierarchical grain rollup with partial reuse — the materialized-view
     * ladder every streaming-OLAP store keeps (minute → hour → day):
     * events aggregate ONCE to minute grain, hours re-aggregate the

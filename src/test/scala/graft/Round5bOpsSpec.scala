@@ -281,6 +281,39 @@ class Round5bOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------- cusumChangepoint
+
+  test("cusumChangepoint: the argmax row matches an exact sequential " +
+      "recompute (same mean, same order, same tiebreak)") {
+    val out = EventOps.cusumChangepoint(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)].collect()
+      .filter(r => r._4 == r._4) // keep all; value non-null in fixture
+      .groupBy(_._1)
+    out.foreach { r =>
+      val rows = ev(r.getString(0))
+        .sortBy(e => (e._3.getTime, e._2))
+      val mean = rows.map(e => BigDecimal(e._4)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        rows.length
+      var acc = BigDecimal(0)
+      var best = (BigDecimal(0), rows.head._3, rows.head._2)
+      var bestSet = false
+      rows.foreach { e =>
+        // DECIMAL(24,9)-rounded deviation, as the operator accumulates
+        acc += BigDecimal(e._4 - mean)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        val a = acc.abs
+        if (!bestSet || a > best._1) { best = (a, e._3, e._2); bestSet = true }
+      }
+      assert(r.getLong(1) === rows.length.toLong)
+      assert(r.getTimestamp(2) === best._2, s"type ${r.getString(0)}")
+      assert(r.getDouble(3) === best._1.toDouble, s"type ${r.getString(0)}")
+    }
+  }
+
   // -------------------------------------------------- hashEmbedding
 
   test("hashEmbedding: sparse signed bag-of-words with exact unit norm; " +
