@@ -52,6 +52,30 @@ object Bench {
     }
     Caches.releaseAll()
     spark.sqlContext.clearCache()
+    // Calibration probe: a fixed, data-independent aggregate+shuffle
+    // (range → 1000-key groupBy → noop) whose cost measures HOST capacity,
+    // not the code under test. Run before AND after the measured set (one
+    // discarded compile pass, then 3 reps each side, min — the noise
+    // floor); the score rides in the JSON line and BenchMath scales the
+    // regression threshold by score/prevScore, so a 3×-degraded VM can
+    // never mint phantom regressions against history from a healthy one
+    // (round-5 postmortem: 14 phantoms, all refuted by a same-commit
+    // rerun). Raw per-query seconds stay UN-normalized in the line —
+    // normalization applies only to the `regressed` decision.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L)
+        .select((org.apache.spark.sql.functions.col("id") % 1000).as("k"),
+          org.apache.spark.sql.functions.col("id"))
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("id").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("c"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // discard: codegen/JIT for the probe plan itself
+    val probeBefore = (1 to 3).map(_ => probeOnce()).min
     // Stability: a single run cannot distinguish a real regression from
     // one-off interference (GC pause, OS scheduling, a concurrent process) —
     // observed: identical code + identical plan measured 1.2s one round and
@@ -99,35 +123,36 @@ object Bench {
     // so the total alone would silently compare different query sets
     // across rounds — the failed list rides along to make that loud
     val failed = results.filter(_._2 < 0).map(_._1)
-    // machine-checked round-over-round regression list: a query regressed
-    // when even its BEST rep is >2x the previous bench line's median at
-    // the same SF (median-vs-median flags environment ramp; min-vs-median
-    // only fires when no rep reached the old speed — code got slower)
-    val prevMedians: Map[String, Double] = try {
+    // probe after the measured set too: mid-run host degradation (the
+    // round-5 driver bench's monotonically-worsening reps) shows up as
+    // after ≫ before; the SCORE is the min of both sides — the host's
+    // demonstrated best capacity during this run
+    val probeAfter = (1 to 3).map(_ => probeOnce()).min
+    val probeScore = math.min(probeBefore, probeAfter)
+    // machine-checked, HOST-CALIBRATED regression list (BenchMath): a
+    // query regressed when even its BEST rep is >2x the previous bench
+    // line's median at the same SF, scaled by probeScore/prevProbe —
+    // min-vs-median absorbs in-run interference, the probe ratio absorbs
+    // cross-host drift; only code-got-slower survives both
+    val (prevMedians, prevProbe) = try {
       val hist = java.nio.file.Paths.get("bench_history.jsonl")
-      if (!java.nio.file.Files.exists(hist)) Map.empty
+      if (!java.nio.file.Files.exists(hist)) (Map.empty[String, Double], 0.0)
       else {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(hist).asScala
-          .flatMap { line =>
-            try Some(mapper.readTree(line)) catch { case _: Exception => None }
-          }
-          .filter(n => n.path("sf").asText() == sfDir)
-          .lastOption.map { n =>
-            n.path("queries").fields().asScala
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          }.getOrElse(Map.empty)
+        BenchMath.lastHistoryEntry(
+          java.nio.file.Files.readAllLines(hist).asScala.toSeq, sfDir)
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] history read failed: ${e.getMessage}")
-      Map.empty
+      (Map.empty[String, Double], 0.0)
     }
-    val regressed = results.collect {
-      case (name, med, minSec, _, _)
-        if med >= 0 && minSec > 0 &&
-          prevMedians.get(name).exists(p => p > 0 && minSec > 2 * p) => name
-    }
+    if (BenchMath.hostRatio(probeScore, prevProbe) > 1.5)
+      System.err.println(f"[bench] HOST ${probeScore / prevProbe}%.1fx " +
+        "slower than history baseline (probe) — regression threshold " +
+        "scaled accordingly")
+    val regressed = BenchMath.regressed(
+      results.map { case (n, med, mn, _, _) => (n, med, mn) },
+      prevMedians, probeScore, prevProbe)
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val minsJson = results.map { case (k, _, m, _, _) => s"\"" + k + "\":" + m }
@@ -142,8 +167,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probeJson =
+      s"""{"before":$probeBefore,"after":$probeAfter,"score":$probeScore}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"regressed":$regressedJson,"queries":$qs,"mins":$minsJson,"stages":$stagesJson,"runs":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"regressed":$regressedJson,"probe":$probeJson,"host":${BenchMath.hostFingerprint()},"queries":$qs,"mins":$minsJson,"stages":$stagesJson,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Persisted per-query history: one JSONL line per bench invocation,
     // so a round-over-round diff sees the spread (all reps), not just

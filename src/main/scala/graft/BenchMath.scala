@@ -1,0 +1,87 @@
+package graft
+
+/** The bench's regression arithmetic, factored out of [[Bench]] so
+  * BenchSanitySpec can replay recorded bench lines through it.
+  *
+  * Why host calibration exists: three consecutive rounds of bench
+  * history show the driver VM's speed swinging up to ~3× between runs
+  * on identical code (round-5: `ev_session_native` 38.15 s on the
+  * degraded evening host vs 0.51 s on a same-commit rerun — 14 phantom
+  * "regressions" minted by raw-seconds comparison across host
+  * generations). The fix is a fixed synthetic CALIBRATION PROBE — a
+  * deterministic in-memory aggregate+shuffle whose cost depends only on
+  * host capacity, never on the code under test — measured in the same
+  * JVM as the queries. Comparing THIS run's per-query seconds against
+  * history is only meaningful after scaling by how much slower this
+  * host ran the identical probe.
+  */
+object BenchMath {
+
+  /** Host-speed ratio between this run and the history baseline, from
+    * their probe scores. Clamped at 1.0 from below: on a FASTER host the
+    * raw threshold stands (conservative — a real regression that the
+    * faster host masks is missed rather than a phantom minted; phantom
+    * regressions are the failure mode three rounds of evidence show).
+    * Non-positive/missing probe scores (pre-calibration history lines)
+    * fall back to ratio 1 — the old raw comparison.
+    */
+  def hostRatio(probeNow: Double, probePrev: Double): Double =
+    if (probeNow > 0 && probePrev > 0) math.max(1.0, probeNow / probePrev)
+    else 1.0
+
+  /** The machine-computed regression list: a query regressed when even
+    * its BEST rep exceeds 2× the previous history median AFTER host
+    * normalization — `minSec > 2 · prevMedian · hostRatio`. Min-vs-median
+    * (not median-vs-median) so one-off interference inside this run
+    * cannot flag; host ratio so a uniformly slower VM cannot flag; a
+    * query must therefore be slower than history on its best rep, beyond
+    * what the host slowdown explains, to appear here. Failed queries
+    * (median < 0) and queries without history never flag.
+    */
+  def regressed(current: Seq[(String, Double, Double)],
+      prevMedians: Map[String, Double],
+      probeNow: Double, probePrev: Double): Seq[String] = {
+    val ratio = hostRatio(probeNow, probePrev)
+    current.collect {
+      case (name, med, minSec)
+        if med >= 0 && minSec > 0 &&
+          prevMedians.get(name).exists(p => p > 0 && minSec > 2 * p * ratio)
+        => name
+    }
+  }
+
+  /** Parse the newest history line for `sfDir` out of bench_history.jsonl
+    * content: (per-query medians, probe score). Probe score is 0 for
+    * pre-calibration lines (→ [[hostRatio]] falls back to 1). Malformed
+    * lines are skipped, never fatal — the bench must run on a truncated
+    * or hand-edited history file.
+    */
+  def lastHistoryEntry(lines: Seq[String], sfDir: String)
+      : (Map[String, Double], Double) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    lines
+      .flatMap { line =>
+        try Some(mapper.readTree(line)) catch { case _: Exception => None }
+      }
+      .filter(n => n.path("sf").asText() == sfDir)
+      .lastOption
+      .map { n =>
+        val meds = n.path("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        (meds, n.path("probe").path("score").asDouble(0.0))
+      }
+      .getOrElse((Map.empty, 0.0))
+  }
+
+  /** One-line host fingerprint for the JSON record: logical cpus, max
+    * JVM heap, arch — enough to see at a glance that two history lines
+    * came from different host generations.
+    */
+  def hostFingerprint(): String = {
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val heapGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
+    val arch = System.getProperty("os.arch", "?")
+    f"""{"cpus":$cpus,"maxHeapGb":$heapGb%.1f,"arch":"$arch"}"""
+  }
+}

@@ -2376,6 +2376,51 @@ object OracleSql {
          |  (CAST(sum_lr AS DOUBLE) / n_tokens > 0.0) AS selected
          |FROM per ORDER BY doc_id""".stripMargin,
 
+    // TextOps.dsirWeightsHashed twin: identical xxhash64 (Xxh64Sql, 2
+    // stripe levels — tokens are far under the 95-byte bound) bucketed
+    // mod 65536 (a power of two, so unsigned u64 mod == the engine's
+    // signed pmod), then the exact-DSIR arithmetic over bucket keys.
+    "txt_dsir_hashed" -> {
+      val tokBase = "(SELECT doc_id, unnest(" + toksSql("lower(text)") +
+        ") AS tok FROM documents)"
+      s"""WITH ${Xxh64Sql.chain(tokBase, "tok", 2, "th")},
+         |tf AS (
+         |  SELECT doc_id, CAST(th_u % 65536 AS BIGINT) AS b,
+         |    count(*) AS tf
+         |  FROM th GROUP BY 1, 2),
+         |target AS (
+         |  SELECT doc_id FROM documents WHERE lang = 'en'),
+         |rawct AS (
+         |  SELECT b, CAST(sum(tf) AS BIGINT) AS rct FROM tf GROUP BY 1),
+         |tgtct AS (
+         |  SELECT b, CAST(sum(tf) AS BIGINT) AS tct FROM tf
+         |  WHERE doc_id IN (SELECT doc_id FROM target) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(rct) AS BIGINT) AS r_total,
+         |    CAST(count(*) AS BIGINT) AS v FROM rawct),
+         |ttot AS (
+         |  SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS t_total FROM tf
+         |  WHERE doc_id IN (SELECT doc_id FROM target)),
+         |lr AS (
+         |  SELECT r.b,
+         |    ln((CAST(coalesce(g.tct, 0) + 1 AS DOUBLE)
+         |          / CAST(ttot.t_total + tot.v AS DOUBLE))
+         |       / (CAST(r.rct + 1 AS DOUBLE)
+         |          / CAST(tot.r_total + tot.v AS DOUBLE))) AS lratio
+         |  FROM rawct r LEFT JOIN tgtct g ON r.b = g.b
+         |  CROSS JOIN tot CROSS JOIN ttot),
+         |per AS (
+         |  SELECT tf.doc_id,
+         |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    sum(CAST(tf.tf * lr.lratio AS DECIMAL(24,9))) AS sum_lr
+         |  FROM tf JOIN lr ON tf.b = lr.b
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum_lr AS DOUBLE) / n_tokens AS avg_log_ratio,
+         |  (CAST(sum_lr AS DOUBLE) / n_tokens > 0.0) AS selected
+         |FROM per ORDER BY doc_id""".stripMargin
+    },
+
     // TextOps.fertility twin: whitespace words vs the BPE-ish subword
     // regex, summed per language; one exact long/long double division.
     "txt_fertility" ->
@@ -2622,7 +2667,7 @@ object OracleSql {
         |      AS text
         |  FROM v1 WHERE doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  SELECT -doc_id - 1 AS doc_id, text
         |  FROM v1 WHERE doc_id % 11 = 0),
         |a AS (SELECT doc_id, md5(text) AS fp1 FROM v1),
         |b AS (SELECT doc_id, md5(text) AS fp2 FROM v2),
@@ -2649,6 +2694,15 @@ object OracleSql {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Relational.bucketedJoinAgg twin: bucketing is pure storage layout,
+    // never semantics — the oracle is the plain join aggregate.
+    "r_bucketed_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // EventOps.grainRollup twin: the same minute→hour→day re-aggregation
     // ladder over DECIMAL partials, doubles only at the edge.
@@ -2781,11 +2835,12 @@ object OracleSql {
         |      ROW_NUMBER() OVER (PARTITION BY event_type
         |                         ORDER BY value) AS rn,
         |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
-        |    FROM events)
+        |    FROM events WHERE value IS NOT NULL)
         |  WHERE rn = GREATEST(1, (50 * cnt + 99) // 100)),
         |d AS (
         |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
-        |  FROM events e JOIN m USING (event_type)),
+        |  FROM events e JOIN m USING (event_type)
+        |  WHERE e.value IS NOT NULL),
         |md AS (
         |  SELECT event_type, v AS mad FROM (
         |    SELECT event_type, dev AS v,
@@ -2804,7 +2859,10 @@ object OracleSql {
     // EventOps.cusumChangepoint twin: identical DECIMAL-exact mean,
     // DECIMAL(24,9)-rounded deviations so the running sum is associative
     // (engines group window additions differently), identical
-    // |CUSUM|-desc argmax tiebreak.
+    // |CUSUM|-desc argmax tiebreak. The SAME oracle gates the
+    // partitioned-with-carried-offsets engine form (ev_cusum_partitioned,
+    // aliased below): decimal associativity makes the two engine plans
+    // bit-identical, so one SQL truth serves both.
     "ev_cusum_changepoint" ->
       """WITH st AS (
         |  SELECT event_type,
@@ -2830,8 +2888,9 @@ object OracleSql {
         |  FROM c)
         |WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
-    // Analytics.yoyRevenue twin: DECIMAL yearly revenue, lag over the
-    // (priority, year) grid, exact delta and one exactly-rounded ratio.
+    // Analytics.yoyRevenue twin: DECIMAL yearly revenue, previous year
+    // via a self-join on order_year - 1 (gap years surface NULL, never a
+    // non-adjacent pairing), exact delta and one exactly-rounded ratio.
     "r_yoy_revenue" ->
       """WITH y AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
@@ -2839,9 +2898,9 @@ object OracleSql {
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
         |  FROM orders GROUP BY 1, 2),
         |l AS (
-        |  SELECT *, lag(rev_dec) OVER (PARTITION BY priority
-        |                               ORDER BY order_year) AS prev_dec
-        |  FROM y)
+        |  SELECT y.*, p.rev_dec AS prev_dec
+        |  FROM y LEFT JOIN y p ON p.priority = y.priority
+        |                      AND p.order_year = y.order_year - 1)
         |SELECT order_year, priority,
         |  CAST(rev_dec AS DOUBLE) AS revenue,
         |  CAST(prev_dec AS DOUBLE) AS prev_revenue,
@@ -2850,4 +2909,11 @@ object OracleSql {
         |    AS growth
         |FROM l ORDER BY priority, order_year""".stripMargin,
   )
+
+  /** Engine-variant aliases: queries whose plan differs but whose result
+    * is proven bit-identical to an already-oracled query share its SQL
+    * truth (one oracle, two driver-gated engine shapes).
+    */
+  val aliased: Map[String, String] = Map(
+    "ev_cusum_partitioned" -> extended("ev_cusum_changepoint"))
 }

@@ -50,6 +50,7 @@ object SparkEntry {
     "txt_c4_rules"        -> (TextOps.c4Rules(_, _)),
     "txt_ccnet_buckets"   -> (TextOps.ccnetBuckets(_, _)),
     "txt_dsir_weights"    -> (TextOps.dsirWeights(_, _)),
+    "txt_dsir_hashed"     -> ((s, d) => TextOps.dsirWeightsHashed(s, d)),
     "txt_fertility"       -> (TextOps.fertility(_, _)),
     "txt_unimax_budget"   -> (TextOps.unimaxBudget(_, _)),
     "txt_weighted_sample" -> (TextOps.weightedSample(_, _)),
@@ -129,9 +130,14 @@ object SparkEntry {
     "r_lateral_topn"      -> (Relational.lateralTopN(_, _)),
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "r_bloom_join"        -> (Relational.bloomSemiJoin(_, _)),
+    "r_bucketed_join"     -> (Relational.bucketedJoinAgg(_, _)),
     "ev_grain_rollup"     -> (EventOps.grainRollup(_, _)),
     "ev_anomaly_mad"      -> (EventOps.anomalyMad(_, _)),
     "ev_cusum_changepoint" -> (EventOps.cusumChangepoint(_, _)),
+    // the 100 TB shape of the same detector: per-day buckets + carried
+    // offsets, bit-identical by decimal associativity (same oracle)
+    "ev_cusum_partitioned" -> ((s, d) =>
+      EventOps.cusumChangepointPartitioned(s, d)),
     "ev_moving_stats"     -> (EventOps.movingStats(_, _)),
     "ev_moving_range"     -> (EventOps.movingRange(_, _)),
     // raw HLL values (Relational.approxDistinct) are spec-only (engine-
@@ -197,7 +203,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = OracleSql.extended ++ Map(
+  def oracleSql: Map[String, String] =
+    OracleSql.extended ++ OracleSql.aliased ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

@@ -371,19 +371,22 @@ object Analytics {
   }
 
   /** Year-over-year revenue growth per order priority: DECIMAL-exact
-    * yearly revenue, previous year's via `lag` over the tiny
-    * (priority, year) grid, delta and an exactly-rounded growth ratio.
-    * One fact shuffle (the groupBy); the window sorts |priorities|×
-    * |years| rows — never the fact table.
+    * yearly revenue, previous year's via a self-join of the tiny
+    * (priority, year) grid on `order_year - 1` — NOT `lag`, which would
+    * silently pair non-adjacent years across a gap year as
+    * "year-over-year"; a missing previous year surfaces as NULL
+    * prev/delta/growth instead. One fact shuffle (the groupBy); the
+    * self-join touches |priorities|×|years| rows — never the fact table.
     */
   def yoyRevenue(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("priority").orderBy("order_year")
-    Tables.orders(s, d)
+    val y = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("order_year"),
         col("o_orderpriority").as("priority"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
-      .withColumn("prev_dec", lag("rev_dec", 1).over(w))
+    val prev = y.select(col("priority"),
+      (col("order_year") + 1).as("order_year"),
+      col("rev_dec").as("prev_dec"))
+    y.join(prev, Seq("priority", "order_year"), "left")
       .select(col("order_year").cast("long").as("order_year"),
         col("priority"),
         col("rev_dec").cast("double").as("revenue"),

@@ -346,8 +346,12 @@ object CorpusOps {
       .withColumn("text",
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")))
+      // added docs live in the NEGATIVE id namespace (-id - 1): disjoint
+      // from every real non-negative doc_id at any corpus size, where a
+      // fixed "+ 1000000" offset would collide with (and misclassify)
+      // genuine ids past one million in the full-outer join below
       .unionByName(v1.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
     val a = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
     val b = v2.select(col("doc_id"), md5(col("text")).as("fp2"))
     a.join(b, Seq("doc_id"), "full_outer")

@@ -61,7 +61,13 @@ object DedupOps {
     * |shingles|², negligible).
     */
   def shingleIndex(s: SparkSession, d: String, n: Int): DataFrame =
-    Tables.documents(s, d)
+    shingleIndexFrom(Tables.documents(s, d), n)
+
+  /** [[shingleIndex]] over any (doc_id, text) frame — feeds the `*From`
+    * pair generators and the banding audits.
+    */
+  def shingleIndexFrom(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.ShingleHashes.shingleHashes(
           TextOps.tokens(lower(col("text"))), n).as("shs"))
@@ -430,17 +436,31 @@ object DedupOps {
           _.cast("string"))).as("members"))
       .orderBy("cluster_id")
 
-  /** The dedup decision itself: survivors = cluster minima plus every
-    * unpaired document — the set a training run actually reads.
+  /** The session-memoized CC label table as a public artifact face —
+    * what [[graft.CorpusPipeline]] PERSISTS as its `cc_labels` stage
+    * artifact so survivors (min-id or quality-ranked) derive from one
+    * stored fixpoint instead of each recomputing it. (doc_id,
+    * cluster_id) for every doc appearing in some near-dup pair.
     */
-  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
-    val cc = ccLabels(s, d)
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(cc, Seq("doc_id"), "left")
+  def nearDupLabels(s: SparkSession, d: String): DataFrame = ccLabels(s, d)
+
+  /** Survivors derived from a PRECOMPUTED labels frame (in-session or
+    * read back from a stage artifact): cluster minima plus every
+    * unpaired document. One left join against the (tiny) label table —
+    * no pair generation, no fixpoint.
+    */
+  def survivorsFromLabels(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"))
       .orderBy("doc_id")
-  }
+
+  /** The dedup decision itself: survivors = cluster minima plus every
+    * unpaired document — the set a training run actually reads.
+    */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame =
+    survivorsFromLabels(Tables.documents(s, d), ccLabels(s, d))
 
   // -------------------------------------------------------------- simhash
 
@@ -525,6 +545,30 @@ object DedupOps {
       s"simhash_bands_$simhashChunkBits")
     ngram.union(minhash).union(simhashC).orderBy("generator")
   }
+
+  /** Banding audit for the exact-substring family ([[dupSpansFrom]] /
+    * [[removeDupSpansFrom]]): the volume that must stay LINEAR in the
+    * corpus is the FLAGGED POSTING count — window occurrences whose
+    * content hash has df ≥ 2, i.e. the rows that survive the semi-join
+    * and enter the per-doc islands merge. (There is no pairwise term
+    * anywhere in this family, so ΣC(c,2) is not the right audit; a
+    * boilerplate window in a million docs contributes a million posting
+    * rows — linear — never a million² join.) Counted bucket-side in one
+    * aggregate; `n_postings` (all windows) rides along as the corpus
+    * mass denominator.
+    */
+  def spanPostingCounts(docs: DataFrame, k: Int = 8): DataFrame =
+    windowHashes(docTokens(docs), k)
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        count_distinct(col("doc_id")).as("df"))
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("total"),
+        coalesce(sum(when(col("df") >= 2, col("c")).otherwise(0L)), lit(0L))
+          .as("flagged"))
+      .select(lit("span_window_postings").as("generator"),
+        col("flagged").cast("long").as("n_candidates"),
+        col("total").cast("long").as("n_postings"))
 
   /** Corpus-sized power-of-two bit-width: the smallest width in
     * {floorBits, 2·floorBits, …, capBits} with at least
@@ -763,10 +807,19 @@ object DedupOps {
     * and takes the anti-join fast path); one window shuffle keyed by
     * cluster_id, cluster sizes bounded by near-dup fan-in.
     */
-  def dedupSurvivorsByQuality(s: SparkSession, d: String): DataFrame = {
-    val cc = ccLabels(s, d)
-    val q = TextOps.qualityScore(s, d)
-      .select(col("doc_id"), col("n_tokens"), col("keep"))
+  def dedupSurvivorsByQuality(s: SparkSession, d: String): DataFrame =
+    dedupSurvivorsByQualityFrom(
+      TextOps.qualityScore(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("keep")),
+      ccLabels(s, d))
+
+  /** [[dedupSurvivorsByQuality]] over a precomputed quality frame
+    * (doc_id, n_tokens, keep) and a precomputed labels frame — the
+    * artifact-consuming face: a pipeline that has already persisted its
+    * CC labels ranks survivors without re-running pair generation or the
+    * fixpoint.
+    */
+  def dedupSurvivorsByQualityFrom(q: DataFrame, cc: DataFrame): DataFrame = {
     val byCluster = Window.partitionBy("cluster_id")
     val pick = q.join(cc, Seq("doc_id"))
       .withColumn("rn", row_number().over(byCluster

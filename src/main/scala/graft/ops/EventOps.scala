@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -507,7 +507,11 @@ object EventOps {
     */
   def anomalyMad(s: SparkSession, d: String): DataFrame = {
     import graft.functions.ExactQuantiles.exactQuantiles
+    // NULL values drop up front (as cusumChangepoint does): ExactQuantiles
+    // ignores NULLs but count/flag aggregates would not, so a nullable
+    // fixture would otherwise diverge from the oracle's ranked median.
     val ev = Tables.events(s, d).select("event_type", "value")
+      .filter(col("value").isNotNull)
     val med = ev.groupBy("event_type")
       .agg(exactQuantiles(col("value"), Seq(50), 100).getItem(0).as("med"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
@@ -540,7 +544,8 @@ object EventOps {
     * window). A time-ordered scan is inherent to CUSUM; at 100 TB this
     * runs per day-partition with the carry-in offset of the previous
     * day (associativity of the running sum over concatenated runs), not
-    * as one global sort.
+    * as one global sort — implemented as [[cusumChangepointPartitioned]]
+    * and spec-proven equal to this global form.
     */
   def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -559,6 +564,78 @@ object EventOps {
     val pick = Window.partitionBy("event_type")
       .orderBy(abs(col("cusum")).desc, col("ts"), col("event_id"))
     cus.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_events"), col("ts").as("cp_ts"),
+        abs(col("cusum")).cast("double").as("max_abs_cusum"))
+      .orderBy("event_type")
+  }
+
+  /** [[cusumChangepoint]] in its 100 TB shape: the time-ordered running
+    * sum evaluated PER BUCKET (default: per day) with the previous
+    * buckets' carry-in offset added back — no window ever sorts more
+    * than one bucket of one event type. Correct because every deviation
+    * is rounded onto DECIMAL(24,9) before summation and decimal addition
+    * is associative: cusum(row) = carry(bucket) + local_cusum(row) is
+    * exactly the global running sum regardless of how the rows were
+    * sliced, so the argmax row — and therefore the output — is
+    * bit-identical to the global form (spec-proven across 1-day, 3-day,
+    * and single-bucket slicings; the driver gates it against the SAME
+    * DuckDB oracle as the global form).
+    *
+    * Stages, none fact-global: (1) per-type mean (one narrow agg),
+    * (2) per-(type, bucket) local running sums — the only fact-sized
+    * window, bucket-scoped, (3) per-(type, bucket) deviation totals (one
+    * narrow agg) prefix-summed over the TINY (type, bucket) grid into
+    * carry-in offsets, broadcast back, (4) a two-level argmax: bucket
+    * winners first (bucket-scoped window), then the per-type winner over
+    * |buckets| rows. `bucket` must be monotone non-decreasing in `ts`
+    * (any truncation of it is) so bucket order extends time order.
+    */
+  def cusumChangepointPartitioned(s: SparkSession, d: String,
+      bucket: Column = date_trunc("day", col("ts"))): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select("event_type", "event_id", "ts", "value")
+      .filter(col("value").isNotNull)
+      .withColumn("bucket", bucket)
+    val stats = ev.groupBy("event_type").agg(
+      (sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("mean"),
+      count(lit(1)).as("n_events"))
+    val dev = ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev", (col("value") - col("mean")).cast("decimal(24,9)"))
+    val localW = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = dev
+      .withColumn("local_cusum", sum(col("dev")).over(localW))
+    // carry-in per bucket: exclusive prefix sum of the bucket totals over
+    // the (type, bucket) grid — |types|·|buckets| rows, broadcast back
+    val carryW = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dev.groupBy("event_type", "bucket")
+      .agg(sum(col("dev")).as("btotal"))
+      .withColumn("carry", sum(col("btotal")).over(carryW))
+      .select("event_type", "bucket", "carry")
+    // cast BOTH addends to decimal(28,9) before the carry-in add: the
+    // raw sum types (local dec(34,9), carry dec(38,9)) would push the
+    // result past precision 38 and Spark sheds SCALE (dec(38,8)) —
+    // rounding the ninth decimal and breaking bit-equality with the
+    // global form. dec(28,9)+dec(28,9) → dec(29,9), exact; 10^19
+    // integral digits is ample for any real deviation mass.
+    val cus = withLocal.join(broadcast(carry), Seq("event_type", "bucket"))
+      .withColumn("cusum", col("local_cusum").cast("decimal(28,9)") +
+        coalesce(col("carry").cast("decimal(28,9)"),
+          lit(0).cast("decimal(28,9)")))
+    // two-level argmax under ONE ordering (|CUSUM| desc, ts, event_id):
+    // the per-type winner is necessarily its bucket's winner, so level 2
+    // ranks only |buckets| candidate rows
+    val pickLocal = Window.partitionBy("event_type", "bucket")
+      .orderBy(abs(col("cusum")).desc, col("ts"), col("event_id"))
+    val pickGlobal = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("ts"), col("event_id"))
+    cus.withColumn("rn", row_number().over(pickLocal))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("rn", row_number().over(pickGlobal))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n_events"), col("ts").as("cp_ts"),
         abs(col("cusum")).cast("double").as("max_abs_cusum"))

@@ -753,4 +753,36 @@ object Relational {
           .as("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** Co-located join over BUCKETED tables ([[graft.sources.Sinks
+    * .bucketedTable]]) — the recurring-join layout decision that matters
+    * most at 100 TB: both sides written with `bucketBy(8, custkey)` +
+    * in-bucket sort, so the join executes with ZERO Exchange below it
+    * (each task zips bucket i with bucket i; plan snapshot
+    * `plans/r_bucketed_join.txt`, invariant pinned in SinksAndIvfSpec).
+    * The write pays one shuffle ONCE; every subsequent join on the
+    * bucket key is shuffle-free — vs paying the fact⋈fact shuffle on
+    * every pipeline run. The `merge` hint keeps the plan in the
+    * sort-merge form bucketing exists for (at real scale neither side
+    * broadcasts; without the hint the sf-sized fixture would broadcast
+    * and the query would stop exercising the layout). Oracle is the
+    * plain join — bucketing is pure layout, never semantics.
+    */
+  def bucketedJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    graft.sources.Sinks.resetManagedTable(s, "graft_orders_bkt")
+    graft.sources.Sinks.resetManagedTable(s, "graft_customer_bkt")
+    graft.sources.Sinks.bucketedTable(o, "graft_orders_bkt", 8, "o_custkey")
+    graft.sources.Sinks.bucketedTable(c, "graft_customer_bkt", 8, "c_custkey")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("segment")
+  }
 }

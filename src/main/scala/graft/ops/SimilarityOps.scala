@@ -149,17 +149,43 @@ object SimilarityOps {
     * Band width tunes recall vs candidate volume: P(candidate) =
     * 1-(1-(1-θ/π)^bandBits)^(nBits/bandBits).
     */
-  def lshTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
-      nBits: Int = 32, bandBits: Int = 8, dim: Int = 64): DataFrame = {
+  /** (vec_id, embedding, band, chunk) banded hyperplane signatures over
+    * an arbitrary (vec_id, embedding) frame — the corpus-side index
+    * shape shared by [[lshTopK]], [[lshTopKMultiprobe]], and the
+    * multiprobe candidate audit.
+    */
+  private[graft] def bandedSignatures(emb: DataFrame, nBits: Int,
+      bandBits: Int, dim: Int): DataFrame = {
     require(nBits % bandBits == 0,
       s"bandBits ($bandBits) must divide nBits ($nBits) or signature bits are silently unused")
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
     val mask = -1L >>> (64 - bandBits) // mod-64-shift-safe at bandBits=64
-    val banded = emb.select(col("vec_id"), col("embedding"),
+    emb.select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding"), nBits, dim).as("sig"))
+      .select(col("vec_id"), col("embedding"),
         posexplode(array((0 until nBits / bandBits).map(b =>
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+  }
+
+  /** Query-side multiprobe expansion: each query band row fans out to
+    * its own chunk plus every Hamming-1 flip — bandBits+1 probe rows per
+    * (query, band), the only side that grows with the probe count.
+    */
+  private def multiprobeQueries(banded: DataFrame, nQueries: Int,
+      bandBits: Int): DataFrame = {
+    val flips = lit(0L) +: (0 until bandBits).map(j => lit(1L << j))
+    banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band"),
+        explode(array(flips.map(m => col("chunk").bitwiseXOR(m)): _*))
+          .as("chunk"))
+  }
+
+  def lshTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      nBits: Int = 32, bandBits: Int = 8, dim: Int = 64): DataFrame = {
+    val banded = bandedSignatures(
+      Tables.embeddings(s, d).select("vec_id", "embedding"),
+      nBits, bandBits, dim)
     val cand = banded.join(broadcast(
         banded.filter(col("vec_id") < nQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -186,28 +212,38 @@ object SimilarityOps {
   def lshTopKMultiprobe(s: SparkSession, d: String, k: Int = 5,
       nQueries: Int = 10, nBits: Int = 32, bandBits: Int = 8,
       dim: Int = 64): DataFrame = {
-    require(nBits % bandBits == 0,
-      s"bandBits ($bandBits) must divide nBits ($nBits) or signature bits are silently unused")
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      .withColumn("sig", lshSignature(col("embedding"), nBits, dim))
-    val mask = -1L >>> (64 - bandBits)
-    val banded = emb.select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until nBits / bandBits).map(b =>
-          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
-    // query-side probe expansion: the chunk itself + its single-bit flips
-    val flips = lit(0L) +: (0 until bandBits).map(j => lit(1L << j))
-    val probed = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("band"),
-        explode(array(flips.map(m => col("chunk").bitwiseXOR(m)): _*))
-          .as("chunk"))
+    val banded = bandedSignatures(
+      Tables.embeddings(s, d).select("vec_id", "embedding"),
+      nBits, bandBits, dim)
+    val probed = multiprobeQueries(banded, nQueries, bandBits)
     val cand = banded.join(broadcast(probed), Seq("band", "chunk"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "q_emb", "vec_id", "embedding")
       .distinct()
     rankTopK(cand.withColumn("cosine_sim",
       cosineScore(col("q_emb"), col("embedding"))), k)
+  }
+
+  /** Candidate-row count of [[lshTopKMultiprobe]] over an arbitrary
+    * (vec_id, embedding) frame — the banding audit for the multiprobe
+    * path: with the query set FIXED, candidate volume is Σ over probed
+    * (band, chunk) buckets of their corpus-side occupancy, which must
+    * grow LINEARLY with the corpus (each corpus row lands in nBits/
+    * bandBits buckets regardless of corpus size; only bucket membership
+    * grows). Counted join-side pre-distinct — the rows the exact-cosine
+    * verify actually pays for.
+    */
+  def lshMultiprobeCandidateCount(emb: DataFrame, nQueries: Int = 10,
+      nBits: Int = 32, bandBits: Int = 8, dim: Int = 64): DataFrame = {
+    val banded = bandedSignatures(emb, nBits, bandBits, dim)
+    val probed = multiprobeQueries(banded, nQueries, bandBits)
+    banded.join(
+        broadcast(probed.select("query_id", "band", "chunk")),
+        Seq("band", "chunk"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(s"multiprobe_bands_$bandBits").as("generator"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_candidates"))
   }
 
   /** The first `cells` corpus vectors VERBATIM (cast to double) as the

@@ -679,7 +679,8 @@ object TextOps {
     * back to the doc-term table — [[tfidfTop]]'s shape. The paper's
     * hashed-n-gram feature space is a drop-in replacement for the term
     * string key (xxhash64 bucket instead of `term`) when the vocabulary
-    * itself is too wide, trading collisions for a bounded feature table.
+    * itself is too wide, trading collisions for a bounded feature table
+    * — implemented as [[dsirWeightsHashed]].
     */
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     dsirWeightsFrom(Tables.documents(s, d), col("lang") === "en")
@@ -687,27 +688,71 @@ object TextOps {
   /** [[dsirWeights]] over any (doc_id, text, ...) frame with an arbitrary
     * target-slice predicate (evaluated against the frame's columns).
     */
-  def dsirWeightsFrom(docs: DataFrame, targetPred: Column): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val targetIds = docs.filter(targetPred).select("doc_id")
-    val rawCt = tf.groupBy("term").agg(sum(col("tf")).as("rct"))
+  def dsirWeightsFrom(docs: DataFrame, targetPred: Column): DataFrame =
+    dsirCore(
+      docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      docs.filter(targetPred).select("doc_id"), "term")
+
+  /** [[dsirWeights]] over a HASHED bounded vocabulary — the paper's
+    * hashed-n-gram feature space (Xie et al. 2023 §3.1): the feature key
+    * is `pmod(xxhash64(term), buckets)` instead of the term string, so
+    * the two unigram LMs — and every term-keyed shuffle — are bounded by
+    * `buckets` REGARDLESS of corpus vocabulary width (the open-vocab
+    * exact form's term table grows with the corpus; at 100 TB web scale
+    * that is billions of distinct tokens, most of them noise). Hash
+    * collisions merge feature counts — the standard hashing-trick trade
+    * (Weinberger et al. 2009): weights stay rank-correlated with the
+    * exact form (spec-measured), smoothing dimension V becomes the
+    * occupied-bucket count.
+    *
+    * `buckets` must be a power of two: the engine computes pmod over the
+    * SIGNED xxhash64 while the DuckDB oracle mods the UNSIGNED u64 form —
+    * the two agree exactly when the modulus divides 2⁶⁴.
+    */
+  def dsirWeightsHashed(s: SparkSession, d: String,
+      buckets: Int = 65536): DataFrame =
+    dsirWeightsHashedFrom(Tables.documents(s, d), col("lang") === "en",
+      buckets)
+
+  /** [[dsirWeightsHashed]] over any frame + target predicate. */
+  def dsirWeightsHashedFrom(docs: DataFrame, targetPred: Column,
+      buckets: Int = 65536): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (signed pmod ≡ unsigned mod)")
+    dsirCore(
+      docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        .select(col("doc_id"),
+          pmod(xxhash64(col("term")), lit(buckets.toLong)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      docs.filter(targetPred).select("doc_id"), "term")
+  }
+
+  /** The DSIR arithmetic shared by the exact and hashed vocabularies:
+    * `tf` = (doc_id, term, tf) with `term` either the token string or
+    * its hash bucket. Target/raw add-one-smoothed LMs over the same key
+    * space, per-(doc, term) DECIMAL(24,9) contributions, exact decimal
+    * per-doc sums (the lmScore discipline — see [[dsirWeights]]).
+    */
+  private def dsirCore(tf: DataFrame, targetIds: DataFrame,
+      key: String): DataFrame = {
+    val rawCt = tf.groupBy(key).agg(sum(col("tf")).as("rct"))
     val tgtCt = tf.join(targetIds, Seq("doc_id"), "left_semi")
-      .groupBy("term").agg(sum(col("tf")).as("tct"))
+      .groupBy(key).agg(sum(col("tf")).as("tct"))
     val totals = rawCt
       .agg(sum(col("rct")).as("r_total"), count(lit(1)).as("v"))
       .crossJoin(tf.join(targetIds, Seq("doc_id"), "left_semi")
         .agg(coalesce(sum(col("tf")), lit(0L)).as("t_total")))
-    val lratio = rawCt.join(tgtCt, Seq("term"), "left")
+    val lratio = rawCt.join(tgtCt, Seq(key), "left")
       .crossJoin(broadcast(totals))
-      .select(col("term"),
+      .select(col(key),
         log(((coalesce(col("tct"), lit(0L)) + 1).cast("double")
             / (col("t_total") + col("v")).cast("double"))
           / ((col("rct") + 1).cast("double")
             / (col("r_total") + col("v")).cast("double"))).as("lratio"))
-    tf.join(lratio, "term")
+    tf.join(lratio, key)
       .withColumn("contrib",
         (col("tf") * col("lratio")).cast("decimal(24,9)"))
       .groupBy("doc_id")

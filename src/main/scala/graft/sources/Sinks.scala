@@ -47,6 +47,22 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop a managed table AND its warehouse directory. The in-memory
+    * catalog dies with the JVM but the warehouse directory does not — a
+    * later session's `saveAsTable` then fails with locationAlreadyExists
+    * on a table the catalog has never heard of. Callers that re-create
+    * managed tables across sessions (the bucketed-join query, run by
+    * Verify/Bench/Explain in separate JVMs) reset through this first.
+    */
+  def resetManagedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
   /** Compact a parquet directory into ~`targetRecordsPerFile`-row files —
     * the maintenance pass every streaming-append sink needs (each
     * micro-batch appends small files; scan cost grows with file count,

@@ -37,7 +37,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftDocsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDocsSource.schema
+    if (Option(options.get("bucketSize")).exists(_.toLong > 0))
+      GraftDocsSource.bucketedSchema
+    else GraftDocsSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     // DSv2 options are case-insensitive by contract; the raw properties
@@ -46,7 +48,8 @@ class GraftDocsSource extends TableProvider {
     new GraftDocsTable(
       Option(opts.get("rows")).map(_.toLong).getOrElse(1000L),
       Option(opts.get("partitions")).map(_.toInt).getOrElse(4),
-      Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(100L))
+      Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(100L),
+      Option(opts.get("bucketSize")).map(_.toLong).getOrElse(0L))
   }
 }
 
@@ -56,6 +59,17 @@ object GraftDocsSource {
     StructField("text", StringType, nullable = false),
     StructField("lang", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
+
+  /** With `bucketSize` set the table additionally exposes `id_bucket` =
+    * doc_id / bucketSize — a column that is CONSTANT within each input
+    * split (splits are bucket-aligned), which is what lets the scan
+    * report `KeyGroupedPartitioning(identity(id_bucket))` and a join of
+    * two such scans run storage-partitioned (no Exchange) — the
+    * Iceberg-style SPJ seam expressed by this source.
+    */
+  val bucketedSchema: StructType =
+    StructType(schema.fields :+
+      StructField("id_bucket", LongType, nullable = false))
 
   private val words = Array("data", "table", "query", "scan", "join",
     "filter", "sort", "merge", "batch", "stream", "row", "column")
@@ -80,25 +94,29 @@ object GraftDocsSource {
 }
 
 class GraftDocsTable(rows: Long, partitions: Int,
-    rowsPerBatch: Long = 100L)
+    rowsPerBatch: Long = 100L, bucketSize: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graftdocs($rows)"
-  override def schema(): StructType = GraftDocsSource.schema
+  override def schema(): StructType =
+    if (bucketSize > 0) GraftDocsSource.bucketedSchema
+    else GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocsScanBuilder(rows, partitions, rowsPerBatch)
+    new GraftDocsScanBuilder(rows, partitions, rowsPerBatch, bucketSize)
 }
 
 class GraftDocsScanBuilder(rows: Long, partitions: Int,
-    rowsPerBatch: Long = 100L)
+    rowsPerBatch: Long = 100L, bucketSize: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L            // inclusive generation bound
   private var hi = rows          // exclusive generation bound
   private var pushed = Array.empty[Filter]
-  private var required: StructType = GraftDocsSource.schema
+  private var required: StructType =
+    if (bucketSize > 0) GraftDocsSource.bucketedSchema
+    else GraftDocsSource.schema
 
   /** Consume doc_id range filters (narrow [lo, hi)); everything else is
     * a residual Spark evaluates post-scan.
@@ -120,16 +138,58 @@ class GraftDocsScanBuilder(rows: Long, partitions: Int,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftDocsScan(lo, hi, partitions, required, rowsPerBatch)
+    new GraftDocsScan(lo, hi, partitions, required, rowsPerBatch, bucketSize)
 }
 
-case class GraftDocsPartition(start: Long, end: Long) extends InputPartition
+/** `bucket` is the split's constant id_bucket value (-1 in unbucketed
+  * mode). HasPartitionKey is what turns these splits into the partition
+  * VALUES of the reported KeyGroupedPartitioning — Spark groups splits
+  * by this key and aligns both join sides' groups for SPJ.
+  */
+case class GraftDocsPartition(start: Long, end: Long, bucket: Long = -1L)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
 
 class GraftDocsScan(lo: Long, hi: Long, partitions: Int,
-    required: StructType, rowsPerBatch: Long = 100L)
-    extends Scan with Batch {
+    required: StructType, rowsPerBatch: Long = 100L, bucketSize: Long = 0L)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  private def bucketed: Boolean =
+    bucketSize > 0 && required.fieldNames.contains("id_bucket")
+
+  /** The bucket values intersecting the (possibly filter-narrowed)
+    * generation range — one input split per bucket in bucketed mode, so
+    * the split list and the reported partitioning agree by construction.
+    */
+  private def bucketRange: Seq[Long] =
+    if (hi <= lo) Seq.empty
+    else (lo / bucketSize) to ((hi - 1) / bucketSize)
+
+  /** Storage-partitioned-join seam (the Iceberg SPJ shape): in bucketed
+    * mode the scan reports `KeyGroupedPartitioning(identity(id_bucket))`
+    * with one partition per bucket; a join of two such scans on a key
+    * set containing id_bucket plans with NO Exchange under
+    * `spark.sql.sources.v2.bucketing.enabled` (spec-pinned). If
+    * id_bucket was pruned away the report degrades to Unknown — a
+    * partitioning over a column the scan does not produce would be
+    * unresolvable.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (bucketed)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("id_bucket")),
+          bucketRange.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(planInputPartitions().length)
 
   /** Micro-batch stream over the same generated id-space: the offset IS
     * the next doc_id (a totally ordered, replayable position — the
@@ -140,7 +200,8 @@ class GraftDocsScan(lo: Long, hi: Long, partitions: Int,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftDocsMicroBatchStream(lo, hi, partitions, required, rowsPerBatch)
+    new GraftDocsMicroBatchStream(lo, hi, partitions, required,
+      rowsPerBatch, bucketSize)
 
   /** Surfaces the pushed-down state in EXPLAIN (BatchScan prints this):
     * the generation range after filter pushdown and the pruned column
@@ -152,16 +213,24 @@ class GraftDocsScan(lo: Long, hi: Long, partitions: Int,
     s"GraftDocsScan PushedRange: [$lo, $hi) " +
       s"ReadColumns: ${required.fieldNames.mkString("[", ",", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val total = math.max(0L, hi - lo)
-    val per = math.max(1L, (total + partitions - 1) / math.max(1, partitions))
-    Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
-      .map(s => GraftDocsPartition(s, math.min(hi, s + per)))
-      .toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    if (bucketed)
+      // bucket-aligned splits: id_bucket is constant per split — the
+      // precondition for HasPartitionKey
+      bucketRange.map { b =>
+        GraftDocsPartition(math.max(lo, b * bucketSize),
+          math.min(hi, (b + 1) * bucketSize), b)
+      }.toArray[InputPartition]
+    else {
+      val total = math.max(0L, hi - lo)
+      val per = math.max(1L, (total + partitions - 1) / math.max(1, partitions))
+      Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
+        .map(s => GraftDocsPartition(s, math.min(hi, s + per)))
+        .toArray[InputPartition]
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftDocsReaderFactory(required)
+    new GraftDocsReaderFactory(required, bucketSize)
 }
 
 case class GraftDocsOffset(next: Long)
@@ -170,7 +239,7 @@ case class GraftDocsOffset(next: Long)
 }
 
 class GraftDocsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
-    required: StructType, rowsPerBatch: Long)
+    required: StructType, rowsPerBatch: Long, bucketSize: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -211,11 +280,11 @@ class GraftDocsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftDocsReaderFactory(required)
+    new GraftDocsReaderFactory(required, bucketSize)
   override def stop(): Unit = ()
 }
 
-class GraftDocsReaderFactory(required: StructType)
+class GraftDocsReaderFactory(required: StructType, bucketSize: Long = 0L)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftDocsPartition]
@@ -231,6 +300,7 @@ class GraftDocsReaderFactory(required: StructType)
           case "text" => UTF8String.fromString(text)
           case "lang" => UTF8String.fromString(GraftDocsSource.langFor(cur))
           case "n_chars" => text.length.toLong
+          case "id_bucket" => cur / math.max(1L, bucketSize)
           case other => throw new IllegalArgumentException(
             s"unknown column $other")
         }

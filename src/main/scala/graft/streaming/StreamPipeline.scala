@@ -744,6 +744,15 @@ object StreamPipeline {
     * At 100 TB the hour/day rewrites read the minute PARTIALS
     * (|minutes| rows, not |events|) and the minute table is partitioned
     * by day so each batch rewrites only the days it touched.
+    *
+    * CRASH WINDOW (same non-atomicity as [[startHourlyAggSink]], unlike
+    * [[startNearDupGate]]'s swap): the batch ledger is recorded AFTER
+    * the minute-table overwrite — a crash between the overwrite and
+    * `TableSink.record` replays the batch on restart and re-merges the
+    * same partial into the already-updated minute table (double count).
+    * Closing it needs the ledger row folded into the same atomic swap
+    * as the table (i.e. a transaction-log table format); with plain
+    * parquet directories the window is documented, not closed.
     */
   def startGrainRollupSink(events: DataFrame, basePath: String,
       checkpoint: String): StreamingQuery =

@@ -57,6 +57,66 @@ class GraftDocsSourceSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  private def readBucketed(rows: Long, bucketSize: Long) =
+    spark.read.format("graft.sources.v2.GraftDocsSource")
+      .option("rows", rows.toString)
+      .option("bucketSize", bucketSize.toString)
+      .load()
+
+  test("storage-partitioned join (SupportsReportPartitioning): a doc_id-" +
+      "range self-join of two bucketed graftdocs scans plans with ZERO " +
+      "Exchange — the reported KeyGroupedPartitioning(identity(id_bucket" +
+      ")) co-locates both sides — and returns the plain-join rows") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // join keys (id_bucket, doc_id) are a SUPERSET of the partition
+      // key — subset co-partitioning must be allowed for SPJ to engage
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = readBucketed(1000, 125).as("a")
+      val b = readBucketed(1000, 125).as("b")
+      val j = a.join(b,
+        col("a.id_bucket") === col("b.id_bucket") &&
+          col("a.doc_id") === col("b.doc_id"))
+        .select(col("a.doc_id"), col("a.n_chars"), col("b.lang"))
+      val exec = j.queryExecution.executedPlan
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join still shuffles:\n$exec")
+      assert(j.count() === 1000)
+      // identical rows as the unbucketed self-join (bucketing is layout)
+      val plainCnt = read(1000).as("x")
+        .join(read(1000).as("y"), col("x.doc_id") === col("y.doc_id"))
+        .count()
+      assert(plainCnt === 1000)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed mode: id_bucket = doc_id / bucketSize, constant per " +
+      "input split; unbucketed reads are unchanged (no id_bucket column)") {
+    val df = readBucketed(1000, 125)
+    assert(df.schema.fieldNames.contains("id_bucket"))
+    assert(df.filter(col("id_bucket") =!= expr("doc_id div 125"))
+      .count() === 0)
+    assert(df.rdd.getNumPartitions === 8) // 1000/125 bucket-aligned splits
+    // each split holds exactly one bucket value
+    import spark.implicits._
+    val perSplit = df.select(col("id_bucket"))
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSet.size))
+      .collect()
+    assert(perSplit.forall(_ <= 1), perSplit.mkString(","))
+    assert(!read(1000).schema.fieldNames.contains("id_bucket"))
+  }
+
   test("micro-batch stream: offset-paced batches, exactly-once totals, " +
       "stream rows identical to the batch read") {
     val dir = java.nio.file.Files.createTempDirectory("graftdocs-stream")

@@ -233,7 +233,10 @@ class Round5bOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     val expRemoved = ids.filter(_ % 13 == 0).toSet
     val expChanged = ids.filter(i => i % 13 != 0 && i % 7 == 0).toSet
-    val expAdded = ids.filter(_ % 11 == 0).map(_ + 1000000L).toSet
+    // added docs are re-keyed into the negative namespace (-id - 1):
+    // collision-free against any real non-negative doc_id (round-6 fix
+    // of the fixed-offset scheme that collided past one million ids)
+    val expAdded = ids.filter(_ % 11 == 0).map(i => -i - 1L).toSet
     assert(out.collect { case (id, "removed") => id }.toSet === expRemoved)
     assert(out.collect { case (id, "changed") => id }.toSet === expChanged)
     assert(out.collect { case (id, "added") => id }.toSet === expAdded)

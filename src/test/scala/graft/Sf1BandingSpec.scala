@@ -36,6 +36,12 @@ import graft.ops.{DedupOps, SimilarityOps}
   *   hyperplane_bands_16    125 →    12 315 (birthday-dominated but 300×
   *                                           lower volume)
   *   hyperplane_bands_32      0 →         3 (chance collisions gone)
+  *   containment_pairs      256 →     2 560 (10.0×: shared inverted-index
+  *                                           candidates, exact)
+  *   span_flagged_postings 21 543 → 215 430 (10.0×: no pairwise term in
+  *                                           the ExactSubstr family)
+  *   multiprobe_cands_8   3 372 →    31 429 (9.3×: fixed query set —
+  *                                           linear in corpus by shape)
   */
 class Sf1BandingSpec extends AnyFunSuite {
 
@@ -107,6 +113,56 @@ class Sf1BandingSpec extends AnyFunSuite {
     info(f"minhash ${base16("minhash_bands")} -> ${big16("minhash_bands")} ($mhR%.1fx)")
     info(f"simhash16 ${base16("simhash_bands_16")} -> ${big16("simhash_bands_16")} ($sh16R%.1fx)")
     info(f"simhash32 ${base32("simhash_bands_32")} -> ${big32("simhash_bands_32")} ($sh32R%.1fx)")
+  }
+
+  test("10x corpus: containment pairs stay ~linear (disjoint replicas " +
+      "reproduce the base pair structure exactly 10x — same inverted-" +
+      "index candidates as the ngram family, asymmetric decision)") {
+    val base = DedupOps.containmentPairsFrom(
+      DedupOps.shingleIndexFrom(docsBase, 3)).count()
+    val big = DedupOps.containmentPairsFrom(
+      DedupOps.shingleIndexFrom(docs10x, 3)).count()
+    assert(base > 0, "containment produced no pairs at sf0.1")
+    val r = big.toDouble / base
+    info(f"containment pairs $base -> $big ($r%.1fx)")
+    assert(r > 8 && r < 12.5,
+      f"containment pairs scaled $r%.1fx, want ~10x (linear)")
+  }
+
+  test("10x corpus: exact-substring flagged window postings stay ~linear " +
+      "(the volume entering the islands merge — this family has no " +
+      "pairwise term to audit)") {
+    def cnt(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = DedupOps.spanPostingCounts(df).collect().head
+      (r.getLong(1), r.getLong(2)) // (flagged, total)
+    }
+    val (fBase, tBase) = cnt(docsBase)
+    val (fBig, tBig) = cnt(docs10x)
+    assert(fBase > 0, "no duplicated windows at sf0.1")
+    val fr = fBig.toDouble / fBase
+    val tr = tBig.toDouble / tBase
+    info(f"flagged postings $fBase -> $fBig ($fr%.1fx); " +
+      f"total $tBase -> $tBig ($tr%.1fx)")
+    assert(fr > 8 && fr < 12.5,
+      f"flagged postings scaled $fr%.1fx, want ~10x (linear)")
+    assert(tr > 8 && tr < 12.5,
+      f"total postings scaled $tr%.1fx, want ~10x (linear)")
+  }
+
+  test("10x embeddings: multiprobe candidate volume stays ~linear in the " +
+      "corpus at a fixed query set (corpus side lands in a constant " +
+      "number of buckets; only membership grows)") {
+    def cnt(df: org.apache.spark.sql.DataFrame): Long =
+      SimilarityOps.lshMultiprobeCandidateCount(df)
+        .collect().head.getLong(1)
+    val base = cnt(embBase)
+    val big = cnt(emb10x)
+    assert(base > 0, "no multiprobe candidates at sf0.1")
+    val r = big.toDouble / base
+    info(f"multiprobe candidates $base -> $big ($r%.1fx)")
+    assert(r > 6 && r < 16,
+      f"multiprobe candidates scaled $r%.1fx, want ~10x (linear; " +
+        "sign-decorrelated replicas add only chance-level bucket mass)")
   }
 
   test("10x embeddings: widening hyperplane bands is the knob that tames " +

@@ -111,6 +111,41 @@ class SinksAndIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("r_bucketed_join (registered entry): the SortMergeJoin subtree " +
+      "contains ZERO Exchange — both bucketed scans feed the join " +
+      "co-located — and the result matches the plain join aggregate") {
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ops.Relational.bucketedJoinAgg(spark, TestSpark.sf0001)
+      val smj = df.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.getOrElse(fail("expected a SortMergeJoin (merge hint + bucketed " +
+        s"layout):\n${df.queryExecution.executedPlan}"))
+      val shuffles = smj.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join still shuffles below the join:\n$smj")
+      assert(smj.toString.contains("Bucketed: true"),
+        s"scan did not use the bucketed layout:\n$smj")
+      // layout never changes semantics: equal to the plain join aggregate
+      val plain = Tables.orders(spark, TestSpark.sf0001)
+        .join(Tables.customer(spark, TestSpark.sf0001),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("segment").collect().toSeq
+      assert(df.collect().toSeq === plain)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    }
+  }
+
   test("compactParquet: collapses a many-file directory, data identical") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val df = Tables.orders(spark, TestSpark.sf0001)
