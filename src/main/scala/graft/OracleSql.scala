@@ -2910,6 +2910,95 @@ object OracleSql {
         |FROM l ORDER BY priority, order_year""".stripMargin,
   )
 
+  /** Round-6 additions: decorrelated Q21/Q22 shapes + BM25 retrieval. */
+  val round6: Map[String, String] = Map(
+    // Analytics.soleLateSupplier twin: the same decorrelated aggregate
+    // form (per-(order, supplier) late flag -> per-order counts) the
+    // engine runs — semantically the Q21 EXISTS/NOT-EXISTS pair.
+    "r_sole_late_supplier" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN CAST(l_shipdate AS TIMESTAMP) >
+        |          CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |po AS (
+        |  SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+        |  FROM per GROUP BY 1)
+        |SELECT p.l_suppkey AS suppkey, s.s_name AS name,
+        |  count(*) AS numwait
+        |FROM per p
+        |JOIN po USING (l_orderkey)
+        |JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        |WHERE p.late = 1 AND po.n_supps >= 2 AND po.n_late = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, suppkey""".stripMargin,
+
+    // Analytics.idleRichCustomers twin: DECIMAL-exact positive-balance
+    // average (scalar subquery), NOT EXISTS anti-join, per-segment rollup.
+    "r_idle_rich" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer c CROSS JOIN ab
+        |WHERE c.c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TextOps.bm25TopK twin: identical left-associated IEEE factors
+    // (avglen, idf, tf normalization; k1=1.2, b=0.75), per-term
+    // DECIMAL(20,8) contributions (absorbing ln's libm spread), exact
+    // decimal per-doc sums, identical (score desc, doc_id) ranking.
+    "txt_bm25_topk" -> {
+      val toks = "(SELECT doc_id, " + toksSql("lower(text)") +
+        " AS t FROM documents)"
+      s"""WITH q(query_id, term) AS (
+         |  VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+         |         (2, 'vector'), (2, 'scan'), (2, 'filter'),
+         |         (3, 'customer'), (3, 'order'), (3, 'data')),
+         |dl AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM $toks),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS total_len FROM dl),
+         |tft AS (
+         |  SELECT x.doc_id, x.term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM $toks) x
+         |  WHERE x.term IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY 1, 2),
+         |dft AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tft GROUP BY 1),
+         |sc AS (
+         |  SELECT q.query_id, tft.doc_id,
+         |    sum(CAST(
+         |      ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+         |      (tft.tf * (1.2 + 1.0) / (tft.tf + 1.2 * (1.0 - 0.75 +
+         |        0.75 * (CAST(dl.len AS DOUBLE)
+         |          / (CAST(st.total_len AS DOUBLE) / st.n_docs)))))
+         |      AS DECIMAL(20,8))) AS score_dec,
+         |    count(*) AS n_terms_hit
+         |  FROM tft
+         |  JOIN dft USING (term)
+         |  JOIN q USING (term)
+         |  JOIN dl ON tft.doc_id = dl.doc_id
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rank AS BIGINT) AS rank, doc_id,
+         |  CAST(score_dec AS DOUBLE) AS bm25, n_terms_hit
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_dec DESC, doc_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    })
+
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL
     * truth (one oracle, two driver-gated engine shapes).

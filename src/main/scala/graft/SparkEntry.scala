@@ -196,6 +196,10 @@ object SparkEntry {
     "r_important_stock"       -> (Analytics.importantStock(_, _)),
     "r_rfm_segments"          -> (Analytics.rfmSegments(_, _)),
     "r_yoy_revenue"           -> (Analytics.yoyRevenue(_, _)),
+    // round 6: decorrelated Q21/Q22 shapes + lexical retrieval
+    "r_sole_late_supplier"    -> (Analytics.soleLateSupplier(_, _)),
+    "r_idle_rich"             -> (Analytics.idleRichCustomers(_, _)),
+    "txt_bm25_topk"           -> ((s, d) => TextOps.bm25TopK(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql
@@ -204,7 +208,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    OracleSql.extended ++ OracleSql.aliased ++ Map(
+    OracleSql.extended ++ OracleSql.aliased ++ OracleSql.round6 ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

@@ -370,6 +370,75 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** TPC-H Q21's "suppliers who kept orders waiting" reshaped to the
+    * fixture's columns (no receipt/commit dates: late = shipped more
+    * than 90 days after the order date): per supplier, the number of
+    * multi-supplier orders where THIS supplier shipped late and NO other
+    * supplier did. The textbook correlated EXISTS + NOT-EXISTS pair —
+    * deliberately decorrelated here into ONE grouped pass over the fact
+    * join (per-(order, supplier) late flag → per-order supplier/late
+    * counts → filter n_supps ≥ 2 ∧ n_late = 1): at 100 TB the
+    * re-expression turns two correlated re-scans of lineitem into one
+    * shuffle on l_orderkey, the decorrelation Catalyst itself applies to
+    * EXISTS subqueries — written explicitly so the plan is the operator.
+    * Late flags are timestamp comparisons (integral — engine-exact).
+    */
+  def soleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("int"))
+        .as("late"))
+    // per-order supplier/late counts as an UNORDERED window over the
+    // per-(order, supplier) pass — not a groupBy + self-join, which
+    // would evaluate the fact join twice and add a join shuffle; this
+    // form is one extra order-keyed exchange over rows already reduced
+    // to (order, supplier) grain
+    val byOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+    per
+      .withColumn("n_supps", count(lit(1)).over(byOrder))
+      .withColumn("n_late", sum(col("late")).over(byOrder))
+      .filter(col("late") === 1 && col("n_supps") >= 2 &&
+        col("n_late") === 1)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"))),
+        Seq("suppkey"))
+      .select("suppkey", "name", "numwait")
+      .orderBy(col("numwait").desc, col("suppkey"))
+  }
+
+  /** TPC-H Q22's "idle rich customers" on the fixture's columns
+    * (c_mktsegment stands in for the phone prefix): customers with no
+    * orders at all (anti-join) whose balance exceeds the average
+    * POSITIVE balance (scalar subquery, broadcast back), rolled up per
+    * market segment. The average divides a DECIMAL-exact sum — not a
+    * float `avg`, whose accumulation order differs between engines —
+    * by the count, one exactly-rounded division; the comparison then
+    * runs against the identical double on both sides.
+    */
+  def idleRichCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val avgPos = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("avg_bal"))
+    c.join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"))
+      .orderBy("segment")
+  }
+
   /** Year-over-year revenue growth per order priority: DECIMAL-exact
     * yearly revenue, previous year's via a self-join of the tiny
     * (priority, year) grid on `order_year - 1` — NOT `lag`, which would

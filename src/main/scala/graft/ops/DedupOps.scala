@@ -675,8 +675,12 @@ object DedupOps {
     dupSpansFrom(Tables.documents(s, d), k)
 
   /** (doc_id, t, n_tokens) of a (doc_id, text) frame — the tokenized
-    * shape every exact-substring stage consumes.
+    * shape every exact-substring stage consumes. Public so a pipeline
+    * running BOTH [[dupSpansFromTokens]] and [[removeDupSpansFromTokens]]
+    * tokenizes (and can persist) the corpus once instead of per operator.
     */
+  def docTokensFrame(docs: DataFrame): DataFrame = docTokens(docs)
+
   private def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         TextOps.tokens(lower(col("text"))).as("t"))
@@ -710,9 +714,15 @@ object DedupOps {
   }
 
   /** [[dupSpans]] over any (doc_id, text) frame. */
-  def dupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame = {
+  def dupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame =
+    dupSpansFromTokens(docTokens(docs), k)
+
+  /** [[dupSpansFrom]] over a pre-tokenized (doc_id, t, n_tokens) frame
+    * ([[docTokensFrame]]) — the shared-frame entry point: a pipeline
+    * that also runs span REMOVAL reuses one tokenization pass for both.
+    */
+  def dupSpansFromTokens(toks: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, "window width must be >= 2 tokens")
-    val toks = docTokens(docs)
     val wins = windowHashes(toks, k)
     val dupWindows = wins.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("df"))
@@ -763,9 +773,14 @@ object DedupOps {
     removeDupSpansFrom(Tables.documents(s, d), k)
 
   /** [[removeDupSpans]] over any (doc_id, text) frame. */
-  def removeDupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame = {
+  def removeDupSpansFrom(docs: DataFrame, k: Int = 8): DataFrame =
+    removeDupSpansFromTokens(docTokens(docs), k)
+
+  /** [[removeDupSpansFrom]] over a pre-tokenized frame — see
+    * [[dupSpansFromTokens]].
+    */
+  def removeDupSpansFromTokens(toks: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, "window width must be >= 2 tokens")
-    val toks = docTokens(docs)
     val wins = windowHashes(toks, k)
     val keepers = wins.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("df"),

@@ -275,6 +275,77 @@ object TextOps {
       .orderBy("doc_id", "term")
   }
 
+  /** BM25 top-k retrieval (Robertson–Spärck Jones; the Okapi BM25
+    * ranking function, k1 = 1.2, b = 0.75) for a fixed literal query
+    * set — the retrieval face a training-data pipeline uses for
+    * decontamination probes and eval-set leakage checks, and the
+    * lexical twin of the embedding ANN family. score(q, d) =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)), with
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Reproducibility: every float factor (avglen, idf, the tf
+    * normalization) is an identical left-associated IEEE expression on
+    * both engines; each per-(query, doc, term) product rounds onto
+    * DECIMAL(20,8) (absorbing ln's 1-ulp libm spread — the [[lmScore]]
+    * discipline) and the per-doc score is the exact decimal sum, so the
+    * (score desc, doc_id) ranking is engine-identical.
+    *
+    * Scale: one corpus scan; the doc-term table is immediately
+    * semi-joined to the (broadcast, bounded) query vocabulary, so every
+    * downstream shuffle is keyed by query terms only — corpus-sized
+    * work never survives past the first projection. Top-k per query is
+    * a |queries|-partition window over the hit set.
+    */
+  def bm25TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      1L -> Seq("hash", "join", "merge"),
+      2L -> Seq("vector", "scan", "filter"),
+      3L -> Seq("customer", "order", "data"))
+    val qdf = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast(LongType).as("len"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val tfq = toks
+      .select(col("doc_id"), col("len"), explode(col("t")).as("term"))
+      .join(broadcast(qdf.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+    // df as a window over the hit set — not a groupBy + join back, which
+    // would re-run the corpus explode + semi-join a second time; the
+    // window shuffles only the (bounded) query-term hit rows
+    val scored = tfq
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avglen",
+        col("total_len").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("tfc",
+        col("tf") * (lit(1.2) + lit(1.0))
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+            + lit(0.75) * (col("len").cast("double") / col("avglen")))))
+      .withColumn("contrib", (col("idf") * col("tfc")).cast("decimal(20,8)"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score_dec"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), col("score_dec").cast("double").as("bm25"),
+        col("n_terms_hit"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Unigram language-model score per document: mean token log-probability
     * under the corpus's own MLE unigram distribution — the cheap
     * perplexity proxy used to quality-rank corpora (low mean logprob ⇒

@@ -111,6 +111,27 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------- shared-tokenization overloads
+
+  test("dupSpans/removeDupSpans from ONE shared tokenized frame equal " +
+      "the per-operator entry points (a pipeline running both pays one " +
+      "tokenization pass)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val toks = graft.ops.DedupOps.docTokensFrame(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(graft.ops.DedupOps.dupSpansFromTokens(toks)
+        .collect().map(_.toString).toSeq ===
+        graft.ops.DedupOps.dupSpansFrom(docs)
+          .collect().map(_.toString).toSeq)
+      assert(graft.ops.DedupOps.removeDupSpansFromTokens(toks)
+        .collect().map(_.toString).toSeq ===
+        graft.ops.DedupOps.removeDupSpansFrom(docs)
+          .collect().map(_.toString).toSeq)
+    } finally { toks.unpersist(); () }
+  }
+
   // -------------------------------------------- cc_labels artifact
 
   test("corpus pipeline cc_labels artifact: an unchanged-input re-run " +
