@@ -2947,7 +2947,8 @@ object OracleSql {
         |FROM customer c CROSS JOIN ab
         |WHERE c.c_acctbal > ab.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey = c.c_custkey)
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // TextOps.bm25TopK twin: identical left-associated IEEE factors
@@ -2997,7 +2998,44 @@ object OracleSql {
          |      ORDER BY score_dec DESC, doc_id) AS rank
          |  FROM sc)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    })
+    },
+
+    // TextOps.bpePairs twin: vocabulary-reduced adjacent character-pair
+    // counts weighted by word frequency — pure integer counting.
+    "txt_bpe_pairs" ->
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS wf FROM (
+         |    SELECT unnest(${toksSql("lower(text)")}) AS word
+         |    FROM documents)
+         |  GROUP BY 1 HAVING length(word) >= 2),
+         |p AS (
+         |  SELECT unnest(list_transform(
+         |      generate_series(1, length(word) - 1),
+         |      i -> substr(word, i, 2))) AS pair, wf
+         |  FROM vocab)
+         |SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occurrences,
+         |  count(*) AS n_vocab_words
+         |FROM p GROUP BY 1
+         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+
+    // TextOps.tokenEntropy twin: per-(doc, term) tf·ln(tf/n) rounded
+    // DECIMAL(24,9) (associative sum), one exactly-rounded final divide.
+    "txt_token_entropy" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT doc_id, term, tf,
+         |    sum(tf) OVER (PARTITION BY doc_id) AS n
+         |  FROM tf)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  -CAST(sum(CAST(tf * ln(CAST(tf AS DOUBLE) / n)
+         |      AS DECIMAL(24,9))) AS DOUBLE) / CAST(max(n) AS BIGINT)
+         |    AS entropy
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

@@ -200,6 +200,8 @@ object SparkEntry {
     "r_sole_late_supplier"    -> (Analytics.soleLateSupplier(_, _)),
     "r_idle_rich"             -> (Analytics.idleRichCustomers(_, _)),
     "txt_bm25_topk"           -> ((s, d) => TextOps.bm25TopK(s, d)),
+    "txt_bpe_pairs"           -> ((s, d) => TextOps.bpePairs(s, d)),
+    "txt_token_entropy"       -> (TextOps.tokenEntropy(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

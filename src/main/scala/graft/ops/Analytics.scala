@@ -414,13 +414,15 @@ object Analytics {
   }
 
   /** TPC-H Q22's "idle rich customers" on the fixture's columns
-    * (c_mktsegment stands in for the phone prefix): customers with no
-    * orders at all (anti-join) whose balance exceeds the average
-    * POSITIVE balance (scalar subquery, broadcast back), rolled up per
-    * market segment. The average divides a DECIMAL-exact sum — not a
-    * float `avg`, whose accumulation order differs between engines —
-    * by the count, one exactly-rounded division; the comparison then
-    * runs against the identical double on both sides.
+    * (c_mktsegment stands in for the phone prefix; "idle" = no URGENT
+    * order — every fixture customer has SOME order, so the literal
+    * no-orders form would be vacuously empty): customers with no
+    * 1-URGENT order (filtered anti-join) whose balance exceeds the
+    * average POSITIVE balance (scalar subquery, broadcast back), rolled
+    * up per market segment. The average divides a DECIMAL-exact sum —
+    * not a float `avg`, whose accumulation order differs between
+    * engines — by the count, one exactly-rounded division; the
+    * comparison then runs against the identical double on both sides.
     */
   def idleRichCustomers(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -428,7 +430,9 @@ object Analytics {
     val avgPos = c.filter(col("c_acctbal") > 0)
       .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
         / count(lit(1))).as("avg_bal"))
-    c.join(Tables.orders(s, d).select(col("o_custkey")),
+    c.join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .crossJoin(broadcast(avgPos))
       .filter(col("c_acctbal") > col("avg_bal"))

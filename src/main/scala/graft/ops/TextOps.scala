@@ -346,6 +346,62 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** BPE merge-pair statistics (Sennrich et al. 2016 §3.2, the counting
+    * step of byte-pair-encoding tokenizer training — the part that IS
+    * distributed at corpus scale; the merge loop itself is a driver-side
+    * iteration over this table): top adjacent character pairs across the
+    * corpus, each word's pair counts weighted by the word's corpus
+    * frequency. Pure integer counting — engine-exact by construction.
+    *
+    * Scale: the corpus reduces to its VOCABULARY first (one word-keyed
+    * shuffle; the canonical BPE-training trick — pair extraction then
+    * runs over |vocab| rows, not |tokens|), pairs explode row-locally
+    * (|word|−1 per word), one pair-keyed aggregate, one top-k.
+    */
+  def bpePairs(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(col("wf"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("n_occurrences"),
+        count(lit(1)).as("n_vocab_words"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Token-level Shannon entropy per document — the lexical-diversity
+    * quality signal (a low-entropy page is repetitive boilerplate; the
+    * distributional cousin of [[graft.ops.CorpusOps.repetitionRatio]]):
+    * H = −Σ_t (tf/n)·ln(tf/n) over the doc's own token distribution.
+    * Each per-(doc, term) contribution tf·ln(tf/n) rounds onto
+    * DECIMAL(24,9) (the [[lmScore]] discipline — absorbs ln's 1-ulp
+    * libm spread, makes the per-doc sum exact/associative); the final
+    * −sum/n is one exactly-rounded division. One corpus scan, one
+    * (doc, term)-keyed aggregate — no corpus-wide state at all.
+    */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = Window.partitionBy("doc_id")
+    tf
+      .withColumn("n", sum(col("tf")).over(n))
+      .withColumn("contrib",
+        (col("tf") * log(col("tf").cast("double") / col("n")))
+          .cast("decimal(24,9)"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("contrib")).as("sum_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (-col("sum_c").cast("double") / col("n_tokens")).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model score per document: mean token log-probability
     * under the corpus's own MLE unigram distribution — the cheap
     * perplexity proxy used to quality-rank corpora (low mean logprob ⇒
