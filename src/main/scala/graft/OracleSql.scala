@@ -3018,6 +3018,47 @@ object OracleSql {
          |FROM p GROUP BY 1
          |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
 
+    // GraphOps.pageRank twin: 10 supersteps UNROLLED as chained CTEs
+    // (standard SQL forbids aggregation in a recursive term). Rank state
+    // is a scaled INTEGER (1e-12 micro-units): integer floor-div
+    // messages, exact integer inbox sums, floor(0.85·sum) update — the
+    // only float ops are single correctly-rounded products/divisions,
+    // and floor has no .5 tie, so every superstep table is bit-equal.
+    "graph_pagerank" -> {
+      val steps = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT nd.node,
+           |    CAST(floor((1.0 - 0.85) / nd.n * 1e12) AS BIGINT)
+           |      + CAST(floor(0.85 * CAST(coalesce(m.sin, 0) AS DOUBLE))
+           |          AS BIGINT) AS r
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT)
+           |      AS sin
+           |    FROM pr${i - 1} p
+           |    JOIN edges e ON e.src = p.node
+           |    JOIN deg dg ON dg.src = p.node
+           |    GROUP BY 1) m ON m.node = nd.node)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, p AS dst FROM pairs
+         |  UNION ALL SELECT p AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS (
+         |  SELECT src AS node, (SELECT count(*) FROM deg) AS n FROM deg),
+         |pr0 AS (
+         |  SELECT node, CAST(floor(1.0 / n * 1e12) AS BIGINT) AS r
+         |  FROM nodes),
+         |$steps
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  CAST(r AS DOUBLE) / 1e12 AS pagerank
+         |FROM pr10 ORDER BY r DESC, node LIMIT 20""".stripMargin
+    },
+
     // TextOps.tokenEntropy twin: per-(doc, term) tf·ln(tf/n) rounded
     // DECIMAL(24,9) (associative sum), one exactly-rounded final divide.
     "txt_token_entropy" ->

@@ -202,6 +202,7 @@ object SparkEntry {
     "txt_bm25_topk"           -> ((s, d) => TextOps.bm25TopK(s, d)),
     "txt_bpe_pairs"           -> ((s, d) => TextOps.bpePairs(s, d)),
     "txt_token_entropy"       -> (TextOps.tokenEntropy(_, _)),
+    "graph_pagerank"          -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

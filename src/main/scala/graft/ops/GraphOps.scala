@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph dataflow beyond the CC fixpoint
+  * ([[DedupOps.connectedComponents]]): PageRank over the bipartite
+  * customer↔supplier trade graph — the canonical message-passing
+  * iteration every Pregel-style system demonstrates, expressed as the
+  * standard DataFrame shape (one edge-keyed join + one dst-keyed
+  * aggregate per superstep).
+  */
+object GraphOps {
+
+  /** PageRank (Page et al. 1999; damping 0.85, fixed `iters`
+    * supersteps) over the undirected customer↔supplier graph: an edge
+    * per DISTINCT (customer, supplier) pair that traded (orders ⋈
+    * lineitem), both directions materialized. Node ids share one long
+    * space: customer k → 2k, supplier k → 2k+1.
+    *
+    * Engine-exactness — stricter than the decimal discipline: rank
+    * state is a SCALED INTEGER (1e-12 micro-units, LONG). Messages are
+    * integer floor-division r div outdeg (a node's outbox loses at most
+    * outdeg−1 micro-units — deterministic quantization, never a
+    * rounding tie); the inbox sum is exact integer addition; the new
+    * rank is base + floor(0.85·sum), where the only float ops are one
+    * correctly-rounded double product/division each — floor of an
+    * identical double is identical, and unlike ROUND it has no .5 tie
+    * whose direction engines can disagree on (measured: the
+    * DECIMAL(20,12) cast formulation diverged by 1 micro-unit between
+    * Spark's exact-BigDecimal HALF_UP and DuckDB's scale-multiply
+    * rounding). Every superstep's state is therefore BIT-identical on
+    * any engine, and the final (rank desc, node) top-k is exact.
+    *
+    * Scale shape: per superstep, one join of the rank table against
+    * edges on src (co-partitionable: both keyed by node — at 100 TB
+    * bucket both by node id and the join is exchange-free, the
+    * [[graft.sources.Sinks.bucketedTable]] lever) + one dst-keyed
+    * aggregate; lineage truncated per round with an eager
+    * localCheckpoint exactly as the CC loop does (driver state = one
+    * long, the node count). Dangling nodes cannot exist (bidirectional
+    * edges ⇒ every node has out-degree ≥ 1); the LEFT join + coalesce
+    * keeps the formula total anyway.
+    */
+  def pageRank(s: SparkSession, d: String, iters: Int = 10,
+      topK: Int = 20): DataFrame = {
+    val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("node"))
+    // the one piece of driver state: |V| (bounded — a single long)
+    val n = nodes.count()
+    // micro-unit constants, computed with the same IEEE expression the
+    // oracle evaluates: (1.0/n)·1e12 and ((1.0−0.85)/n)·1e12, floored
+    val r0 = math.floor(1.0 / n * 1e12).toLong
+    val base = math.floor((1.0 - 0.85) / n * 1e12).toLong
+    var pr = nodes.select(col("node"), lit(r0).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inbox = pr
+        .join(edges, pr("node") === edges("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("r div outdeg").as("c")) // integer floor-div, never float
+        .groupBy("node").agg(sum(col("c")).as("sin"))
+      pr = nodes.join(inbox, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+            .cast("long").as("r"))
+        .localCheckpoint()
+    }
+    pr
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("kind"),
+        col("r"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(topK)
+      .select(col("node"), col("kind"),
+        (col("r").cast("double") / lit(1e12)).as("pagerank"))
+  }
+}

@@ -132,6 +132,25 @@ class Round6OpsSpec extends AnyFunSuite {
     } finally { toks.unpersist(); () }
   }
 
+  // ---------------------------------------------------- pageRank
+
+  test("pageRank: total rank mass stays ~1 (floor quantization only " +
+      "leaks micro-units), every rank positive, both bipartite kinds " +
+      "present, ranks non-increasing in the returned order") {
+    val rows = graft.ops.GraphOps
+      .pageRank(spark, TestSpark.sf0001, topK = 1000000)
+      .collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(mass > 0.9 && mass <= 1.000001, s"rank mass $mass")
+    assert(rows.forall(_.getDouble(2) > 0))
+    assert(rows.map(_.getString(1)).toSet === Set("customer", "supplier"))
+    rows.map(_.getDouble(2)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   // -------------------------------------------- cc_labels artifact
 
   test("corpus pipeline cc_labels artifact: an unchanged-input re-run " +
