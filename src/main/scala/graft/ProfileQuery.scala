@@ -25,11 +25,14 @@ object ProfileQuery {
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
+      val t0 = System.nanoTime()
       val (_, p) = Metrics.profile(spark) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      val wallMs = (System.nanoTime() - t0) / 1000000
       Caches.releaseAll()
-      println(s"""{"query":"$name","jobs":${p.jobs},"stages":${p.stages},""" +
+      println(s"""{"query":"$name","wall_ms":$wallMs,""" +
+        s""""jobs":${p.jobs},"stages":${p.stages},""" +
         s""""tasks":${p.tasks},"task_time_ms":${p.taskTimeMs},""" +
         s""""shuffle_read_b":${p.shuffleReadBytes},""" +
         s""""shuffle_write_b":${p.shuffleWriteBytes},""" +

@@ -723,6 +723,15 @@ object DedupOps {
     */
   def dupSpansFromTokens(toks: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, "window width must be >= 2 tokens")
+    // The postings feed TWO consumers (the df aggregate and the
+    // position join) and are deliberately NOT persisted: recomputing
+    // the codegen'd tokenize+hash scan twice was MEASURED cheaper than
+    // caching (sf0.1 task time 5.8 s uncached vs 7.5 s postings-cached
+    // vs 8.2 s fully cached — serializing ~n_tokens posting rows costs
+    // more than one extra columnar scan). At 100 TB the trade flips
+    // with scan cost: materialize the postings to parquet between
+    // stages (the [[writeShingleIndex]] discipline) rather than
+    // executor-cache them.
     val wins = windowHashes(toks, k)
     val dupWindows = wins.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("df"))
@@ -781,6 +790,7 @@ object DedupOps {
     */
   def removeDupSpansFromTokens(toks: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, "window width must be >= 2 tokens")
+    // same measured no-persist trade as [[dupSpansFromTokens]]
     val wins = windowHashes(toks, k)
     val keepers = wins.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("df"),
