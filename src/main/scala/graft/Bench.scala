@@ -129,6 +129,13 @@ object Bench {
     // demonstrated best capacity during this run
     val probeAfter = (1 to 3).map(_ => probeOnce()).min
     val probeScore = math.min(probeBefore, probeAfter)
+    // mid-run degradation is the round-5 failure mode the before/after
+    // pair exists to expose (driver reps worsening monotonically while
+    // the host decayed) — make it loud, not just recorded
+    if (probeAfter > 1.5 * probeBefore || probeBefore > 1.5 * probeAfter)
+      System.err.println(f"[bench] WARNING: probe drifted " +
+        f"${probeBefore}%.2fs -> ${probeAfter}%.2fs during the run — " +
+        "host speed changed mid-run; treat per-query medians with care")
     // machine-checked, HOST-CALIBRATED regression list (BenchMath): a
     // query regressed when even its BEST rep is >2x the previous bench
     // line's median at the same SF, scaled by probeScore/prevProbe —
