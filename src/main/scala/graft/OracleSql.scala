@@ -2910,6 +2910,26 @@ object OracleSql {
         |FROM l ORDER BY priority, order_year""".stripMargin,
   )
 
+  /** The shared PageRank superstep chain (10 unrolled CTEs, scaled-
+    * integer state — see GraphOps.pageRankFrom): node-type-agnostic, so
+    * graph_pagerank (long ids) and txt_textrank (word strings) reuse it
+    * verbatim over their own `edges`/`deg`/`nodes`/`pr0` CTEs.
+    */
+  private val pagerankSteps: String = (1 to 10).map { i =>
+    s"""pr$i AS (
+       |  SELECT nd.node,
+       |    CAST(floor((1.0 - 0.85) / nd.n * 1e12) AS BIGINT)
+       |      + CAST(floor(0.85 * CAST(coalesce(m.sin, 0) AS DOUBLE))
+       |          AS BIGINT) AS r
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT)
+       |      AS sin
+       |    FROM pr${i - 1} p
+       |    JOIN edges e ON e.src = p.node
+       |    JOIN deg dg ON dg.src = p.node
+       |    GROUP BY 1) m ON m.node = nd.node)"""
+  }.mkString(",\n")
+
   /** Round-6 additions: decorrelated Q21/Q22 shapes + BM25 retrieval. */
   val round6: Map[String, String] = Map(
     // Analytics.soleLateSupplier twin: the same decorrelated aggregate
@@ -3025,20 +3045,6 @@ object OracleSql {
     // only float ops are single correctly-rounded products/divisions,
     // and floor has no .5 tie, so every superstep table is bit-equal.
     "graph_pagerank" -> {
-      val steps = (1 to 10).map { i =>
-        s"""pr$i AS (
-           |  SELECT nd.node,
-           |    CAST(floor((1.0 - 0.85) / nd.n * 1e12) AS BIGINT)
-           |      + CAST(floor(0.85 * CAST(coalesce(m.sin, 0) AS DOUBLE))
-           |          AS BIGINT) AS r
-           |  FROM nodes nd LEFT JOIN (
-           |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT)
-           |      AS sin
-           |    FROM pr${i - 1} p
-           |    JOIN edges e ON e.src = p.node
-           |    JOIN deg dg ON dg.src = p.node
-           |    GROUP BY 1) m ON m.node = nd.node)"""
-      }.mkString(",\n")
       s"""WITH pairs AS (
          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -3051,12 +3057,38 @@ object OracleSql {
          |pr0 AS (
          |  SELECT node, CAST(floor(1.0 / n * 1e12) AS BIGINT) AS r
          |  FROM nodes),
-         |$steps
+         |$pagerankSteps
          |SELECT node,
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          |    AS kind,
          |  CAST(r AS DOUBLE) / 1e12 AS pagerank
          |FROM pr10 ORDER BY r DESC, node LIMIT 20""".stripMargin
+    },
+
+    // TextOps.textRank twin: the SAME unrolled superstep chain over the
+    // word co-occurrence graph — the generator is node-type-agnostic,
+    // exactly like the engine's pageRankFrom core.
+    "txt_textrank" -> {
+      val toks = "(SELECT " + toksSql("lower(text)") + " AS t FROM documents)"
+      s"""WITH toks AS (SELECT t FROM $toks WHERE len(t) >= 2),
+         |raw AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT DISTINCT p.a AS a, p.b AS b FROM raw WHERE p.a <> p.b),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b AS src, a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS (
+         |  SELECT src AS node, (SELECT count(*) FROM deg) AS n FROM deg),
+         |pr0 AS (
+         |  SELECT node, CAST(floor(1.0 / n * 1e12) AS BIGINT) AS r
+         |  FROM nodes),
+         |$pagerankSteps
+         |SELECT node AS term, CAST(r AS DOUBLE) / 1e12 AS textrank
+         |FROM pr10 ORDER BY r DESC, node LIMIT 25""".stripMargin
     },
 
     // TextOps.tokenEntropy twin: per-(doc, term) tf·ln(tf/n) rounded

@@ -203,6 +203,7 @@ object SparkEntry {
     "txt_bpe_pairs"           -> ((s, d) => TextOps.bpePairs(s, d)),
     "txt_token_entropy"       -> (TextOps.tokenEntropy(_, _)),
     "graph_pagerank"          -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
+    "txt_textrank"            -> ((s, d) => TextOps.textRank(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

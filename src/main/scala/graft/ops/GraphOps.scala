@@ -54,7 +54,27 @@ object GraphOps {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-      .localCheckpoint()
+    pageRankFrom(edges, iters)
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("kind"),
+        col("r"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(topK)
+      .select(col("node"), col("kind"),
+        (col("r").cast("double") / lit(1e12)).as("pagerank"))
+  }
+
+  /** The PageRank core over an arbitrary directed (src, dst) edge frame
+    * (undirected callers supply both directions): returns (node, r)
+    * with `r` in 1e-12 micro-units (LONG — see [[pageRank]]'s
+    * exactness contract). Node type is whatever the caller's keys are
+    * (long ids, word strings, …) — every step is join/agg-shaped and
+    * key-type-agnostic. [[pageRank]] ranks trade partners with it;
+    * `TextOps.textRank` ranks co-occurring words.
+    */
+  def pageRankFrom(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes = deg.select(col("src").as("node"))
@@ -87,13 +107,5 @@ object GraphOps {
         .localCheckpoint()
     }
     pr
-      .select(col("node"),
-        when(col("node") % 2 === 0, "customer").otherwise("supplier")
-          .as("kind"),
-        col("r"))
-      .orderBy(col("r").desc, col("node"))
-      .limit(topK)
-      .select(col("node"), col("kind"),
-        (col("r").cast("double") / lit(1e12)).as("pagerank"))
   }
 }

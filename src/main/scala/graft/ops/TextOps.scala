@@ -402,6 +402,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus-wide word co-occurrence graph — an undirected edge
+    * between every DISTINCT adjacent token pair — surfacing the top-k
+    * central terms. Composes [[graft.ops.GraphOps.pageRankFrom]]
+    * verbatim (same scaled-integer supersteps, so the ranking is
+    * engine-exact; see its contract), which is the point: the graph
+    * core is key-type-agnostic and ranks word strings exactly as it
+    * ranks trade-partner ids. Edge extraction is one row-local
+    * adjacent-pair explode + one distinct — the co-occurrence graph is
+    * VOCABULARY-sized (like [[bpePairs]]' table), not corpus-sized.
+    */
+  def textRank(s: SparkSession, d: String, k: Int = 25): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), (i + 1).cast("int")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    graft.ops.GraphOps.pageRankFrom(edges)
+      .orderBy(col("r").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("term"),
+        (col("r").cast("double") / lit(1e12)).as("textrank"))
+  }
+
   /** Unigram language-model score per document: mean token log-probability
     * under the corpus's own MLE unigram distribution — the cheap
     * perplexity proxy used to quality-rank corpora (low mean logprob ⇒
