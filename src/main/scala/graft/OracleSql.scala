@@ -3020,6 +3020,59 @@ object OracleSql {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // Analytics.marketBasket twin: identical basket-size guard, integer
+    // support/count/total, one exactly-rounded division per ratio.
+    "r_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |sized AS (
+        |  SELECT okey, part FROM (
+        |    SELECT okey, part,
+        |      COUNT(*) OVER (PARTITION BY okey) AS bsz FROM items)
+        |  WHERE bsz <= 50),
+        |n AS (
+        |  SELECT count(DISTINCT okey) AS n_orders FROM sized),
+        |pp AS (
+        |  SELECT part, count(*) AS cnt FROM sized GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.part AS part_a, y.part AS part_b,
+        |    count(*) AS support
+        |  FROM sized x JOIN sized y ON x.okey = y.okey
+        |    AND x.part < y.part
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, support,
+        |  a.cnt AS cnt_a, b.cnt AS cnt_b,
+        |  CAST(support AS DOUBLE) / a.cnt AS confidence,
+        |  CAST(support * n.n_orders AS DOUBLE) / (a.cnt * b.cnt) AS lift
+        |FROM pairs
+        |JOIN pp a ON a.part = part_a
+        |JOIN pp b ON b.part = part_b
+        |CROSS JOIN n
+        |ORDER BY support DESC, part_a, part_b LIMIT 30""".stripMargin,
+
+    // Analytics.quantityDiscountCorr twin: DECIMAL moment sums (exact,
+    // scaled ints far under 2^53 → exact-input double surfacing), the
+    // closed-form r in one identically-ordered double expression.
+    "r_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sx,
+        |    CAST(sum(disc) AS DOUBLE) AS sy,
+        |    CAST(sum(q * disc) AS DOUBLE) AS sxy,
+        |    CAST(sum(q * q) AS DOUBLE) AS sxx,
+        |    CAST(sum(disc * disc) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(12,2)) AS q,
+        |          CAST(l_discount AS DECIMAL(12,2)) AS disc
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |    AS corr_q_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     // TextOps.bpePairs twin: vocabulary-reduced adjacent character-pair
     // counts weighted by word frequency — pure integer counting.
     "txt_bpe_pairs" ->

@@ -204,6 +204,8 @@ object SparkEntry {
     "txt_token_entropy"       -> (TextOps.tokenEntropy(_, _)),
     "graph_pagerank"          -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
     "txt_textrank"            -> ((s, d) => TextOps.textRank(s, d)),
+    "r_market_basket"         -> ((s, d) => Analytics.marketBasket(s, d)),
+    "r_correlation"           -> (Analytics.quantityDiscountCorr(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

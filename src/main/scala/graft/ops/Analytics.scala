@@ -443,6 +443,80 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Market-basket affinity (support / confidence / lift — the classic
+    * association-rule surface, Agrawal & Srikant 1994's counting core):
+    * part pairs co-purchased in the same order. Pair generation is a
+    * within-order self-join — fan-out bounded by basket size squared
+    * (TPC-H baskets are ≤ 7 lines; the `maxBasket` guard drops
+    * pathological baskets the way `maxShingleDf` drops hot shingles, so
+    * a degenerate giant order can never go quadratic at 100 TB).
+    * support/cnt_a/cnt_b/n_orders are pure integer counts; confidence
+    * and lift are one exactly-rounded double division each (lift's
+    * numerator/denominator stay in LONG: supp·n and cnt_a·cnt_b both
+    * ≤ ~2^40 at any realistic scale) — engine-exact.
+    */
+  def marketBasket(s: SparkSession, d: String, topK: Int = 30,
+      maxBasket: Int = 50): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("okey")))
+      .filter(col("bsz") <= maxBasket)
+      .select("okey", "part")
+    val nOrders = sized.select("okey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perPart = sized.groupBy("part").agg(count(lit(1)).as("cnt"))
+    val pairs = sized.as("x")
+      .join(sized.as("y"), Seq("okey"))
+      .filter(col("x.part") < col("y.part"))
+      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(perPart.select(col("part").as("part_a"),
+        col("cnt").as("cnt_a")), Seq("part_a"))
+      .join(perPart.select(col("part").as("part_b"),
+        col("cnt").as("cnt_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        (col("support").cast("double") / col("cnt_a")).as("confidence"),
+        ((col("support") * col("n_orders")).cast("double")
+          / (col("cnt_a") * col("cnt_b"))).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  /** Pearson correlation per return flag between line quantity and
+    * discount — NOT Spark's float `corr` aggregate (its accumulation
+    * order is partition-dependent): the five moment sums accumulate in
+    * DECIMAL (exact, associative — scaled magnitudes stay far below
+    * 2^53 through ~sf100, so the final decimal→double surfacing is
+    * exact-input), and the closed-form r evaluates ONCE in double with
+    * a fixed operation order both engines share. The moment-sum shape
+    * is also the 100 TB shape: one map-side-combinable aggregate, no
+    * second pass, no centering sweep.
+    */
+  def quantityDiscountCorr(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("decimal(12,2)").as("q"),
+      col("l_discount").cast("decimal(12,2)").as("disc"))
+    l.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).cast("double").as("sx"),
+        sum(col("disc")).cast("double").as("sy"),
+        sum(col("q") * col("disc")).cast("double").as("sxy"),
+        sum(col("q") * col("q")).cast("double").as("sxx"),
+        sum(col("disc") * col("disc")).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_q_disc"))
+      .orderBy("l_returnflag")
+  }
+
   /** Year-over-year revenue growth per order priority: DECIMAL-exact
     * yearly revenue, previous year's via a self-join of the tiny
     * (priority, year) grid on `order_year - 1` — NOT `lag`, which would
