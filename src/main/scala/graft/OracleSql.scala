@@ -3073,6 +3073,41 @@ object OracleSql {
         |    AS corr_q_disc
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
+    // EventOps.crossCorrelation twin: epoch-hour integer keys, decimal
+    // moment sums, the identical fixed-order closed-form r per lag.
+    "ev_cross_correlation" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+        |      AS h,
+        |    count(*) AS cnt
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |a AS (SELECT h, cnt AS ca FROM hourly
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT h AS hb, cnt AS cb FROM hourly
+        |      WHERE event_type = 'purchase'),
+        |lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |m AS (
+        |  SELECT lag,
+        |    CAST(ca AS DECIMAL(14,0)) AS x,
+        |    CAST(cb AS DECIMAL(14,0)) AS y
+        |  FROM a JOIN (SELECT * FROM b CROSS JOIN lags) bl
+        |    ON a.h = bl.hb + bl.lag),
+        |s AS (
+        |  SELECT lag, count(*) AS n_hours,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM m GROUP BY 1)
+        |SELECT lag, n_hours,
+        |  (n_hours * sxy - sx * sy)
+        |    / sqrt((n_hours * sxx - sx * sx)
+        |      * (n_hours * syy - sy * sy)) AS xcorr
+        |FROM s ORDER BY lag""".stripMargin,
+
     // TextOps.bpePairs twin: vocabulary-reduced adjacent character-pair
     // counts weighted by word frequency — pure integer counting.
     "txt_bpe_pairs" ->

@@ -206,6 +206,7 @@ object SparkEntry {
     "txt_textrank"            -> ((s, d) => TextOps.textRank(s, d)),
     "r_market_basket"         -> ((s, d) => Analytics.marketBasket(s, d)),
     "r_correlation"           -> (Analytics.quantityDiscountCorr(_, _)),
+    "ev_cross_correlation"    -> ((s, d) => EventOps.crossCorrelation(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -642,6 +642,62 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Lagged cross-correlation between two event streams (does `purchase`
+    * volume follow `click` volume, and at what delay? — the lead/lag
+    * diagnostic behind attribution and capacity models): hourly counts
+    * per type, then for every lag in ±`maxLag` hours, the Pearson
+    * correlation between the click series and the purchase series
+    * shifted by that lag, over the hours both have data (inner join).
+    *
+    * Engine-exact by the [[graft.ops.Analytics.quantityDiscountCorr]]
+    * discipline: the joined counts are INTEGERS, the five moment sums
+    * accumulate in DECIMAL (exact/associative; scaled values far below
+    * 2^53, so the double surfacing is exact-input), and the closed-form
+    * r evaluates once in a fixed-order double expression. Hour keys are
+    * epoch-hours (integer division — Spark truncates unix_timestamp to
+    * seconds, DuckDB floors the fractional epoch; identical for any
+    * positive timestamp).
+    *
+    * Scale: ONE fact aggregate to (type, hour) grain — everything after
+    * operates on series tables (|hours| rows), broadcast-joined per
+    * lag; maxLag bounds the fan-out at 2·maxLag+1 tiny joins' worth of
+    * rows in one plan.
+    */
+  def crossCorrelation(s: SparkSession, d: String,
+      typeA: String = "click", typeB: String = "purchase",
+      maxLag: Int = 3): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = hourly.filter(col("event_type") === typeA)
+      .select(col("h"), col("cnt").as("ca"))
+    val b = hourly.filter(col("event_type") === typeB)
+      .select(col("h").as("hb"), col("cnt").as("cb"))
+    val lags = (-maxLag to maxLag).toDF("lag")
+    val matched = a
+      .join(broadcast(b.crossJoin(broadcast(lags))),
+        col("h") === col("hb") + col("lag"))
+      .select(col("lag"),
+        col("ca").cast("decimal(14,0)").as("x"),
+        col("cb").cast("decimal(14,0)").as("y"))
+    matched.groupBy("lag")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("lag"), col("n_hours"),
+        ((col("n_hours") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx"))
+            * (col("n_hours") * col("syy") - col("sy") * col("sy"))))
+          .as("xcorr"))
+      .orderBy("lag")
+  }
+
   /** Hierarchical grain rollup with partial reuse — the materialized-view
     * ladder every streaming-OLAP store keeps (minute → hour → day):
     * events aggregate ONCE to minute grain, hours re-aggregate the
