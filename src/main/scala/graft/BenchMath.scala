@@ -82,6 +82,11 @@ object BenchMath {
     val cpus = Runtime.getRuntime.availableProcessors()
     val heapGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
     val arch = System.getProperty("os.arch", "?")
-    f"""{"cpus":$cpus,"maxHeapGb":$heapGb%.1f,"arch":"$arch"}"""
+    // Locale.ROOT: an f"%.1f" under a comma-decimal default locale
+    // (de_DE …) would render "3,5" — malformed JSON that silently
+    // disables regression gating on every subsequent run
+    val heap = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(heapGb))
+    s"""{"cpus":$cpus,"maxHeapGb":$heap,"arch":"$arch"}"""
   }
 }

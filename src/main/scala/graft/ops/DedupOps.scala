@@ -557,7 +557,8 @@ object DedupOps {
     * aggregate; `n_postings` (all windows) rides along as the corpus
     * mass denominator.
     */
-  def spanPostingCounts(docs: DataFrame, k: Int = 8): DataFrame =
+  def spanPostingCounts(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "window width must be >= 2 tokens")
     windowHashes(docTokens(docs), k)
       .groupBy("h")
       .agg(count(lit(1)).as("c"),
@@ -569,6 +570,7 @@ object DedupOps {
       .select(lit("span_window_postings").as("generator"),
         col("flagged").cast("long").as("n_candidates"),
         col("total").cast("long").as("n_postings"))
+  }
 
   /** Corpus-sized power-of-two bit-width: the smallest width in
     * {floorBits, 2·floorBits, …, capBits} with at least

@@ -658,24 +658,30 @@ object EventOps {
     * seconds, DuckDB floors the fractional epoch; identical for any
     * positive timestamp).
     *
-    * Scale: ONE fact aggregate to (type, hour) grain — everything after
-    * operates on series tables (|hours| rows), broadcast-joined per
-    * lag; maxLag bounds the fan-out at 2·maxLag+1 tiny joins' worth of
-    * rows in one plan.
+    * Scale: ONE fact aggregate to hour grain (conditional per-type
+    * sums, checkpointed) — everything after operates on series tables
+    * (|hours| rows), broadcast-joined per lag; maxLag bounds the
+    * fan-out at 2·maxLag+1 tiny joins' worth of rows in one plan.
     */
   def crossCorrelation(s: SparkSession, d: String,
       typeA: String = "click", typeB: String = "purchase",
       maxLag: Int = 3): DataFrame = {
     import s.implicits._
+    // ONE fact aggregate, conditional per-type counts: filtering the
+    // aggregate by event_type afterwards would let Catalyst push each
+    // filter below the groupBy and scan+shuffle the fact table twice.
+    // The eager checkpoint pins the tiny (h, ca, cb) series so the two
+    // join sides below consume one materialization, not two lineages.
     val hourly = Tables.events(s, d)
       .filter(col("event_type").isin(typeA, typeB))
-      .groupBy(col("event_type"),
-        expr("unix_timestamp(ts) div 3600").as("h"))
-      .agg(count(lit(1)).as("cnt"))
-    val a = hourly.filter(col("event_type") === typeA)
-      .select(col("h"), col("cnt").as("ca"))
-    val b = hourly.filter(col("event_type") === typeB)
-      .select(col("h").as("hb"), col("cnt").as("cb"))
+      .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint()
+    val a = hourly.filter(col("ca") > 0).select(col("h"), col("ca"))
+    val b = hourly.filter(col("cb") > 0)
+      .select(col("h").as("hb"), col("cb"))
     val lags = (-maxLag to maxLag).toDF("lag")
     val matched = a
       .join(broadcast(b.crossJoin(broadcast(lags))),

@@ -290,11 +290,16 @@ object TextOps {
     * discipline) and the per-doc score is the exact decimal sum, so the
     * (score desc, doc_id) ranking is engine-identical.
     *
-    * Scale: one corpus scan; the doc-term table is immediately
-    * semi-joined to the (broadcast, bounded) query vocabulary, so every
-    * downstream shuffle is keyed by query terms only — corpus-sized
-    * work never survives past the first projection. Top-k per query is
-    * a |queries|-partition window over the hit set.
+    * Scale: two corpus passes — a slim length pass for the N/avglen
+    * statistics and a tokenize+explode pass that is immediately
+    * semi-joined to the (broadcast, bounded) query vocabulary — so
+    * every downstream shuffle is keyed by query terms only;
+    * corpus-sized work never survives past the first projection.
+    * Deliberately NOT one cached pass: executor-caching the token
+    * arrays to share them was measured slower than a second columnar
+    * scan (see [[graft.ops.DedupOps.dupSpansFromTokens]]'s identical
+    * trade). Top-k per query is a |queries|-partition window over the
+    * hit set.
     */
   def bm25TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     import s.implicits._

@@ -187,9 +187,16 @@ class GraftDocsScan(lo: Long, hi: Long, partitions: Int,
           Array(org.apache.spark.sql.connector.expressions.Expressions
             .identity("id_bucket")),
           bucketRange.size)
-    else
+    else {
+      // arithmetic split count — planInputPartitions() would allocate
+      // the whole split array just to take its length, and Spark may
+      // call outputPartitioning repeatedly during planning
+      val total = math.max(0L, hi - lo)
+      val per = math.max(1L,
+        (total + partitions - 1) / math.max(1, partitions))
       new org.apache.spark.sql.connector.read.partitioning
-        .UnknownPartitioning(planInputPartitions().length)
+        .UnknownPartitioning(((total + per - 1) / per).toInt)
+    }
 
   /** Micro-batch stream over the same generated id-space: the offset IS
     * the next doc_id (a totally ordered, replayable position — the

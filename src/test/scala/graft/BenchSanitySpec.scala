@@ -74,6 +74,19 @@ class BenchSanitySpec extends AnyFunSuite {
     assert(BenchMath.lastHistoryEntry(lines, "/nope")._1.isEmpty)
   }
 
+  test("hostFingerprint is valid JSON even under a comma-decimal default " +
+      "locale (a locale-formatted heap figure would corrupt the bench " +
+      "line and silently disable regression gating)") {
+    val old = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val s = BenchMath.hostFingerprint()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      assert(node.path("maxHeapGb").isNumber, s)
+      assert(node.path("cpus").asInt() > 0, s)
+    } finally java.util.Locale.setDefault(old)
+  }
+
   test("end-to-end round-5 phantom replay: the driver's degraded-host " +
       "line vs the builder's healthy baseline — calibrated comparison " +
       "clears the uniform-slowdown phantoms raw comparison minted") {

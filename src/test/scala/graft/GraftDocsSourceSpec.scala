@@ -67,16 +67,13 @@ class GraftDocsSourceSpec extends AnyFunSuite {
       "range self-join of two bucketed graftdocs scans plans with ZERO " +
       "Exchange — the reported KeyGroupedPartitioning(identity(id_bucket" +
       ")) co-locates both sides — and returns the plain-join rows") {
-    val confs = Seq(
+    TestSpark.withConfs(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       // join keys (id_bucket, doc_id) are a SUPERSET of the partition
       // key — subset co-partitioning must be allowed for SPJ to engage
-      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
-    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
       val a = readBucketed(1000, 125).as("a")
       val b = readBucketed(1000, 125).as("b")
       val j = a.join(b,
@@ -95,9 +92,6 @@ class GraftDocsSourceSpec extends AnyFunSuite {
         .join(read(1000).as("y"), col("x.doc_id") === col("y.doc_id"))
         .count()
       assert(plainCnt === 1000)
-    } finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

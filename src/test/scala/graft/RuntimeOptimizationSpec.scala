@@ -23,14 +23,8 @@ class RuntimeOptimizationSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.session
 
-  private def withConfs[T](confs: (String, String)*)(f: => T): T = {
-    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  private def withConfs[T](confs: (String, String)*)(f: => T): T =
+    TestSpark.withConfs(confs: _*)(f)
 
   /** Execute THIS DataFrame's own QueryExecution (collect — a noop
     * write or df.count() would plan a separate execution and leave this

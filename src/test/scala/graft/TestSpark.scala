@@ -18,6 +18,18 @@ object TestSpark {
     s
   }
 
+  /** Set session confs, run, restore — unsetting keys that had no prior
+    * value. The one conf-juggling implementation every spec shares.
+    */
+  def withConfs[T](confs: (String, String)*)(f: => T): T = {
+    val olds = confs.map { case (k, _) => k -> session.conf.getOption(k) }
+    confs.foreach { case (k, v) => session.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => session.conf.set(k, v)
+      case (k, None) => session.conf.unset(k)
+    }
+  }
+
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
   /** Bench-sized tier. documents/embeddings are constant-sized below this
