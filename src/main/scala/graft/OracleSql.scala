@@ -3108,6 +3108,24 @@ object OracleSql {
         |      * (n_hours * syy - sy * sy)) AS xcorr
         |FROM s ORDER BY lag""".stripMargin,
 
+    // EventOps.slidingDistinctUsers twin: the HLL estimate is engine-
+    // specific, so the oracle is the EXACT per-window distinct (integer)
+    // plus the bound contract as a literal — the approxDistinctBound
+    // pattern; the engine-side flag is deterministic for a fixed input.
+    "ev_sliding_distinct" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |      AS BIGINT) AS h,
+        |    user_id
+        |  FROM events),
+        |w AS (
+        |  SELECT h + u.off AS wend, user_id
+        |  FROM ev CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 5)) AS off) u)
+        |SELECT wend, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // TextOps.bpePairs twin: vocabulary-reduced adjacent character-pair
     // counts weighted by word frequency — pure integer counting.
     "txt_bpe_pairs" ->

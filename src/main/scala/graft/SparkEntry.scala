@@ -207,6 +207,8 @@ object SparkEntry {
     "r_market_basket"         -> ((s, d) => Analytics.marketBasket(s, d)),
     "r_correlation"           -> (Analytics.quantityDiscountCorr(_, _)),
     "ev_cross_correlation"    -> ((s, d) => EventOps.crossCorrelation(s, d)),
+    "ev_sliding_distinct"     -> ((s, d) =>
+      EventOps.slidingDistinctUsers(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -704,6 +704,45 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Sliding-window distinct users via MERGEABLE HLL sketches (the
+    * DataSketches functions Spark 4 ships): ONE fact pass builds an
+    * hourly sketch per hour; every `windowHours`-hour sliding window
+    * then UNIONS the hourly partials (`hll_union_agg`) instead of
+    * re-scanning events per window — the sketch-reuse pattern that
+    * makes sliding distinct counts affordable at 100 TB (a window's
+    * exact distinct cannot reuse another window's result; mergeable
+    * sketch partials can, which is the entire point of sketches in a
+    * rollup ladder). Sketch estimates are engine-specific, so the
+    * driver-gated surface is the [[graft.ops.Relational
+    * .approxDistinctBound]] bound contract: the EXACT per-window count
+    * (integers, oracle-reproducible) plus a within-bound flag — the
+    * estimate is deterministic for a fixed input set, making the flag
+    * stable, and the spec pins the estimates themselves.
+    */
+  def slidingDistinctUsers(s: SparkSession, d: String,
+      windowHours: Int = 6, maxRelErr: Double = 0.05): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"), col("user_id"))
+    val hourly = ev.groupBy("h")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val windows = hourly
+      .select(col("h"), col("sk"),
+        explode(sequence(lit(0), lit(windowHours - 1))).as("off"))
+      .groupBy((col("h") + col("off")).as("wend"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    // exact twin rides along for the bound contract (and the oracle):
+    // at scale this audit column runs on samples, not every window
+    val exact = ev
+      .select(explode(sequence(col("h"),
+        col("h") + (windowHours - 1))).as("wend"), col("user_id"))
+      .groupBy("wend").agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.join(windows, Seq("wend"))
+      .select(col("wend"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * maxRelErr).as("within_bound"))
+      .orderBy("wend")
+  }
+
   /** Hierarchical grain rollup with partial reuse — the materialized-view
     * ladder every streaming-OLAP store keeps (minute → hour → day):
     * events aggregate ONCE to minute grain, hours re-aggregate the

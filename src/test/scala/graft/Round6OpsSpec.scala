@@ -132,6 +132,22 @@ class Round6OpsSpec extends AnyFunSuite {
     } finally { toks.unpersist(); () }
   }
 
+  // ------------------------------------------- slidingDistinctUsers
+
+  test("slidingDistinctUsers: hourly-sketch union is deterministic " +
+      "across shuffle partitionings (DataSketches HLL is a pure " +
+      "function of the input SET) and every window meets the 5% bound") {
+    val base = rowsOf(EventOps.slidingDistinctUsers(spark, TestSpark.sf001))
+    assert(base.nonEmpty)
+    val alt = TestSpark.withConfs("spark.sql.shuffle.partitions" -> "7") {
+      rowsOf(EventOps.slidingDistinctUsers(spark, TestSpark.sf001))
+    }
+    assert(alt === base, "sketch estimates changed with partitioning")
+    val flags = EventOps.slidingDistinctUsers(spark, TestSpark.sf001)
+      .collect().map(_.getBoolean(2))
+    assert(flags.forall(identity), "a window exceeded the 5% bound")
+  }
+
   // ---------------------------------------------------- pageRank
 
   test("pageRank: total rank mass stays ~1 (floor quantization only " +
