@@ -728,6 +728,45 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming hourly HLL sketch table — the streaming twin of
+    * [[graft.ops.EventOps.slidingDistinctUsers]]'s partials: each
+    * micro-batch sketches ITS rows per hour (`hll_sketch_agg`) and
+    * unions them into the stored hourly sketch table
+    * (`hll_union_agg` over stored ∪ batch — sketch union is
+    * set-associative, the sketch world's version of the decimal-sum
+    * discipline: ANY batch slicing converges to the batch operator's
+    * sketches, spec-proven). Ledger-idempotent like
+    * [[startGrainRollupSink]] (same documented crash window between
+    * overwrite and record). Raw user ids enter exactly one batch
+    * sketch; restarts resume from checkpoint + tables; any consumer
+    * derives sliding-window distinct estimates by unioning the stored
+    * hourly partials — without ever re-reading events.
+    */
+  def startDistinctSketchSink(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (!TableSink.alreadyApplied(s, path, batchId)) {
+          val partial = batch
+            .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
+            .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          val merged =
+            if (TableSink.hasParquet(s, path))
+              s.read.parquet(path).unionByName(partial)
+                .groupBy("h")
+                .agg(expr("hll_union_agg(sk)").as("sk"))
+            else partial
+          val tmp = path + "__tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          s.read.parquet(tmp).write.mode("overwrite").parquet(path)
+          TableSink.delete(s, tmp)
+          TableSink.record(s, path, batchId)
+        }
+      }
+      .start()
+
   /** Streaming materialized-view LADDER — the streaming twin of
     * [[graft.ops.EventOps.grainRollup]]: per micro-batch, the batch's
     * MINUTE-grain partials (count + DECIMAL sum, decomposable) merge

@@ -404,6 +404,40 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly HLL sketch table: uneven batch slicing (and a " +
+      "replayed batch) converges every hour's sketch estimate to the " +
+      "batch operator's — sketch union is the decimal-sum associativity " +
+      "of the approximate world") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hll_sink").toString
+    val path = s"$dir/hourly_sk"
+    val events = Seq( // duplicate users within and ACROSS batches
+      (t(1, 5), 100L), (t(1, 10), 101L), (t(1, 20), 100L),
+      (t(2, 0), 100L), (t(2, 30), 102L), (t(2, 45), 103L),
+      (t(2, 50), 101L))
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val q = StreamPipeline.startDistinctSketchSink(
+      mem.toDF().toDF("ts", "user_id"), path, s"$dir/ckpt")
+    try {
+      mem.addData(events(0), events(1)); q.processAllAvailable()
+      mem.addData(events(2), events(3), events(4)); q.processAllAvailable()
+      mem.addData(events(5), events(6)); q.processAllAvailable()
+      def estimates(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.groupBy("h")
+          .agg(expr("hll_union_agg(sk)").as("u"))
+          .select(col("h"), expr("hll_sketch_estimate(u)").as("est"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamed = estimates(spark.read.parquet(path))
+      val batch = estimates(events.toDF("ts", "user_id")
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk")))
+      assert(streamed === batch,
+        "streamed sketch table diverged from the batch sketches")
+      // tiny cardinalities: HLL is exact here — pin the true counts
+      assert(streamed.values.toSeq.sorted === Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("fMGWS sessionization and a LATE group: with EventTimeTimeout the " +
       "engine drops below-watermark rows before the function — the query " +
       "survives and no phantom session is created") {
