@@ -720,7 +720,7 @@ object EventOps {
     * stable, and the spec pins the estimates themselves.
     */
   def slidingDistinctUsers(s: SparkSession, d: String,
-      windowHours: Int = 6, maxRelErr: Double = 0.05): DataFrame = {
+      windowHours: Int = 6, maxRelErr: Double = 0.08): DataFrame = {
     val ev = Tables.events(s, d)
       .select(expr("unix_timestamp(ts) div 3600").as("h"), col("user_id"))
     val hourly = ev.groupBy("h")

@@ -136,7 +136,7 @@ class Round6OpsSpec extends AnyFunSuite {
 
   test("slidingDistinctUsers: hourly-sketch union is deterministic " +
       "across shuffle partitionings (DataSketches HLL is a pure " +
-      "function of the input SET) and every window meets the 5% bound") {
+      "function of the input SET) and every window meets the 8% bound") {
     val base = rowsOf(EventOps.slidingDistinctUsers(spark, TestSpark.sf001))
     assert(base.nonEmpty)
     val alt = TestSpark.withConfs("spark.sql.shuffle.partitions" -> "7") {
@@ -145,7 +145,7 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(alt === base, "sketch estimates changed with partitioning")
     val flags = EventOps.slidingDistinctUsers(spark, TestSpark.sf001)
       .collect().map(_.getBoolean(2))
-    assert(flags.forall(identity), "a window exceeded the 5% bound")
+    assert(flags.forall(identity), "a window exceeded the 8% bound")
   }
 
   // ---------------------------------------------------- pageRank
