@@ -551,4 +551,175 @@ object Analytics {
           1.0).as("growth"))
       .orderBy("priority", "order_year")
   }
+
+  /** Forecast revenue change (TPC-H Q6 shape): revenue that would vanish
+    * if mid-band discounts were eliminated in one ship year. Pure
+    * scan-filter-aggregate — zero joins, zero shuffles beyond the final
+    * single-group reduce; every predicate reaches the parquet scan
+    * (timestamp range is row-group min/max prunable, quantity is a plain
+    * pushed comparison). The discount band compares on DECIMAL(18,2) so
+    * the fixture's binary doubles (0.05 step 0.01) bucket identically in
+    * Spark and DuckDB.
+    */
+  def forecastRevenueChange(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("0.05").cast("decimal(18,2)")
+    val hi = lit("0.07").cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_quantity") < 24)
+      .filter(dec("l_discount") >= lo && dec("l_discount") <= hi)
+      .agg(
+        sum(dec("l_extendedprice") * dec("l_discount")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Bilateral trade volume (TPC-H Q7 shape): revenue shipped between two
+    * named nations, both directions, by ship year. The nation filter is
+    * applied to BOTH bounded dimensions before any fact join: supplier
+    * pre-joins its (broadcast) nation slice, customer likewise, so the
+    * fact chain only carries rows whose supplier already sits in one of
+    * the two nations — at 100 TB that's a ~|2/25| selectivity delivered
+    * by broadcast semi-join, not a post-join filter. One fact shuffle
+    * (lineitem ⋈ orders on orderkey); the cross-nation direction filter
+    * is a residual on bounded string columns.
+    */
+  def nationTradeVolume(s: SparkSession, d: String,
+      nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val n = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select("n_nationkey", "n_name")
+    val su = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === nationA &&
+               col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB &&
+               col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** National market share (TPC-H Q8 shape): one supplier nation's share
+    * of a part-type market inside one customer region, by order year.
+    * Part and supplier slices broadcast (bounded catalogs); the region
+    * membership cut reaches customer via a broadcast of the region's
+    * nation keys. Share = exact-decimal numerator / exact-decimal
+    * denominator, divided ONCE in double — never a float aggregate.
+    */
+  def marketShare(s: SparkSession, d: String,
+      regionName: String = "ASIA", typePrefix: String = "ECONOMY",
+      shareNation: String = "NATION_5"): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === regionName)
+      .select("r_regionkey")
+    val nR = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val c = Tables.customer(s, d)
+      .join(broadcast(nR), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select("c_custkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    val p = Tables.part(s, d).filter(col("p_type").startsWith(typePrefix))
+      .select("p_partkey")
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val zero = lit("0").cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation, discPrice)
+          .otherwise(zero)).as("num_dec"),
+        sum(discPrice).as("den_dec"))
+      .select(col("o_year"),
+        (col("num_dec").cast("double") / col("den_dec").cast("double"))
+          .as("mkt_share"),
+        col("den_dec").cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** Product-type profit (TPC-H Q9 shape, adapted: this schema has no
+    * partsupp, so supply cost is the catalog retail price —
+    * profit = discounted revenue − p_retailprice × quantity; the year is
+    * the SHIP year, which keeps the plan at one fact pass with zero
+    * orders join). Part and supplier+nation broadcast; the only shuffle
+    * is the (nation, year) groupBy. All money math in exact DECIMAL,
+    * surfaced to double once.
+    */
+  def productProfit(s: SparkSession, d: String,
+      nameContains: String = "widget"): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_name").contains(nameContains))
+      .select("p_partkey", "p_retailprice")
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = discPrice - dec("p_retailprice") * dec("l_quantity")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(amount).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("ship_year").desc)
+  }
+
+  /** Returned-item revenue (TPC-H Q10 shape): top-20 customers by revenue
+    * lost to returns in one quarter. Aggregates BEFORE joining customer —
+    * the fact chain reduces to a customer-keyed aggregate first, so the
+    * customer join input is |customers-with-returns|, not |lineitems|
+    * (at 100 TB that ordering is the difference between joining 10^9 and
+    * 10^12 rows). Nation broadcasts; final top-20 is a
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def returnedItemRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(discPrice).as("rev_dec"))
+    rev.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("c_acctbal").as("acctbal"), col("n_name").as("nation"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(20)
+  }
 }
