@@ -157,9 +157,36 @@ object Bench {
       System.err.println(f"[bench] HOST ${probeScore / prevProbe}%.1fx " +
         "slower than history baseline (probe) — regression threshold " +
         "scaled accordingly")
-    val regressed = BenchMath.regressed(
+    val candidates = BenchMath.regressed(
       results.map { case (n, med, mn, _, _) => (n, med, mn) },
       prevMedians, probeScore, prevProbe)
+    // Burst guard (round-6 postmortem): a would-be-flagged query gets ONE
+    // confirmation rep HERE — after the measured set and the after-probe,
+    // i.e. temporally outside any transient contention burst that covered
+    // its original consecutive reps (BENCH_r06: a ~60 s burst swept one
+    // alphabetical stretch, inflating every rep of 4 adjacent queries
+    // while both probes read healthy). Flag only if the confirmation rep
+    // also exceeds the calibrated threshold; a confirmation that fails to
+    // run keeps the flag (cannot refute ≠ refuted).
+    val confirm: Map[String, Double] = candidates.flatMap { name =>
+      sorted.find(_._1 == name).map { case (_, fn) =>
+        Caches.releaseAll()
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        val sec = try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] confirm $name FAILED: ${e.getMessage}")
+            -1.0 }
+        System.err.println(f"[bench] confirm $name%-26s $sec%8.2f s")
+        name -> sec
+      }
+    }.toMap
+    val regressed = BenchMath.confirmedRegressions(
+      candidates, confirm, prevMedians, probeScore, prevProbe)
+    candidates.filterNot(regressed.contains).foreach { n =>
+      System.err.println(s"[bench] $n: candidate regression refuted by " +
+        "confirmation rep (transient burst, not a code slowdown)")
+    }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val minsJson = results.map { case (k, _, m, _, _) => s"\"" + k + "\":" + m }
@@ -174,10 +201,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // confirmation reps ride along so a flagged-then-refuted candidate is
+    // auditable from the line alone (which rep refuted it, at what time)
+    val confirmJson = confirm.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val probeJson =
       s"""{"before":$probeBefore,"after":$probeAfter,"score":$probeScore}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"regressed":$regressedJson,"probe":$probeJson,"host":${BenchMath.hostFingerprint()},"queries":$qs,"mins":$minsJson,"stages":$stagesJson,"runs":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"regressed":$regressedJson,"confirm":$confirmJson,"probe":$probeJson,"host":${BenchMath.hostFingerprint()},"queries":$qs,"mins":$minsJson,"stages":$stagesJson,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Persisted per-query history: one JSONL line per bench invocation,
     // so a round-over-round diff sees the spread (all reps), not just

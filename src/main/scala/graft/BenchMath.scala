@@ -29,7 +29,9 @@ object BenchMath {
     if (probeNow > 0 && probePrev > 0) math.max(1.0, probeNow / probePrev)
     else 1.0
 
-  /** The machine-computed regression list: a query regressed when even
+  /** The machine-computed regression CANDIDATE list (final flagging also
+    * requires [[confirmedRegressions]]' post-run rep): a query is a
+    * candidate when even
     * its BEST rep exceeds 2× the previous history median AFTER host
     * normalization — `minSec > 2 · prevMedian · hostRatio`. Min-vs-median
     * (not median-vs-median) so one-off interference inside this run
@@ -47,6 +49,30 @@ object BenchMath {
         if med >= 0 && minSec > 0 &&
           prevMedians.get(name).exists(p => p > 0 && minSec > 2 * p * ratio)
         => name
+    }
+  }
+
+  /** Round-7 burst guard: the round-6 driver line proved min-of-reps +
+    * probe calibration still mint phantoms when a TRANSIENT mid-run
+    * contention burst covers every consecutive rep of several adjacent
+    * queries (`r_pricing_summary` reps [6.96, 4.95, 4.93] vs 0.53 s on a
+    * same-commit rerun) while the before/after probes both read healthy
+    * (the burst subsided before the end). [[regressed]] therefore only
+    * produces CANDIDATES; each candidate is re-run ONCE after the
+    * measured set + after-probe (temporally outside any burst that
+    * covered its original reps), and only flags if the confirmation rep
+    * ALSO exceeds the calibrated threshold. A missing or failed
+    * (negative) confirmation rep keeps the flag — the conservative
+    * reading is "could not refute".
+    */
+  def confirmedRegressions(candidates: Seq[String],
+      confirm: Map[String, Double],
+      prevMedians: Map[String, Double],
+      probeNow: Double, probePrev: Double): Seq[String] = {
+    val ratio = hostRatio(probeNow, probePrev)
+    candidates.filter { name =>
+      confirm.get(name).forall(c =>
+        c < 0 || prevMedians.get(name).forall(p => c > 2 * p * ratio))
     }
   }
 

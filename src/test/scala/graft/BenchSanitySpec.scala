@@ -87,6 +87,47 @@ class BenchSanitySpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(old)
   }
 
+  test("round-6 burst replay: the driver BENCH_r06 rep arrays — every " +
+      "rep of adjacent queries inflated by a transient mid-run burst " +
+      "while both probes read healthy — flag as candidates but are " +
+      "refuted by healthy confirmation reps") {
+    // the actual r6 driver line: probes 0.408/0.474 (no drift warning),
+    // prev medians from the r5 healthy line, reps fully covered by the
+    // burst; judge's same-commit rerun measured the confirm-rep values
+    val prevR5 = Map("r_outer_counts" -> 0.45, "r_pricing_summary" -> 0.55,
+      "r_promo_revenue" -> 0.42, "r_range_join" -> 0.72)
+    val burst = Seq(
+      ("r_outer_counts", 2.24, 1.00),
+      ("r_pricing_summary", 4.95, 4.93),
+      ("r_promo_revenue", 3.26, 3.10),
+      ("r_range_join", 3.59, 3.54))
+    val candidates = BenchMath.regressed(burst, prevR5, 0.408, 0.40)
+    assert(candidates.toSet === Set("r_outer_counts", "r_pricing_summary",
+      "r_promo_revenue", "r_range_join"),
+      "sanity: min-of-reps + probe calibration alone still flags all four")
+    val confirm = Map("r_outer_counts" -> 0.41, "r_pricing_summary" -> 0.53,
+      "r_promo_revenue" -> 0.40, "r_range_join" -> 0.70)
+    assert(BenchMath.confirmedRegressions(
+      candidates, confirm, prevR5, 0.408, 0.40).isEmpty,
+      "post-burst confirmation reps must refute every phantom")
+  }
+
+  test("confirmation rep semantics: a still-slow confirm keeps the flag; " +
+      "a failed (negative) or missing confirm keeps it too (cannot " +
+      "refute != refuted); host ratio applies to the confirm threshold") {
+    val prevM = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val cands = Seq("a", "b", "c")
+    // a: confirm 2.5 > 2*1.0 → stays; b: failed → stays; c: missing → stays
+    assert(BenchMath.confirmedRegressions(cands,
+      Map("a" -> 2.5, "b" -> -1.0), prevM, 0.5, 0.5) === Seq("a", "b", "c"))
+    // 3x-degraded host: confirm 2.5 < 2*1.0*3 → refuted
+    assert(BenchMath.confirmedRegressions(Seq("a"),
+      Map("a" -> 2.5), prevM, 1.5, 0.5).isEmpty)
+    // healthy confirm refutes
+    assert(BenchMath.confirmedRegressions(Seq("a"),
+      Map("a" -> 0.9), prevM, 0.5, 0.5).isEmpty)
+  }
+
   test("end-to-end round-5 phantom replay: the driver's degraded-host " +
       "line vs the builder's healthy baseline — calibrated comparison " +
       "clears the uniform-slowdown phantoms raw comparison minted") {
