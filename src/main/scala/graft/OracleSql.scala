@@ -3216,6 +3216,106 @@ object OracleSql {
          |    AS entropy
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** Round-7 additions: the five remaining TPC-H analytics shapes
+    * (Q6/Q7/Q8/Q9/Q10), previously implemented but unregistered (round-6
+    * ADVICE) — now first-class driver-gated entries.
+    */
+  val round7: Map[String, String] = {
+    // l_extendedprice * (1 - l_discount), exact decimal — the shared
+    // revenue expression of every money oracle
+    val dp = """CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
+      .stripMargin
+    Map(
+    // Analytics.forecastRevenueChange twin (TPC-H Q6 shape): pure
+    // scan-filter-aggregate; the discount band compares on DECIMAL(18,2)
+    // so the fixture's binary doubles bucket identically in both engines.
+    "r_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |      >= CAST('0.05' AS DECIMAL(18,2))
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |      <= CAST('0.07' AS DECIMAL(18,2))""".stripMargin,
+
+    // Analytics.nationTradeVolume twin (TPC-H Q7 shape): bilateral
+    // revenue between two named nations by ship year.
+    "r_nation_trade_volume" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  CAST(sum($dp) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |  AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7') OR
+         |       (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Analytics.marketShare twin (TPC-H Q8 shape): exact-decimal
+    // numerator/denominator divided ONCE in double; zero denominator →
+    // NULL on both engines (Spark when-guard ≙ the CASE here).
+    "r_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CASE WHEN sum($dp) <> 0 THEN
+         |    CAST(sum(CASE WHEN ns.n_name = 'NATION_5' THEN $dp
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+         |    CAST(sum($dp) AS DOUBLE) END AS mkt_share,
+         |  CAST(sum($dp) AS DOUBLE) AS total_volume
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |JOIN region ON nc.n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND p_type LIKE 'ECONOMY%'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Analytics.productProfit twin (TPC-H Q9 shape, adapted: supply cost
+    // is the catalog retail price; ship-year grouping keeps one fact pass).
+    "r_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  CAST(sum($dp - CAST(p_retailprice AS DECIMAL(18,2)) *
+         |    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY nation, ship_year DESC""".stripMargin,
+
+    // Analytics.returnedItemRevenue twin (TPC-H Q10 shape): top-20
+    // customers by returned revenue in one quarter.
+    "r_returned_item_revenue" ->
+      s"""SELECT c_custkey AS custkey, c_name AS name,
+         |  CAST(sum($dp) AS DOUBLE) AS revenue,
+         |  c_acctbal AS acctbal, n_name AS nation
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+         |GROUP BY 1, 2, 4, 5
+         |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin)
+  }
+
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL
     * truth (one oracle, two driver-gated engine shapes).

@@ -196,6 +196,12 @@ object SparkEntry {
     "r_important_stock"       -> (Analytics.importantStock(_, _)),
     "r_rfm_segments"          -> (Analytics.rfmSegments(_, _)),
     "r_yoy_revenue"           -> (Analytics.yoyRevenue(_, _)),
+    // round 7: the remaining TPC-H analytics shapes (Q6/Q7/Q8/Q9/Q10)
+    "r_forecast_revenue"      -> (Analytics.forecastRevenueChange(_, _)),
+    "r_nation_trade_volume"   -> ((s, d) => Analytics.nationTradeVolume(s, d)),
+    "r_market_share"          -> ((s, d) => Analytics.marketShare(s, d)),
+    "r_product_profit"        -> ((s, d) => Analytics.productProfit(s, d)),
+    "r_returned_item_revenue" -> (Analytics.returnedItemRevenue(_, _)),
     // round 6: decorrelated Q21/Q22 shapes + lexical retrieval
     "r_sole_late_supplier"    -> (Analytics.soleLateSupplier(_, _)),
     "r_idle_rich"             -> (Analytics.idleRichCustomers(_, _)),
@@ -217,7 +223,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    OracleSql.extended ++ OracleSql.aliased ++ OracleSql.round6 ++ Map(
+    OracleSql.extended ++ OracleSql.aliased ++ OracleSql.round6 ++
+      OracleSql.round7 ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

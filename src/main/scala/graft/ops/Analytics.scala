@@ -587,6 +587,10 @@ object Analytics {
     */
   def nationTradeVolume(s: SparkSession, d: String,
       nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    // equal arguments would make both direction predicates identical
+    // (supp==cust==A) — self-trade rows, not bilateral trade
+    require(nationA != nationB,
+      s"nationTradeVolume needs two distinct nations, got $nationA twice")
     val pair = Seq(nationA, nationB)
     val n = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
       .select("n_nationkey", "n_name")
@@ -635,7 +639,12 @@ object Analytics {
       .join(broadcast(nR), col("c_nationkey") === col("n_nationkey"),
         "left_semi")
       .select("c_custkey")
-    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+    val o = Tables.orders(s, d)
+      // Q8's two-year market window — stat-prunable at the orders scan;
+      // without it the share would silently aggregate every fixture year
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
       .join(c, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_orderdate")
     val p = Tables.part(s, d).filter(col("p_type").startsWith(typePrefix))
@@ -657,7 +666,10 @@ object Analytics {
           .otherwise(zero)).as("num_dec"),
         sum(discPrice).as("den_dec"))
       .select(col("o_year"),
-        (col("num_dec").cast("double") / col("den_dec").cast("double"))
+        // zero-denominator guard: Spark's double x/0 is NULL while
+        // DuckDB's IEEE division yields inf — NULL on both via when/nullif
+        when(col("den_dec") =!= zero,
+          col("num_dec").cast("double") / col("den_dec").cast("double"))
           .as("mkt_share"),
         col("den_dec").cast("double").as("total_volume"))
       .orderBy("o_year")

