@@ -45,6 +45,15 @@ object Explain {
               .map { case (sn, df) => s"===== stage $sn =====\n${fmt(df)}" }
               .mkString("\n")
             catch { case e: Throwable => s"[explain failed] $e" }
+          // the pagerank loops checkpoint per round, so the query's own
+          // plan is a vacuous post-checkpoint scan — snapshot a REAL
+          // superstep frame alongside it
+          else if (name == "graph_pagerank" || name == "graph_pagerank_bucketed")
+            try ops.GraphOps
+              .explainFrames(spark, sfDir, name.endsWith("_bucketed"))
+              .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
+              .mkString("\n")
+            catch { case e: Throwable => s"[explain failed] $e" }
           else fmt(fn(spark, sfDir))
         outDir match {
           case Some(dir) =>

@@ -3321,5 +3321,8 @@ object OracleSql {
     * truth (one oracle, two driver-gated engine shapes).
     */
   val aliased: Map[String, String] = Map(
-    "ev_cusum_partitioned" -> extended("ev_cusum_changepoint"))
+    "ev_cusum_partitioned" -> extended("ev_cusum_changepoint"),
+    // bucketing is pure layout: the scaled-integer supersteps make the
+    // bucketed loop bit-identical to the plain one, so one SQL truth
+    "graph_pagerank_bucketed" -> round6("graph_pagerank"))
 }

@@ -209,6 +209,9 @@ object SparkEntry {
     "txt_bpe_pairs"           -> ((s, d) => TextOps.bpePairs(s, d)),
     "txt_token_entropy"       -> (TextOps.tokenEntropy(_, _)),
     "graph_pagerank"          -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
+    // same supersteps over the bucketed layout: exchange-free rank⋈edges
+    "graph_pagerank_bucketed" -> ((s, d) =>
+      graft.ops.GraphOps.pageRankBucketed(s, d)),
     "txt_textrank"            -> ((s, d) => TextOps.textRank(s, d)),
     "r_market_basket"         -> ((s, d) => Analytics.marketBasket(s, d)),
     "r_correlation"           -> (Analytics.quantityDiscountCorr(_, _)),

@@ -35,26 +35,45 @@ object GraphOps {
     * any engine, and the final (rank desc, node) top-k is exact.
     *
     * Scale shape: per superstep, one join of the rank table against
-    * edges on src (co-partitionable: both keyed by node — at 100 TB
-    * bucket both by node id and the join is exchange-free, the
-    * [[graft.sources.Sinks.bucketedTable]] lever) + one dst-keyed
-    * aggregate; lineage truncated per round with an eager
+    * edges on src (co-partitionable: both keyed by node) + one
+    * dst-keyed aggregate; lineage truncated per round with an eager
     * localCheckpoint exactly as the CC loop does (driver state = one
-    * long, the node count). Dangling nodes cannot exist (bidirectional
-    * edges ⇒ every node has out-degree ≥ 1); the LEFT join + coalesce
-    * keeps the formula total anyway.
+    * long, the node count). [[pageRankBucketed]] is the 100 TB layout
+    * twin: both sides written bucketed by node id so the superstep join
+    * runs with ZERO Exchange (plan-pinned) instead of re-shuffling the
+    * full edge table every round. Dangling nodes cannot exist
+    * (bidirectional edges ⇒ every node has out-degree ≥ 1); the LEFT
+    * join + coalesce keeps the formula total anyway.
     */
   def pageRank(s: SparkSession, d: String, iters: Int = 10,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    presentTopK(pageRankFrom(tradeEdges(s, d), iters), topK)
+
+  /** [[pageRank]] over the BUCKETED layout ([[pageRankFromBucketed]]) —
+    * bit-identical output (same scaled-integer supersteps; the layout is
+    * pure physics, never semantics), registered as its own driver entry
+    * against the same oracle.
+    */
+  def pageRankBucketed(s: SparkSession, d: String, iters: Int = 10,
+      topK: Int = 20): DataFrame =
+    presentTopK(pageRankFromBucketed(s, tradeEdges(s, d), iters), topK)
+
+  /** The undirected customer↔supplier trade graph: both directions of
+    * every DISTINCT (customer, supplier) pair that traded.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("p"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+    pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-    pageRankFrom(edges, iters)
+  }
+
+  private def presentTopK(ranked: DataFrame, topK: Int): DataFrame =
+    ranked
       .select(col("node"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("kind"),
@@ -63,7 +82,6 @@ object GraphOps {
       .limit(topK)
       .select(col("node"), col("kind"),
         (col("r").cast("double") / lit(1e12)).as("pagerank"))
-  }
 
   /** The PageRank core over an arbitrary directed (src, dst) edge frame
     * (undirected callers supply both directions): returns (node, r)
@@ -92,20 +110,136 @@ object GraphOps {
     // reliable-storage checkpointing and also bounds failure-recovery
     // depth.
     var pr = nodes.select(col("node"), lit(r0).as("r")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val inbox = pr
-        .join(edges, pr("node") === edges("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"),
-          expr("r div outdeg").as("c")) // integer floor-div, never float
-        .groupBy("node").agg(sum(col("c")).as("sin"))
-      pr = nodes.join(inbox, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
-            .cast("long").as("r"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters)
+      pr = plainSuperstep(pr, edges, deg, nodes, base).localCheckpoint()
     pr
   }
+
+  /** One plain superstep (join + deg join + inbox agg + total left
+    * join) — the loop body of [[pageRankFrom]], factored so the plan
+    * audit can snapshot a REAL superstep (the checkpointed loop's final
+    * frame planwise is just `Scan ExistingRDD` — vacuous).
+    */
+  private[graft] def plainSuperstep(pr: DataFrame, edges: DataFrame,
+      deg: DataFrame, nodes: DataFrame, base: Long): DataFrame = {
+    val inbox = pr
+      .join(edges, pr("node") === edges("src"))
+      .join(deg, Seq("src"))
+      .select(col("dst").as("node"),
+        expr("r div outdeg").as("c")) // integer floor-div, never float
+      .groupBy("node").agg(sum(col("c")).as("sin"))
+    nodes.join(inbox, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) +
+          floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+          .cast("long").as("r"))
+  }
+
+  /** [[pageRankFrom]] over a BUCKETED layout — the exchange-free
+    * superstep the plain loop cannot have: `localCheckpoint` erases
+    * Catalyst's partitioning knowledge (`Scan ExistingRDD`), so every
+    * superstep of [[pageRankFrom]] re-shuffles the FULL edge table to
+    * co-locate it with the rank state. Here the one-time setup writes
+    * edges (with out-degree folded onto the edge row, eliminating the
+    * per-superstep deg join entirely) and nodes as bucketed tables on
+    * the node key, and each superstep's rank state is itself written
+    * back bucketed by node — so the rank⋈edges join reads two
+    * bucket-aligned sorted scans with ZERO Exchange below the
+    * SortMergeJoin (pinned by Round7OpsSpec + the committed plan
+    * snapshot). What remains per superstep is the inherent message-
+    * routing shuffle (the dst-keyed aggregate, rank-table-sized) and
+    * the bucketed rank write (also rank-table-sized). At 100 TB, where
+    * |edges| ≫ |nodes|, this converts the dominant per-round
+    * edge-table shuffle into a one-time layout decision — the
+    * [[graft.sources.Sinks.bucketedTable]] lever ([[graft.ops
+    * .Relational.bucketedJoinAgg]]'s write-once/join-free-forever
+    * trade), and the rank tables double as reliable-storage
+    * checkpoints (restart resumes from the last written round).
+    * Arithmetic is byte-for-byte [[pageRankFrom]]'s scaled-integer
+    * contract — layout never changes a single micro-unit.
+    */
+  def pageRankFromBucketed(s: SparkSession, edgesIn: DataFrame,
+      iters: Int = 10, buckets: Int = 8,
+      tablePrefix: String = "graft_pr"): DataFrame = {
+    import graft.sources.Sinks
+    val edgesT = s"${tablePrefix}_edges_bkt"
+    val nodesT = s"${tablePrefix}_nodes_bkt"
+    def rankT(i: Int) = s"${tablePrefix}_rank_${i % 2}"
+    (Seq(edgesT, nodesT, rankT(0), rankT(1)))
+      .foreach(Sinks.resetManagedTable(s, _))
+    // one-time layout: out-degree joined ONTO the edge row so a
+    // superstep touches exactly two tables, both bucketed by node key
+    val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    Sinks.bucketedTable(edgesIn.join(deg, "src"), edgesT, buckets, "src")
+    Sinks.bucketedTable(deg.select(col("src").as("node")), nodesT,
+      buckets, "node")
+    val nodes = s.table(nodesT)
+    val n = nodes.count() // the one piece of driver state, as pageRankFrom
+    val r0 = math.floor(1.0 / n * 1e12).toLong
+    val base = math.floor((1.0 - 0.85) / n * 1e12).toLong
+    Sinks.bucketedTable(nodes.select(col("node"), lit(r0).as("r")),
+      rankT(0), buckets, "node")
+    for (i <- 0 until iters) {
+      Sinks.resetManagedTable(s, rankT(i + 1))
+      Sinks.bucketedTable(superstep(s, edgesT, nodesT, rankT(i), base),
+        rankT(i + 1), buckets, "node")
+    }
+    s.table(rankT(iters))
+  }
+
+  /** One bucketed superstep: rank ⋈ edges (bucket-aligned, NO Exchange
+    * below the join) → integer message floor-div → dst-keyed inbox sum →
+    * total left join against the node table. Factored out so the plan
+    * audit (Explain / Round7OpsSpec) can snapshot a REAL superstep plan
+    * — the loop's post-write `s.table(...)` reads are opaque scans, the
+    * exact vacuity the round-6 `plans/graph_pagerank.txt` had.
+    */
+  private[graft] def superstep(s: SparkSession, edgesT: String,
+      nodesT: String, rankTable: String, base: Long): DataFrame = {
+    val cur = s.table(rankTable)
+    val edges = s.table(edgesT)
+    // merge hint: at test SF the rank table is broadcastable and a
+    // broadcast join would stop exercising (and stop plan-pinning) the
+    // bucket alignment that is this operator's entire point at scale
+    val inbox = cur.join(edges.hint("merge"),
+        cur("node") === edges("src"))
+      .select(col("dst").as("node"),
+        expr("r div outdeg").as("c")) // integer floor-div, never float
+      .groupBy("node").agg(sum(col("c")).as("sin"))
+    s.table(nodesT).join(inbox, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) +
+          floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+          .cast("long").as("r"))
+  }
+
+  /** Superstep plan frames for the committed plan snapshots (Explain
+    * special-cases the two pagerank entries through here): the round-6
+    * `plans/graph_pagerank.txt` was vacuous — the loop's final frame is
+    * a post-checkpoint `Scan ExistingRDD` hiding every superstep — so
+    * the snapshot now carries the full presentation query PLUS one real
+    * superstep plan. For the bucketed variant the setup tables are
+    * written first (at the audit sf) so the frame shows the actual
+    * bucket-aligned scans.
+    */
+  def explainFrames(s: SparkSession, d: String, bucketed: Boolean)
+      : Seq[(String, DataFrame)] =
+    if (bucketed) {
+      val full = pageRankBucketed(s, d)
+      // tables exist now (pageRankBucketed just wrote them); snapshot
+      // one superstep over the written layout
+      val step = superstep(s, "graft_pr_edges_bkt", "graft_pr_nodes_bkt",
+        "graft_pr_rank_0", 1L)
+      Seq("full query" -> full,
+        "one superstep (bucketed, exchange-free join)" -> step)
+    } else {
+      val edges = tradeEdges(s, d).localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
+      val nodes = deg.select(col("src").as("node"))
+      val pr0 = nodes.select(col("node"), lit(0L).as("r")).localCheckpoint()
+      Seq("full query" -> pageRank(s, d),
+        "one superstep (plain; per-round edge Exchange visible)" ->
+          plainSuperstep(pr0, edges, deg, nodes, 1L))
+    }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GraphOps
+
+/** Round-7 operators: the bucketed-layout PageRank (exchange-free
+  * supersteps) and its equality contract with the plain loop.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val d = TestSpark.sf001
+
+  test("pageRankBucketed is BIT-identical to pageRank (layout is pure " +
+      "physics; the scaled-integer supersteps leave no room for drift)") {
+    val plain = GraphOps.pageRank(spark, d).collect().toSeq
+    val bucketed = GraphOps.pageRankBucketed(spark, d).collect().toSeq
+    assert(bucketed === plain)
+  }
+
+  test("bucketed superstep: the rank⋈edges SortMergeJoin subtree has " +
+      "ZERO Exchange — both sides are bucket-aligned sorted scans — and " +
+      "the only shuffle in the whole superstep is the inherent dst-keyed " +
+      "inbox routing") {
+    // layout must exist: run the bucketed variant once at this sf
+    GraphOps.pageRankBucketed(spark, d, iters = 1).collect()
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at 100 TB neither side broadcasts — the config under which the
+    // layout matters; without it the sf-sized rank table would broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val step = GraphOps.superstep(spark, "graft_pr_edges_bkt",
+        "graft_pr_nodes_bkt", "graft_pr_rank_0", 1L)
+      val plan = step.queryExecution.executedPlan
+      val smj = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+             j.rightKeys.map(_.sql).exists(_.contains("src")) => j
+      }.getOrElse(fail(s"expected the rank⋈edges SortMergeJoin:\n$plan"))
+      val shuffles = smj.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed superstep join still shuffles below the SMJ:\n$smj")
+      val scanStr = smj.collectLeaves().map(_.toString).mkString("\n")
+      assert(scanStr.contains("Bucketed: true"),
+        s"bucketed layout not used by the superstep scans:\n$scanStr")
+      // the whole superstep's shuffle count: exactly the inbox routing
+      // (groupBy dst) + the rank-sized re-alignment for the nodes left
+      // join — never an edge-table shuffle
+      val all = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(all.size <= 2, s"unexpected shuffles in the superstep:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
+  test("pageRankBucketed conserves rank mass within integer-quantization " +
+      "loss: sum(r) ≤ 1e12, and the cumulative floor-division loss over " +
+      "10 supersteps stays far below 1% of the mass") {
+    import graft.sources.Sinks
+    GraphOps.pageRankBucketed(spark, d).collect() // 10 iters → rank_0 final
+    val total = spark.table("graft_pr_rank_0")
+      .agg(sum(col("r")).as("t")).collect().head.getLong(0)
+    assert(total <= 1_000_000_000_000L, s"rank mass exceeds unity: $total")
+    assert(total > 990_000_000_000L,
+      s"quantization loss implausibly large: $total")
+    Seq("graft_pr_edges_bkt", "graft_pr_nodes_bkt",
+      "graft_pr_rank_0", "graft_pr_rank_1")
+      .foreach(Sinks.resetManagedTable(spark, _))
+  }
+}
