@@ -15,10 +15,21 @@ import graft.schemas.Schemas
   * LEDGER that makes micro-batch REPLAY a no-op: foreachBatch's batchId
   * is replayed verbatim after checkpoint recovery, so recording the last
   * applied id next to the table and skipping `batchId <= recorded` is
-  * the standard idempotent-foreachBatch pattern. The ledger closes the
-  * common replay window (batch fully applied, checkpoint commit lost); a
-  * crash INSIDE a batch's non-atomic writes still needs a transaction
-  * log — out of scope offline, called out per sink.
+  * the standard idempotent-foreachBatch pattern.
+  *
+  * The overwrite-shaped sinks go one step further with [[commit]]: the
+  * ledger row is a `_graft_batch` MARKER FILE written INSIDE the staged
+  * directory before the swap, so table content and ledger become one
+  * atomic unit (the transaction-log trick on plain parquet — readers
+  * skip `_`-prefixed files, exactly like `_SUCCESS`). Every crash point
+  * is then safe: stage incomplete → the live table (with its old
+  * marker) is untouched and the batch replays in full; stage complete
+  * but swap unfinished (live dir deleted, rename pending) → [[recover]]
+  * finishes the rename before any read, making the batch applied. The
+  * old record-after-overwrite pattern had a window where the table was
+  * updated but the ledger was not, double-merging the batch on replay.
+  * Append-shaped sinks (the near-dup gate's two-table append) keep the
+  * external ledger and its documented window.
   */
 private[graft] object TableSink {
   import org.apache.hadoop.fs.Path
@@ -27,6 +38,7 @@ private[graft] object TableSink {
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   def hasParquet(s: SparkSession, path: String): Boolean = {
+    recover(s, path) // a mid-swap table must read as its committed stage
     val f = fs(s, path)
     val p = new Path(path)
     f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
@@ -36,24 +48,82 @@ private[graft] object TableSink {
     fs(s, path).delete(new Path(path), true)
 
   private def ledger(path: String) = new Path(path + "__ledger")
+  private def stage(path: String) = new Path(path + "__stage")
+  // inside-the-directory marker: `_` prefix ⇒ invisible to parquet scans
+  private val MarkerName = "_graft_batch"
 
-  def alreadyApplied(s: SparkSession, path: String, batchId: Long): Boolean = {
+  private def readId(s: SparkSession, path: String, p: Path): Option[Long] = {
     val f = fs(s, path)
-    val l = ledger(path)
-    f.exists(l) && {
-      val in = f.open(l)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
       try {
         val b = new Array[Byte](32)
         val n = in.read(b)
-        n > 0 && new String(b, 0, n).trim.toLong >= batchId
+        if (n > 0) Some(new String(b, 0, n).trim.toLong) else None
       } finally in.close()
     }
   }
 
-  def record(s: SparkSession, path: String, batchId: Long): Unit = {
-    val out = fs(s, path).create(ledger(path), true)
+  private def writeId(s: SparkSession, path: String, p: Path,
+      batchId: Long): Unit = {
+    val out = fs(s, path).create(p, true)
     try out.write(batchId.toString.getBytes) finally out.close()
   }
+
+  /** Finish a [[commit]] swap a crash interrupted: the live directory is
+    * gone but a COMPLETE stage (marker present — written last, so its
+    * presence certifies every data file landed) is waiting. Rename is
+    * the filesystem's atomic primitive; completing it here makes the
+    * staged batch applied. An INCOMPLETE stage is never promoted (and is
+    * simply overwritten by the next commit attempt).
+    */
+  def recover(s: SparkSession, path: String): Unit = {
+    val f = fs(s, path)
+    val st = stage(path)
+    if (!f.exists(new Path(path)) && f.exists(st) &&
+        f.exists(new Path(st, MarkerName)))
+      f.rename(st, new Path(path))
+  }
+
+  def alreadyApplied(s: SparkSession, path: String, batchId: Long): Boolean = {
+    recover(s, path)
+    // both ledgers consulted: the in-directory marker (atomic commit
+    // sinks) and the legacy external file (append-shaped sinks)
+    val ids = Seq(
+      readId(s, path, new Path(path, MarkerName)),
+      readId(s, path, ledger(path))).flatten
+    ids.nonEmpty && ids.max >= batchId
+  }
+
+  /** Atomically replace the table at `path` with `df` AND record
+    * `batchId` as applied — one swap, no window. Protocol: write `df`
+    * into `path__stage` (reading the LIVE table is still safe — it is
+    * untouched until the write completes), add the marker file last,
+    * rename the live directory ASIDE (rename, not recursive delete — a
+    * crash mid-delete would leave a partially-deleted live table that a
+    * rebuild would read as truth), rename the stage over it, then drop
+    * the aside copy. The aside→promote gap is closed by [[recover]] at
+    * read time; the aside directory is garbage from the moment the
+    * stage is promoted and is never read.
+    */
+  def commit(s: SparkSession, path: String, batchId: Long,
+      df: DataFrame): Unit = {
+    val f = fs(s, path)
+    val st = stage(path)
+    val live = new Path(path)
+    val aside = new Path(path + "__old")
+    f.delete(st, true)
+    df.write.mode("overwrite").parquet(st.toString)
+    writeId(s, path, new Path(st, MarkerName), batchId)
+    f.delete(aside, true)
+    if (f.exists(live)) f.rename(live, aside)
+    f.rename(st, live)
+    f.delete(aside, true)
+  }
+
+  def record(s: SparkSession, path: String, batchId: Long): Unit =
+    writeId(s, path, ledger(path), batchId)
 }
 
 /** The reference's streaming entry point (`(Clone) Kinesis Data Stream.py`)
@@ -528,9 +598,9 @@ object StreamPipeline {
     * the stream carries updates, not just inserts.
     *
     * Within one batch, several rows may share a key; `orderCol` picks the
-    * survivor deterministically (max wins) BEFORE the merge so replayed
-    * batches converge to the same table (idempotent-enough for parquet;
-    * a transaction log makes replay exactly-once — out of scope offline).
+    * survivor deterministically (max wins) BEFORE the merge, and the
+    * [[TableSink.commit]] swap makes table+ledger one atomic unit — a
+    * replayed batch is exactly-once on plain parquet.
     * At 100 TB the read-merge-rewrite touches only partitions holding
     * merged keys (see `Relational.mergeUpsert`); here the table rewrites
     * whole, the fixture shape.
@@ -557,31 +627,35 @@ object StreamPipeline {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        if (!TableSink.alreadyApplied(s, path, batchId)) {
-          val partial = batch
-            .groupBy(date_trunc("hour", col("ts")).as("hour"),
-              col("event_type"))
-            .agg(count(lit(1)).as("n_events"),
-              sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
-              min("value").as("min_value"), max("value").as("max_value"))
-          val merged =
-            if (TableSink.hasParquet(s, path))
-              s.read.parquet(path).unionByName(partial)
-                .groupBy("hour", "event_type")
-                .agg(sum("n_events").as("n_events"),
-                  sum("sum_dec").cast("decimal(18,2)").as("sum_dec"),
-                  min("min_value").as("min_value"),
-                  max("max_value").as("max_value"))
-            else partial
-          val tmp = path + "__agg_tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          s.read.parquet(tmp).write.mode("overwrite").parquet(path)
-          TableSink.delete(s, tmp)
-          TableSink.record(s, path, batchId)
-        }
+        applyHourlyAggBatch(batch, path, batchId)
       }
       .start()
+
+  /** One hourly-agg micro-batch, factored out so the crash-window spec
+    * can drive it directly (same batchId twice, kill mid-swap).
+    */
+  private[graft] def applyHourlyAggBatch(batch: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!TableSink.alreadyApplied(s, path, batchId)) {
+      val partial = batch
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+          min("value").as("min_value"), max("value").as("max_value"))
+      val merged =
+        if (TableSink.hasParquet(s, path))
+          s.read.parquet(path).unionByName(partial)
+            .groupBy("hour", "event_type")
+            .agg(sum("n_events").as("n_events"),
+              sum("sum_dec").cast("decimal(18,2)").as("sum_dec"),
+              min("min_value").as("min_value"),
+              max("max_value").as("max_value"))
+        else partial
+      TableSink.commit(s, path, batchId, merged)
+    }
+  }
 
   /** Streaming near-dup admission gate: each micro-batch's documents are
     * admitted only if they do not near-duplicate (n-gram Jaccard ≥
@@ -685,13 +759,10 @@ object StreamPipeline {
             if (TableSink.hasParquet(s, path))
               graft.ops.Relational.mergeUpsert(s.read.parquet(path), latest, keys)
             else latest
-          // write via temp + swap: the source of the merge is the table
-          // being replaced, so an in-place overwrite would read-under-write
-          val tmp = path + "__merge_tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          s.read.parquet(tmp).write.mode("overwrite").parquet(path)
-          TableSink.delete(s, tmp)
-          TableSink.record(s, path, batchId)
+          // atomic stage+swap: the merge reads the table being replaced
+          // (the live dir stays intact until the staged write completes)
+          // and the batch marker travels inside the swapped directory
+          TableSink.commit(s, path, batchId, merged)
         }
       }
       .start()
@@ -735,9 +806,8 @@ object StreamPipeline {
     * (`hll_union_agg` over stored ∪ batch — sketch union is
     * set-associative, the sketch world's version of the decimal-sum
     * discipline: ANY batch slicing converges to the batch operator's
-    * sketches, spec-proven). Ledger-idempotent like
-    * [[startGrainRollupSink]] (same documented crash window between
-    * overwrite and record). Raw user ids enter exactly one batch
+    * sketches, spec-proven). Exactly-once via [[TableSink.commit]]'s
+    * atomic table+ledger swap. Raw user ids enter exactly one batch
     * sketch; restarts resume from checkpoint + tables; any consumer
     * derives sliding-window distinct estimates by unioning the stored
     * hourly partials — without ever re-reading events.
@@ -747,25 +817,27 @@ object StreamPipeline {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        if (!TableSink.alreadyApplied(s, path, batchId)) {
-          val partial = batch
-            .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
-            .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-          val merged =
-            if (TableSink.hasParquet(s, path))
-              s.read.parquet(path).unionByName(partial)
-                .groupBy("h")
-                .agg(expr("hll_union_agg(sk)").as("sk"))
-            else partial
-          val tmp = path + "__tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          s.read.parquet(tmp).write.mode("overwrite").parquet(path)
-          TableSink.delete(s, tmp)
-          TableSink.record(s, path, batchId)
-        }
+        applyDistinctSketchBatch(batch, path, batchId)
       }
       .start()
+
+  /** One sketch-maintenance micro-batch (spec-drivable). */
+  private[graft] def applyDistinctSketchBatch(batch: DataFrame,
+      path: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!TableSink.alreadyApplied(s, path, batchId)) {
+      val partial = batch
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged =
+        if (TableSink.hasParquet(s, path))
+          s.read.parquet(path).unionByName(partial)
+            .groupBy("h")
+            .agg(expr("hll_union_agg(sk)").as("sk"))
+        else partial
+      TableSink.commit(s, path, batchId, merged)
+    }
+  }
 
   /** Streaming materialized-view LADDER — the streaming twin of
     * [[graft.ops.EventOps.grainRollup]]: per micro-batch, the batch's
@@ -784,51 +856,57 @@ object StreamPipeline {
     * (|minutes| rows, not |events|) and the minute table is partitioned
     * by day so each batch rewrites only the days it touched.
     *
-    * CRASH WINDOW (same non-atomicity as [[startHourlyAggSink]], unlike
-    * [[startNearDupGate]]'s swap): the batch ledger is recorded AFTER
-    * the minute-table overwrite — a crash between the overwrite and
-    * `TableSink.record` replays the batch on restart and re-merges the
-    * same partial into the already-updated minute table (double count).
-    * Closing it needs the ledger row folded into the same atomic swap
-    * as the table (i.e. a transaction-log table format); with plain
-    * parquet directories the window is documented, not closed.
+    * Exactly-once: the minute table (the only merge-shaped state)
+    * commits via [[TableSink.commit]]'s atomic table+ledger swap; the
+    * hour/day tables are PURE FUNCTIONS of the minute table and are
+    * re-derived on every batch call — including replays — so a crash
+    * anywhere between the minute commit and the derived rewrites heals
+    * on the replay the checkpoint guarantees (a replayed batch skips
+    * the merge, then re-derives the grains idempotently).
     */
   def startGrainRollupSink(events: DataFrame, basePath: String,
       checkpoint: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val minutePath = basePath + "/minute"
-        if (!TableSink.alreadyApplied(s, minutePath, batchId)) {
-          val partial = batch
-            .groupBy(date_trunc("minute", col("ts")).as("bucket_ts"))
-            .agg(count(lit(1)).as("n_events"),
-              sum(col("value").cast("decimal(18,2)")).as("dec_v"))
-          val minute =
-            if (TableSink.hasParquet(s, minutePath))
-              s.read.parquet(minutePath).unionByName(partial)
-                .groupBy("bucket_ts")
-                .agg(sum("n_events").as("n_events"),
-                  sum("dec_v").cast("decimal(18,2)").as("dec_v"))
-            else partial
-          val tmp = minutePath + "__tmp"
-          minute.write.mode("overwrite").parquet(tmp)
-          s.read.parquet(tmp).write.mode("overwrite").parquet(minutePath)
-          TableSink.delete(s, tmp)
-          // ladder: coarser grains re-aggregate the stored partials
-          val m = s.read.parquet(minutePath)
-          m.groupBy(date_trunc("hour", col("bucket_ts")).as("bucket_ts"))
-            .agg(sum("n_events").as("n_events"),
-              sum("dec_v").cast("decimal(18,2)").as("dec_v"))
-            .write.mode("overwrite").parquet(basePath + "/hour")
-          s.read.parquet(basePath + "/hour")
-            .groupBy(date_trunc("day", col("bucket_ts")).as("bucket_ts"))
-            .agg(sum("n_events").as("n_events"),
-              sum("dec_v").cast("decimal(18,2)").as("dec_v"))
-            .write.mode("overwrite").parquet(basePath + "/day")
-          TableSink.record(s, minutePath, batchId)
-        }
+        applyGrainRollupBatch(batch, basePath, batchId)
       }
       .start()
+
+  /** One grain-rollup micro-batch (spec-drivable): atomic minute-table
+    * merge, then idempotent hour/day re-derivation.
+    */
+  private[graft] def applyGrainRollupBatch(batch: DataFrame,
+      basePath: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val minutePath = basePath + "/minute"
+    if (!TableSink.alreadyApplied(s, minutePath, batchId)) {
+      val partial = batch
+        .groupBy(date_trunc("minute", col("ts")).as("bucket_ts"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("dec_v"))
+      val minute =
+        if (TableSink.hasParquet(s, minutePath))
+          s.read.parquet(minutePath).unionByName(partial)
+            .groupBy("bucket_ts")
+            .agg(sum("n_events").as("n_events"),
+              sum("dec_v").cast("decimal(18,2)").as("dec_v"))
+        else partial
+      TableSink.commit(s, minutePath, batchId, minute)
+    }
+    // ladder: coarser grains re-aggregate the stored partials — OUTSIDE
+    // the ledger guard, because they must also heal when a replayed
+    // batch finds the minute commit already applied but the derived
+    // rewrites were lost to the crash
+    val m = s.read.parquet(minutePath)
+    m.groupBy(date_trunc("hour", col("bucket_ts")).as("bucket_ts"))
+      .agg(sum("n_events").as("n_events"),
+        sum("dec_v").cast("decimal(18,2)").as("dec_v"))
+      .write.mode("overwrite").parquet(basePath + "/hour")
+    s.read.parquet(basePath + "/hour")
+      .groupBy(date_trunc("day", col("bucket_ts")).as("bucket_ts"))
+      .agg(sum("n_events").as("n_events"),
+        sum("dec_v").cast("decimal(18,2)").as("dec_v"))
+      .write.mode("overwrite").parquet(basePath + "/day")
+  }
 }

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StreamPipeline, TableSink}
+
+/** The foreachBatch exactly-once contract on plain parquet: table content
+  * and batch ledger commit as ONE atomic swap ([[TableSink.commit]] — the
+  * `_graft_batch` marker travels INSIDE the swapped directory), so no
+  * crash point can double-merge a batch. Round-6 verdict item #3: the
+  * old record-after-overwrite pattern had a window between the table
+  * overwrite and the ledger write where a replay re-merged the batch.
+  */
+class AtomicCommitSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("atomic_commit").toString
+
+  private def eventsBatch(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 3}%02d:0${i % 6}:00"),
+        s"type_${i % 2}", i.toDouble, i.toLong))
+      .toDF("ts", "event_type", "value", "user_id")
+  }
+
+  test("commit + alreadyApplied round trip: marker rides inside the " +
+      "directory (invisible to the parquet scan), stage is consumed, " +
+      "replay gate answers per batch id") {
+    val path = tmpDir() + "/t"
+    import spark.implicits._
+    TableSink.commit(spark, path, 0, Seq((1L, "a")).toDF("k", "v"))
+    assert(TableSink.alreadyApplied(spark, path, 0))
+    assert(!TableSink.alreadyApplied(spark, path, 1))
+    assert(spark.read.parquet(path).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    assert(!new java.io.File(path + "__stage").exists(),
+      "stage directory must be consumed by the swap")
+    assert(new java.io.File(path, "_graft_batch").exists(),
+      "the ledger marker must live inside the table directory")
+    TableSink.commit(spark, path, 1, Seq((2L, "b")).toDF("k", "v"))
+    assert(TableSink.alreadyApplied(spark, path, 1))
+    assert(spark.read.parquet(path).collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+  }
+
+  test("crash mid-swap (live dir renamed aside, staged commit pending): " +
+      "recovery promotes the complete stage, the batch reads as applied, " +
+      "and a replay is a no-op — the formerly-open double-merge window") {
+    val path = tmpDir() + "/hourly"
+    val b = eventsBatch(12)
+    StreamPipeline.applyHourlyAggBatch(b, path, 0)
+    StreamPipeline.applyHourlyAggBatch(b, path, 1)
+    val committed = spark.read.parquet(path)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    // reproduce the exact crash state between the aside-rename and the
+    // promote-rename: stage complete (marker present), live dir absent
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__stage")))
+    // recovery is lazy — the next ledger probe finishes the swap
+    assert(TableSink.alreadyApplied(spark, path, 1),
+      "a complete stage must recover as the committed table")
+    assert(spark.read.parquet(path)
+      .agg(sum("n_events")).collect()(0).getLong(0) == committed)
+    // the replay the checkpoint would drive after the crash: no-op
+    StreamPipeline.applyHourlyAggBatch(b, path, 1)
+    assert(spark.read.parquet(path)
+      .agg(sum("n_events")).collect()(0).getLong(0) == committed,
+      "replay after recovery double-merged the batch")
+  }
+
+  test("an INCOMPLETE stage (no marker — crash during the staged write) " +
+      "is never promoted: the live table and its ledger stay the truth " +
+      "and the batch re-applies in full") {
+    val path = tmpDir() + "/hourly"
+    val b = eventsBatch(12)
+    StreamPipeline.applyHourlyAggBatch(b, path, 0)
+    val committed = spark.read.parquet(path)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    // crash during batch 1's stage write: stage exists, no marker yet
+    import spark.implicits._
+    Seq((999L, 999L)).toDF("x", "y").write.parquet(path + "__stage")
+    assert(!TableSink.alreadyApplied(spark, path, 1))
+    StreamPipeline.applyHourlyAggBatch(b, path, 1)
+    assert(TableSink.alreadyApplied(spark, path, 1))
+    assert(spark.read.parquet(path)
+      .agg(sum("n_events")).collect()(0).getLong(0) == 2 * committed,
+      "batch 1 must merge exactly once over the batch-0 table")
+    assert(spark.read.parquet(path).columns.toSet
+      == Set("hour", "event_type", "n_events", "sum_dec", "min_value",
+        "max_value"), "the abandoned stage must not leak into the table")
+  }
+
+  test("replay idempotence across all three atomic sinks: same batchId " +
+      "twice changes nothing; a new batchId merges exactly once") {
+    val base = tmpDir()
+    val b = eventsBatch(18)
+    // hourly agg
+    StreamPipeline.applyHourlyAggBatch(b, base + "/agg", 0)
+    val agg0 = spark.read.parquet(base + "/agg")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    StreamPipeline.applyHourlyAggBatch(b, base + "/agg", 0)
+    assert(spark.read.parquet(base + "/agg")
+      .agg(sum("n_events")).collect()(0).getLong(0) == agg0)
+    // sketch table: estimates must not move on replay
+    StreamPipeline.applyDistinctSketchBatch(b, base + "/sk", 0)
+    val est0 = spark.read.parquet(base + "/sk")
+      .selectExpr("h", "hll_sketch_estimate(sk) AS e").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    StreamPipeline.applyDistinctSketchBatch(b, base + "/sk", 0)
+    val est1 = spark.read.parquet(base + "/sk")
+      .selectExpr("h", "hll_sketch_estimate(sk) AS e").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est1 == est0)
+    // grain rollup
+    StreamPipeline.applyGrainRollupBatch(b, base + "/grain", 0)
+    val m0 = spark.read.parquet(base + "/grain/minute")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    StreamPipeline.applyGrainRollupBatch(b, base + "/grain", 0)
+    assert(spark.read.parquet(base + "/grain/minute")
+      .agg(sum("n_events")).collect()(0).getLong(0) == m0)
+  }
+
+  test("grain rollup heals derived grains on replay: a crash after the " +
+      "minute commit but before the hour/day rewrites leaves stale " +
+      "derived tables, and the checkpoint-driven replay re-derives them " +
+      "even though the minute merge is skipped") {
+    val base = tmpDir()
+    StreamPipeline.applyGrainRollupBatch(eventsBatch(12), base, 0)
+    val hour0 = spark.read.parquet(base + "/hour")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    // crash window: derived tables lost after the minute commit
+    TableSink.delete(spark, base + "/hour")
+    TableSink.delete(spark, base + "/day")
+    StreamPipeline.applyGrainRollupBatch(eventsBatch(12), base, 0)
+    assert(spark.read.parquet(base + "/hour")
+      .agg(sum("n_events")).collect()(0).getLong(0) == hour0,
+      "replay must re-derive the hour grain from the committed minutes")
+    assert(spark.read.parquet(base + "/day").count() > 0)
+  }
+}
