@@ -3112,19 +3112,32 @@ object OracleSql {
     // specific, so the oracle is the EXACT per-window distinct (integer)
     // plus the bound contract as a literal — the approxDistinctBound
     // pattern; the engine-side flag is deterministic for a fixed input.
+    // The audit is SAMPLED (every 3rd window): unaudited windows carry
+    // NULL exact/bound columns in BOTH engines — the full exact twin
+    // would explode events windowHours×, the cost the sketch avoids.
     "ev_sliding_distinct" ->
       """WITH ev AS (
         |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
         |      AS BIGINT) AS h,
         |    user_id
         |  FROM events),
+        |allw AS (
+        |  SELECT DISTINCT h + u.off AS wend
+        |  FROM (SELECT DISTINCT h FROM ev) hrs CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 5)) AS off) u),
         |w AS (
         |  SELECT h + u.off AS wend, user_id
         |  FROM ev CROSS JOIN
-        |    (SELECT unnest(generate_series(0, 5)) AS off) u)
-        |SELECT wend, count(DISTINCT user_id) AS exact_users,
-        |  TRUE AS within_bound
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    (SELECT unnest(generate_series(0, 5)) AS off) u
+        |  WHERE (h + u.off) % 3 = 0),
+        |ex AS (
+        |  SELECT wend, count(DISTINCT user_id) AS exact_users
+        |  FROM w GROUP BY 1)
+        |SELECT a.wend, ex.exact_users,
+        |  CASE WHEN ex.exact_users IS NOT NULL THEN TRUE END
+        |    AS within_bound
+        |FROM allw a LEFT JOIN ex ON a.wend = ex.wend
+        |ORDER BY a.wend""".stripMargin,
 
     // TextOps.bpePairs twin: vocabulary-reduced adjacent character-pair
     // counts weighted by word frequency — pure integer counting.
@@ -3216,9 +3229,34 @@ object OracleSql {
          |    AS entropy
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** TextOps.bpeMerges twin: the k-round merge loop UNROLLED as chained
+    * CTEs (count pairs over v_{i-1} → top-1 with (cnt desc, a, b)
+    * tie-break → literal sentinel-replace into v_i). `replace` is
+    * greedy-left-to-right-non-overlapping in both engines, which IS the
+    * reference BPE merge semantics.
+    */
+  private def bpeStepCtes(k: Int): String = (1 to k).map { i =>
+    s"""p$i AS (
+       |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wf) AS BIGINT) AS cnt
+       |  FROM (SELECT wf,
+       |      unnest(list_transform(generate_series(1, len(syms) - 1),
+       |        i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS pr
+       |    FROM (SELECT wf,
+       |        regexp_extract_all(repr, '<([^<>]*)>', 1) AS syms
+       |      FROM v${i - 1}) s
+       |    WHERE len(syms) >= 2) q
+       |  GROUP BY 1, 2),
+       |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |v$i AS (SELECT wf,
+       |  replace(repr, '<' || a || '><' || b || '>',
+       |    '<' || a || b || '>') AS repr
+       |  FROM v${i - 1} CROSS JOIN t$i)"""
+  }.mkString(",\n")
+
   /** Round-7 additions: the five remaining TPC-H analytics shapes
     * (Q6/Q7/Q8/Q9/Q10), previously implemented but unregistered (round-6
-    * ADVICE) — now first-class driver-gated entries.
+    * ADVICE) — now first-class driver-gated entries — plus the BPE
+    * merge loop.
     */
   val round7: Map[String, String] = {
     // l_extendedprice * (1 - l_discount), exact decimal — the shared
@@ -3298,6 +3336,26 @@ object OracleSql {
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE p_name LIKE '%widget%'
          |GROUP BY 1, 2 ORDER BY nation, ship_year DESC""".stripMargin,
+
+    // TextOps.bpeMerges twin: 8 merge rounds unrolled ([[bpeStepCtes]]).
+    "txt_bpe_merges" -> {
+      val sel = (1 to 8).map(i =>
+        s"""SELECT $i AS step, a AS left_sym, b AS right_sym,
+           |  a || b AS merged, cnt AS n_occurrences FROM t$i""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS wf FROM (
+         |    SELECT unnest(${toksSql("lower(text)")}) AS word
+         |    FROM documents) t
+         |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) >= 2
+         |  GROUP BY 1),
+         |v0 AS (SELECT wf,
+         |  regexp_replace(word, '(.)', '<\\1>', 'g') AS repr FROM vocab),
+         |${bpeStepCtes(8)}
+         |SELECT * FROM (
+         |  $sel) u
+         |ORDER BY step""".stripMargin
+    },
 
     // Analytics.returnedItemRevenue twin (TPC-H Q10 shape): top-20
     // customers by returned revenue in one quarter.

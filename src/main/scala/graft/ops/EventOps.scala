@@ -718,9 +718,22 @@ object EventOps {
     * (integers, oracle-reproducible) plus a within-bound flag — the
     * estimate is deterministic for a fixed input set, making the flag
     * stable, and the spec pins the estimates themselves.
+    *
+    * The audit is SAMPLED (`auditEveryK`, default every 3rd window):
+    * the exact twin explodes every event `windowHours`× and runs a
+    * per-window `count_distinct` — exactly the cost the sketch path
+    * exists to avoid, so running it on every window at 100 TB would
+    * reintroduce it. The window filter is applied INSIDE the sequence
+    * generation (array_filter before the explode), so the fact table
+    * fans out only `⌈windowHours/k⌉`× on the audit branch; unaudited
+    * windows surface NULL exact/bound columns (the sketch estimate is
+    * still computed for every window — the audit is an assurance
+    * sample, not the result). `auditEveryK = 1` recovers the full audit
+    * (the spec's cross-check form at test SF).
     */
   def slidingDistinctUsers(s: SparkSession, d: String,
-      windowHours: Int = 6, maxRelErr: Double = 0.08): DataFrame = {
+      windowHours: Int = 6, maxRelErr: Double = 0.08,
+      auditEveryK: Int = 3): DataFrame = {
     val ev = Tables.events(s, d)
       .select(expr("unix_timestamp(ts) div 3600").as("h"), col("user_id"))
     val hourly = ev.groupBy("h")
@@ -730,16 +743,16 @@ object EventOps {
         explode(sequence(lit(0), lit(windowHours - 1))).as("off"))
       .groupBy((col("h") + col("off")).as("wend"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
-    // exact twin rides along for the bound contract (and the oracle):
-    // at scale this audit column runs on samples, not every window
     val exact = ev
-      .select(explode(sequence(col("h"),
-        col("h") + (windowHours - 1))).as("wend"), col("user_id"))
+      .select(explode(filter(
+        sequence(col("h"), col("h") + (windowHours - 1)),
+        w => w % auditEveryK === 0)).as("wend"), col("user_id"))
       .groupBy("wend").agg(count_distinct(col("user_id")).as("exact_users"))
-    exact.join(windows, Seq("wend"))
+    windows.join(exact, Seq("wend"), "left")
       .select(col("wend"), col("exact_users"),
-        (abs(col("approx") - col("exact_users")) <=
-          col("exact_users") * maxRelErr).as("within_bound"))
+        when(col("exact_users").isNotNull,
+          abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * maxRelErr).as("within_bound"))
       .orderBy("wend")
   }
 

@@ -136,16 +136,39 @@ class Round6OpsSpec extends AnyFunSuite {
 
   test("slidingDistinctUsers: hourly-sketch union is deterministic " +
       "across shuffle partitionings (DataSketches HLL is a pure " +
-      "function of the input SET) and every window meets the 8% bound") {
+      "function of the input SET), every AUDITED window meets the 8% " +
+      "bound, and the sampled audit agrees with the full audit on its " +
+      "sample") {
     val base = rowsOf(EventOps.slidingDistinctUsers(spark, TestSpark.sf001))
     assert(base.nonEmpty)
     val alt = TestSpark.withConfs("spark.sql.shuffle.partitions" -> "7") {
       rowsOf(EventOps.slidingDistinctUsers(spark, TestSpark.sf001))
     }
     assert(alt === base, "sketch estimates changed with partitioning")
-    val flags = EventOps.slidingDistinctUsers(spark, TestSpark.sf001)
-      .collect().map(_.getBoolean(2))
-    assert(flags.forall(identity), "a window exceeded the 8% bound")
+    val rows = EventOps.slidingDistinctUsers(spark, TestSpark.sf001)
+      .collect()
+    // audited ⇔ wend % 3 == 0; audited windows all inside the bound,
+    // unaudited ones carry NULLs (the sketch estimate still exists —
+    // the audit is an assurance sample, not the result)
+    rows.foreach { r =>
+      val audited = r.getLong(0) % 3 == 0
+      assert(r.isNullAt(1) == !audited, s"audit sampling off at $r")
+      assert(r.isNullAt(2) == !audited, s"bound flag off at $r")
+      if (audited) assert(r.getBoolean(2), s"window exceeded the 8% bound: $r")
+    }
+    assert(rows.exists(_.getLong(0) % 3 != 0),
+      "fixture must contain unaudited windows for the sampling to mean " +
+        "anything")
+    // the full audit (k=1) is the sampled audit's superset: equal exact
+    // counts on every sampled window, and every window audited
+    val full = EventOps.slidingDistinctUsers(spark, TestSpark.sf001,
+        auditEveryK = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filterNot(_.isNullAt(1)).foreach { r =>
+      assert(full(r.getLong(0)) == r.getLong(1),
+        s"sampled audit diverges from full audit at wend ${r.getLong(0)}")
+    }
+    assert(full.size == rows.length, "k=1 must audit every window")
   }
 
   // ---------------------------------------------------- pageRank
