@@ -378,6 +378,83 @@ object TextOps {
       .limit(k)
   }
 
+  /** BPE merge LOOP (Sennrich et al. 2016 §3.2 — the iterative half of
+    * tokenizer training; [[bpePairs]] is its distributed counting step):
+    * `merges` rounds of (count adjacent symbol pairs over the vocabulary,
+    * weighted by word frequency) → (merge the most frequent pair
+    * everywhere, greedy left-to-right non-overlapping) → repeat, emitting
+    * the ordered merge table a BPE tokenizer is defined by.
+    *
+    * Representation: each word's symbol sequence is ONE string with every
+    * symbol wrapped in `<…>` sentinels (vocabulary restricted to
+    * `^[a-z]+$`, so the sentinels cannot collide). Applying a merge is
+    * then a single literal `replace('<a><b>' → '<ab>')` — and because
+    * `replace` consumes matches left-to-right without rescanning
+    * replaced output, it IS the greedy non-overlapping merge semantics
+    * of the reference implementation (`'<a><a><a>'` merges once, not
+    * twice; engine-identical in Spark and DuckDB). Pair counting
+    * re-derives the symbol array per round via `regexp_extract_all` —
+    * a row-local codegen'd pass over the (vocabulary-sized, never
+    * corpus-sized) table.
+    *
+    * Scale: the corpus reduces to its vocabulary ONCE; each round is one
+    * narrow pass + one pair-keyed aggregate + a single-row top-1 to the
+    * driver (the merge decision — bounded driver state, the CC/PageRank
+    * loop discipline; the full driver footprint is the k-row merge
+    * list), with lineage truncated per round by localCheckpoint. Pure
+    * integer counts and string ops ⇒ engine-exact, oracle-verified
+    * against unrolled k-step CTEs.
+    */
+  def bpeMerges(s: SparkSession, d: String, merges: Int = 8): DataFrame =
+    bpeMergesFrom(s, Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wf")), merges)
+
+  /** [[bpeMerges]] core over an explicit (word, wf) vocabulary — the
+    * spec drives it with Sennrich's worked example.
+    */
+  private[graft] def bpeMergesFrom(s: SparkSession, vocabIn: DataFrame,
+      merges: Int): DataFrame = {
+    import s.implicits._
+    var vocab = vocabIn
+      .select(col("wf"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("repr"))
+      .localCheckpoint()
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val syms = vocab.select(col("wf"),
+          expr("regexp_extract_all(repr, '<([^<>]*)>', 1)").as("syms"))
+        .filter(size(col("syms")) >= 2)
+      val top = syms.select(col("wf"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), (i + 1).cast("int")).as("b"))))
+            .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect() // ONE row — the round's merge decision
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step, a, b, c))
+        // symbols are ^[a-z]+$ — safe inside a SQL string literal
+        vocab = vocab.select(col("wf"),
+            expr(s"replace(repr, '<$a><$b>', '<$a$b>')").as("repr"))
+          .localCheckpoint()
+      }
+    }
+    out.toSeq
+      .map { case (st, a, b, c) => (st, a, b, a + b, c) }
+      .toDF("step", "left_sym", "right_sym", "merged", "n_occurrences")
+      .orderBy("step")
+  }
+
   /** Token-level Shannon entropy per document — the lexical-diversity
     * quality signal (a low-entropy page is repetitive boilerplate; the
     * distributional cousin of [[graft.ops.CorpusOps.repetitionRatio]]):

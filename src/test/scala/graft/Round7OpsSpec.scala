@@ -63,6 +63,43 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges reproduces Sennrich et al. 2016 §3.2 on the worked " +
+      "example vocabulary {low:5, lower:2, newest:6, widest:3}: es → " +
+      "est → lo → low, with deterministic (count desc, pair) tie-breaks") {
+    import spark.implicits._
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "wf")
+    val rows = graft.ops.TextOps.bpeMergesFrom(spark, vocab, 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L),
+      (6, "ew", "est", "ewest", 6L)))
+  }
+
+  test("bpeMerges greedy non-overlap semantics: pair (a,a) over 'aaaa' " +
+      "merges twice, over 'aaa' merges once — replace consumes matches " +
+      "left-to-right without rescanning its own output") {
+    import spark.implicits._
+    val vocab = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("word", "wf")
+    val rows = graft.ops.TextOps.bpeMergesFrom(spark, vocab, 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // round 1: pairs (a,a) appear 3 + 2 = 5 times; merge (a,a) → aa
+    // round 2: 'aaaa' → [aa, aa] (ONE pair), 'aaa' → [aa, a] (one pair
+    // (aa,a)) — greedy non-overlap leaves exactly these
+    assert(rows(0) == ((1, "aa", 5L)))
+    assert(rows(1) == ((2, "aa", 1L)) || rows(1) == ((2, "aaa", 1L)),
+      s"unexpected round-2 merge: ${rows(1)}")
+    // tie-break is (cnt desc, a, b): (aa,a) sorts before (aa,aa)
+    assert(rows(1)._2 == "aaa")
+  }
+
   test("pageRankBucketed conserves rank mass within integer-quantization " +
       "loss: sum(r) ≤ 1e12, and the cumulative floor-division loss over " +
       "10 supersteps stays far below 1% of the mass") {
