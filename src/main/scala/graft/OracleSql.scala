@@ -3337,6 +3337,20 @@ object OracleSql {
          |WHERE p_name LIKE '%widget%'
          |GROUP BY 1, 2 ORDER BY nation, ship_year DESC""".stripMargin,
 
+    // Relational.storagePartitionedJoinAgg twin: the graftdocs doc_id
+    // space is pure arithmetic, so the SPJ self-join aggregate
+    // reproduces from generate_series — layout is the engine's, the
+    // numbers are engine-independent.
+    "r_storage_partitioned_join" ->
+      """WITH ids AS (
+        |  SELECT unnest(generate_series(0, 4999)) AS doc_id),
+        |b AS (SELECT doc_id, doc_id // 250 AS id_bucket FROM ids)
+        |SELECT a.id_bucket, count(*) AS n_docs,
+        |  min(a.doc_id) AS min_id, max(a.doc_id) AS max_id
+        |FROM b a JOIN b c
+        |  ON a.id_bucket = c.id_bucket AND a.doc_id = c.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // TextOps.bpeMerges twin: 8 merge rounds unrolled ([[bpeStepCtes]]).
     "txt_bpe_merges" -> {
       val sel = (1 to 8).map(i =>

@@ -131,6 +131,10 @@ object SparkEntry {
     "r_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "r_bloom_join"        -> (Relational.bloomSemiJoin(_, _)),
     "r_bucketed_join"     -> (Relational.bucketedJoinAgg(_, _)),
+    // round 7: DSv2 storage-partitioned join (source-reported layout;
+    // the sf dir is unused — the generator IS the table)
+    "r_storage_partitioned_join" -> ((s, _) =>
+      Relational.storagePartitionedJoinAgg(s)),
     "ev_grain_rollup"     -> (EventOps.grainRollup(_, _)),
     "ev_anomaly_mad"      -> (EventOps.anomalyMad(_, _)),
     "ev_cusum_changepoint" -> (EventOps.cusumChangepoint(_, _)),

@@ -785,4 +785,45 @@ object Relational {
           .as("revenue"))
       .orderBy("segment")
   }
+
+  /** Storage-partitioned join as a DRIVER-GATED entry (round 7; the SPJ
+    * seam was spec-only before): a self-join of two bucketed
+    * [[graft.sources.v2.GraftDocsSource]] scans on (id_bucket, doc_id).
+    * Each scan reports `KeyGroupedPartitioning(identity(id_bucket))`
+    * over bucket-aligned `HasPartitionKey` splits, so under
+    * `spark.sql.sources.v2.bucketing.enabled` the join plans with ZERO
+    * Exchange — the Iceberg-style SPJ lever: co-location delivered by
+    * the SOURCE's reported layout, no write-side bucketing step at all.
+    * The `merge` hint keeps the sf-sized fixture on the SortMergeJoin
+    * path the lever exists for (a broadcast would bypass the reported
+    * partitioning). The two confs are set WITHOUT restore: both are
+    * no-ops for every non-KeyGrouped source in the registry, and
+    * conf-flipping around a lazy plan would be lost by the time the
+    * action executes.
+    *
+    * Oracle: the generator's doc_id space is pure arithmetic
+    * (`[0, rows)`, `id_bucket = doc_id div bucketSize`), so the
+    * aggregate over the join is exactly reproducible from a DuckDB
+    * `generate_series` — the layout is the engine's, the numbers are
+    * engine-independent.
+    */
+  def storagePartitionedJoinAgg(s: SparkSession, rows: Long = 5000,
+      bucketSize: Long = 250): DataFrame = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // join keys (id_bucket, doc_id) are a SUPERSET of the partition key
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def scan = s.read.format("graft.sources.v2.GraftDocsSource")
+      .option("rows", rows.toString)
+      .option("bucketSize", bucketSize.toString)
+      .load()
+    scan.as("a")
+      .join(scan.as("b").hint("merge"),
+        col("a.id_bucket") === col("b.id_bucket") &&
+          col("a.doc_id") === col("b.doc_id"))
+      .groupBy(col("a.id_bucket").as("id_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("a.doc_id")).as("min_id"),
+        max(col("a.doc_id")).as("max_id"))
+      .orderBy("id_bucket")
+  }
 }

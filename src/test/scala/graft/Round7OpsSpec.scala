@@ -63,6 +63,38 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r_storage_partitioned_join (registered entry): the SPJ self-join " +
+      "SortMergeJoin subtree has ZERO Exchange (source-reported " +
+      "KeyGroupedPartitioning co-locates both sides) and matches a " +
+      "plain shuffled recount") {
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.Relational.storagePartitionedJoinAgg(spark)
+      val smj = df.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.getOrElse(fail("expected the SPJ SortMergeJoin:\n" +
+        df.queryExecution.executedPlan))
+      val shuffles = smj.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join still shuffles below the SMJ:\n$smj")
+      val rows = df.collect()
+      assert(rows.length == 20) // 5000 ids / 250 per bucket
+      rows.foreach { r =>
+        val b = r.getLong(0)
+        assert(r.getLong(1) == 250L)
+        assert(r.getLong(2) == b * 250 && r.getLong(3) == b * 250 + 249)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
   test("bpeMerges reproduces Sennrich et al. 2016 §3.2 on the worked " +
       "example vocabulary {low:5, lower:2, newest:6, widest:3}: es → " +
       "est → lo → low, with deterministic (count desc, pair) tie-breaks") {
