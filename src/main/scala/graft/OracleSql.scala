@@ -3337,6 +3337,81 @@ object OracleSql {
          |WHERE p_name LIKE '%widget%'
          |GROUP BY 1, 2 ORDER BY nation, ship_year DESC""".stripMargin,
 
+    // TextOps.lmScoreBigram twin: add-one-smoothed bigram LM, decimal
+    // per-contribution rounding; docs without bigrams absent (as
+    // zero-token docs are from txt_lm_score).
+    "txt_lm_bigram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, pr.prev AS prev, pr.cur AS cur FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(t) - 1),
+         |        i -> struct_pack(prev := t[i], cur := t[i + 1]))) AS pr
+         |    FROM toks WHERE len(t) >= 2) x),
+         |cb AS (SELECT prev, cur, count(*) AS cb FROM big GROUP BY 1, 2),
+         |cp AS (SELECT prev, count(*) AS cp FROM big GROUP BY 1),
+         |v AS (
+         |  SELECT count(DISTINCT word) AS v FROM (
+         |    SELECT unnest(${toksSql("lower(text)")}) AS word
+         |    FROM documents) w),
+         |tf AS (
+         |  SELECT doc_id, prev, cur, count(*) AS tf
+         |  FROM big GROUP BY 1, 2, 3),
+         |lp AS (
+         |  SELECT doc_id, tf,
+         |    CAST(tf * ln((cb + 1.0) / (cp + v)) AS DECIMAL(24,9)) AS lp
+         |  FROM tf JOIN cb USING (prev, cur) JOIN cp USING (prev)
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_logprob
+         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TextOps.ccnetBucketsBigram twin: per-language terciles by mean
+    // bigram logprob (the txt_ccnet_buckets window, one n-gram order up).
+    "txt_ccnet_bigram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, pr.prev AS prev, pr.cur AS cur FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(t) - 1),
+         |        i -> struct_pack(prev := t[i], cur := t[i + 1]))) AS pr
+         |    FROM toks WHERE len(t) >= 2) x),
+         |cb AS (SELECT prev, cur, count(*) AS cb FROM big GROUP BY 1, 2),
+         |cp AS (SELECT prev, count(*) AS cp FROM big GROUP BY 1),
+         |v AS (
+         |  SELECT count(DISTINCT word) AS v FROM (
+         |    SELECT unnest(${toksSql("lower(text)")}) AS word
+         |    FROM documents) w),
+         |tf AS (
+         |  SELECT doc_id, prev, cur, count(*) AS tf
+         |  FROM big GROUP BY 1, 2, 3),
+         |lp AS (
+         |  SELECT doc_id, tf,
+         |    CAST(tf * ln((cb + 1.0) / (cp + v)) AS DECIMAL(24,9)) AS lp
+         |  FROM tf JOIN cb USING (prev, cur) JOIN cp USING (prev)
+         |  CROSS JOIN v),
+         |doc AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |    sum(lp) AS sum_lp,
+         |    CAST(sum(lp) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+         |      AS avg_logprob
+         |  FROM lp GROUP BY 1),
+         |scored AS (
+         |  SELECT dd.lang, d.n_bigrams, d.sum_lp,
+         |    ntile(3) OVER (PARTITION BY dd.lang
+         |                   ORDER BY d.avg_logprob DESC, d.doc_id) AS tile
+         |  FROM doc d JOIN documents dd USING (doc_id))
+         |SELECT lang,
+         |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(sum_lp) AS DOUBLE) / CAST(sum(n_bigrams) AS BIGINT)
+         |    AS mean_logprob
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Relational.storagePartitionedJoinAgg twin: the graftdocs doc_id
     // space is pure arithmetic, so the SPJ self-join aggregate
     // reproduces from generate_series — layout is the engine's, the

@@ -45,6 +45,8 @@ object SparkEntry {
     "txt_tfidf"           -> (TextOps.tfidfTop(_, _)),
     "txt_top_terms_cms"   -> (TextOps.topTermsCmsBound(_, _)),
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
+    "txt_lm_bigram"       -> (TextOps.lmScoreBigram(_, _)),
+    "txt_ccnet_bigram"    -> (TextOps.ccnetBucketsBigram(_, _)),
     "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
     "txt_gopher_rules"    -> (TextOps.gopherRules(_, _)),
     "txt_c4_rules"        -> (TextOps.c4Rules(_, _)),

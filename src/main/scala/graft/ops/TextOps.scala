@@ -557,6 +557,91 @@ object TextOps {
       .agg(sum(col("tf")).as("n_tokens"), sum(col("lp")).as("sum_lp"))
   }
 
+  /** Bigram LM quality score (round 7 — the n-gram upgrade of
+    * [[lmScore]]'s unigram proxy; CCNet's actual filter is an n-gram LM
+    * perplexity): mean add-one-smoothed bigram log-probability per
+    * document, p(cur|prev) = (c(prev,cur) + 1) / (c(prev,·) + |V|),
+    * with |V| the corpus unigram vocabulary. Per-(doc, prev, cur)
+    * contributions tf·ln(p) round onto DECIMAL(24,9) (the established
+    * discipline — associative per-doc sums, engine-identical division
+    * inputs since every count is an integer). Documents with fewer than
+    * two tokens have no bigram evidence and are absent, exactly as
+    * zero-token docs are absent from [[lmScore]].
+    *
+    * Scale: one adjacent-pair explode of the corpus (row-local), two
+    * bigram-keyed aggregates (the model), one broadcast scalar (|V|),
+    * one (prev,cur)-keyed join back — the [[lmScore]] shape one n-gram
+    * order up; the model tables are vocabulary²-bounded in principle
+    * but OBSERVED-bigram-bounded in fact (≤ corpus positions).
+    */
+  def lmScoreBigram(s: SparkSession, d: String): DataFrame =
+    lmBigramPerDoc(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams"))
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+
+  /** [[lmScoreBigram]] internals (pre-division decimal sums, the
+    * [[lmPerDoc]] pattern) so [[ccnetBucketsBigram]] keeps summing the
+    * associative decimal.
+    */
+  private[graft] def lmBigramPerDoc(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("prev"),
+            element_at(col("t"), (i + 1).cast("int")).as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val cb = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val cp = big.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val v = Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    big.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf"))
+      .join(cb, Seq("prev", "cur"))
+      .join(cp, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        (col("tf") * log((col("cb") + lit(1.0)) / (col("cp") + col("v"))))
+          .cast("decimal(24,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+  }
+
+  /** [[ccnetBuckets]] cut by the BIGRAM LM score instead of the unigram
+    * proxy — per-language terciles by mean bigram logprob, the closer
+    * cousin of CCNet's perplexity bucketing. Same window + decimal
+    * aggregation discipline; docs without bigram evidence (single-token
+    * docs) carry no score and are outside the cut, as in
+    * [[lmScoreBigram]].
+    */
+  def ccnetBucketsBigram(s: SparkSession, d: String): DataFrame = {
+    val scored = lmBigramPerDoc(s, d)
+      .withColumn("avg_logprob",
+        col("sum_lp").cast("double") / col("n_bigrams"))
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored
+      .withColumn("tile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sum_lp")).as("sum_lp"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("n_bigrams").cast(LongType).as("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams").cast(LongType))
+          .as("mean_logprob"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Count-min-sketch term-frequency estimates for the exact top-k terms:
     * the third sketch family in the engine (HLL `approx_count_distinct`
     * for cardinality, BloomFilter for membership, CMS for frequency).

@@ -132,6 +132,42 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows(1)._2 == "aaa")
   }
 
+  test("lmScoreBigram: n_bigrams = n_tokens - 1 for every multi-token " +
+      "doc, scores strictly negative (add-one smoothing keeps p < 1), " +
+      "and single-token docs are absent") {
+    import graft.ops.TextOps
+    val big = TextOps.lmScoreBigram(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(big.nonEmpty)
+    big.values.foreach { case (n, lp) =>
+      assert(n >= 1)
+      assert(lp < 0, s"smoothed bigram logprob must be negative: $lp")
+    }
+    val tok = TextOps.tokenCount(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tok.foreach { case (id, n) =>
+      if (n >= 2) assert(big(id)._1 == n - 1,
+        s"doc $id: ${big(id)._1} bigrams for $n tokens")
+      else assert(!big.contains(id), s"doc $id with $n tokens has a score")
+    }
+  }
+
+  test("ccnetBucketsBigram: per language, head-bucket mean beats the " +
+      "tail-bucket mean (the cut orders by the score it reports), and " +
+      "doc counts reconcile with the scored population") {
+    import graft.ops.TextOps
+    val rows = TextOps.ccnetBucketsBigram(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      val m = rs.map(r => r.getString(1) -> r.getDouble(4)).toMap
+      assert(m("head") > m("tail"),
+        s"$lang: head ${m("head")} !> tail ${m("tail")}")
+    }
+    val scoredDocs = TextOps.lmScoreBigram(spark, d).count()
+    assert(rows.map(_.getLong(2)).sum == scoredDocs)
+  }
+
   test("pageRankBucketed conserves rank mass within integer-quantization " +
       "loss: sum(r) ≤ 1e12, and the cumulative floor-division loss over " +
       "10 supersteps stays far below 1% of the mass") {
