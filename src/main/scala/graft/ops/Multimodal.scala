@@ -264,8 +264,14 @@ object Multimodal {
     * recompute the narrow zero-shuffle fingerprint scan; at 100 TB the
     * durable form is a materialized (media_id, phash) parquet table.
     */
-  def phashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val fp = imagePhash(mediaTable(s, d))
+  def phashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    phashPairsFrom(imagePhash(mediaTable(s, d)), maxHamming)
+
+  /** [[phashPairs]] core over an explicit (media_id, phash) frame — the
+    * Sf1BandingSpec measurement hook (candidate growth at 10×).
+    */
+  private[graft] def phashPairsFrom(fp: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
     def banded(df: DataFrame) = df
       .select(col("media_id"), col("phash"),
         posexplode(array((0 until 4).map(b =>
@@ -279,6 +285,23 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("media_a", "media_b")
+  }
+
+  /** DISTINCT banded candidate-pair count (pre-Hamming-verify) for an
+    * arbitrary (media_id, phash) frame — what the 10× banding audit
+    * measures: the quantity that must stay ~linear for the banded join
+    * to survive scale.
+    */
+  private[graft] def phashBandCandidates(fp: DataFrame): Long = {
+    def banded(df: DataFrame) = df
+      .select(col("media_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    banded(fp).as("x").join(banded(fp).as("y"), Seq("band", "chunk"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id"), col("y.media_id"))
+      .distinct().count()
   }
 
   /** Audio frame energy + silence profile. STUB decode: payload bytes

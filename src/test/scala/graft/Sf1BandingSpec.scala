@@ -42,6 +42,8 @@ import graft.ops.{DedupOps, SimilarityOps}
   *                                           the ExactSubstr family)
   *   multiprobe_cands_8   3 372 →    31 429 (9.3×: fixed query set —
   *                                           linear in corpus by shape)
+  *   phash_band_cands    25 302 →   261 580 (10.3×: 4×16-bit pHash bands
+  *                                           linear at this media volume)
   */
 class Sf1BandingSpec extends AnyFunSuite {
 
@@ -231,5 +233,35 @@ class Sf1BandingSpec extends AnyFunSuite {
     val p32 = DedupOps.simhashPairs(spark, TestSpark.sf001, maxHamming = 1,
       chunkBits = 32).collect().map(_.toString).sorted
     assert(p16.sameElements(p32))
+  }
+
+  test("10x media: pHash banded candidates grow ~linearly (the one " +
+      "banded family previously without a candidate-growth row) — " +
+      "replica XOR masks are Hamming isometries within a replica and " +
+      "decorrelate chunk buckets across replicas") {
+    import graft.ops.Multimodal
+    val fp = Multimodal
+      .imagePhash(Multimodal.mediaTable(spark, TestSpark.sf01))
+      .localCheckpoint()
+    val fp10 = (0 until 10).map { r =>
+      // XOR by a replica constant: d_H(a^m, b^m) = d_H(a, b), so every
+      // replica reproduces the base near-dup structure; distinct masks
+      // relabel the 16-bit chunk space so replicas don't share buckets
+      // by construction — what remains across replicas is the honest
+      // birthday term the guard exists to measure
+      fp.select((col("media_id") + lit(r * 10000000L)).as("media_id"),
+        col("phash").bitwiseXOR(lit(r * 0x9E3779B97F4A7C15L))
+          .as("phash"))
+    }.reduce(_ union _)
+    val base = Multimodal.phashBandCandidates(fp)
+    val big = Multimodal.phashBandCandidates(fp10)
+    info(s"phash_band_cands $base -> $big " +
+      f"(${big.toDouble / math.max(base, 1)}%.1fx)")
+    assert(base > 0, "sf0.1 media must produce banded candidates")
+    val ratio = big.toDouble / base
+    assert(ratio >= 8 && ratio < 25,
+      s"pHash banded candidates grew ${ratio}x at 10x — expected ~10x " +
+        "(+ a bounded 16-bit-bucket birthday term); saturation means " +
+        "the band width needs the sizedChunkBits treatment")
   }
 }
