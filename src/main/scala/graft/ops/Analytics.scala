@@ -466,7 +466,10 @@ object Analytics {
     // (plan-audited: 10 lineitem scans without it, 2 with). Unlike the
     // span-dedup token arrays (measured cheaper to recompute), this is
     // a REDUCED two-long-column table behind two shuffles — the case
-    // executor caching exists for.
+    // executor caching exists for. At 100 TB the same reuse point
+    // becomes a parquet materialization (a fact-scale basket table is
+    // not executor-cacheable); the stage boundary, not the caching, is
+    // the design decision.
     val sized = graft.Caches.register(items
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("okey")))

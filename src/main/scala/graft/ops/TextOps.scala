@@ -417,9 +417,14 @@ object TextOps {
   private[graft] def bpeMergesFrom(s: SparkSession, vocabIn: DataFrame,
       merges: Int): DataFrame = {
     import s.implicits._
+    // the loop state is VOCABULARY-sized (collapsed from the corpus) —
+    // at fixture scale that is a few-MB table, and 32-partition rounds
+    // pay 8× scheduling overhead for no parallelism; at 100 TB the same
+    // line becomes repartition(vocabRows / targetPartitionRows)
     var vocab = vocabIn
       .select(col("wf"),
         regexp_replace(col("word"), "(.)", "<$1>").as("repr"))
+      .coalesce(4)
       .localCheckpoint()
     val out =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
