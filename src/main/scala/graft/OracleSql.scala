@@ -3247,7 +3247,7 @@ object OracleSql {
        |    WHERE len(syms) >= 2) q
        |  GROUP BY 1, 2),
        |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-       |v$i AS (SELECT wf,
+       |v$i AS (SELECT word, wf,
        |  replace(repr, '<' || a || '><' || b || '>',
        |    '<' || a || b || '>') AS repr
        |  FROM v${i - 1} CROSS JOIN t$i)"""
@@ -3438,12 +3438,41 @@ object OracleSql {
          |    FROM documents) t
          |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) >= 2
          |  GROUP BY 1),
-         |v0 AS (SELECT wf,
+         |v0 AS (SELECT word, wf,
          |  regexp_replace(word, '(.)', '<\\1>', 'g') AS repr FROM vocab),
          |${bpeStepCtes(8)}
          |SELECT * FROM (
          |  $sel) u
          |ORDER BY step""".stripMargin
+    },
+
+    // TextOps.bpeEncode twin: the same 8 unrolled merge rounds, then
+    // the final vocabulary's subword counts joined back to the corpus.
+    "txt_bpe_encode" -> {
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS wf FROM (
+         |    SELECT unnest(${toksSql("lower(text)")}) AS word
+         |    FROM documents) t
+         |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) >= 2
+         |  GROUP BY 1),
+         |v0 AS (SELECT word, wf,
+         |  regexp_replace(word, '(.)', '<\\1>', 'g') AS repr FROM vocab),
+         |${bpeStepCtes(8)},
+         |sub AS (
+         |  SELECT word,
+         |    CAST(len(regexp_extract_all(repr, '<([^<>]*)>', 1))
+         |      AS BIGINT) AS n_sub
+         |  FROM v8),
+         |dw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(${toksSql("lower(text)")}) AS word
+         |    FROM documents) x
+         |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) >= 2)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(n_sub) AS DOUBLE) / count(*) AS bpe_fertility
+         |FROM dw JOIN sub USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // Analytics.returnedItemRevenue twin (TPC-H Q10 shape): top-20

@@ -214,6 +214,7 @@ object SparkEntry {
     "txt_bm25_topk"           -> ((s, d) => TextOps.bm25TopK(s, d)),
     "txt_bpe_pairs"           -> ((s, d) => TextOps.bpePairs(s, d)),
     "txt_bpe_merges"          -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "txt_bpe_encode"          -> ((s, d) => TextOps.bpeEncode(s, d)),
     "txt_token_entropy"       -> (TextOps.tokenEntropy(_, _)),
     "graph_pagerank"          -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
     // same supersteps over the bucketed layout: exchange-free rank⋈edges

@@ -406,23 +406,37 @@ object TextOps {
     * against unrolled k-step CTEs.
     */
   def bpeMerges(s: SparkSession, d: String, merges: Int = 8): DataFrame =
-    bpeMergesFrom(s, Tables.documents(s, d)
+    bpeMergesFrom(s, bpeVocab(s, d), merges)
+
+  /** The training vocabulary: pure-alphabetic multi-char words with
+    * corpus frequencies (the sentinel representation relies on the
+    * `^[a-z]+$` restriction).
+    */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode(tokens(lower(col("text")))).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-      .groupBy("word").agg(count(lit(1)).as("wf")), merges)
+      .groupBy("word").agg(count(lit(1)).as("wf"))
 
   /** [[bpeMerges]] core over an explicit (word, wf) vocabulary — the
     * spec drives it with Sennrich's worked example.
     */
   private[graft] def bpeMergesFrom(s: SparkSession, vocabIn: DataFrame,
-      merges: Int): DataFrame = {
+      merges: Int): DataFrame = bpeTrain(s, vocabIn, merges)._1
+
+  /** The BPE training loop: returns (ordered merge table, final
+    * vocabulary with each word's post-merge symbol representation) —
+    * the second half is what [[bpeEncode]] applies back to the corpus.
+    */
+  private[graft] def bpeTrain(s: SparkSession, vocabIn: DataFrame,
+      merges: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     // the loop state is VOCABULARY-sized (collapsed from the corpus) —
     // at fixture scale that is a few-MB table, and 32-partition rounds
     // pay 8× scheduling overhead for no parallelism; at 100 TB the same
     // line becomes repartition(vocabRows / targetPartitionRows)
     var vocab = vocabIn
-      .select(col("wf"),
+      .select(col("word"), col("wf"),
         regexp_replace(col("word"), "(.)", "<$1>").as("repr"))
       .coalesce(4)
       .localCheckpoint()
@@ -449,15 +463,48 @@ object TextOps {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((step, a, b, c))
         // symbols are ^[a-z]+$ — safe inside a SQL string literal
-        vocab = vocab.select(col("wf"),
+        vocab = vocab.select(col("word"), col("wf"),
             expr(s"replace(repr, '<$a><$b>', '<$a$b>')").as("repr"))
           .localCheckpoint()
       }
     }
-    out.toSeq
+    val mergesDf = out.toSeq
       .map { case (st, a, b, c) => (st, a, b, a + b, c) }
       .toDF("step", "left_sym", "right_sym", "merged", "n_occurrences")
       .orderBy("step")
+    (mergesDf, vocab)
+  }
+
+  /** Apply the trained BPE back to the corpus (the encode half of
+    * tokenizer training): per document, how many subwords the first
+    * `merges` merges leave — n_words, n_subwords, and their ratio
+    * (fertility under THIS corpus's own trained merges, vs
+    * [[fertility]]'s fixed pre-tokenizer proxy). The corpus-side
+    * application is a broadcast JOIN against the trained vocabulary's
+    * final representations — encoding never re-runs the merge loop
+    * per document, which is the point of training on the vocabulary:
+    * |vocab| merge applications, corpus-many lookups. Words outside
+    * the training restriction (`^[a-z]+$`, len ≥ 2) are out of scope
+    * on both sides, so every counted word has a trained representation.
+    * At 100 TB the vocabulary outgrows a broadcast and the lookup
+    * becomes an ordinary vocab-keyed shuffle join — shape unchanged.
+    */
+  def bpeEncode(s: SparkSession, d: String, merges: Int = 8): DataFrame = {
+    val (_, finalVocab) = bpeTrain(s, bpeVocab(s, d), merges)
+    val sub = finalVocab.select(col("word"),
+      size(expr("regexp_extract_all(repr, '<([^<>]*)>', 1)"))
+        .cast(LongType).as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .join(broadcast(sub), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast(LongType).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words"))
+          .as("bpe_fertility"))
+      .orderBy("doc_id")
   }
 
   /** Token-level Shannon entropy per document — the lexical-diversity

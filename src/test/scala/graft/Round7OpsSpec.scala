@@ -114,6 +114,30 @@ class Round7OpsSpec extends AnyFunSuite {
       (6, "ew", "est", "ewest", 6L)))
   }
 
+  test("bpeTrain final representations encode the Sennrich example as " +
+      "the paper does: low→[low], lower→[low,e,r], newest→[n,ewest], " +
+      "widest→[w,i,d,est]; bpeEncode invariants hold on the corpus") {
+    import spark.implicits._
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "wf")
+    val (_, fin) = graft.ops.TextOps.bpeTrain(spark, vocab, 6)
+    val reprs = fin.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(reprs("low") == "<low>")
+    assert(reprs("lower") == "<low><e><r>")
+    assert(reprs("newest") == "<n><ewest>")
+    assert(reprs("widest") == "<w><i><d><est>")
+    // corpus-side invariants: every word contributes >= 1 subword and
+    // <= its character count; fertility sits in [1, max word length]
+    val rows = graft.ops.TextOps.bpeEncode(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ns, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ns >= nw, s"fewer subwords than words: $r")
+      assert(f >= 1.0 && f < 64.0, s"implausible fertility: $r")
+    }
+  }
+
   test("bpeMerges greedy non-overlap semantics: pair (a,a) over 'aaaa' " +
       "merges twice, over 'aaa' merges once — replace consumes matches " +
       "left-to-right without rescanning its own output") {
