@@ -3412,6 +3412,51 @@ object OracleSql {
          |    AS mean_logprob
          |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // EventOps.quantileRollupDaily twin: KLL estimates are engine-
+    // specific, so the oracle is the exact per-day p50/p90 (the
+    // ev_value_quantiles rank convention) + the bound flags as
+    // literals — the approxDistinctBound pattern for rank-domain
+    // guarantees.
+    "ev_quantile_rollup" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_ts,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT day_ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY day_ts ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY day_ts) AS cnt
+        |  FROM ev)
+        |SELECT day_ts, CAST(max(cnt) AS BIGINT) AS n_events,
+        |  max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |      THEN value END) AS exact_p50,
+        |  max(CASE WHEN rn = GREATEST(1, (90 * cnt + 99) // 100)
+        |      THEN value END) AS exact_p90,
+        |  TRUE AS p50_within, TRUE AS p90_within
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // EventOps.segmentOverlap twin: exact pairwise distinct-user
+    // overlap; theta at fixture cardinality is in its exact regime so
+    // the bound flag is a literal TRUE on both sides.
+    "ev_segment_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM t a JOIN t b ON a.event_type < b.event_type),
+        |e AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS exact_both
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  coalesce(e.exact_both, 0) AS exact_both,
+        |  TRUE AS within_bound
+        |FROM p LEFT JOIN e USING (type_a, type_b)
+        |ORDER BY 1, 2""".stripMargin,
+
     // Relational.storagePartitionedJoinAgg twin: the graftdocs doc_id
     // space is pure arithmetic, so the SPJ self-join aggregate
     // reproduces from generate_series — layout is the engine's, the

@@ -226,6 +226,11 @@ object SparkEntry {
     "ev_cross_correlation"    -> ((s, d) => EventOps.crossCorrelation(s, d)),
     "ev_sliding_distinct"     -> ((s, d) =>
       EventOps.slidingDistinctUsers(s, d)),
+    // round 7: the quantile (KLL) and set-operation (theta) members of
+    // the mergeable-sketch family, both surfaced as bound contracts
+    "ev_quantile_rollup"      -> ((s, d) =>
+      EventOps.quantileRollupDaily(s, d)),
+    "ev_segment_overlap"      -> ((s, d) => EventOps.segmentOverlap(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

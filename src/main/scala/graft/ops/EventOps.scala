@@ -756,6 +756,106 @@ object EventOps {
       .orderBy("wend")
   }
 
+  /** Daily quantiles via MERGEABLE KLL sketches (round 7 — the quantile
+    * member of the sketch-rollup family beside [[slidingDistinctUsers]]'
+    * HLL): ONE fact pass builds an hourly `kll_sketch_agg_double`
+    * partial per hour; each day's p50/p90 then comes from
+    * `kll_merge_agg_double` over that day's 24 partials instead of
+    * re-scanning events — and the same stored partials answer ANY
+    * coarser grain or sliding window (quantiles are non-decomposable as
+    * scalars, which is exactly why the sketch rollup exists). Sketch
+    * values are engine-specific, so the driver-gated surface is the
+    * bound contract: exact per-day p50/p90 ([[graft.functions
+    * .ExactQuantiles]], oracle-reproducible) plus RANK-domain flags —
+    * the empirical rank of each estimate must sit within `rankTol` of
+    * its target (KLL's guarantee is a rank guarantee; a value-domain
+    * bound would be data-dependent). The rank audit joins the (tiny,
+    * broadcast) day-estimate table back to facts — one extra day-keyed
+    * pass, same cost class as the exact twin. `rankTol` = 0.05 ≈ 3×
+    * KLL's k=200 single-sided rank error (~1.65%) — KLL compaction is
+    * RANDOMIZED, so the flag must hold for every draw, not just the
+    * observed one; a broken sketch misses by tens of rank points.
+    */
+  def quantileRollupDaily(s: SparkSession, d: String,
+      rankTol: Double = 0.05): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val ev = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day_ts"), col("value"))
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+    val daily = hourly
+      .groupBy(date_trunc("day", col("h")).as("day_ts"))
+      .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+      .select(col("day_ts"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est50"),
+        expr("kll_sketch_get_quantile_double(sk, 0.9)").as("est90"))
+    val exact = ev.groupBy("day_ts")
+      .agg(count(lit(1)).as("n_events"),
+        exactQuantiles(col("value"), Seq(50, 90), 100).as("qs"))
+      .select(col("day_ts"), col("n_events"),
+        col("qs").getItem(0).as("exact_p50"),
+        col("qs").getItem(1).as("exact_p90"))
+    val ranks = ev.join(broadcast(daily), Seq("day_ts"))
+      .groupBy("day_ts")
+      .agg(
+        (sum(when(col("value") <= col("est50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("r50"),
+        (sum(when(col("value") <= col("est90"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("r90"))
+    exact.join(ranks, Seq("day_ts"))
+      .select(col("day_ts"), col("n_events"),
+        col("exact_p50"), col("exact_p90"),
+        (abs(col("r50") - 0.5) <= rankTol).as("p50_within"),
+        (abs(col("r90") - 0.9) <= rankTol).as("p90_within"))
+      .orderBy("day_ts")
+  }
+
+  /** Audience overlap between event-type segments via THETA sketches
+    * (round 7 — the set-operation sketch family: HLL unions,
+    * theta INTERSECTS): distinct users per type as `theta_sketch_agg`
+    * partials, every type pair's shared-user count from
+    * `theta_intersection` of two partials — no fact re-scan per pair,
+    * which is the entire point at 100 TB where the pairwise exact
+    * computation re-shuffles the fact table per segment pair. Estimates
+    * are engine-specific ⇒ the driver surface is the exact pairwise
+    * count (one distinct-pair self-join, oracle-reproducible) plus the
+    * within-bound flag; at fixture cardinality theta is in its exact
+    * regime so the flag doubles as an equality check.
+    */
+  def segmentOverlap(s: SparkSession, d: String,
+      maxRelErr: Double = 0.05): DataFrame = {
+    val sk = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    // |types|² bounded pair frame — the broadcast-crossJoin contract
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"))
+      .join(broadcast(sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"))),
+        col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+          .as("est"))
+    val ut = Tables.events(s, d)
+      .select("user_id", "event_type").distinct()
+    val exact = ut.as("x")
+      .join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_both"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("exact_both"), lit(0L)).as("exact_both"),
+        (abs(col("est") - coalesce(col("exact_both"), lit(0L))) <=
+          greatest(lit(2.0),
+            coalesce(col("exact_both"), lit(0L)) * maxRelErr))
+          .as("within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Hierarchical grain rollup with partial reuse — the materialized-view
     * ladder every streaming-OLAP store keeps (minute → hour → day):
     * events aggregate ONCE to minute grain, hours re-aggregate the

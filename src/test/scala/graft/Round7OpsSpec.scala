@@ -114,6 +114,49 @@ class Round7OpsSpec extends AnyFunSuite {
       (6, "ew", "est", "ewest", 6L)))
   }
 
+  test("quantileRollupDaily: merged hourly KLL partials land within the " +
+      "rank tolerance on every day (flags all true), exact quantiles " +
+      "reconcile with a brute per-day recompute, and day counts " +
+      "partition the fact table") {
+    import graft.ops.EventOps
+    val rows = EventOps.quantileRollupDaily(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"KLL estimate outside the rank tolerance: $r")
+      assert(r.getDouble(2) <= r.getDouble(3),
+        s"p50 above p90: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.events(spark, d).count())
+    // brute recompute for the first day: ceil-rank convention
+    val day0 = rows.head.getTimestamp(0)
+    val vals = Tables.events(spark, d)
+      .filter(date_trunc("day", col("ts")) === day0)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    def q(p: Int) = vals(math.max(1, (p * vals.length + 99) / 100) - 1)
+    assert(rows.head.getDouble(2) == q(50) && rows.head.getDouble(3) == q(90))
+  }
+
+  test("segmentOverlap: exact pairwise overlaps reconcile with a brute " +
+      "per-pair recount, all type pairs present, and theta stays within " +
+      "bound at fixture cardinality (exact regime)") {
+    import graft.ops.EventOps
+    val rows = EventOps.segmentOverlap(spark, d).collect()
+    val types = Tables.events(spark, d).select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(rows.length == types.length * (types.length - 1) / 2)
+    assert(rows.forall(_.getBoolean(3)),
+      "theta estimate outside bound in its exact regime")
+    // brute recount for the lexicographically first pair
+    val (ta, tb) = (rows.head.getString(0), rows.head.getString(1))
+    val ua = Tables.events(spark, d).filter(col("event_type") === ta)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val ub = Tables.events(spark, d).filter(col("event_type") === tb)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.head.getLong(2) == ua.intersect(ub).size.toLong)
+  }
+
   test("bpeTrain final representations encode the Sennrich example as " +
       "the paper does: low→[low], lower→[low,e,r], newest→[n,ewest], " +
       "widest→[w,i,d,est]; bpeEncode invariants hold on the corpus") {
