@@ -821,6 +821,47 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming hourly KLL value-quantile sketch table — the QUANTILE
+    * twin of [[startDistinctSketchSink]] and the streaming half of
+    * [[graft.ops.EventOps.quantileRollupDaily]]: each micro-batch
+    * sketches ITS rows per hour (`kll_sketch_agg_double`) and merges
+    * them into the stored hourly table (`kll_merge_agg_double` over
+    * stored ∪ batch). KLL merge is associative in GUARANTEE, not in
+    * bits (compaction is randomized), so the convergence contract is
+    * rank-domain: any batch slicing yields stored sketches whose
+    * quantile estimates sit within the rank tolerance of the exact
+    * values (spec-asserted), and raw values enter exactly one batch
+    * sketch. Exactly-once via [[TableSink.commit]]'s atomic swap;
+    * consumers derive any grain's quantiles by merging stored hourly
+    * partials without re-reading events.
+    */
+  def startQuantileSketchSink(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyQuantileSketchBatch(batch, path, batchId)
+      }
+      .start()
+
+  /** One KLL-sketch-maintenance micro-batch (spec-drivable). */
+  private[graft] def applyQuantileSketchBatch(batch: DataFrame,
+      path: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!TableSink.alreadyApplied(s, path, batchId)) {
+      val partial = batch
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+      val merged =
+        if (TableSink.hasParquet(s, path))
+          s.read.parquet(path).unionByName(partial)
+            .groupBy("h")
+            .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+        else partial
+      TableSink.commit(s, path, batchId, merged)
+    }
+  }
+
   /** One sketch-maintenance micro-batch (spec-drivable). */
   private[graft] def applyDistinctSketchBatch(batch: DataFrame,
       path: String, batchId: Long): Unit = {

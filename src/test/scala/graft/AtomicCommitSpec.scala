@@ -129,6 +129,55 @@ class AtomicCommitSpec extends AnyFunSuite {
       .agg(sum("n_events")).collect()(0).getLong(0) == m0)
   }
 
+  test("KLL quantile sketch sink: uneven batch slicing converges in the " +
+      "RANK domain (every raw value enters exactly one batch sketch; " +
+      "merge guarantees are rank guarantees, not bit equality), and a " +
+      "replayed batch leaves the stored sketches byte-identical") {
+    val base = tmpDir() + "/kll"
+    val all = eventsBatch(60)
+    // three uneven slices — the stream's arbitrary batch boundaries
+    val slices = Seq(all.limit(7),
+      all.exceptAll(all.limit(7)).limit(38),
+      all.exceptAll(all.limit(7)).exceptAll(
+        all.exceptAll(all.limit(7)).limit(38)))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamPipeline.applyQuantileSketchBatch(b, base, i.toLong)
+    }
+    val est = spark.read.parquet(base)
+      .selectExpr("h", "kll_sketch_get_quantile_double(sk, 0.5) AS p50",
+        "kll_sketch_get_n_double(sk) AS n")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // exact per-hour medians and counts from the unsliced frame
+    val exact = all
+      .selectExpr("unix_timestamp(ts) div 3600 AS h", "value")
+      .collect().groupBy(_.getLong(0))
+      .map { case (h, rs) =>
+        val vs = rs.map(_.getDouble(1)).sorted
+        h -> (vs, vs.length.toLong)
+      }
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (h, (vs, n)) =>
+      assert(est(h)._2 == n,
+        s"hour $h: sketch saw ${est(h)._2} values, expected $n — a raw " +
+          "value entered zero or two batch sketches")
+      // rank-domain convergence: the estimate's empirical rank within
+      // 0.5 ± tolerance (generous — tiny hours are exact in KLL anyway)
+      val rank = vs.count(_ <= est(h)._1).toDouble / n
+      assert(math.abs(rank - 0.5) <= 0.5 / n + 0.05,
+        s"hour $h: p50 estimate ${est(h)._1} has rank $rank")
+    }
+    // replay: alreadyApplied short-circuits, bytes untouched
+    val before = spark.read.parquet(base)
+      .selectExpr("h", "hex(sk) AS x").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    StreamPipeline.applyQuantileSketchBatch(slices.last, base, 2L)
+    val after = spark.read.parquet(base)
+      .selectExpr("h", "hex(sk) AS x").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before, "replayed batch mutated the sketch table")
+  }
+
   test("grain rollup heals derived grains on replay: a crash after the " +
       "minute commit but before the hour/day rewrites leaves stale " +
       "derived tables, and the checkpoint-driven replay re-derives them " +
