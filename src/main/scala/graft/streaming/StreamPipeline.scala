@@ -862,6 +862,46 @@ object StreamPipeline {
     }
   }
 
+  /** Streaming per-segment THETA sketch table — the set-operation twin
+    * of [[startDistinctSketchSink]] (HLL unions; theta also
+    * INTERSECTS): per micro-batch, one `theta_sketch_agg(user_id)`
+    * partial per event_type, unioned into the stored table
+    * (`theta_union_agg` — theta update/union is a pure function of the
+    * input SET under the fixed default seed, so any batch slicing
+    * converges to the batch operator's sketches, byte-identically at
+    * exact-regime cardinality). Consumers answer any pairwise audience
+    * overlap from |types| stored partials
+    * (`theta_intersection`, [[graft.ops.EventOps.segmentOverlap]]'s
+    * shape) without ever re-reading events. Exactly-once via
+    * [[TableSink.commit]].
+    */
+  def startSegmentSketchSink(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySegmentSketchBatch(batch, path, batchId)
+      }
+      .start()
+
+  /** One theta-sketch-maintenance micro-batch (spec-drivable). */
+  private[graft] def applySegmentSketchBatch(batch: DataFrame,
+      path: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!TableSink.alreadyApplied(s, path, batchId)) {
+      val partial = batch
+        .groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val merged =
+        if (TableSink.hasParquet(s, path))
+          s.read.parquet(path).unionByName(partial)
+            .groupBy("event_type")
+            .agg(expr("theta_union_agg(sk)").as("sk"))
+        else partial
+      TableSink.commit(s, path, batchId, merged)
+    }
+  }
+
   /** One sketch-maintenance micro-batch (spec-drivable). */
   private[graft] def applyDistinctSketchBatch(batch: DataFrame,
       path: String, batchId: Long): Unit = {

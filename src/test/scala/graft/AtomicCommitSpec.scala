@@ -178,6 +178,44 @@ class AtomicCommitSpec extends AnyFunSuite {
     assert(after == before, "replayed batch mutated the sketch table")
   }
 
+  test("theta segment sketch sink: uneven slicing converges to the " +
+      "exact per-type distinct counts AND answers pairwise overlaps " +
+      "from stored partials alone (the set-operation capability HLL " +
+      "unions lack)") {
+    val base = tmpDir() + "/theta"
+    val all = eventsBatch(60)
+    val slices = Seq(all.limit(13),
+      all.exceptAll(all.limit(13)).limit(29),
+      all.exceptAll(all.limit(13)).exceptAll(
+        all.exceptAll(all.limit(13)).limit(29)))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamPipeline.applySegmentSketchBatch(b, base, i.toLong)
+    }
+    // per-type estimates == exact distinct (exact regime)
+    val est = spark.read.parquet(base)
+      .selectExpr("event_type", "theta_sketch_estimate(sk) AS e")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val exact = all.select("event_type", "user_id").distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, us) => assert(est(t) == us.size.toLong, t) }
+    // pairwise overlap from stored partials only — no event re-read
+    val sk = spark.read.parquet(base)
+    val overlap = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .selectExpr("a.event_type AS ta", "b.event_type AS tb",
+        "theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS e")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    overlap.foreach { case ((ta, tb), e) =>
+      assert(e == exact(ta).intersect(exact(tb)).size.toLong,
+        s"overlap($ta,$tb)")
+    }
+  }
+
   test("grain rollup heals derived grains on replay: a crash after the " +
       "minute commit but before the hour/day rewrites leaves stale " +
       "derived tables, and the checkpoint-driven replay re-derives them " +
