@@ -3435,6 +3435,39 @@ object OracleSql {
         |  TRUE AS p50_within, TRUE AS p90_within
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // EventOps.slidingQuantile twin: sampled exact p50 per 3rd window
+    // (the ev_sliding_distinct audit discipline, quantile edition);
+    // unaudited windows carry NULLs in both engines.
+    "ev_sliding_quantile" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |      AS BIGINT) AS h,
+        |    value
+        |  FROM events),
+        |allw AS (
+        |  SELECT DISTINCT h + u.off AS wend
+        |  FROM (SELECT DISTINCT h FROM ev) hrs CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 5)) AS off) u),
+        |w AS (
+        |  SELECT h + u.off AS wend, value
+        |  FROM ev CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 5)) AS off) u
+        |  WHERE (h + u.off) % 3 = 0),
+        |r AS (
+        |  SELECT wend, value,
+        |    ROW_NUMBER() OVER (PARTITION BY wend ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY wend) AS cnt
+        |  FROM w),
+        |ex AS (
+        |  SELECT wend, CAST(max(cnt) AS BIGINT) AS n_values,
+        |    max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |        THEN value END) AS exact_p50
+        |  FROM r GROUP BY 1)
+        |SELECT a.wend, ex.n_values, ex.exact_p50,
+        |  CASE WHEN ex.exact_p50 IS NOT NULL THEN TRUE END AS p50_within
+        |FROM allw a LEFT JOIN ex ON a.wend = ex.wend
+        |ORDER BY a.wend""".stripMargin,
+
     // EventOps.segmentOverlap twin: exact pairwise distinct-user
     // overlap; theta at fixture cardinality is in its exact regime so
     // the bound flag is a literal TRUE on both sides.

@@ -231,6 +231,7 @@ object SparkEntry {
     "ev_quantile_rollup"      -> ((s, d) =>
       EventOps.quantileRollupDaily(s, d)),
     "ev_segment_overlap"      -> ((s, d) => EventOps.segmentOverlap(s, d)),
+    "ev_sliding_quantile"     -> ((s, d) => EventOps.slidingQuantile(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

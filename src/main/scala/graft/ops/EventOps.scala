@@ -811,6 +811,53 @@ object EventOps {
       .orderBy("day_ts")
   }
 
+  /** Sliding-window p50 via the SAME hourly KLL partials
+    * ([[quantileRollupDaily]]'s one fact pass): every `windowHours`
+    * sliding window merges its hourly sketches instead of re-scanning
+    * events — the quantile twin of [[slidingDistinctUsers]], and the
+    * payoff of MERGEABLE quantile state (an exact window quantile can
+    * reuse nothing from the neighboring window; sketch partials can).
+    * Audit discipline is the sliding-distinct one: exact p50 + rank
+    * flag on every `auditEveryK`-th window only (the exact twin
+    * explodes facts windowHours×), filter applied inside the sequence
+    * generation, NULL columns elsewhere.
+    */
+  def slidingQuantile(s: SparkSession, d: String, windowHours: Int = 6,
+      rankTol: Double = 0.05, auditEveryK: Int = 3): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val ev = Tables.events(s, d)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"), col("value"))
+    val hourly = ev.groupBy("h")
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+    val windows = hourly
+      .select(col("h"), col("sk"),
+        explode(sequence(lit(0), lit(windowHours - 1))).as("off"))
+      .groupBy((col("h") + col("off")).as("wend"))
+      .agg(expr(
+        "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)")
+        .as("est50"))
+    val sampled = ev
+      .select(explode(filter(
+        sequence(col("h"), col("h") + (windowHours - 1)),
+        w => w % auditEveryK === 0)).as("wend"), col("value"))
+    val exact = sampled.groupBy("wend")
+      .agg(count(lit(1)).as("n_values"),
+        exactQuantiles(col("value"), Seq(50), 100).as("qs"))
+      .select(col("wend"), col("n_values"),
+        col("qs").getItem(0).as("exact_p50"))
+    val ranks = sampled.join(broadcast(windows), Seq("wend"))
+      .groupBy("wend")
+      .agg((sum(when(col("value") <= col("est50"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("r50"))
+    windows
+      .join(exact, Seq("wend"), "left")
+      .join(ranks, Seq("wend"), "left")
+      .select(col("wend"), col("n_values"), col("exact_p50"),
+        when(col("exact_p50").isNotNull,
+          abs(col("r50") - 0.5) <= rankTol).as("p50_within"))
+      .orderBy("wend")
+  }
+
   /** Audience overlap between event-type segments via THETA sketches
     * (round 7 — the set-operation sketch family: HLL unions,
     * theta INTERSECTS): distinct users per type as `theta_sketch_agg`

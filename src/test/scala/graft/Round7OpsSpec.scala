@@ -138,6 +138,28 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.head.getDouble(2) == q(50) && rows.head.getDouble(3) == q(90))
   }
 
+  test("slidingQuantile: audited windows (every 3rd) carry exact p50 + " +
+      "an in-tolerance rank flag, unaudited windows carry NULLs, and " +
+      "the audited exact values match a brute window recompute") {
+    import graft.ops.EventOps
+    val rows = EventOps.slidingQuantile(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val audited = r.getLong(0) % 3 == 0
+      assert(r.isNullAt(2) == !audited, s"audit sampling off: $r")
+      if (audited) assert(r.getBoolean(3), s"rank flag false: $r")
+    }
+    // brute recompute for the first audited window
+    val w0 = rows.find(_.getLong(0) % 3 == 0).get
+    val vals = Tables.events(spark, d)
+      .selectExpr("unix_timestamp(ts) div 3600 AS h", "value")
+      .filter(col("h").between(w0.getLong(0) - 5, w0.getLong(0)))
+      .select("value").collect().map(_.getDouble(0)).sorted
+    assert(w0.getLong(1) == vals.length.toLong)
+    assert(w0.getDouble(2) ==
+      vals(math.max(1, (50 * vals.length + 99) / 100) - 1))
+  }
+
   test("segmentOverlap: exact pairwise overlaps reconcile with a brute " +
       "per-pair recount, all type pairs present, and theta stays within " +
       "bound at fixture cardinality (exact regime)") {
