@@ -3490,6 +3490,28 @@ object OracleSql {
         |FROM p LEFT JOIN e USING (type_a, type_b)
         |ORDER BY 1, 2""".stripMargin,
 
+    // EventOps.segmentExclusive twin: |A \ B| = |A| − |A∩B| per ordered
+    // pair; theta difference at fixture cardinality is exact.
+    "ev_segment_exclusive" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |nd AS (
+        |  SELECT event_type, count(*) AS nd FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.nd
+        |  FROM nd a JOIN nd b ON a.event_type <> b.event_type),
+        |e AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  p.nd - coalesce(e.n_both, 0) AS exact_only_a,
+        |  TRUE AS within_bound
+        |FROM p LEFT JOIN e USING (type_a, type_b)
+        |ORDER BY 1, 2""".stripMargin,
+
     // Relational.storagePartitionedJoinAgg twin: the graftdocs doc_id
     // space is pure arithmetic, so the SPJ self-join aggregate
     // reproduces from generate_series — layout is the engine's, the

@@ -232,6 +232,8 @@ object SparkEntry {
       EventOps.quantileRollupDaily(s, d)),
     "ev_segment_overlap"      -> ((s, d) => EventOps.segmentOverlap(s, d)),
     "ev_sliding_quantile"     -> ((s, d) => EventOps.slidingQuantile(s, d)),
+    "ev_segment_exclusive"    -> ((s, d) =>
+      EventOps.segmentExclusive(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

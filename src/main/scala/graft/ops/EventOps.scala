@@ -903,6 +903,47 @@ object EventOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** Exclusive audiences via `theta_difference` — the third theta set
+    * operation (union backs the sink, intersection backs
+    * [[segmentOverlap]]): for every ORDERED type pair, how many users
+    * are in A but not B, from the same |types| stored partials. Exact
+    * truth is |A| − |A∩B| (two quantities the overlap op already
+    * gates); the flag checks the difference-sketch estimate against it.
+    */
+  def segmentExclusive(s: SparkSession, d: String,
+      maxRelErr: Double = 0.05): DataFrame = {
+    val sk = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"),
+        count_distinct(col("user_id")).as("nd"))
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"), col("nd").as("nd_a"))
+      .join(broadcast(sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"))),
+        col("type_a") =!= col("type_b"))
+      .select(col("type_a"), col("type_b"), col("nd_a"),
+        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
+          .as("est"))
+    val ut = Tables.events(s, d)
+      .select("user_id", "event_type").distinct()
+    val both = ut.as("x")
+      .join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") =!= col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs.join(both, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est"),
+        (col("nd_a") - coalesce(col("n_both"), lit(0L)))
+          .as("exact_only_a"))
+      .select(col("type_a"), col("type_b"), col("exact_only_a"),
+        (abs(col("est") - col("exact_only_a")) <=
+          greatest(lit(2.0), col("exact_only_a") * maxRelErr))
+          .as("within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Hierarchical grain rollup with partial reuse — the materialized-view
     * ladder every streaming-OLAP store keeps (minute → hour → day):
     * events aggregate ONCE to minute grain, hours re-aggregate the

@@ -179,6 +179,26 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) == ua.intersect(ub).size.toLong)
   }
 
+  test("segmentExclusive completes the theta triple: per ordered pair, " +
+      "|A\\B| reconciles as |A| - overlap(A,B) against segmentOverlap's " +
+      "own gated numbers, and the difference-sketch flag holds") {
+    import graft.ops.EventOps
+    val excl = EventOps.segmentExclusive(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val over = EventOps.segmentOverlap(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nd = Tables.events(spark, d).select("user_id", "event_type")
+      .distinct().collect().groupBy(_.getString(1))
+      .map { case (t, rs) => t -> rs.length.toLong }
+    assert(excl.nonEmpty)
+    excl.foreach { case ((a, b), onlyA) =>
+      val both = over.getOrElse((a, b), over.getOrElse((b, a), 0L))
+      assert(onlyA == nd(a) - both, s"($a,$b)")
+    }
+    assert(EventOps.segmentExclusive(spark, d).collect()
+      .forall(_.getBoolean(3)), "difference sketch outside bound")
+  }
+
   test("bpeTrain final representations encode the Sennrich example as " +
       "the paper does: low→[low], lower→[low,e,r], newest→[n,ewest], " +
       "widest→[w,i,d,est]; bpeEncode invariants hold on the corpus") {
