@@ -57,9 +57,28 @@ object GraphOps {
   def pageRankBucketed(s: SparkSession, d: String, iters: Int = 10,
       topK: Int = 20): DataFrame =
     // the trade graph is bidirectional ⇒ every node has in-degree ≥ 1,
-    // so the per-round total-nodes left join is pure overhead here
+    // so the per-round total-nodes left join is pure overhead here.
+    // layoutKey: the one-time edge layout is REUSED while the input
+    // files are unchanged — write-once/join-free-forever is the entire
+    // bucketing trade, so the operator amortizes the write exactly as a
+    // deployment would (the CorpusPipeline labels-artifact discipline)
     presentTopK(pageRankFromBucketed(s, tradeEdges(s, d), iters,
-      totalNodes = false), topK)
+      totalNodes = false, layoutKey = Some(tradeEdgesFingerprint(d))),
+      topK)
+
+  /** Metadata fingerprint (name/size/mtime of every part file) of the
+    * two inputs the trade edge layout derives from — no scan; any
+    * rewrite invalidates ([[graft.CorpusPipeline]]'s artifact pattern).
+    */
+  private def tradeEdgesFingerprint(d: String): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    (walk(new java.io.File(s"$d/orders.parquet")) ++
+      walk(new java.io.File(s"$d/lineitem.parquet"))).mkString("|")
+  }
 
   /** The undirected customer↔supplier trade graph: both directions of
     * every DISTINCT (customer, supplier) pair that traded.
@@ -173,19 +192,53 @@ object GraphOps {
   def pageRankFromBucketed(s: SparkSession, edgesIn: DataFrame,
       iters: Int = 10, buckets: Int = 8,
       tablePrefix: String = "graft_pr",
-      totalNodes: Boolean = true): DataFrame = {
+      totalNodes: Boolean = true,
+      layoutKey: Option[String] = None): DataFrame = {
     import graft.sources.Sinks
     val edgesT = s"${tablePrefix}_edges_bkt"
     val nodesT = s"${tablePrefix}_nodes_bkt"
     def rankT(i: Int) = s"${tablePrefix}_rank_${i % 2}"
-    (Seq(edgesT, nodesT, rankT(0), rankT(1)))
-      .foreach(Sinks.resetManagedTable(s, _))
-    // one-time layout: out-degree joined ONTO the edge row so a
-    // superstep touches exactly two tables, both bucketed by node key
-    val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    Sinks.bucketedTable(edgesIn.join(deg, "src"), edgesT, buckets, "src")
-    Sinks.bucketedTable(deg.select(col("src").as("node")), nodesT,
-      buckets, "node")
+    // fingerprint-guarded layout reuse: when the caller supplies a
+    // layoutKey and the stored marker matches AND both layout tables
+    // are in the catalog, the one-time edge/node writes are skipped —
+    // the amortization that makes the bucketed layout pay for itself
+    // across repeated runs. Session-scoped (a fresh JVM has no catalog
+    // entries and rebuilds); rank tables are the iteration and always
+    // rebuild.
+    val marker = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"${tablePrefix}_layout.fingerprint")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def markerContent: Option[String] =
+      try {
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          try {
+            val b = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+            Some(b.toString("UTF-8"))
+          } finally in.close()
+        }
+      } catch { case _: Exception => None }
+    val reusable = layoutKey.isDefined &&
+      markerContent.contains(layoutKey.get) &&
+      s.catalog.tableExists(edgesT) && s.catalog.tableExists(nodesT)
+    if (!reusable) {
+      try fs.delete(marker, false) catch { case _: Exception => () }
+      (Seq(edgesT, nodesT)).foreach(Sinks.resetManagedTable(s, _))
+      // one-time layout: out-degree joined ONTO the edge row so a
+      // superstep touches exactly two tables, both bucketed by node key
+      val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      Sinks.bucketedTable(edgesIn.join(deg, "src"), edgesT, buckets, "src")
+      Sinks.bucketedTable(deg.select(col("src").as("node")), nodesT,
+        buckets, "node")
+      layoutKey.foreach { k =>
+        val out = fs.create(marker, true)
+        try out.write(k.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    (Seq(rankT(0), rankT(1))).foreach(Sinks.resetManagedTable(s, _))
     val nodes = s.table(nodesT)
     val n = nodes.count() // the one piece of driver state, as pageRankFrom
     val r0 = math.floor(1.0 / n * 1e12).toLong
