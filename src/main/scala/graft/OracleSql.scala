@@ -3435,6 +3435,17 @@ object OracleSql {
         |  TRUE AS p50_within, TRUE AS p90_within
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // TextOps.termFreqRollup twin: exact top-30 term counts + the CMS
+    // promise as a literal (the txt_top_terms_cms contract, exercised
+    // through the shard-merge path).
+    "txt_cms_rollup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents)
+         |SELECT term, count(*) AS tf, TRUE AS within_bound
+         |FROM t GROUP BY term
+         |ORDER BY tf DESC, term LIMIT 30""".stripMargin,
+
     // EventOps.slidingQuantile twin: sampled exact p50 per 3rd window
     // (the ev_sliding_distinct audit discipline, quantile edition);
     // unaudited windows carry NULLs in both engines.

@@ -44,6 +44,7 @@ object SparkEntry {
     "txt_top_terms"       -> (TextOps.topTerms(_, _)),
     "txt_tfidf"           -> (TextOps.tfidfTop(_, _)),
     "txt_top_terms_cms"   -> (TextOps.topTermsCmsBound(_, _)),
+    "txt_cms_rollup"      -> ((s, d) => TextOps.termFreqRollup(s, d)),
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
     "txt_lm_bigram"       -> (TextOps.lmScoreBigram(_, _)),
     "txt_ccnet_bigram"    -> (TextOps.ccnetBucketsBigram(_, _)),

@@ -746,6 +746,40 @@ object TextOps {
       .orderBy(col("tf").desc, col("term"))
   }
 
+  /** Sharded CMS frequency ROLLUP (round 7 — the frequency member of
+    * the mergeable-sketch family, completing HLL/theta/KLL): per-shard
+    * (here per-language) `count_min_sketch` partials are UNIONED into
+    * the corpus sketch by [[graft.functions.CmsUnion]] — the merge half
+    * SQL lacks — so any coarser grouping derives from stored partials
+    * without re-scanning rows. CMS union is elementwise counter
+    * addition: the merged sketch is BIT-identical to the directly-built
+    * corpus sketch under any sharding (spec-pinned) — the deterministic
+    * end of the sketch spectrum. Driver surface is the
+    * [[topTermsCmsBound]] contract over the MERGED sketch: exact top-k
+    * term counts + the never-undercount / bounded-overcount flag.
+    */
+  def termFreqRollup(s: SparkSession, d: String, k: Int = 30,
+      eps: Double = 0.001): DataFrame = {
+    import s.implicits._
+    import graft.functions.CmsUnion.cmsUnion
+    val partials = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("lang")
+      .agg(expr(s"count_min_sketch(term, ${eps}D, 0.99D, 42)").as("cms"))
+    val mergedBytes = partials.agg(cmsUnion(col("cms")).as("cms"))
+      .collect()(0).getAs[Array[Byte]](0) // ONE sketch — O(depth·width)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(mergedBytes))
+    val total = sketch.totalCount()
+    val exact = topTerms(s, d, k).select("term", "tf").as[(String, Long)]
+      .collect() // k (term, exact-tf) pairs — the sketch query set
+    exact.toSeq.map { case (t, tf) =>
+      val est = sketch.estimateCount(t)
+      (t, tf, est >= tf && est <= tf + math.ceil(eps * total * 10).toLong)
+    }.toDF("term", "tf", "within_bound")
+      .orderBy(col("tf").desc, col("term"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — md5 is identical across
     * engines, so this one is oracle-checkable; [[xxFingerprint]] is the
     * cheap 64-bit variant for engine-internal dedup at scale.

@@ -19,10 +19,13 @@ class CollectWhitelistSpec extends AnyFunSuite {
   private val whitelist = Map(
     "ops/SimilarityOps.scala" -> 5, // k-means centroids, PQ codebooks,
     // the shared medoidCentroids matrix (cells × dim doubles)
-    "ops/TextOps.scala" -> 3 // CMS top-terms sketch query set (k strings)
+    "ops/TextOps.scala" -> 5 // CMS top-terms sketch query set (k strings)
     // + the BPE merge loop's per-round top-1 pair (ONE row per round;
     // total driver state = the k-row merge list — a constant of the
     // algorithm, like centroids)
+    // + the CMS rollup's merged sketch (ONE O(depth·width) counter
+    // table) and its k-pair query set — both constants of the sketch
+    // parameters, not the data
   )
 
   private def countSites(needles: Seq[String]): Map[String, Int] = {

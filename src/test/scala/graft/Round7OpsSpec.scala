@@ -179,6 +179,36 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) == ua.intersect(ub).size.toLong)
   }
 
+  test("CmsUnion: sketch merged from per-language shard partials is " +
+      "BIT-identical to the sketch built directly over the whole corpus " +
+      "(counter addition is grouping-invariant), and the rollup entry's " +
+      "bound flags all hold") {
+    import graft.functions.CmsUnion.cmsUnion
+    import graft.ops.TextOps
+    val terms = Tables.documents(spark, d)
+      .select(col("lang"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+    val merged = terms.groupBy("lang")
+      .agg(expr("count_min_sketch(term, 0.001D, 0.99D, 42)").as("cms"))
+      .agg(cmsUnion(col("cms")))
+      .collect()(0).getAs[Array[Byte]](0)
+    val direct = terms
+      .agg(expr("count_min_sketch(term, 0.001D, 0.99D, 42)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "shard-merged CMS differs from the directly built sketch")
+    val rows = TextOps.termFreqRollup(spark, d).collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getBoolean(2)),
+      "a merged-sketch estimate broke the CMS promise")
+    // never-undercount, concretely: estimates from the merged sketch
+    // dominate the exact counts for every queried term
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(merged))
+    rows.foreach(r =>
+      assert(sk.estimateCount(r.getString(0)) >= r.getLong(1)))
+  }
+
   test("segmentExclusive completes the theta triple: per ordered pair, " +
       "|A\\B| reconciles as |A| - overlap(A,B) against segmentOverlap's " +
       "own gated numbers, and the difference-sketch flag holds") {
