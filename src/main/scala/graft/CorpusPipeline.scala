@@ -165,35 +165,46 @@ object CorpusPipeline {
     */
   private def labelsArtifact(s: SparkSession, d: String,
       outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val path = s"$outDir/cc_labels"
-    val fpFile = java.nio.file.Paths.get(s"$outDir/cc_labels.fingerprint")
-    val fp = inputFingerprint(d)
-    val reusable =
-      try java.nio.file.Files.exists(fpFile) &&
-        java.nio.file.Files.readString(fpFile) == fp &&
-        new java.io.File(path).exists()
-      catch { case _: Exception => false }
+    val fpFile = new Path(s"$outDir/cc_labels.fingerprint")
+    val fs = fpFile.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fp = inputFingerprint(s, d)
+    def stored: Option[String] =
+      try {
+        if (!fs.exists(fpFile)) None
+        else {
+          val in = fs.open(fpFile)
+          try {
+            val b = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+            Some(b.toString("UTF-8"))
+          } finally in.close()
+        }
+      } catch { case _: Exception => None }
+    // fp = None (degenerate walk) is never reusable — rebuild
+    val reusable = fp.isDefined && stored == fp &&
+      (try fs.exists(new Path(path)) catch { case _: Exception => false })
     if (reusable) s.read.parquet(path)
     else {
-      java.nio.file.Files.deleteIfExists(fpFile)
+      try fs.delete(fpFile, false) catch { case _: Exception => () }
       write(DedupOps.nearDupLabels(s, d), path)
-      java.nio.file.Files.createDirectories(fpFile.getParent)
-      java.nio.file.Files.writeString(fpFile, fp)
+      fp.foreach { f =>
+        val out = fs.create(fpFile, true)
+        try out.write(f.getBytes("UTF-8")) finally out.close()
+      }
       s.read.parquet(path)
     }
   }
 
   /** Metadata fingerprint of the `documents` input (single file or part
-    * directory): stable across reads, changed by any rewrite.
+    * directory): stable across reads, changed by any rewrite. Walks the
+    * Hadoop `FileSystem` API ([[graft.sources.Fingerprint]]) — portable
+    * to hdfs/s3a; None (nothing found) means never-reusable.
     */
-  private[graft] def inputFingerprint(d: String): String = {
-    def walk(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    walk(new java.io.File(s"$d/documents.parquet")).mkString("|")
-  }
+  private[graft] def inputFingerprint(s: SparkSession,
+      d: String): Option[String] =
+    graft.sources.Fingerprint.of(s, Seq(s"$d/documents.parquet"))
 
   /** Per-SF staging root — SF-keyed so a bench run at one SF cannot
     * clobber the staging a correctness gate at another SF is about to

@@ -26,6 +26,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // report bucketed scans' sort order (self-guarded: only trusted
+      // when each bucket is one file) so the superstep snapshot shows
+      // the sort-free SMJ the one-file-per-bucket layout buys
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries

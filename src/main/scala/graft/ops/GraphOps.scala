@@ -61,24 +61,40 @@ object GraphOps {
     // layoutKey: the one-time edge layout is REUSED while the input
     // files are unchanged — write-once/join-free-forever is the entire
     // bucketing trade, so the operator amortizes the write exactly as a
-    // deployment would (the CorpusPipeline labels-artifact discipline)
+    // deployment would (the CorpusPipeline labels-artifact discipline).
+    // The table prefix is derived from the dataset path, so two
+    // sessions over different inputs sharing one warehouse cannot
+    // clobber each other's layout/rank tables.
     presentTopK(pageRankFromBucketed(s, tradeEdges(s, d), iters,
-      totalNodes = false, layoutKey = Some(tradeEdgesFingerprint(d))),
+      tablePrefix = tablePrefixFor(d),
+      totalNodes = false, layoutKey = tradeEdgesFingerprint(s, d)),
       topK)
 
-  /** Metadata fingerprint (name/size/mtime of every part file) of the
+  /** Warehouse namespace for one dataset's layout/rank tables: a fixed
+    * prefix would be shared mutable state across any two concurrent
+    * sessions — hashing the dataset path in keeps concurrent runs over
+    * DIFFERENT inputs disjoint (two sessions over the SAME input still
+    * race on identical content; single-writer per dataset remains the
+    * deployment contract, as for any artifact directory).
+    */
+  private[graft] def tablePrefixFor(d: String): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_pr_$hex"
+  }
+
+  /** Metadata fingerprint (path/size/mtime of every part file, via the
+    * Hadoop `FileSystem` API — portable to hdfs/s3a, unlike a
+    * `java.io.File` walk, which collapses to a constant there) of the
     * two inputs the trade edge layout derives from — no scan; any
     * rewrite invalidates ([[graft.CorpusPipeline]]'s artifact pattern).
+    * None (no files found) means never-reusable: a degenerate walk must
+    * rebuild, not match a stored marker.
     */
-  private def tradeEdgesFingerprint(d: String): String = {
-    def walk(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    (walk(new java.io.File(s"$d/orders.parquet")) ++
-      walk(new java.io.File(s"$d/lineitem.parquet"))).mkString("|")
-  }
+  private[graft] def tradeEdgesFingerprint(s: SparkSession,
+      d: String): Option[String] =
+    graft.sources.Fingerprint.of(s,
+      Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"))
 
   /** The undirected customer↔supplier trade graph: both directions of
     * every DISTINCT (customer, supplier) pair that traded.
@@ -184,16 +200,23 @@ object GraphOps {
     * edge-table shuffle into a one-time layout decision — the
     * [[graft.sources.Sinks.bucketedTable]] lever ([[graft.ops
     * .Relational.bucketedJoinAgg]]'s write-once/join-free-forever
-    * trade), and the rank tables double as reliable-storage
-    * checkpoints (restart resumes from the last written round).
-    * Arithmetic is byte-for-byte [[pageRankFrom]]'s scaled-integer
-    * contract — layout never changes a single micro-unit.
+    * trade), and the rank tables double as checkpoints: a round marker
+    * records the last completed round, and a re-invocation with an
+    * unchanged layout key RESUMES from it (spec: kill after round k,
+    * re-invoke, bit-identical finals with exactly iters−k further
+    * supersteps). Resume is session-scoped like the layout reuse —
+    * the in-memory catalog dies with the JVM; a metastore makes the
+    * same markers durable. Arithmetic is byte-for-byte
+    * [[pageRankFrom]]'s scaled-integer contract — layout never changes
+    * a single micro-unit.
     */
   def pageRankFromBucketed(s: SparkSession, edgesIn: DataFrame,
       iters: Int = 10, buckets: Int = 8,
       tablePrefix: String = "graft_pr",
       totalNodes: Boolean = true,
-      layoutKey: Option[String] = None): DataFrame = {
+      layoutKey: Option[String] = None,
+      onRoundComplete: Int => Unit = _ => ()): DataFrame =
+    withSortedBucketScan(s) {
     import graft.sources.Sinks
     val edgesT = s"${tablePrefix}_edges_bkt"
     val nodesT = s"${tablePrefix}_nodes_bkt"
@@ -203,55 +226,114 @@ object GraphOps {
     // are in the catalog, the one-time edge/node writes are skipped —
     // the amortization that makes the bucketed layout pay for itself
     // across repeated runs. Session-scoped (a fresh JVM has no catalog
-    // entries and rebuilds); rank tables are the iteration and always
-    // rebuild.
-    val marker = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"),
-      s"${tablePrefix}_layout.fingerprint")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def markerContent: Option[String] =
-      try {
-        if (!fs.exists(marker)) None
-        else {
-          val in = fs.open(marker)
-          try {
-            val b = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
-            Some(b.toString("UTF-8"))
-          } finally in.close()
-        }
-      } catch { case _: Exception => None }
+    // entries and rebuilds). Rank tables are the iteration state AND
+    // the restart checkpoint: a round marker (written after each
+    // round's bucketed write, carrying the layout key so a changed
+    // input can never resume over stale ranks) records the last
+    // COMPLETED round, and a re-invocation resumes from it — the
+    // ping-pong writes only ever touch the table the marker does NOT
+    // point at, so every crash point leaves a resumable pair. Marker
+    // truncation (torn write) can only shorten the recorded round or
+    // corrupt the key — both fall back to recompute-more, never to a
+    // wrong resume.
+    val layoutMarker = markerPath(s, s"${tablePrefix}_layout.fingerprint")
+    val roundMarker = markerPath(s, s"${tablePrefix}_round.marker")
+    val fs = layoutMarker.getFileSystem(s.sparkContext.hadoopConfiguration)
     val reusable = layoutKey.isDefined &&
-      markerContent.contains(layoutKey.get) &&
+      readMarker(fs, layoutMarker).contains(layoutKey.get) &&
       s.catalog.tableExists(edgesT) && s.catalog.tableExists(nodesT)
     if (!reusable) {
-      try fs.delete(marker, false) catch { case _: Exception => () }
+      try fs.delete(layoutMarker, false) catch { case _: Exception => () }
+      try fs.delete(roundMarker, false) catch { case _: Exception => () }
       (Seq(edgesT, nodesT)).foreach(Sinks.resetManagedTable(s, _))
       // one-time layout: out-degree joined ONTO the edge row so a
-      // superstep touches exactly two tables, both bucketed by node key
+      // superstep touches exactly two tables, both bucketed by node
+      // key; ONE FILE PER BUCKET so the scans come back provably
+      // sorted and the superstep SMJ needs no per-round re-sort
       val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      Sinks.bucketedTable(edgesIn.join(deg, "src"), edgesT, buckets, "src")
+      Sinks.bucketedTable(edgesIn.join(deg, "src"), edgesT, buckets,
+        "src", oneFilePerBucket = true)
       Sinks.bucketedTable(deg.select(col("src").as("node")), nodesT,
-        buckets, "node")
-      layoutKey.foreach { k =>
-        val out = fs.create(marker, true)
-        try out.write(k.getBytes("UTF-8")) finally out.close()
-      }
+        buckets, "node", oneFilePerBucket = true)
+      layoutKey.foreach(k => writeMarker(fs, layoutMarker, k))
     }
-    (Seq(rankT(0), rankT(1))).foreach(Sinks.resetManagedTable(s, _))
+    // resume: layout unchanged + round marker for the SAME layout key +
+    // that round's rank table present ⇒ skip the completed supersteps
+    val resumeFrom: Int =
+      if (!reusable) -1
+      else readMarker(fs, roundMarker).flatMap { m =>
+        m.split("\n", 2) match {
+          case Array(r, k) if layoutKey.contains(k) =>
+            scala.util.Try(r.trim.toInt).toOption
+              .filter(i => i >= 0 && i <= iters &&
+                s.catalog.tableExists(rankT(i)))
+          case _ => None
+        }
+      }.getOrElse(-1)
     val nodes = s.table(nodesT)
     val n = nodes.count() // the one piece of driver state, as pageRankFrom
     val r0 = math.floor(1.0 / n * 1e12).toLong
     val base = math.floor((1.0 - 0.85) / n * 1e12).toLong
-    Sinks.bucketedTable(nodes.select(col("node"), lit(r0).as("r")),
-      rankT(0), buckets, "node")
-    for (i <- 0 until iters) {
+    def recordRound(i: Int): Unit =
+      layoutKey.foreach(k => writeMarker(fs, roundMarker, s"$i\n$k"))
+    if (resumeFrom < 0) {
+      try fs.delete(roundMarker, false) catch { case _: Exception => () }
+      (Seq(rankT(0), rankT(1))).foreach(Sinks.resetManagedTable(s, _))
+      Sinks.bucketedTable(nodes.select(col("node"), lit(r0).as("r")),
+        rankT(0), buckets, "node", oneFilePerBucket = true)
+      recordRound(0)
+    }
+    for (i <- math.max(resumeFrom, 0) until iters) {
       Sinks.resetManagedTable(s, rankT(i + 1))
       Sinks.bucketedTable(
         superstep(s, edgesT, nodesT, rankT(i), base, totalNodes),
-        rankT(i + 1), buckets, "node")
+        rankT(i + 1), buckets, "node", oneFilePerBucket = true)
+      recordRound(i + 1)
+      onRoundComplete(i + 1)
     }
     s.table(rankT(iters))
+  }
+
+  /** Enable sorted-bucketed-scan ordering for the duration of `f`: the
+    * one-file-per-bucket writes make the guarantee real, but the scan
+    * only REPORTS its sort order under this (legacy-named, still
+    * supported) flag — Spark itself re-checks files-per-bucket ≤ 1
+    * before trusting it, so enabling it can never produce a wrong
+    * plan, only elide the per-round SMJ re-sorts. Set/restored here so
+    * any caller's session gets the sort-free supersteps.
+    */
+  private def withSortedBucketScan[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try f finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def markerPath(s: SparkSession, name: String) =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name)
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val b = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+          Some(b.toString("UTF-8"))
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** One bucketed superstep: rank ⋈ edges (bucket-aligned, NO Exchange
@@ -306,8 +388,9 @@ object GraphOps {
       val full = pageRankBucketed(s, d)
       // tables exist now (pageRankBucketed just wrote them); snapshot
       // one superstep over the written layout
-      val step = superstep(s, "graft_pr_edges_bkt", "graft_pr_nodes_bkt",
-        "graft_pr_rank_0", 1L, totalNodes = false)
+      val p = tablePrefixFor(d)
+      val step = superstep(s, s"${p}_edges_bkt", s"${p}_nodes_bkt",
+        s"${p}_rank_0", 1L, totalNodes = false)
       Seq("full query" -> full,
         "one superstep (bucketed, exchange-free join)" -> step)
     } else {

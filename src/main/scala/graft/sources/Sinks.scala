@@ -38,10 +38,22 @@ object Sinks {
     * never makes. Bucket counts must match (or divide) across join sides.
     * Uses the session catalog (bucketing metadata lives in the table
     * definition, not the parquet files).
+    *
+    * `oneFilePerBucket`: pre-shuffle so each write task holds exactly
+    * one bucket (`repartition(buckets, col)` uses the same
+    * murmur3-pmod hash as the write-side bucket id). Multi-file
+    * buckets void the `sortBy` guarantee at read time — the scan then
+    * reports no ordering and every downstream SortMergeJoin re-sorts
+    * what the write already sorted, each round. One file per bucket
+    * makes the scan provably sorted (Sort elided under the SMJ, plan-
+    * pinned for the PageRank superstep). Costs one bucket-keyed
+    * exchange at write; worth it for any recurring-join layout.
     */
   def bucketedTable(df: DataFrame, table: String, buckets: Int,
-      bucketCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      bucketCol: String, oneFilePerBucket: Boolean = false): Unit =
+    (if (oneFilePerBucket) df.repartition(buckets, col(bucketCol))
+     else df)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

@@ -245,13 +245,17 @@ class Round6OpsSpec extends AnyFunSuite {
       java.nio.file.Files.list(src).forEach(p =>
         java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString)))
     } else java.nio.file.Files.copy(src, dst)
-    val fp1 = CorpusPipeline.inputFingerprint(dir)
-    assert(fp1 === CorpusPipeline.inputFingerprint(dir))
+    val fp1 = CorpusPipeline.inputFingerprint(spark, dir)
+    assert(fp1.isDefined, "existing input must fingerprint to Some")
+    assert(fp1 === CorpusPipeline.inputFingerprint(spark, dir))
     val touched = new java.io.File(dst.toString)
     val target = if (touched.isDirectory) touched.listFiles().head else touched
     assert(target.setLastModified(target.lastModified() + 120000))
-    assert(CorpusPipeline.inputFingerprint(dir) !== fp1,
+    assert(CorpusPipeline.inputFingerprint(spark, dir) !== fp1,
       "rewritten input must invalidate the fingerprint")
+    assert(CorpusPipeline
+      .inputFingerprint(spark, dir + "_nonexistent") === None,
+      "a degenerate (empty) walk must be None — never a reusable constant")
   }
 
   // -------------------------------------------------- corpusDiff keys

@@ -33,9 +33,14 @@ class Round7OpsSpec extends AnyFunSuite {
     // at 100 TB neither side broadcasts — the config under which the
     // layout matters; without it the sf-sized rank table would broadcast
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // report the (one-file-per-bucket) scans' sort order — the flag the
+    // operator itself sets for its loop
+    spark.conf
+      .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      val step = GraphOps.superstep(spark, "graft_pr_edges_bkt",
-        "graft_pr_nodes_bkt", "graft_pr_rank_0", 1L)
+      val pfx = GraphOps.tablePrefixFor(d)
+      val step = GraphOps.superstep(spark, s"${pfx}_edges_bkt",
+        s"${pfx}_nodes_bkt", s"${pfx}_rank_0", 1L)
       val plan = step.queryExecution.executedPlan
       val smj = plan.collectFirst {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
@@ -47,6 +52,13 @@ class Round7OpsSpec extends AnyFunSuite {
       }
       assert(shuffles.isEmpty,
         s"bucketed superstep join still shuffles below the SMJ:\n$smj")
+      // one-file-per-bucket writes ⇒ the scans come back provably
+      // sorted ⇒ the SMJ needs no per-round re-sort on either side
+      val sorts = smj.collect {
+        case e: org.apache.spark.sql.execution.SortExec => e
+      }
+      assert(sorts.isEmpty,
+        s"bucketed superstep join still re-sorts below the SMJ:\n$smj")
       val scanStr = smj.collectLeaves().map(_.toString).mkString("\n")
       assert(scanStr.contains("Bucketed: true"),
         s"bucketed layout not used by the superstep scans:\n$scanStr")
@@ -60,6 +72,8 @@ class Round7OpsSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      spark.conf
+        .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     }
   }
 
@@ -311,14 +325,15 @@ class Round7OpsSpec extends AnyFunSuite {
       "loss: sum(r) ≤ 1e12, and the cumulative floor-division loss over " +
       "10 supersteps stays far below 1% of the mass") {
     import graft.sources.Sinks
+    val pfx = GraphOps.tablePrefixFor(d)
     GraphOps.pageRankBucketed(spark, d).collect() // 10 iters → rank_0 final
-    val total = spark.table("graft_pr_rank_0")
+    val total = spark.table(s"${pfx}_rank_0")
       .agg(sum(col("r")).as("t")).collect().head.getLong(0)
     assert(total <= 1_000_000_000_000L, s"rank mass exceeds unity: $total")
     assert(total > 990_000_000_000L,
       s"quantization loss implausibly large: $total")
-    Seq("graft_pr_edges_bkt", "graft_pr_nodes_bkt",
-      "graft_pr_rank_0", "graft_pr_rank_1")
+    Seq(s"${pfx}_edges_bkt", s"${pfx}_nodes_bkt",
+      s"${pfx}_rank_0", s"${pfx}_rank_1")
       .foreach(Sinks.resetManagedTable(spark, _))
   }
 }
