@@ -164,38 +164,11 @@ object CorpusPipeline {
     * fail the pipeline.
     */
   private def labelsArtifact(s: SparkSession, d: String,
-      outDir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val path = s"$outDir/cc_labels"
-    val fpFile = new Path(s"$outDir/cc_labels.fingerprint")
-    val fs = fpFile.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fp = inputFingerprint(s, d)
-    def stored: Option[String] =
-      try {
-        if (!fs.exists(fpFile)) None
-        else {
-          val in = fs.open(fpFile)
-          try {
-            val b = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
-            Some(b.toString("UTF-8"))
-          } finally in.close()
-        }
-      } catch { case _: Exception => None }
-    // fp = None (degenerate walk) is never reusable — rebuild
-    val reusable = fp.isDefined && stored == fp &&
-      (try fs.exists(new Path(path)) catch { case _: Exception => false })
-    if (reusable) s.read.parquet(path)
-    else {
-      try fs.delete(fpFile, false) catch { case _: Exception => () }
-      write(DedupOps.nearDupLabels(s, d), path)
-      fp.foreach { f =>
-        val out = fs.create(fpFile, true)
-        try out.write(f.getBytes("UTF-8")) finally out.close()
-      }
-      s.read.parquet(path)
-    }
-  }
+      outDir: String): DataFrame =
+    graft.sources.Artifact.readOrCompute(s, outDir,
+      "cc_labels.fingerprint", Seq(s"$d/documents.parquet"),
+      Seq("cc_labels"))(
+      () => Map("cc_labels" -> DedupOps.nearDupLabels(s, d)))("cc_labels")
 
   /** Metadata fingerprint of the `documents` input (single file or part
     * directory): stable across reads, changed by any rewrite. Walks the

@@ -3233,7 +3233,12 @@ object OracleSql {
     * CTEs (count pairs over v_{i-1} → top-1 with (cnt desc, a, b)
     * tie-break → literal sentinel-replace into v_i). `replace` is
     * greedy-left-to-right-non-overlapping in both engines, which IS the
-    * reference BPE merge semantics.
+    * reference BPE merge semantics. Each v_i LEFT-joins its (0- or
+    * 1-row) top-1 t_i: when merges EXHAUST before round k (a tiny or
+    * degenerate corpus leaves no pair with len(syms) ≥ 2), t_i is
+    * empty and v_i must carry v_{i-1} forward unchanged — a CROSS JOIN
+    * would wipe the vocabulary and every later CTE, diverging from the
+    * Scala loop's early-exit (which keeps the last vocabulary).
     */
   private def bpeStepCtes(k: Int): String = (1 to k).map { i =>
     s"""p$i AS (
@@ -3248,9 +3253,10 @@ object OracleSql {
        |  GROUP BY 1, 2),
        |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
        |v$i AS (SELECT word, wf,
-       |  replace(repr, '<' || a || '><' || b || '>',
-       |    '<' || a || b || '>') AS repr
-       |  FROM v${i - 1} CROSS JOIN t$i)"""
+       |  CASE WHEN t$i.a IS NULL THEN repr
+       |    ELSE replace(repr, '<' || t$i.a || '><' || t$i.b || '>',
+       |      '<' || t$i.a || t$i.b || '>') END AS repr
+       |  FROM v${i - 1} LEFT JOIN t$i ON TRUE)"""
   }.mkString(",\n")
 
   /** Round-7 additions: the five remaining TPC-H analytics shapes
@@ -3602,6 +3608,51 @@ object OracleSql {
          |GROUP BY 1, 2, 4, 5
          |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin)
   }
+
+  /** Round-8 additions: the two remaining TPC-H shapes (Q2 adapted to
+    * the fixture's lineitem-as-supply-catalog, Q4 on the ship-date
+    * late convention) — the full 22-query family is now covered.
+    */
+  val round8: Map[String, String] = Map(
+    // Analytics.minCostSupplier twin (TPC-H Q2 shape): correlated MIN
+    // decorrelated as a per-(part, supplier) DECIMAL-exact aggregate +
+    // rank-1 window with (offer, suppkey) tiebreak.
+    "r_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS offer
+        |  FROM lineitem GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |best AS (
+        |  SELECT l_partkey, offer, s_acctbal, s_name, n_name,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |                       ORDER BY offer, l_suppkey) AS rn
+        |  FROM offers JOIN rs ON l_suppkey = s_suppkey)
+        |SELECT s_acctbal AS acctbal, s_name AS supp_name,
+        |  n_name AS nation, p_partkey AS partkey, p_name AS part_name,
+        |  CAST(offer AS DOUBLE) AS offer
+        |FROM best JOIN part ON l_partkey = p_partkey
+        |WHERE rn = 1 AND p_size = 10
+        |ORDER BY acctbal DESC, nation, supp_name, partkey
+        |LIMIT 100""".stripMargin,
+
+    // Analytics.priorityWaitingOrders twin (TPC-H Q4 shape): EXISTS
+    // decorrelated as a per-order any-late HAVING over the quarter.
+    "r_priority_waiting" ->
+      """SELECT o_orderpriority AS priority, count(*) AS order_count
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1, 2
+        |  HAVING max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN 1 ELSE 0 END) = 1) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

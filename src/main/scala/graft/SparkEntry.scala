@@ -212,6 +212,9 @@ object SparkEntry {
     // round 6: decorrelated Q21/Q22 shapes + lexical retrieval
     "r_sole_late_supplier"    -> (Analytics.soleLateSupplier(_, _)),
     "r_idle_rich"             -> (Analytics.idleRichCustomers(_, _)),
+    // round 8: the last two TPC-H shapes (Q2 adapted, Q4) — all 22 covered
+    "r_min_cost_supplier"     -> ((s, d) => Analytics.minCostSupplier(s, d)),
+    "r_priority_waiting"      -> (Analytics.priorityWaitingOrders(_, _)),
     "txt_bm25_topk"           -> ((s, d) => TextOps.bm25TopK(s, d)),
     "txt_bpe_pairs"           -> ((s, d) => TextOps.bpePairs(s, d)),
     "txt_bpe_merges"          -> ((s, d) => TextOps.bpeMerges(s, d)),
@@ -244,7 +247,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     OracleSql.extended ++ OracleSql.aliased ++ OracleSql.round6 ++
-      OracleSql.round7 ++ Map(
+      OracleSql.round7 ++ OracleSql.round8 ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

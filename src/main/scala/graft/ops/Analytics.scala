@@ -737,4 +737,75 @@ object Analytics {
       .orderBy(col("revenue").desc, col("custkey"))
       .limit(20)
   }
+
+  /** Min-cost supplier (TPC-H Q2 shape, adapted: this schema has no
+    * partsupp supply catalog, so the OBSERVED trade plays it — a
+    * (part, supplier)'s offer is its minimum sale `l_extendedprice`,
+    * DECIMAL-exact): for parts of one size, among suppliers of one
+    * region, pick per part the cheapest offer (deterministic
+    * (offer, suppkey) tiebreak) and surface the supplier's details,
+    * richest first — Q2's correlated MIN subquery decorrelated into a
+    * per-(part, supplier) aggregate + rank-1 window, the same
+    * decorrelation Catalyst applies to the subquery form. Scale shape:
+    * ONE fact shuffle (the (partkey, suppkey) aggregate); the region's
+    * supplier list broadcasts into the window input, and the part-side
+    * filter broadcasts onto the (tiny) rank-1 survivors — the fact
+    * table never joins a second time.
+    */
+  def minCostSupplier(s: SparkSession, d: String,
+      region: String = "EUROPE", size: Int = 10): DataFrame = {
+    val rs = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("price")).as("offer"))
+      .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+    val byPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey")
+      .orderBy(col("offer"), col("l_suppkey"))
+    offers
+      .withColumn("rn", row_number().over(byPart))
+      .filter(col("rn") === 1)
+      .join(Tables.part(s, d).filter(col("p_size") === size)
+          .select("p_partkey", "p_name"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal").as("acctbal"), col("s_name").as("supp_name"),
+        col("n_name").as("nation"), col("p_partkey").as("partkey"),
+        col("p_name").as("part_name"),
+        col("offer").cast("double").as("offer"))
+      .orderBy(col("acctbal").desc, col("nation"), col("supp_name"),
+        col("partkey"))
+      .limit(100)
+  }
+
+  /** Order-priority checking (TPC-H Q4 shape, on this schema's columns —
+    * late = a line shipped more than 90 days after the order date, the
+    * [[lateLinesByPriority]]/[[soleLateSupplier]] convention): orders
+    * placed in one quarter with AT LEAST ONE late line, counted per
+    * priority. Q4's correlated EXISTS decorrelated into one grouped
+    * pass over the order⋈lineitem join (per-order any-late flag →
+    * filter → priority count): the quarter filter prunes the orders
+    * scan (stat-prunable) and flows into the join, so the shuffled
+    * fact slice is one quarter's lines — never a second lineitem scan.
+    */
+  def priorityWaitingOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(max((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("int"))
+        .as("any_late"))
+      .filter(col("any_late") === 1)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("priority")
 }

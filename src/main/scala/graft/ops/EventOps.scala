@@ -705,9 +705,10 @@ object EventOps {
   }
 
   /** Sliding-window distinct users via MERGEABLE HLL sketches (the
-    * DataSketches functions Spark 4 ships): ONE fact pass builds an
-    * hourly sketch per hour; every `windowHours`-hour sliding window
-    * then UNIONS the hourly partials (`hll_union_agg`) instead of
+    * DataSketches functions Spark 4 ships): the STORED hourly partials
+    * ([[sketchPartials]]) union per hour, and every `windowHours`-hour
+    * sliding window then UNIONS the hourly sketches (`hll_union_agg`)
+    * instead of
     * re-scanning events per window — the sketch-reuse pattern that
     * makes sliding distinct counts affordable at 100 TB (a window's
     * exact distinct cannot reuse another window's result; mergeable
@@ -731,13 +732,44 @@ object EventOps {
     * sample, not the result). `auditEveryK = 1` recovers the full audit
     * (the spec's cross-check form at test SF).
     */
+  /** Hour × event-type mergeable sketch partials over the events fact
+    * table — ONE fact pass, persisted fingerprint-guarded
+    * ([[graft.sources.Artifact]]), read by EVERY sketch consumer:
+    * [[slidingDistinctUsers]] unions the HLL column per hour,
+    * [[quantileRollupDaily]]/[[slidingQuantile]] merge the KLL column
+    * per day/window, [[segmentOverlap]]/[[segmentExclusive]] union the
+    * theta column per type. Build-once/serve-many is the entire
+    * argument for mergeable partials: at 100 TB the fact table is
+    * scanned once for the family, not once per operator (the blemish
+    * round 7's prose claimed away). Sketch unions/merges are grouping-
+    * agnostic (HLL/theta bit-stable set functions; KLL rank-bounded),
+    * so the (h, event_type) grain serves every coarser grouping.
+    */
+  private[graft] def sketchPartials(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.Artifact.readOrCompute(s,
+      s"/tmp/graft_sketch_stages/${new java.io.File(d).getName}",
+      "sketch.fingerprint", Seq(s"$d/events.parquet"),
+      Seq("hourly_partials")) { () =>
+      Map("hourly_partials" -> Tables.events(s, d)
+        .select(expr("unix_timestamp(ts) div 3600").as("h"),
+          col("event_type"), col("user_id"), col("value"))
+        .groupBy("h", "event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("hll_sk"),
+          expr("kll_sketch_agg_double(value)").as("kll_sk"),
+          expr("theta_sketch_agg(user_id)").as("theta_sk")))
+    }("hourly_partials")
+
   def slidingDistinctUsers(s: SparkSession, d: String,
       windowHours: Int = 6, maxRelErr: Double = 0.08,
       auditEveryK: Int = 3): DataFrame = {
     val ev = Tables.events(s, d)
       .select(expr("unix_timestamp(ts) div 3600").as("h"), col("user_id"))
-    val hourly = ev.groupBy("h")
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // per-hour sketches from the STORED partials (one more union level
+    // over event_type — HLL union is a pure function of the input set,
+    // so the estimates equal the direct per-hour sketch's)
+    val hourly = sketchPartials(s, d).groupBy("h")
+      .agg(expr("hll_union_agg(hll_sk)").as("sk"))
     val windows = hourly
       .select(col("h"), col("sk"),
         explode(sequence(lit(0), lit(windowHours - 1))).as("off"))
@@ -758,10 +790,10 @@ object EventOps {
 
   /** Daily quantiles via MERGEABLE KLL sketches (round 7 — the quantile
     * member of the sketch-rollup family beside [[slidingDistinctUsers]]'
-    * HLL): ONE fact pass builds an hourly `kll_sketch_agg_double`
-    * partial per hour; each day's p50/p90 then comes from
-    * `kll_merge_agg_double` over that day's 24 partials instead of
-    * re-scanning events — and the same stored partials answer ANY
+    * HLL): the STORED hourly partials ([[sketchPartials]] — one fact
+    * pass serving the whole family) merge per day via
+    * `kll_merge_agg_double` instead of re-scanning events — and the
+    * same stored partials answer ANY
     * coarser grain or sliding window (quantiles are non-decomposable as
     * scalars, which is exactly why the sketch rollup exists). Sketch
     * values are engine-specific, so the driver-gated surface is the
@@ -781,12 +813,12 @@ object EventOps {
     import graft.functions.ExactQuantiles.exactQuantiles
     val ev = Tables.events(s, d)
       .select(date_trunc("day", col("ts")).as("day_ts"), col("value"))
-    val hourly = Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
-    val daily = hourly
-      .groupBy(date_trunc("day", col("h")).as("day_ts"))
-      .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+    // day sketches merged from the STORED hourly partials (UTC session
+    // ⇒ the unix-hour key truncates to the same day as the raw ts)
+    val daily = sketchPartials(s, d)
+      .groupBy(date_trunc("day",
+        timestamp_seconds(col("h") * 3600)).as("day_ts"))
+      .agg(expr("kll_merge_agg_double(kll_sk)").as("sk"))
       .select(col("day_ts"),
         expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est50"),
         expr("kll_sketch_get_quantile_double(sk, 0.9)").as("est90"))
@@ -811,8 +843,8 @@ object EventOps {
       .orderBy("day_ts")
   }
 
-  /** Sliding-window p50 via the SAME hourly KLL partials
-    * ([[quantileRollupDaily]]'s one fact pass): every `windowHours`
+  /** Sliding-window p50 via the SAME stored hourly KLL partials as
+    * [[quantileRollupDaily]] ([[sketchPartials]]): every `windowHours`
     * sliding window merges its hourly sketches instead of re-scanning
     * events — the quantile twin of [[slidingDistinctUsers]], and the
     * payoff of MERGEABLE quantile state (an exact window quantile can
@@ -827,8 +859,8 @@ object EventOps {
     import graft.functions.ExactQuantiles.exactQuantiles
     val ev = Tables.events(s, d)
       .select(expr("unix_timestamp(ts) div 3600").as("h"), col("value"))
-    val hourly = ev.groupBy("h")
-      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+    val hourly = sketchPartials(s, d).groupBy("h")
+      .agg(expr("kll_merge_agg_double(kll_sk)").as("sk"))
     val windows = hourly
       .select(col("h"), col("sk"),
         explode(sequence(lit(0), lit(windowHours - 1))).as("off"))
@@ -872,9 +904,11 @@ object EventOps {
     */
   def segmentOverlap(s: SparkSession, d: String,
       maxRelErr: Double = 0.05): DataFrame = {
-    val sk = Tables.events(s, d)
+    // per-type sketches unioned from the STORED hourly partials (theta
+    // union is a pure set function — same sketch as the direct build)
+    val sk = sketchPartials(s, d)
       .groupBy("event_type")
-      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      .agg(expr("theta_union_agg(theta_sk)").as("sk"))
     // |types|² bounded pair frame — the broadcast-crossJoin contract
     val pairs = sk.select(col("event_type").as("type_a"),
         col("sk").as("sk_a"))
@@ -912,10 +946,16 @@ object EventOps {
     */
   def segmentExclusive(s: SparkSession, d: String,
       maxRelErr: Double = 0.05): DataFrame = {
-    val sk = Tables.events(s, d)
+    val ut = Tables.events(s, d)
+      .select("user_id", "event_type").distinct()
+    // sketch side from the STORED partials; the exact per-type distinct
+    // (part of the gated exact surface) reuses the ut frame the exact
+    // pairwise count below already builds
+    val sk = sketchPartials(s, d)
       .groupBy("event_type")
-      .agg(expr("theta_sketch_agg(user_id)").as("sk"),
-        count_distinct(col("user_id")).as("nd"))
+      .agg(expr("theta_union_agg(theta_sk)").as("sk"))
+      .join(ut.groupBy("event_type").agg(count(lit(1)).as("nd")),
+        Seq("event_type"))
     val pairs = sk.select(col("event_type").as("type_a"),
         col("sk").as("sk_a"), col("nd").as("nd_a"))
       .join(broadcast(sk.select(col("event_type").as("type_b"),
@@ -924,8 +964,6 @@ object EventOps {
       .select(col("type_a"), col("type_b"), col("nd_a"),
         expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
           .as("est"))
-    val ut = Tables.events(s, d)
-      .select("user_id", "event_type").distinct()
     val both = ut.as("x")
       .join(ut.as("y"),
         col("x.user_id") === col("y.user_id") &&

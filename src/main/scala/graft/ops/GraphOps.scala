@@ -77,11 +77,8 @@ object GraphOps {
     * race on identical content; single-writer per dataset remains the
     * deployment contract, as for any artifact directory).
     */
-  private[graft] def tablePrefixFor(d: String): String = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_pr_$hex"
-  }
+  private[graft] def tablePrefixFor(d: String): String =
+    graft.sources.Sinks.namespaced("graft_pr", d)
 
   /** Metadata fingerprint (path/size/mtime of every part file, via the
     * Hadoop `FileSystem` API — portable to hdfs/s3a, unlike a

@@ -772,12 +772,16 @@ object Relational {
     val o = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-    graft.sources.Sinks.resetManagedTable(s, "graft_orders_bkt")
-    graft.sources.Sinks.resetManagedTable(s, "graft_customer_bkt")
-    graft.sources.Sinks.bucketedTable(o, "graft_orders_bkt", 8, "o_custkey")
-    graft.sources.Sinks.bucketedTable(c, "graft_customer_bkt", 8, "c_custkey")
-    s.table("graft_orders_bkt")
-      .join(s.table("graft_customer_bkt").hint("merge"),
+    // dataset-namespaced names: concurrent sessions over different
+    // inputs sharing a warehouse must not clobber each other
+    val oT = graft.sources.Sinks.namespaced("graft_orders_bkt", d)
+    val cT = graft.sources.Sinks.namespaced("graft_customer_bkt", d)
+    graft.sources.Sinks.resetManagedTable(s, oT)
+    graft.sources.Sinks.resetManagedTable(s, cT)
+    graft.sources.Sinks.bucketedTable(o, oT, 8, "o_custkey")
+    graft.sources.Sinks.bucketedTable(c, cT, 8, "c_custkey")
+    s.table(oT)
+      .join(s.table(cT).hint("merge"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_orders"),

@@ -406,7 +406,31 @@ object TextOps {
     * against unrolled k-step CTEs.
     */
   def bpeMerges(s: SparkSession, d: String, merges: Int = 8): DataFrame =
-    bpeMergesFrom(s, bpeVocab(s, d), merges)
+    bpeArtifact(s, d, merges)._1
+
+  /** Read-or-train the persisted BPE artifact: (merge table, final
+    * vocabulary representations), fingerprint-guarded by the
+    * `documents` input ([[graft.CorpusPipeline]]'s labels-artifact
+    * discipline, walked portably via [[graft.sources.Fingerprint]]).
+    * One tokenizer is TRAINED ONCE; [[bpeMerges]] surfaces its merge
+    * table and [[bpeEncode]] applies its vocabulary — without this,
+    * encode re-ran the whole 8-round driver-paced loop a second time
+    * per pipeline pass for the same trained state. Unreadable/missing
+    * artifacts and degenerate (None) fingerprints recompute, never
+    * fail or reuse stale state.
+    */
+  private def bpeArtifact(s: SparkSession, d: String,
+      merges: Int): (DataFrame, DataFrame) = {
+    val outDir = "/tmp/graft_bpe_stages/" +
+      s"${new java.io.File(d).getName}_m$merges"
+    val frames = graft.sources.Artifact.readOrCompute(s, outDir,
+      "bpe.fingerprint", Seq(s"$d/documents.parquet"),
+      Seq("merges", "final_vocab")) { () =>
+      val (mergesDf, finalVocab) = bpeTrain(s, bpeVocab(s, d), merges)
+      Map("merges" -> mergesDf, "final_vocab" -> finalVocab)
+    }
+    (frames("merges").orderBy("step"), frames("final_vocab"))
+  }
 
   /** The training vocabulary: pure-alphabetic multi-char words with
     * corpus frequencies (the sentinel representation relies on the
@@ -428,6 +452,12 @@ object TextOps {
     * vocabulary with each word's post-merge symbol representation) —
     * the second half is what [[bpeEncode]] applies back to the corpus.
     */
+  /** Merge rounds executed since JVM start — test observability for the
+    * artifact contract (encode-after-train must add ZERO rounds).
+    */
+  private[graft] val trainRounds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def bpeTrain(s: SparkSession, vocabIn: DataFrame,
       merges: Int): (DataFrame, DataFrame) = {
     import s.implicits._
@@ -444,6 +474,7 @@ object TextOps {
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to merges if !exhausted) {
+      trainRounds.incrementAndGet()
       val syms = vocab.select(col("wf"),
           expr("regexp_extract_all(repr, '<([^<>]*)>', 1)").as("syms"))
         .filter(size(col("syms")) >= 2)
@@ -490,7 +521,9 @@ object TextOps {
     * becomes an ordinary vocab-keyed shuffle join — shape unchanged.
     */
   def bpeEncode(s: SparkSession, d: String, merges: Int = 8): DataFrame = {
-    val (_, finalVocab) = bpeTrain(s, bpeVocab(s, d), merges)
+    // the trained state comes from the persisted artifact — encode
+    // NEVER re-runs the merge loop (spec-pinned via trainRounds)
+    val (_, finalVocab) = bpeArtifact(s, d, merges)
     val sub = finalVocab.select(col("word"),
       size(expr("regexp_extract_all(repr, '<([^<>]*)>', 1)"))
         .cast(LongType).as("n_sub"))

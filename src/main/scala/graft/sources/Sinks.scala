@@ -59,6 +59,19 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Dataset-scoped managed-table prefix: a FIXED table name is shared
+    * mutable state across any two concurrent sessions on one warehouse —
+    * hashing the dataset path into the name keeps runs over DIFFERENT
+    * inputs disjoint by construction (same-input concurrency stays
+    * single-writer, as for any artifact directory).
+    */
+  def namespaced(base: String, datasetDir: String): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"${base}_$hex"
+  }
+
   /** Drop a managed table AND its warehouse directory. The in-memory
     * catalog dies with the JVM but the warehouse directory does not — a
     * later session's `saveAsTable` then fails with locationAlreadyExists

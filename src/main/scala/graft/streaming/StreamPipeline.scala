@@ -83,8 +83,26 @@ private[graft] object TableSink {
     val st = stage(path)
     if (!f.exists(new Path(path)) && f.exists(st) &&
         f.exists(new Path(st, MarkerName)))
-      f.rename(st, new Path(path))
+      renameOrThrow(f, st, new Path(path))
   }
+
+  // FileSystem.rename/delete signal failure by RETURN VALUE, not by
+  // exception (e.g. a cross-filesystem stage path, or a dest some FS
+  // semantics refuse to clobber). Swallowing a false here would leave
+  // no live table — or the old one — silently, deferring detection to
+  // a later read; failing the micro-batch instead lets the checkpoint
+  // replay it.
+  private def renameOrThrow(f: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(
+        s"TableSink: rename $src -> $dst failed (returned false)")
+
+  private def deleteOrThrow(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit =
+    if (f.exists(p) && !f.delete(p, true) && f.exists(p))
+      throw new java.io.IOException(
+        s"TableSink: delete $p failed (returned false)")
 
   def alreadyApplied(s: SparkSession, path: String, batchId: Long): Boolean = {
     recover(s, path)
@@ -113,14 +131,15 @@ private[graft] object TableSink {
     val st = stage(path)
     val live = new Path(path)
     val aside = new Path(path + "__old")
-    f.delete(st, true)
+    deleteOrThrow(f, st)
     df.write.mode("overwrite").parquet(st.toString)
     writeId(s, path, new Path(st, MarkerName), batchId)
-    f.delete(aside, true)
-    if (f.exists(live)) f.rename(live, aside)
-    f.rename(st, live)
-    f.delete(aside, true)
+    deleteOrThrow(f, aside)
+    if (f.exists(live)) renameOrThrow(f, live, aside)
+    renameOrThrow(f, st, live)
+    deleteOrThrow(f, aside)
   }
+
 
   def record(s: SparkSession, path: String, batchId: Long): Unit =
     writeId(s, path, ledger(path), batchId)
@@ -660,15 +679,20 @@ object StreamPipeline {
   /** Streaming near-dup admission gate: each micro-batch's documents are
     * admitted only if they do not near-duplicate (n-gram Jaccard ≥
     * `thresholdPct`%) the already-admitted corpus or a smaller-id peer in
-    * the same batch. Admitted docs append to `outPath`; their shingles
-    * append to the persisted index at `indexPath` — the state is a TABLE,
-    * not stream state (no state store growth; a restart resumes from the
-    * checkpoint and the index, and a replayed micro-batch is a no-op via
-    * the [[TableSink]] batch ledger: without it a replay would append the
-    * admitted docs twice AND double their index shingle counts, silently
-    * inflating future Jaccard denominators). The two appends themselves
-    * are not atomic — a crash between them leaves out/index divergent
-    * until a transaction log (out of scope offline) closes that window.
+    * the same batch. Admitted docs and their shingles land as per-batch
+    * SEGMENT directories (`<path>/seg_<batchId>`, overwrite-idempotent),
+    * and a single MANIFEST POINTER at `indexPath/_gate_manifest` (the
+    * applied batch-id list, swapped via FileContext's atomic OVERWRITE
+    * rename) commits BOTH tables at once — the manifest is
+    * simultaneously the batch ledger (a listed id is a no-op on replay)
+    * and the reader's source of truth ([[readGateAdmitted]] /
+    * [[readGateIndex]] union exactly the listed segments), so no crash
+    * point can expose a half-applied batch or divergent out/index
+    * tables: segments written but not listed are invisible garbage the
+    * replay overwrites. This closes the round-7 two-table APPEND window
+    * with the same rename-atomic trick [[TableSink.commit]] uses for
+    * overwrite sinks, applied to appends. State is TABLES, not stream
+    * state (no state store growth; restart = checkpoint + manifest).
     * The streaming twin of
     * [[graft.ops.DedupOps.incrementalJaccardPairs]].
     *
@@ -693,16 +717,30 @@ object StreamPipeline {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        import s.implicits._
-        if (!TableSink.alreadyApplied(s, indexPath, batchId)) {
+        applyNearDupGateBatch(batch, indexPath, outPath, batchId, n,
+          thresholdPct, maxShingleDf)
+      }
+      .start()
+
+  /** One admission micro-batch (spec-drivable): compute against the
+    * manifest-listed index segments, write both `seg_<batchId>` dirs,
+    * swap the manifest LAST.
+    */
+  private[graft] def applyNearDupGateBatch(batch: DataFrame,
+      indexPath: String, outPath: String, batchId: Long, n: Int = 3,
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val applied = gateManifest(s, indexPath)
+    if (!applied.contains(batchId)) {
         val batchSh = batch.select(col("doc_id"),
             explode(graft.functions.ShingleHashes.shingleHashes(
               graft.ops.TextOps.tokens(lower(col("text"))), n)).as("h"))
           .persist()
         try {
           val indexSh =
-            if (TableSink.hasParquet(s, indexPath)) s.read.parquet(indexPath)
+            if (applied.nonEmpty)
+              s.read.parquet(applied.map(b => s"$indexPath/seg_$b"): _*)
             else Seq.empty[(Long, Long)].toDF("doc_id", "h")
           val all = indexSh.withColumn("is_new", lit(false))
             .unionByName(batchSh.withColumn("is_new", lit(true)))
@@ -733,14 +771,79 @@ object StreamPipeline {
               (col("size_new") + col("size_other") - col("shared")))
             .select(col("doc_new").as("doc_id")).distinct()
           val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
-          admitted.write.mode("append").parquet(outPath)
+          // overwrite-idempotent segment writes (a replay after a crash
+          // rewrites the same dirs), THEN one manifest swap commits both
+          admitted.write.mode("overwrite")
+            .parquet(s"$outPath/seg_$batchId")
           batchSh.join(rejected, Seq("doc_id"), "left_anti")
-            .write.mode("append").parquet(indexPath)
-          TableSink.record(s, indexPath, batchId)
+            .write.mode("overwrite").parquet(s"$indexPath/seg_$batchId")
+          swapGateManifest(s, indexPath, applied :+ batchId)
         } finally batchSh.unpersist()
-        }
-      }
-      .start()
+    }
+  }
+
+  private def gateManifestPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_gate_manifest")
+
+  /** Applied batch ids, from the manifest pointer (empty = fresh gate). */
+  private[graft] def gateManifest(s: SparkSession,
+      indexPath: String): Seq[Long] = {
+    val p = gateManifestPath(indexPath)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try {
+        val b = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+        b.toString("UTF-8").split("\n").filter(_.nonEmpty)
+          .map(_.trim.toLong).toSeq
+      } finally in.close()
+    }
+  }
+
+  /** Atomically repoint the manifest: write a temp file, then
+    * `FileContext.rename(…, Options.Rename.OVERWRITE)` — the one
+    * rename-over-existing primitive Hadoop guarantees atomic (plain
+    * `FileSystem.rename` refuses an existing destination, and
+    * delete-then-rename would open a no-manifest window in which a
+    * crash FORGETS every admitted batch). Object stores without atomic
+    * rename need their own pointer primitive — same caveat as every
+    * swap in [[TableSink]].
+    */
+  private def swapGateManifest(s: SparkSession, indexPath: String,
+      applied: Seq[Long]): Unit = {
+    val p = gateManifestPath(indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath,
+      "_gate_manifest__tmp")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp, true)
+    try out.write(applied.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The gate's admitted-documents table: the union of exactly the
+    * manifest-listed segments — unlisted (crash-orphaned) segments are
+    * invisible. Empty manifest → empty (schema-typed) frame.
+    */
+  def readGateAdmitted(s: SparkSession, outPath: String,
+      indexPath: String): DataFrame = {
+    import s.implicits._
+    val applied = gateManifest(s, indexPath)
+    if (applied.isEmpty) Seq.empty[(Long, String)].toDF("doc_id", "text")
+    else s.read.parquet(applied.map(b => s"$outPath/seg_$b"): _*)
+  }
+
+  /** The gate's shingle-index table (manifest-listed segments only). */
+  def readGateIndex(s: SparkSession, indexPath: String): DataFrame = {
+    import s.implicits._
+    val applied = gateManifest(s, indexPath)
+    if (applied.isEmpty) Seq.empty[(Long, Long)].toDF("doc_id", "h")
+    else s.read.parquet(applied.map(b => s"$indexPath/seg_$b"): _*)
+  }
 
   def startMergeSink(df: DataFrame, path: String, checkpoint: String,
       keys: Seq[String], orderCol: String): StreamingQuery =
@@ -902,6 +1005,52 @@ object StreamPipeline {
     }
   }
 
+  /** Streaming per-shard CMS term-frequency sketch table — the
+    * FREQUENCY member completing the streaming sketch family (HLL
+    * distinct / KLL quantile / theta set-op sinks above; batch twin
+    * [[graft.ops.TextOps.termFreqRollup]]): per micro-batch, one
+    * `count_min_sketch` partial per language over the batch's tokens,
+    * unioned into the stored per-shard table via
+    * [[graft.functions.CmsUnion]] (the merge half SQL lacks). CMS
+    * union is elementwise COUNTER ADDITION — deterministic, unlike
+    * KLL's randomized compaction — so the stored sketches are
+    * BYTE-identical to the direct sketch over the concatenated stream
+    * under ANY batch slicing: the strongest convergence contract of
+    * the four, spec-pinned. Exactly-once via [[TableSink.commit]]'s
+    * atomic table+ledger swap; consumers answer frequency queries at
+    * any shard grouping by unioning stored partials, never re-reading
+    * documents.
+    */
+  def startCmsSketchSink(docs: DataFrame, path: String,
+      checkpoint: String, eps: Double = 0.001): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCmsSketchBatch(batch, path, batchId, eps)
+      }
+      .start()
+
+  /** One CMS-sketch-maintenance micro-batch (spec-drivable). */
+  private[graft] def applyCmsSketchBatch(batch: DataFrame, path: String,
+      batchId: Long, eps: Double = 0.001): Unit = {
+    val s = batch.sparkSession
+    if (!TableSink.alreadyApplied(s, path, batchId)) {
+      import graft.functions.CmsUnion.cmsUnion
+      val partial = batch
+        .select(col("lang"),
+          explode(graft.ops.TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("lang")
+        .agg(expr(s"count_min_sketch(term, ${eps}D, 0.99D, 42)").as("cms"))
+      val merged =
+        if (TableSink.hasParquet(s, path))
+          s.read.parquet(path).unionByName(partial)
+            .groupBy("lang")
+            .agg(cmsUnion(col("cms")).as("cms"))
+        else partial
+      TableSink.commit(s, path, batchId, merged)
+    }
+  }
+
   /** One sketch-maintenance micro-batch (spec-drivable). */
   private[graft] def applyDistinctSketchBatch(batch: DataFrame,
       path: String, batchId: Long): Unit = {
@@ -978,16 +1127,21 @@ object StreamPipeline {
     // ladder: coarser grains re-aggregate the stored partials — OUTSIDE
     // the ledger guard, because they must also heal when a replayed
     // batch finds the minute commit already applied but the derived
-    // rewrites were lost to the crash
+    // rewrites were lost to the crash. Each rewrite goes through the
+    // same stage+swap as the minute commit (a plain overwrite has a
+    // mid-write window where a crash leaves a CORRUPT derived table
+    // that no replay heals once the batch is checkpointed — the swap
+    // leaves old-or-new, never half); being pure functions of the
+    // minute table, the marker's batch id is observability only.
     val m = s.read.parquet(minutePath)
-    m.groupBy(date_trunc("hour", col("bucket_ts")).as("bucket_ts"))
-      .agg(sum("n_events").as("n_events"),
-        sum("dec_v").cast("decimal(18,2)").as("dec_v"))
-      .write.mode("overwrite").parquet(basePath + "/hour")
-    s.read.parquet(basePath + "/hour")
-      .groupBy(date_trunc("day", col("bucket_ts")).as("bucket_ts"))
-      .agg(sum("n_events").as("n_events"),
-        sum("dec_v").cast("decimal(18,2)").as("dec_v"))
-      .write.mode("overwrite").parquet(basePath + "/day")
+    TableSink.commit(s, basePath + "/hour", batchId,
+      m.groupBy(date_trunc("hour", col("bucket_ts")).as("bucket_ts"))
+        .agg(sum("n_events").as("n_events"),
+          sum("dec_v").cast("decimal(18,2)").as("dec_v")))
+    TableSink.commit(s, basePath + "/day", batchId,
+      s.read.parquet(basePath + "/hour")
+        .groupBy(date_trunc("day", col("bucket_ts")).as("bucket_ts"))
+        .agg(sum("n_events").as("n_events"),
+          sum("dec_v").cast("decimal(18,2)").as("dec_v")))
   }
 }

@@ -65,15 +65,59 @@ class AdvancedStreamingSpec extends AnyFunSuite {
         (3L, dupText), // cross-batch dup of indexed 0 -> rejected
         (4L, "yet another entirely novel document with fresh content words"))
       q.processAllAvailable()
-      val admitted = spark.read.parquet(s"$base/out")
+      val admitted = StreamPipeline
+        .readGateAdmitted(spark, s"$base/out", s"$base/index")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(admitted === Set(0L, 2L, 4L))
       // the index holds shingles for exactly the admitted docs — rejected
       // docs must not poison future admission decisions
-      val indexed = spark.read.parquet(s"$base/index")
+      val indexed = StreamPipeline.readGateIndex(spark, s"$base/index")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(indexed === Set(0L, 2L, 4L))
     } finally q.stop()
+  }
+
+  test("near-dup gate manifest atomicity: a crash between the segment " +
+      "writes and the manifest swap leaves both tables unchanged (the " +
+      "orphaned segments are invisible), the replay heals them, and a " +
+      "replayed batch id is a no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("neardup-manifest").toString
+    val (index, out) = (s"$base/index", s"$base/out")
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamPipeline.applyNearDupGateBatch(
+      batch((0L, "the quick brown fox jumps over the lazy dog again"),
+        (1L, "completely different words arranged in another order here")),
+      index, out, 0L)
+    val afterB0 = StreamPipeline.readGateAdmitted(spark, out, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB0 === Set(0L, 1L))
+    // simulate the crash window: batch 1's segments land but the
+    // manifest swap never happens (write orphan segment dirs directly)
+    batch((2L, "novel content that would have been admitted by batch one"))
+      .write.parquet(s"$out/seg_1")
+    StreamPipeline.readGateIndex(spark, index)
+      .limit(0).write.parquet(s"$index/seg_1")
+    assert(StreamPipeline.readGateAdmitted(spark, out, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === afterB0,
+      "unlisted segments must be invisible to readers")
+    // the checkpoint replays batch 1: segments overwritten, manifest
+    // swapped — now visible, exactly once
+    StreamPipeline.applyNearDupGateBatch(
+      batch((2L, "novel content that would have been admitted by batch one")),
+      index, out, 1L)
+    val healed = StreamPipeline.readGateAdmitted(spark, out, index)
+    assert(healed.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L))
+    // replay of an applied id changes nothing — the manifest IS the ledger
+    StreamPipeline.applyNearDupGateBatch(
+      batch((2L, "novel content that would have been admitted by batch one")),
+      index, out, 1L)
+    assert(StreamPipeline.readGateAdmitted(spark, out, index).count()
+      === 3L)
+    assert(StreamPipeline.readGateIndex(spark, index)
+      .select("doc_id").distinct().count() === 3L)
   }
 
   test("flatMapGroupsWithState sessionization: gap closes a session, " +

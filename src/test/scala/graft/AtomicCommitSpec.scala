@@ -216,6 +216,39 @@ class AtomicCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS frequency sketch sink: uneven batch slicing yields stored " +
+      "sketches BYTE-identical to the direct single-pass build (counter " +
+      "addition is deterministic — the strongest convergence contract " +
+      "of the sketch-family sinks), and a replayed batch is a no-op") {
+    val base = tmpDir() + "/cms"
+    import spark.implicits._
+    val all = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta word$i gamma delta", s"lang_${i % 2}"))
+      .toDF("doc_id", "text", "lang")
+    val slices = Seq(all.limit(9),
+      all.exceptAll(all.limit(9)).limit(21),
+      all.exceptAll(all.limit(9)).exceptAll(
+        all.exceptAll(all.limit(9)).limit(21)))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamPipeline.applyCmsSketchBatch(b, base, i.toLong)
+    }
+    def hexes(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.selectExpr("lang", "hex(cms) AS x").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val stored = hexes(spark.read.parquet(base))
+    val direct = hexes(all
+      .select(col("lang"),
+        explode(graft.ops.TextOps.tokens(lower(col("text")))).as("term"))
+      .groupBy("lang")
+      .agg(expr("count_min_sketch(term, 0.001D, 0.99D, 42)").as("cms")))
+    assert(stored.keySet == direct.keySet)
+    assert(stored == direct,
+      "any batch slicing must union to the direct sketch's bytes")
+    StreamPipeline.applyCmsSketchBatch(slices.last, base, 2L)
+    assert(hexes(spark.read.parquet(base)) == stored,
+      "replayed batch mutated the CMS table")
+  }
+
   test("grain rollup heals derived grains on replay: a crash after the " +
       "minute commit but before the hour/day rewrites leaves stale " +
       "derived tables, and the checkpoint-driven replay re-derives them " +

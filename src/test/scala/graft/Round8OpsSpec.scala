@@ -133,6 +133,82 @@ class Round8OpsSpec extends AnyFunSuite {
       "changed layout key must rebuild and rerun from round 0")
   }
 
+  test("BPE training artifact: bpeEncode after bpeMerges runs ZERO " +
+      "further merge rounds (the trained state is read back, not " +
+      "retrained), and an unchanged input never retrains") {
+    import graft.ops.TextOps
+    // fresh copy → fresh fingerprint → the first call must train
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8_bpe")
+    val src = java.nio.file.Paths.get(TestSpark.sf0001, "documents.parquet")
+    val dst = dir.resolve("documents.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(src).forEach(p =>
+        java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString)))
+    } else java.nio.file.Files.copy(src, dst)
+    val d = dir.toString
+    val before = TextOps.trainRounds.get()
+    val merges = TextOps.bpeMerges(spark, d).collect()
+    assert(merges.length === 8)
+    assert(TextOps.trainRounds.get() === before + 8,
+      "first call over a fresh input must train all 8 rounds")
+    val mid = TextOps.trainRounds.get()
+    val enc = TextOps.bpeEncode(spark, d).collect()
+    assert(enc.nonEmpty)
+    assert(TextOps.trainRounds.get() === mid,
+      "encode must consume the trained artifact, never retrain")
+    val merges2 = TextOps.bpeMerges(spark, d).collect()
+    assert(TextOps.trainRounds.get() === mid,
+      "unchanged input must reuse the stored merge table")
+    assert(merges2.map(_.toString).toSeq === merges.map(_.toString).toSeq)
+  }
+
+  test("sketchPartials artifact: built on first consumer touch, reused " +
+      "by the rest of the family (no second fact pass), invalidated by " +
+      "an input change; every consumer's sketch side reads the stored " +
+      "partials, not events") {
+    import graft.ops.EventOps
+    val d = TestSpark.sf0001
+    val art = new java.io.File("/tmp/graft_sketch_stages/" +
+      new java.io.File(d).getName)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(art)
+    val sliding = EventOps.slidingDistinctUsers(spark, d).collect()
+    assert(sliding.nonEmpty)
+    assert(art.exists, "first consumer must persist the partials")
+    def partStamps: Map[String, Long] = {
+      val dir = new java.io.File(art, "hourly_partials")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val stamps = partStamps
+    assert(stamps.nonEmpty)
+    // the other four family members read the same stored partials —
+    // no rebuild (file stamps unchanged), flags all hold
+    val daily = EventOps.quantileRollupDaily(spark, d).collect()
+    assert(daily.nonEmpty &&
+      daily.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+    val slidingQ = EventOps.slidingQuantile(spark, d).collect()
+    assert(slidingQ.nonEmpty)
+    val overlap = EventOps.segmentOverlap(spark, d).collect()
+    assert(overlap.nonEmpty && overlap.forall(_.getBoolean(3)))
+    val excl = EventOps.segmentExclusive(spark, d).collect()
+    assert(excl.nonEmpty && excl.forall(_.getBoolean(3)))
+    assert(partStamps === stamps,
+      "family members after the first must NOT rebuild the partials")
+    // sketch side reads the artifact (its theta_sk column exists only
+    // in the stored partials), not a fresh per-type fact sketch
+    val planStr = EventOps.segmentOverlap(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(planStr.contains("theta_sk") &&
+      planStr.contains("theta_union_agg"),
+      s"sketch side must union the stored partials:\n$planStr")
+  }
+
   test("per-dataset table namespace: two interleaved invocations over " +
       "different inputs land in disjoint warehouse tables and both stay " +
       "correct") {

@@ -141,8 +141,9 @@ class SinksAndIvfSpec extends AnyFunSuite {
       assert(df.collect().toSeq === plain)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
-      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
-      spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+      Seq("graft_orders_bkt", "graft_customer_bkt").foreach(t =>
+        spark.sql("DROP TABLE IF EXISTS " +
+          graft.sources.Sinks.namespaced(t, TestSpark.sf0001)))
     }
   }
 
