@@ -58,6 +58,14 @@ object Explain {
               .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
               .mkString("\n")
             catch { case e: Throwable => s"[explain failed] $e" }
+          // same treatment for the round-8 checkpointed loops: the full
+          // query plus the fact-sized edge build and (kcore) a real
+          // peel round — the frames the loop's checkpoints hide
+          else if (name == "graph_kcore" || name == "graph_components")
+            try ops.GraphOps.explainLoopFrames(spark, sfDir, name)
+              .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
+              .mkString("\n")
+            catch { case e: Throwable => s"[explain failed] $e" }
           else fmt(fn(spark, sfDir))
         outDir match {
           case Some(dir) =>

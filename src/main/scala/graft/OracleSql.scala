@@ -2930,6 +2930,25 @@ object OracleSql {
        |    GROUP BY 1) m ON m.node = nd.node)"""
   }.mkString(",\n")
 
+  /** The PERSONALIZED superstep chain (round 8): identical arithmetic to
+    * [[pagerankSteps]] except the teleport base rides the `based` CTE —
+    * seed nodes carry floor((1−0.85)/|S|·1e12), all others 0.
+    */
+  private val pprSteps: String = (1 to 10).map { i =>
+    s"""pr$i AS (
+       |  SELECT nd.node,
+       |    nd.base
+       |      + CAST(floor(0.85 * CAST(coalesce(m.sin, 0) AS DOUBLE))
+       |          AS BIGINT) AS r
+       |  FROM based nd LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT)
+       |      AS sin
+       |    FROM pr${i - 1} p
+       |    JOIN edges e ON e.src = p.node
+       |    JOIN deg dg ON dg.src = p.node
+       |    GROUP BY 1) m ON m.node = nd.node)"""
+  }.mkString(",\n")
+
   /** Round-6 additions: decorrelated Q21/Q22 shapes + BM25 retrieval. */
   val round6: Map[String, String] = Map(
     // Analytics.soleLateSupplier twin: the same decorrelated aggregate
@@ -3609,11 +3628,114 @@ object OracleSql {
          |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin)
   }
 
+  /** The thresholded co-purchase edge CTEs shared by the components /
+    * k-core / Adamic–Adar oracles (GraphOps.coPurchaseEdges twin):
+    * basket-capped distinct (order, part) pairs, kept when the pair
+    * co-occurs in ≥ minCount orders; e2 is the distinct a < b edge set.
+    */
+  private def coEdgesCtes(minCount: Int): String =
+    s"""items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+       |  FROM lineitem),
+       |sized AS (
+       |  SELECT okey, part FROM (
+       |    SELECT okey, part, COUNT(*) OVER (PARTITION BY okey) AS bsz
+       |    FROM items)
+       |  WHERE bsz <= 50),
+       |e2 AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.part AS a, y.part AS b, count(*) AS n
+       |    FROM sized x JOIN sized y
+       |      ON x.okey = y.okey AND x.part < y.part
+       |    GROUP BY 1, 2)
+       |  WHERE n >= $minCount)""".stripMargin
+
+  /** GraphOps.kcoreFromEdges twin: `rounds` unrolled simultaneous-peel
+    * CTEs (recompute degrees over the surviving directed edge set, drop
+    * every endpoint below k at once). MATERIALIZED because each e_i is
+    * consumed twice (degree filter + edge prune) — without it the
+    * doubly-referenced chain inlines exponentially.
+    */
+  private def kcorePeelCtes(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""kk$i AS MATERIALIZED (
+         |  SELECT src FROM pe${i - 1} GROUP BY src
+         |  HAVING count(*) >= $k),
+         |pe$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM pe${i - 1} e
+         |  JOIN kk$i ka ON ka.src = e.src
+         |  JOIN kk$i kb ON kb.src = e.dst)"""
+    }.mkString(",\n")
+
   /** Round-8 additions: the two remaining TPC-H shapes (Q2 adapted to
     * the fixture's lineitem-as-supply-catalog, Q4 on the ship-date
     * late convention) — the full 22-query family is now covered.
     */
   val round8: Map[String, String] = Map(
+    // GraphOps.components twin: recursive transitive closure over the
+    // thresholded co-purchase graph; label = least reachable part id —
+    // exactly the fixpoint the engine's min-label propagation (pointer
+    // jumping) converges to. Pure integer mins, engine-exact.
+    "graph_components" ->
+      s"""WITH RECURSIVE ${coEdgesCtes(2)},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM e2
+         |  UNION SELECT b, a FROM e2),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS part, least(src, min(dst)) AS component_id
+         |  FROM reach GROUP BY src)
+         |SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM lab GROUP BY 1
+         |ORDER BY n_members DESC, component_id""".stripMargin,
+
+    // GraphOps.kcore twin: 16 unrolled simultaneous-peel rounds (the
+    // engine's loop uses the SAME depth cap, so the determinate peel
+    // sequence matches whether or not the fixpoint lands inside it);
+    // pure integer degree counts.
+    "graph_kcore" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |pe0 AS (
+         |  SELECT a AS src, b AS dst FROM e2
+         |  UNION ALL SELECT b, a FROM e2),
+         |${kcorePeelCtes(3, 16)}
+         |SELECT src AS part, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM pe16 GROUP BY 1 ORDER BY part""".stripMargin,
+
+    // GraphOps.adamicAdar twin: same non-hub centers (2 ≤ deg ≤ 64),
+    // each 1/ln(deg) contribution rounded onto DECIMAL(24,9) so the
+    // per-pair sum is exact integer arithmetic in both engines; known
+    // edges leave by anti-join; (score, u, v) top-30.
+    "graph_adamic_adar" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+         |  GROUP BY 1),
+         |adj AS (
+         |  SELECT a AS w, b AS nb FROM e2
+         |  UNION ALL SELECT b, a FROM e2),
+         |centers AS (
+         |  SELECT node AS w,
+         |    CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(24,9))
+         |      AS contrib
+         |  FROM deg WHERE deg >= 2 AND deg <= 64),
+         |wed AS (
+         |  SELECT x.nb AS u, y.nb AS v, c.contrib
+         |  FROM adj x JOIN adj y ON x.w = y.w AND x.nb < y.nb
+         |  JOIN centers c ON c.w = x.w),
+         |sc AS (
+         |  SELECT u, v, sum(contrib) AS score_dec,
+         |    CAST(count(*) AS BIGINT) AS common_neighbors
+         |  FROM wed GROUP BY 1, 2)
+         |SELECT u, v, common_neighbors,
+         |  CAST(score_dec AS DOUBLE) AS aa_score
+         |FROM sc LEFT JOIN e2 ON sc.u = e2.a AND sc.v = e2.b
+         |WHERE e2.a IS NULL
+         |ORDER BY score_dec DESC, u, v LIMIT 30""".stripMargin,
     // Analytics.minCostSupplier twin (TPC-H Q2 shape): correlated MIN
     // decorrelated as a per-(part, supplier) DECIMAL-exact aggregate +
     // rank-1 window with (offer, suppkey) tiebreak.
@@ -3652,7 +3774,196 @@ object OracleSql {
         |  GROUP BY 1, 2
         |  HAVING max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
         |    THEN 1 ELSE 0 END) = 1) t
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // GraphOps.personalizedPageRank twin: the pagerank CTE chain with a
+    // seed-conditional teleport base (seeds = NATION_0 customers that
+    // traded); same scaled-integer bit-exactness contract.
+    "graph_ppr_seeded" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, p AS dst FROM pairs
+         |  UNION ALL SELECT p AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM deg),
+         |seeds AS (
+         |  SELECT DISTINCT c_custkey * 2 AS node
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_0'
+         |    AND c_custkey * 2 IN (SELECT node FROM nodes)),
+         |ks AS (SELECT count(*) AS k FROM seeds),
+         |based AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |      THEN CAST(floor((1.0 - 0.85) / ks.k * 1e12) AS BIGINT)
+         |      ELSE 0 END AS base
+         |  FROM nodes n
+         |  LEFT JOIN seeds s ON s.node = n.node
+         |  CROSS JOIN ks),
+         |pr0 AS (
+         |  SELECT b.node,
+         |    CASE WHEN b.base > 0
+         |      THEN CAST(floor(1.0 / ks.k * 1e12) AS BIGINT)
+         |      ELSE 0 END AS r
+         |  FROM based b CROSS JOIN ks),
+         |$pprSteps
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  CAST(r AS DOUBLE) / 1e12 AS ppr
+         |FROM pr10 ORDER BY r DESC, node LIMIT 20""".stripMargin,
+
+    // TextOps.pmiCollocations twin: identical integer counts, one
+    // double ratio in the same association order, DECIMAL(20,8) score.
+    "txt_pmi_collocations" -> {
+      val toks = "(SELECT " + toksSql("lower(text)") +
+        " AS t FROM documents)"
+      s"""WITH toksf AS (SELECT t FROM $toks),
+         |uni AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS term FROM toksf) GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nt,
+         |    (SELECT CAST(sum(len(t) - 1) AS BIGINT) FROM toksf
+         |     WHERE len(t) >= 2) AS nb),
+         |pairs AS (
+         |  SELECT p.a AS w1, p.b AS w2, CAST(count(*) AS BIGINT)
+         |    AS n_pair
+         |  FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+         |    FROM toksf WHERE len(t) >= 2)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, n_pair,
+         |  CAST(CAST(ln((CAST(n_pair AS DOUBLE) * tot.nt * tot.nt)
+         |      / (CAST(tot.nb AS DOUBLE) * ca.c * cb.c))
+         |    AS DECIMAL(20,8)) AS DOUBLE) AS pmi
+         |FROM pairs
+         |JOIN uni ca ON ca.term = w1
+         |JOIN uni cb ON cb.term = w2
+         |CROSS JOIN tot
+         |ORDER BY CAST(ln((CAST(n_pair AS DOUBLE) * tot.nt * tot.nt)
+         |    / (CAST(tot.nb AS DOUBLE) * ca.c * cb.c))
+         |  AS DECIMAL(20,8)) DESC, w1, w2
+         |LIMIT 30""".stripMargin
+    },
+
+    // GraphOps.triangleCounts twin: same degree orientation ((deg, id)-
+    // smaller endpoint first), wedge join closed by an EXISTS — pure
+    // integer counting, each triangle credited to all three corners.
+    "graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |sized AS (
+        |  SELECT okey, part FROM (
+        |    SELECT okey, part, COUNT(*) OVER (PARTITION BY okey) AS bsz
+        |    FROM items)
+        |  WHERE bsz <= 50),
+        |edges AS (
+        |  SELECT DISTINCT x.part AS a, y.part AS b
+        |  FROM sized x JOIN sized y ON x.okey = y.okey AND x.part < y.part),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM edges
+        |    UNION ALL SELECT b AS node FROM edges)
+        |  GROUP BY 1),
+        |oriented AS (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |           THEN a ELSE b END AS u,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |           THEN b ELSE a END AS v
+        |  FROM edges
+        |  JOIN deg da ON da.node = a
+        |  JOIN deg db ON db.node = b),
+        |tri AS (
+        |  SELECT e1.u, e1.v, e2.v AS w
+        |  FROM oriented e1 JOIN oriented e2 ON e1.v = e2.u
+        |  WHERE EXISTS (SELECT 1 FROM oriented e3
+        |                WHERE e3.u = e1.u AND e3.v = e2.v))
+        |SELECT part, count(*) AS n_triangles FROM (
+        |  SELECT unnest([u, v, w]) AS part FROM tri)
+        |GROUP BY 1 ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
+
+    // TextOps.rrfFusion twin: the bm25 CTE chain + a TF-IDF retriever
+    // (same DECIMAL(20,8) contribution discipline), fused per query by
+    // rrf = 1/(60+rank_a) + 1/(60+rank_b) over the two top-10 lists —
+    // only RANKS cross the fusion, so the combined ordering is exact.
+    "txt_rrf_fusion" -> {
+      val toks = "(SELECT doc_id, " + toksSql("lower(text)") +
+        " AS t FROM documents)"
+      s"""WITH q(query_id, term) AS (
+         |  VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+         |         (2, 'vector'), (2, 'scan'), (2, 'filter'),
+         |         (3, 'customer'), (3, 'order'), (3, 'data')),
+         |dl AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM $toks),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS total_len FROM dl),
+         |tft AS (
+         |  SELECT x.doc_id, x.term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM $toks) x
+         |  WHERE x.term IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY 1, 2),
+         |dft AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tft GROUP BY 1),
+         |bsc AS (
+         |  SELECT q.query_id, tft.doc_id,
+         |    sum(CAST(
+         |      ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+         |      (tft.tf * (1.2 + 1.0) / (tft.tf + 1.2 * (1.0 - 0.75 +
+         |        0.75 * (CAST(dl.len AS DOUBLE)
+         |          / (CAST(st.total_len AS DOUBLE) / st.n_docs)))))
+         |      AS DECIMAL(20,8))) AS score_dec
+         |  FROM tft
+         |  JOIN dft USING (term)
+         |  JOIN q USING (term)
+         |  JOIN dl ON tft.doc_id = dl.doc_id
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |tsc AS (
+         |  SELECT q.query_id, tft.doc_id,
+         |    sum(CAST(tft.tf * ln(CAST(st.n_docs AS DOUBLE) / dft.df)
+         |      AS DECIMAL(20,8))) AS score_dec
+         |  FROM tft
+         |  JOIN dft USING (term)
+         |  JOIN q USING (term)
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |fa AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY score_dec DESC, doc_id)
+         |      AS rank
+         |    FROM bsc) WHERE rank <= 10),
+         |fb AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY score_dec DESC, doc_id)
+         |      AS rank
+         |    FROM tsc) WHERE rank <= 10),
+         |fu AS (
+         |  SELECT coalesce(fa.query_id, fb.query_id) AS query_id,
+         |    coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+         |    CAST(fa.rank AS BIGINT) AS rank_bm25,
+         |    CAST(fb.rank AS BIGINT) AS rank_tfidf,
+         |    coalesce(1.0 / (60 + fa.rank), 0.0)
+         |      + coalesce(1.0 / (60 + fb.rank), 0.0) AS rrf
+         |  FROM fa FULL OUTER JOIN fb
+         |    ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rank AS BIGINT) AS rank, doc_id, rank_bm25, rank_tfidf,
+         |  rrf
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fu)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    })
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

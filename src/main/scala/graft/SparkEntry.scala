@@ -221,6 +221,25 @@ object SparkEntry {
     "txt_bpe_encode"          -> ((s, d) => TextOps.bpeEncode(s, d)),
     "txt_token_entropy"       -> (TextOps.tokenEntropy(_, _)),
     "graph_pagerank"          -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
+    // round 8: seeded-teleport (personalized) PageRank — TrustRank shape
+    "graph_ppr_seeded"        -> ((s, d) =>
+      graft.ops.GraphOps.personalizedPageRank(s, d)),
+    // round 8: degree-oriented triangle counting (co-purchase motifs)
+    "graph_triangles"         -> ((s, d) =>
+      graft.ops.GraphOps.triangleCounts(s, d)),
+    // round 8: connected components of the thresholded co-purchase graph
+    "graph_components"        -> ((s, d) =>
+      graft.ops.GraphOps.components(s, d)),
+    // round 8: 3-core of the same graph (bounded simultaneous peel)
+    "graph_kcore"             -> ((s, d) =>
+      graft.ops.GraphOps.kcore(s, d)),
+    // round 8: Adamic–Adar link prediction with the hub wedge guard
+    "graph_adamic_adar"       -> ((s, d) =>
+      graft.ops.GraphOps.adamicAdar(s, d)),
+    // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
+    "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
+    // round 8: PMI collocations (Church & Hanks 1990)
+    "txt_pmi_collocations"    -> ((s, d) => TextOps.pmiCollocations(s, d)),
     // same supersteps over the bucketed layout: exchange-free rank⋈edges
     "graph_pagerank_bucketed" -> ((s, d) =>
       graft.ops.GraphOps.pageRankBucketed(s, d)),

@@ -118,6 +118,142 @@ object GraphOps {
       .select(col("node"), col("kind"),
         (col("r").cast("double") / lit(1e12)).as("pagerank"))
 
+  /** PERSONALIZED PageRank (Page et al. 1999 §6 "personalized" teleport;
+    * the TrustRank/quality-propagation variant every curation pipeline
+    * runs to push a trusted seed set's influence through a graph):
+    * identical scaled-integer supersteps to [[pageRank]], except the
+    * teleport mass lands ONLY on the seed set — here the customers of
+    * one nation that traded — so the stationary mass measures proximity
+    * to the seeds instead of global centrality. Engine-exactness is the
+    * [[pageRank]] contract verbatim: integer rank state, floor-divided
+    * messages, one correctly-rounded double product per superstep —
+    * every round BIT-identical across engines, oracle = 10 unrolled
+    * CTEs with the seed-conditional base term.
+    *
+    * Scale shape: the seed set is |S| ≪ |V| rows, broadcast onto the
+    * node frame ONCE as a base column; each superstep is exactly the
+    * plain loop's join + aggregate (the base column rides the node
+    * table) — personalization costs nothing per round.
+    */
+  def personalizedPageRank(s: SparkSession, d: String,
+      nation: String = "NATION_0", iters: Int = 10,
+      topK: Int = 20): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("node"))
+    val seedIds = graft.Tables.customer(s, d)
+      .join(broadcast(graft.Tables.nation(s, d)
+          .filter(col("n_name") === nation)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select((col("c_custkey") * 2).as("node"))
+    // seeds restricted to nodes that actually traded — keeps the mass
+    // ledger closed (a seed without out-edges would strand its outbox)
+    val seeds = nodes.join(seedIds, Seq("node"), "left_semi")
+      .localCheckpoint()
+    val k = seeds.count() // bounded driver state, as |V| in the plain loop
+    require(k > 0, s"no trading customers in $nation")
+    val r0 = math.floor(1.0 / k * 1e12).toLong
+    val seedBase = math.floor((1.0 - 0.85) / k * 1e12).toLong
+    // base column rides the node frame: seedBase on seeds, 0 elsewhere
+    val based = nodes.join(seeds.withColumn("is_seed", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)).as("base"))
+      .localCheckpoint()
+    var pr = based
+      .select(col("node"),
+        when(col("base") > 0, lit(r0)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inbox = pr
+        .join(edges, pr("node") === edges("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("sin"))
+      pr = based.join(inbox, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") +
+            floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+            .cast("long").as("r"))
+        .localCheckpoint()
+    }
+    presentTopK(pr, topK)
+      .withColumnRenamed("pagerank", "ppr")
+  }
+
+  /** Triangle counting over the co-purchase graph (two parts adjacent
+    * iff some order contains both; `maxBasket` drops degenerate
+    * mega-orders exactly as the market-basket op does) — the classic
+    * graph MOTIF count (clustering-coefficient numerator, community
+    * density signal), and a deliberately different workload class from
+    * the PageRank iteration: one-shot pattern matching instead of
+    * fixpoint message passing.
+    *
+    * Algorithm: degree ORIENTATION (Schank & Wagner 2005) — every
+    * undirected edge is directed from the (degree, id)-smaller endpoint
+    * to the larger, then triangles are wedges a→b→c closed by a→c.
+    * Each triangle is counted exactly ONCE, and — the scale property —
+    * the wedge join's per-key fan-out is bounded by the graph
+    * DEGENERACY (max out-degree under orientation ≈ √|E| worst case),
+    * not by the max degree: the natural-degree wedge join on a
+    * power-law graph explodes on hub nodes, the oriented one cannot.
+    * Pure integer counting end-to-end — oracle-exact.
+    *
+    * Output: per-part triangle participation (each triangle credits all
+    * three corners), top `topK` by (n_triangles desc, part).
+    */
+  def triangleCounts(s: SparkSession, d: String, maxBasket: Int = 50,
+      topK: Int = 20): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("okey")))
+      .filter(col("bsz") <= maxBasket)
+      .select("okey", "part")
+    val edges = sized.as("x").join(sized.as("y"), Seq("okey"))
+      .filter(col("x.part") < col("y.part"))
+      .select(col("x.part").as("a"), col("y.part").as("b"))
+      .distinct()
+    triangleCountsFromEdges(edges, topK)
+  }
+
+  /** [[triangleCounts]] core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def triangleCountsFromEdges(edges: DataFrame,
+      topK: Int): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint to the larger
+    val oriented = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges u→v→w closed by u→w; each closure is one distinct triangle
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"),
+        col("e2.v").as("w"))
+    val tri = wedges.as("wd")
+      .join(oriented.as("e3"),
+        col("wd.u") === col("e3.u") && col("wd.w") === col("e3.v"),
+        "left_semi")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(topK)
+  }
+
   /** The PageRank core over an arbitrary directed (src, dst) edge frame
     * (undirected callers supply both directions): returns (node, r)
     * with `r` in 1e-12 micro-units (LONG — see [[pageRank]]'s
@@ -400,4 +536,202 @@ object GraphOps {
         "one superstep (plain; per-round edge Exchange visible)" ->
           plainSuperstep(pr0, edges, deg, nodes, 1L))
     }
+
+  /** The THRESHOLDED co-purchase graph: distinct part pairs sharing an
+    * order (basket-capped like [[triangleCounts]] — degenerate orders
+    * would otherwise inject cliques quadratic in basket size at edge-
+    * construction time), kept only when the pair co-occurs in at least
+    * `minCount` orders. The threshold is the noise guard every
+    * co-occurrence graph needs at scale: one-off co-purchases are
+    * sampling noise and make the graph one giant near-clique; the
+    * ≥2-support edges are the repeatable associations, and the graph
+    * they span FRAGMENTS into components worth naming. Returns
+    * (a, b, n_orders) with a < b, one row per undirected edge.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String,
+      minCount: Int = 2, maxBasket: Int = 50): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("okey")))
+      .filter(col("bsz") <= maxBasket)
+      .select("okey", "part")
+    sized.as("x").join(sized.as("y"), Seq("okey"))
+      .filter(col("x.part") < col("y.part"))
+      .select(col("x.part").as("a"), col("y.part").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minCount)
+  }
+
+  /** Connected components of the thresholded co-purchase graph — the
+    * product-family discovery the association graph exists for (and the
+    * third member of the CC consumer family after the near-dup cluster
+    * and survivor ops). The fixpoint is [[DedupOps.connectedComponents]]
+    * VERBATIM: min-label propagation with pointer jumping, so chains
+    * collapse in O(log diameter) supersteps, each one edge-keyed join +
+    * one node-keyed aggregate with per-round lineage truncation — the
+    * shape that survives a 1000-executor graph. Labels are pure integer
+    * min's (no float anywhere), so the component ids are engine-exact:
+    * the oracle's recursive transitive-closure least() lands on the
+    * same minimum. Driver face is the component-sized summary
+    * (component_id = min part id, member count); the per-node label
+    * frame is the real 100 TB product and feeds it.
+    */
+  def components(s: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    DedupOps.connectedComponents(
+        coPurchaseEdges(s, d, minCount)
+          .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .groupBy(col("cluster_id").as("component_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("component_id"))
+
+  /** k-core of the thresholded co-purchase graph (Seidman 1983): the
+    * maximal subgraph in which every node keeps degree ≥ k — the
+    * density skeleton community detection and graph-sampling pipelines
+    * peel to before doing anything expensive. Implementation is the
+    * textbook simultaneous peel: each round recomputes degrees over the
+    * SURVIVING edge set and drops every node below k at once, so round
+    * r holds exactly the nodes whose r-round-peeled degree survives —
+    * a determinate sequence (no peel-order dependence), which is what
+    * makes the result engine-exact: the oracle unrolls the same rounds
+    * as CTEs, and pure integer degree counts cannot diverge. The loop
+    * stops at the fixpoint (edge count unchanged — one long of driver
+    * state per round) or after `maxRounds`; the spec pins that the
+    * fixture fixpoint lands well inside the oracle's unroll depth, and
+    * a 100 TB run peels the same way: degrees + two semi-joins per
+    * round, every shuffle edge-sized and shrinking, lineage truncated
+    * per round exactly like the CC and PageRank loops.
+    */
+  def kcore(s: SparkSession, d: String, k: Int = 3,
+      minCount: Int = 2, maxRounds: Int = 16): DataFrame =
+    kcoreFromEdges(coPurchaseEdges(s, d, minCount), k, maxRounds)
+
+  /** [[kcore]]'s simultaneous-peel core over an explicit distinct
+    * (a < b) undirected edge frame — spec-drivable with hand graphs.
+    * `maxRounds` must equal the oracle's unroll depth: both engines
+    * then apply the SAME determinate peel sequence whether or not the
+    * fixpoint lands inside it.
+    */
+  private[graft] def kcoreFromEdges(und: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    var e = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    var m = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val pruned = kcorePeelRound(e, k).localCheckpoint()
+      val m2 = pruned.count()
+      converged = m2 == m
+      e = pruned
+      m = m2
+      rounds += 1
+    }
+    System.err.println(s"[graft] kcore($k) converged in $rounds rounds")
+    e.groupBy(col("src").as("part"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("part")
+  }
+
+  /** One simultaneous-peel round (degree agg + two semi-joins) — the
+    * loop body of [[kcoreFromEdges]], factored so the plan audit can
+    * snapshot a REAL round (the checkpointed loop's final frame
+    * planwise is just `Scan ExistingRDD` — vacuous).
+    */
+  private[graft] def kcorePeelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= k).select("src")
+    e.join(keep, Seq("src"), "left_semi")
+      .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  /** Loop-op plan frames for the committed snapshots (Explain routes
+    * the round-8 loop entries through here, the [[explainFrames]]
+    * discipline): the full query plus (a) the fact-sized edge
+    * construction both loops consume and (b) one REAL round of the
+    * iteration — the frames the checkpointed loops hide.
+    */
+  def explainLoopFrames(s: SparkSession, d: String, name: String)
+      : Seq[(String, DataFrame)] = {
+    val edges = coPurchaseEdges(s, d)
+    name match {
+      case "graph_kcore" =>
+        val e0 = edges.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .localCheckpoint()
+        Seq("full query" -> kcore(s, d),
+          "edge construction (fact-sized)" -> edges,
+          "one peel round (degree agg + two semi-joins)" ->
+            kcorePeelRound(e0, 3))
+      case _ =>
+        Seq("full query" -> components(s, d),
+          "edge construction (fact-sized)" -> edges)
+    }
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) on the
+    * thresholded co-purchase graph: for every NON-adjacent pair (u, v),
+    * score = Σ over common neighbors w of 1/ln(deg w) — frequent
+    * co-purchase partners-of-partners, weighted toward rare shared
+    * neighbors; the "you may also like" primitive. The scale decision
+    * is the WEDGE GUARD: enumerating pairs-of-neighbors fans out as
+    * Σ deg², so hub centers (deg > `maxHub`) are excluded — the
+    * standard suppression, principled here because a hub's contribution
+    * is the MINIMAL 1/ln(deg) while its wedge cost is the maximal
+    * deg², the worst evidence-per-row in the whole computation. Each
+    * surviving contribution is one correctly-rounded double division of
+    * one correctly-rounded `ln`, rounded onto DECIMAL(24,9) so the
+    * per-pair sum is exact integer arithmetic in both engines (the
+    * [[TextOps.lmScore]] discipline) and the (score, u, v) top-k is
+    * engine-exact. Known-edge pairs leave by anti-join against the
+    * edge set; ranking shuffles only the surviving wedge aggregate.
+    */
+  def adamicAdar(s: SparkSession, d: String, minCount: Int = 2,
+      maxHub: Int = 64, topK: Int = 30): DataFrame =
+    adamicAdarFromEdges(
+      coPurchaseEdges(s, d, minCount).select("a", "b"), maxHub, topK)
+
+  /** [[adamicAdar]]'s scoring core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def adamicAdarFromEdges(undIn: DataFrame,
+      maxHub: Int, topK: Int): DataFrame = {
+    val und = undIn.localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // adjacency centered on w: both directions, degree folded on
+    val adj = und.select(col("a").as("w"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("nb")))
+    // deg = 1 centers produce no wedge anyway; excluding them keeps
+    // 1/ln(deg) away from the ln(1) = 0 pole in both engines
+    val centers = deg.filter(col("deg") >= 2 && col("deg") <= maxHub)
+      .select(col("node").as("w"),
+        (lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(24,9)").as("contrib"))
+    val wedges = adj.as("x")
+      .join(adj.as("y"),
+        col("x.w") === col("y.w") && col("x.nb") < col("y.nb"))
+      .select(col("x.w").as("w"), col("x.nb").as("u"),
+        col("y.nb").as("v"))
+      .join(centers, Seq("w"))
+    wedges.groupBy("u", "v")
+      .agg(sum("contrib").as("score_dec"),
+        count(lit(1)).as("common_neighbors"))
+      .join(und,
+        col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .orderBy(col("score_dec").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common_neighbors"),
+        col("score_dec").cast("double").as("aa_score"))
+  }
 }

@@ -301,14 +301,22 @@ object TextOps {
     * trade). Top-k per query is a |queries|-partition window over the
     * hit set.
     */
-  def bm25TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+  /** The fixed retrieval query set shared by [[bm25TopK]],
+    * [[queryTfidfTopK]], and [[rrfFusion]] (mirrored verbatim in their
+    * oracle VALUES lists).
+    */
+  private def retrievalQueries(s: SparkSession): DataFrame = {
     import s.implicits._
-    val queries = Seq(
+    Seq(
       1L -> Seq("hash", "join", "merge"),
       2L -> Seq("vector", "scan", "filter"),
       3L -> Seq("customer", "order", "data"))
-    val qdf = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("query_id", "term")
+  }
+
+  def bm25TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val qdf = retrievalQueries(s)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
       .select(col("doc_id"), col("t"),
@@ -348,6 +356,76 @@ object TextOps {
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("doc_id"), col("score_dec").cast("double").as("bm25"),
         col("n_terms_hit"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The second retriever for [[rrfFusion]]: plain TF-IDF query scoring
+    * (score = Σ_t∈q tf·ln(n_docs/df_t)) over the same query set, same
+    * decimal-contribution discipline as [[bm25TopK]] (each double
+    * product rounds onto DECIMAL(20,8) so the per-doc sum is exact and
+    * the (score desc, doc_id) ranking engine-identical).
+    */
+  private[graft] def queryTfidfTopK(s: SparkSession, d: String,
+      k: Int = 10): DataFrame = {
+    val qdf = retrievalQueries(s)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"))
+    val tfq = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(qdf.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scored = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .cast("decimal(20,8)"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score_dec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), col("score_dec").cast("double").as("tfidf"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): fuse the
+    * [[bm25TopK]] and [[queryTfidfTopK]] rankings per query with
+    * rrf(d) = Σ_retrievers 1/(c + rank_r(d)), docs outside a
+    * retriever's top-k contributing nothing — the standard way to
+    * combine lexical + alternative retrievers without score
+    * calibration, because only RANKS cross the fusion boundary. The
+    * fused score is the sum of exactly two correctly-rounded double
+    * divisions in a fixed order — engine-identical, so the (rrf desc,
+    * doc_id) ranking is oracle-exact.
+    *
+    * Scale shape: each retriever reduces the corpus to ≤ k rows per
+    * query BEFORE the fusion join — the full-outer join and re-rank
+    * touch O(queries·k) rows, never the corpus. At 100 TB the
+    * retrievers are the cost; fusion is free.
+    */
+  def rrfFusion(s: SparkSession, d: String, k: Int = 10,
+      c: Int = 60): DataFrame = {
+    val a = bm25TopK(s, d, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_bm25"))
+    val b = queryTfidfTopK(s, d, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_tfidf"))
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("rank_bm25"), col("rank_tfidf"),
+        (coalesce(lit(1.0) / (lit(c.toLong) + col("rank_bm25")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c.toLong) + col("rank_tfidf")),
+            lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), col("rank_bm25"), col("rank_tfidf"), col("rrf"))
       .orderBy("query_id", "rank")
   }
 
@@ -538,6 +616,52 @@ object TextOps {
         (col("n_subwords").cast("double") / col("n_words"))
           .as("bpe_fertility"))
       .orderBy("doc_id")
+  }
+
+  /** PMI collocations (Church & Hanks 1990): the top adjacent word
+    * pairs by pointwise mutual information — ln(p(a,b) / (p(a)·p(b)))
+    * with bigram probabilities over the corpus bigram count and unigram
+    * probabilities over the token count — the classic collocation /
+    * multi-word-expression detector (a high-PMI pair co-occurs far more
+    * than its parts' frequencies predict). `minCount` kills the
+    * low-evidence noise PMI is notorious for (a hapax pair maxes the
+    * score). All counts are integers; the score is one double ratio
+    * ((c_ab·N_t·N_t) / (N_b·c_a·c_b), identical association order in
+    * both engines) through one `ln`, rounded onto DECIMAL(20,8) for the
+    * ranking (the [[bm25TopK]] discipline — absorbs ln's libm spread).
+    * Scale shape: one corpus pass each for unigrams and bigram pairs,
+    * the (pair)-keyed aggregate is the only fact-sized shuffle, totals
+    * broadcast as 1-row frames.
+    */
+  def pmiCollocations(s: SparkSession, d: String, minCount: Int = 5,
+      k: Int = 30): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(tokens(lower(col("text"))).as("t"))
+    val uni = toks.select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("nt")).crossJoin(
+      toks.filter(size(col("t")) >= 2)
+        .select((size(col("t")) - 1).cast(LongType).as("nb_doc"))
+        .agg(sum(col("nb_doc")).as("nb")))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), (i + 1).cast("int")).as("b")))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("term").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_dec",
+        log((col("n_pair").cast("double") * col("nt") * col("nt"))
+          / (col("nb").cast("double") * col("ca") * col("cb")))
+          .cast("decimal(20,8)"))
+      .orderBy(col("pmi_dec").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        col("pmi_dec").cast("double").as("pmi"))
   }
 
   /** Token-level Shannon entropy per document — the lexical-diversity

