@@ -66,6 +66,11 @@ object Explain {
               .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
               .mkString("\n")
             catch { case e: Throwable => s"[explain failed] $e" }
+          else if (name == "emb_mmr_rerank")
+            try ops.SimilarityOps.mmrExplainFrames(spark, sfDir)
+              .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
+              .mkString("\n")
+            catch { case e: Throwable => s"[explain failed] $e" }
           else fmt(fn(spark, sfDir))
         outDir match {
           case Some(dir) =>

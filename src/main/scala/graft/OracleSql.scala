@@ -3815,6 +3815,77 @@ object OracleSql {
          |  CAST(r AS DOUBLE) / 1e12 AS ppr
          |FROM pr10 ORDER BY r DESC, node LIMIT 20""".stripMargin,
 
+    // SimilarityOps.mmrRerank twin: the brute top-10 slate re-ranked by
+    // 5 unrolled greedy MMR rounds. Every number entering the argmax is
+    // a rounded-1e-6 cosine, and the 0.7/0.3 weights are literals in
+    // both engines, so the greedy picks are bit-exact.
+    "emb_mmr_rerank" -> {
+      val steps = (2 to 5).map { i =>
+        s"""m$i AS (
+           |  SELECT c.query_id, c.vec_id, c.rel,
+           |    0.7 * c.rel - 0.3 * coalesce(mx.ms, 0.0) AS mmr
+           |  FROM cand c
+           |  LEFT JOIN (
+           |    SELECT s.query_id, cs.ca AS vec_id, max(cs.sim) AS ms
+           |    FROM acc${i - 1} s JOIN csim cs
+           |      ON cs.query_id = s.query_id AND cs.cb = s.vec_id
+           |    GROUP BY 1, 2) mx
+           |    ON mx.query_id = c.query_id AND mx.vec_id = c.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} s2
+           |    WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)),
+           |sel$i AS (
+           |  SELECT query_id, vec_id, rel, mmr, $i AS mmr_rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY mmr DESC, vec_id) AS rn FROM m$i)
+           |  WHERE rn = 1),
+           |acc$i AS (
+           |  SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)"""
+      }.mkString(",\n")
+      s"""WITH n AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+         |  FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+         |        i -> q.q_emb[i] * c.emb[i])) / (q.q_nrm * c.nrm), 6)
+         |      AS rel
+         |  FROM q CROSS JOIN n c WHERE c.vec_id <> q.query_id),
+         |cand AS (
+         |  SELECT query_id, vec_id, rel FROM (
+         |    SELECT query_id, vec_id, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, vec_id) AS rank
+         |    FROM scored) WHERE rank <= 10),
+         |csim AS (
+         |  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+         |    round(list_sum(list_transform(range(1, len(na.emb) + 1),
+         |        i -> na.emb[i] * nb.emb[i])) / (na.nrm * nb.nrm), 6)
+         |      AS sim
+         |  FROM cand a
+         |  JOIN cand b ON a.query_id = b.query_id
+         |    AND a.vec_id <> b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id),
+         |sel1 AS (
+         |  SELECT query_id, vec_id, rel, 0.7 * rel - 0.3 * 0.0 AS mmr,
+         |    1 AS mmr_rank
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, vec_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |acc1 AS (SELECT * FROM sel1),
+         |$steps
+         |SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+         |  vec_id AS neighbor_id, rel AS cosine_sim, mmr AS mmr_score
+         |FROM acc5 ORDER BY query_id, mmr_rank""".stripMargin
+    },
+
     // TextOps.pmiCollocations twin: identical integer counts, one
     // double ratio in the same association order, DECIMAL(20,8) score.
     "txt_pmi_collocations" -> {

@@ -238,6 +238,9 @@ object SparkEntry {
       graft.ops.GraphOps.adamicAdar(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
+    // round 8: MMR diversity re-rank of the brute cosine top-10 slate
+    "emb_mmr_rerank"          -> ((s, d) =>
+      graft.ops.SimilarityOps.mmrRerank(s, d)),
     // round 8: PMI collocations (Church & Hanks 1990)
     "txt_pmi_collocations"    -> ((s, d) => TextOps.pmiCollocations(s, d)),
     // same supersteps over the bucketed layout: exchange-free rank⋈edges

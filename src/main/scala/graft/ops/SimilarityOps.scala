@@ -757,4 +757,122 @@ object SimilarityOps {
     rankTopK(emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cosine_sim", cosineScore(col("q_qd"), col("qd"))), k)
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily re-order each query's cosine top-k so every next pick
+    * maximizes λ·rel(c) − (1−λ)·max over already-picked s of sim(c, s)
+    * — the diversity re-ranker that keeps a retrieval slate from being
+    * k copies of the same document (the slate-level cousin of
+    * [[semanticDedup]]). Relevance is [[bruteForceTopK]]'s exact rank
+    * surface; candidate↔candidate similarity is the SAME rounded-1e-6
+    * [[cosineScore]], so every number entering the greedy argmax is
+    * bit-identical across engines, and λ/(1−λ) ride as the literal pair
+    * 0.7/0.3 (never `1 − λ` computed in floating point, whose 0.30000…4
+    * would diverge from the oracle's decimal literal). The greedy loop
+    * is `select − 1` driver-paced rounds over slate-sized frames: the
+    * corpus-sized work ends at the top-k scan — candidates are
+    * O(queries·k) rows and pairwise slate sims O(queries·k²), so
+    * re-ranking is free at 100 TB no matter how the corpus grows; the
+    * oracle unrolls the identical rounds as CTEs.
+    */
+  def mmrRerank(s: SparkSession, d: String, k: Int = 10,
+      select: Int = 5, nQueries: Int = 10): DataFrame = {
+    val lamRel = lit(0.7)
+    val lamDiv = lit(0.3)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // candidate slate: the exact top-k, relevance = rounded cosine
+    val cand = bruteForceTopK(s, d, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    val ce = cand
+      .join(emb, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine_sim"), col("embedding"))
+      .localCheckpoint()
+    // slate-internal similarity, both directions (≤ k² rows per query)
+    val csim = ce.as("x").join(ce.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("ca"), col("y.neighbor_id").as("cb"),
+        cosineScore(col("x.embedding"), col("y.embedding")).as("sim"))
+      .localCheckpoint()
+    val slate = ce.select("query_id", "neighbor_id", "cosine_sim")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("mmr").desc, col("neighbor_id"))
+    def top1(scoredF: DataFrame, rank: Int): DataFrame =
+      scoredF.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .withColumn("mmr_rank", lit(rank.toLong))
+    var sel = top1(slate.withColumn("mmr",
+      lamRel * col("cosine_sim") - lamDiv * lit(0.0)), 1)
+    for (i <- 2 to select) {
+      val rem = slate.join(sel.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val mx = sel.select(col("query_id"), col("neighbor_id").as("cb"))
+        .join(csim, Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+        .agg(max(col("sim")).as("ms"))
+      val scoredF = rem.join(mx, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("mmr",
+          lamRel * col("cosine_sim")
+            - lamDiv * coalesce(col("ms"), lit(0.0)))
+        .select("query_id", "neighbor_id", "cosine_sim", "mmr")
+      // per-round lineage truncation, the CC/PageRank loop discipline:
+      // without it each round's plan embeds the whole greedy history
+      // (the un-checkpointed chain planned ~900 physical nodes by round
+      // 5 — Catalyst pays superlinearly for frames this tiny)
+      sel = sel.unionByName(top1(scoredF, i)).localCheckpoint()
+    }
+    sel.select(col("query_id"), col("mmr_rank"),
+        col("neighbor_id"), col("cosine_sim"), col("mmr").as("mmr_score"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  /** MMR plan frames for the committed snapshot (Explain routes
+    * `emb_mmr_rerank` through here): the full query plus the
+    * corpus-sized slate construction and one REAL greedy round — the
+    * frames the checkpointed loop hides.
+    */
+  def mmrExplainFrames(s: SparkSession, d: String)
+      : Seq[(String, DataFrame)] = {
+    val cand = bruteForceTopK(s, d, 10, 10)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val ce = cand.join(emb, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+        col("embedding"))
+    val slate = ce.select("query_id", "neighbor_id", "cosine_sim")
+      .localCheckpoint()
+    val csim = ce.as("x").join(ce.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("ca"), col("y.neighbor_id").as("cb"),
+        cosineScore(col("x.embedding"), col("y.embedding")).as("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("mmr").desc, col("neighbor_id"))
+    val sel1 = slate
+      .withColumn("mmr", lit(0.7) * col("cosine_sim") - lit(0.3) * lit(0.0))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("mmr_rank", lit(1L))
+      .localCheckpoint()
+    val rem = slate.join(sel1.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_anti")
+    val mx = sel1.select(col("query_id"), col("neighbor_id").as("cb"))
+      .join(csim, Seq("query_id", "cb"))
+      .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+      .agg(max(col("sim")).as("ms"))
+    val round2 = rem.join(mx, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("mmr", lit(0.7) * col("cosine_sim")
+        - lit(0.3) * coalesce(col("ms"), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    Seq("full query" -> mmrRerank(s, d),
+      "slate construction (corpus-sized: brute top-k scan)" ->
+        bruteForceTopK(s, d, 10, 10),
+      "one greedy round (slate-sized: anti-join + max-sim + argmax)" ->
+        round2)
+  }
 }

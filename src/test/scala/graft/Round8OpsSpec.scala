@@ -470,4 +470,54 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(!known(p), s"emitted pair $p is an existing edge")
     }
   }
+
+  test("mmrRerank: every query's 5-pick slate (ids, ranks, AND scores) " +
+      "equals an independent driver-side greedy MMR over independently " +
+      "recomputed rounded cosines; pick 1 is the relevance argmax") {
+    import graft.ops.SimilarityOps
+    val d = TestSpark.sf0001
+    val got = SimilarityOps.mmrRerank(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // independent recompute: embeddings -> rounded cosines -> greedy
+    val embs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dotS = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dotS += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dotS / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = embs.keys.filter(_ < 10L).toSeq.sorted.flatMap { q =>
+      val cand = embs.keys.filter(_ != q).toSeq
+        .map(v => v -> cos(embs(q), embs(v)))
+        .sortBy { case (v, rel) => (-rel, v) }.take(10)
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double, Double)]
+      val rel = cand.toMap
+      var remaining = cand.map(_._1)
+      for (rank <- 1 to 5) {
+        val scoredC = remaining.map { v =>
+          val ms =
+            if (sel.isEmpty) 0.0
+            else sel.map(s => cos(embs(v), embs(s._3))).max
+          v -> (0.7 * rel(v) - 0.3 * ms)
+        }
+        val (pick, mmr) = scoredC.minBy { case (v, m) => (-m, v) }
+        sel += ((q, rank.toLong, pick, rel(pick), mmr))
+        remaining = remaining.filterNot(_ == pick)
+      }
+      sel
+    }
+    assert(got.toSeq === want,
+      "greedy MMR slate must match the independent recompute exactly")
+  }
 }
