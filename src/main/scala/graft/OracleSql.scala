@@ -3925,38 +3925,28 @@ object OracleSql {
     // smaller endpoint first), wedge join closed by an EXISTS — pure
     // integer counting, each triangle credited to all three corners.
     "graph_triangles" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
-        |  FROM lineitem),
-        |sized AS (
-        |  SELECT okey, part FROM (
-        |    SELECT okey, part, COUNT(*) OVER (PARTITION BY okey) AS bsz
-        |    FROM items)
-        |  WHERE bsz <= 50),
-        |edges AS (
-        |  SELECT DISTINCT x.part AS a, y.part AS b
-        |  FROM sized x JOIN sized y ON x.okey = y.okey AND x.part < y.part),
-        |deg AS (
-        |  SELECT node, count(*) AS deg FROM (
-        |    SELECT a AS node FROM edges
-        |    UNION ALL SELECT b AS node FROM edges)
-        |  GROUP BY 1),
-        |oriented AS (
-        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
-        |           THEN a ELSE b END AS u,
-        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
-        |           THEN b ELSE a END AS v
-        |  FROM edges
-        |  JOIN deg da ON da.node = a
-        |  JOIN deg db ON db.node = b),
-        |tri AS (
-        |  SELECT e1.u, e1.v, e2.v AS w
-        |  FROM oriented e1 JOIN oriented e2 ON e1.v = e2.u
-        |  WHERE EXISTS (SELECT 1 FROM oriented e3
-        |                WHERE e3.u = e1.u AND e3.v = e2.v))
-        |SELECT part, count(*) AS n_triangles FROM (
-        |  SELECT unnest([u, v, w]) AS part FROM tri)
-        |GROUP BY 1 ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
+      s"""WITH ${coEdgesCtes(2)},
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e2
+         |    UNION ALL SELECT b AS node FROM e2)
+         |  GROUP BY 1),
+         |oriented AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |           THEN a ELSE b END AS u,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |           THEN b ELSE a END AS v
+         |  FROM e2
+         |  JOIN deg da ON da.node = a
+         |  JOIN deg db ON db.node = b),
+         |tri AS (
+         |  SELECT w1.u, w1.v, w2.v AS w
+         |  FROM oriented w1 JOIN oriented w2 ON w1.v = w2.u
+         |  WHERE EXISTS (SELECT 1 FROM oriented w3
+         |                WHERE w3.u = w1.u AND w3.v = w2.v))
+         |SELECT part, count(*) AS n_triangles FROM (
+         |  SELECT unnest([u, v, w]) AS part FROM tri)
+         |GROUP BY 1 ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
 
     // TextOps.rrfFusion twin: the bm25 CTE chain + a TF-IDF retriever
     // (same DECIMAL(20,8) contribution discipline), fused per query by
