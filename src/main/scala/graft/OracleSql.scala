@@ -3815,6 +3815,35 @@ object OracleSql {
          |  CAST(r AS DOUBLE) / 1e12 AS ppr
          |FROM pr10 ORDER BY r DESC, node LIMIT 20""".stripMargin,
 
+    // GraphOps.butterflies twin: same repeat-business edges, same
+    // customer-pivot wedges, pure integer counting — per supplier pair
+    // C(w,2) to each supplier, (w-1) to each common customer.
+    "graph_butterflies" ->
+      """WITH tp AS (
+        |  SELECT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+        |wedges AS (
+        |  SELECT x.c AS c, x.sp AS s1, y.sp AS s2
+        |  FROM tp x JOIN tp y ON x.c = y.c AND x.sp < y.sp),
+        |pw AS (
+        |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS w
+        |  FROM wedges GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (
+        |  SELECT sp, CAST(sum(w * (w - 1) // 2) AS BIGINT) AS nb FROM (
+        |    SELECT unnest([s1, s2]) AS sp, w FROM pw)
+        |  GROUP BY 1),
+        |cc AS (
+        |  SELECT c, CAST(sum(w - 1) AS BIGINT) AS nb
+        |  FROM wedges JOIN pw USING (s1, s2) GROUP BY 1)
+        |SELECT node, kind, n_butterflies FROM (
+        |  SELECT sp * 2 + 1 AS node, 'supplier' AS kind,
+        |    nb AS n_butterflies FROM sc
+        |  UNION ALL
+        |  SELECT c * 2, 'customer', nb FROM cc)
+        |WHERE n_butterflies > 0
+        |ORDER BY n_butterflies DESC, node LIMIT 20""".stripMargin,
+
     // SimilarityOps.mmrRerank twin: the brute top-10 slate re-ranked by
     // 5 unrolled greedy MMR rounds. Every number entering the argmax is
     // a rounded-1e-6 cosine, and the 0.7/0.3 weights are literals in

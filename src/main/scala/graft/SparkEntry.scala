@@ -236,6 +236,10 @@ object SparkEntry {
     // round 8: Adamic–Adar link prediction with the hub wedge guard
     "graph_adamic_adar"       -> ((s, d) =>
       graft.ops.GraphOps.adamicAdar(s, d)),
+    // round 8: butterfly (2×2 biclique) census on the bipartite
+    // repeat-business trade graph
+    "graph_butterflies"       -> ((s, d) =>
+      graft.ops.GraphOps.butterflies(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
     // round 8: MMR diversity re-rank of the brute cosine top-10 slate

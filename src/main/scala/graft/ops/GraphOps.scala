@@ -678,6 +678,80 @@ object GraphOps {
     }
   }
 
+  /** Butterfly counting (Wang et al. 2014) over the REPEAT-BUSINESS
+    * trade graph — the bipartite motif census: a butterfly is the 2×2
+    * biclique (c1, c2) × (s1, s2), the smallest cohesion unit a
+    * bipartite graph can have (triangles cannot exist), and its count
+    * is the bipartite clustering signal. Edges are (customer, supplier)
+    * pairs with ≥ `minOrders` distinct orders — the same support
+    * threshold as the co-purchase family, for the same measured reason
+    * (the one-off graph's wedge volume at sf0.1 is 172 M; the repeat
+    * graph's is 84 k).
+    *
+    * The scale decision is the WEDGE PIVOT SIDE: a butterfly is two
+    * wedges glued at both endpoints, and wedges can enumerate around
+    * either side — Σ C(deg, 2) over customers or over suppliers.
+    * These differ by orders of magnitude on a skewed bipartite graph
+    * (here 40 k customer-pivot vs 482 k supplier-pivot wedges at
+    * sf0.01: many customers with small degree vs few suppliers with
+    * huge degree); the count is IDENTICAL either way, so the pivot is
+    * pure physics and this implementation pivots on the low-degree
+    * customer side. Every number is an integer count: per supplier
+    * pair (s1, s2) with w common customers, C(w, 2) butterflies —
+    * each crediting both suppliers, and each common customer crediting
+    * (w − 1) — so the oracle twin is exact arithmetic, no rounding
+    * discipline needed.
+    */
+  def butterflies(s: SparkSession, d: String, minOrders: Int = 2,
+      topK: Int = 20): DataFrame = {
+    val tp = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+      .filter(col("n_ord") >= minOrders)
+      .select("c", "sp")
+    butterfliesFromEdges(tp, topK)
+  }
+
+  /** [[butterflies]]' counting core over an explicit bipartite
+    * (c, sp) edge frame — spec-drivable with hand graphs. Node ids
+    * share the trade-graph long space: customer k → 2k, supplier
+    * k → 2k+1.
+    */
+  private[graft] def butterfliesFromEdges(tpIn: DataFrame,
+      topK: Int): DataFrame = {
+    // the edge frame feeds the wedge self-join AND the customer credit
+    // join — checkpoint so the fact-sized build runs once
+    val tp = tpIn.localCheckpoint()
+    // customer-pivot wedges: supplier pairs sharing a customer
+    val wedges = tp.as("x").join(tp.as("y"),
+        col("x.c") === col("y.c") && col("x.sp") < col("y.sp"))
+      .select(col("x.c").as("c"), col("x.sp").as("s1"),
+        col("y.sp").as("s2"))
+    val pw = wedges.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    // per supplier: Σ over its pairs of C(w, 2) — integer-exact
+    val suppCredit = pw
+      .select(explode(array(col("s1"), col("s2"))).as("sp"),
+        expr("w * (w - 1) div 2").as("b"))
+      .groupBy("sp").agg(sum(col("b")).as("n_butterflies"))
+      .select((col("sp") * 2 + 1).as("node"), lit("supplier").as("kind"),
+        col("n_butterflies"))
+    // per customer: each of its wedges (s1, s2) sits in (w − 1)
+    // butterflies alongside another common customer
+    val custCredit = wedges.join(pw, Seq("s1", "s2"))
+      .select(col("c"), (col("w") - 1).as("b"))
+      .groupBy("c").agg(sum(col("b")).as("n_butterflies"))
+      .select((col("c") * 2).as("node"), lit("customer").as("kind"),
+        col("n_butterflies"))
+    suppCredit.unionByName(custCredit)
+      .filter(col("n_butterflies") > 0)
+      .orderBy(col("n_butterflies").desc, col("node"))
+      .limit(topK)
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003) on the
     * thresholded co-purchase graph: for every NON-adjacent pair (u, v),
     * score = Σ over common neighbors w of 1/ln(deg w) — frequent

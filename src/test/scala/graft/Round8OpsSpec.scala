@@ -471,6 +471,68 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("butterflies: K2,2 is one butterfly crediting all four nodes " +
+      "once; K2,3 yields three with suppliers at 2 and customers at 3; " +
+      "stars and paths have none; fixture matches a driver-side recount") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def bip(pairs: (Long, Long)*) = pairs.toDF("c", "sp")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    // K2,2: one 2×2 biclique
+    assert(asMap(GraphOps.butterfliesFromEdges(
+      bip((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)), topK = 10)) ===
+      Map((2L, "customer") -> 1L, (4L, "customer") -> 1L,
+        (3L, "supplier") -> 1L, (5L, "supplier") -> 1L))
+    // K2,3: C(3,2) supplier pairs, one butterfly each
+    assert(asMap(GraphOps.butterfliesFromEdges(
+      bip((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L)),
+      topK = 10)) ===
+      Map((2L, "customer") -> 3L, (4L, "customer") -> 3L,
+        (3L, "supplier") -> 2L, (5L, "supplier") -> 2L,
+        (7L, "supplier") -> 2L))
+    // star (one customer) and path: no 2×2 closure
+    assert(GraphOps.butterfliesFromEdges(
+      bip((1L, 1L), (1L, 2L), (1L, 3L)), topK = 10).count() === 0)
+    assert(GraphOps.butterfliesFromEdges(
+      bip((1L, 1L), (2L, 1L), (2L, 2L)), topK = 10).count() === 0)
+    // fixture: independent driver-side recount of the full top-20
+    val d = TestSpark.sf0001
+    val tp = graft.Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, d)
+          .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"),
+        col("o_orderkey").as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = tp.groupBy(t => (t._1, t._2))
+      .filter(_._2.map(_._3).distinct.length >= 2).keys.toSeq
+    val bySupPair = edges.groupBy(_._1)
+      .values.flatMap { es =>
+        val sps = es.map(_._2).sorted
+        for (i <- sps.indices; j <- (i + 1) until sps.length)
+          yield ((sps(i), sps(j)), es.head._1)
+      }.toSeq.groupBy(_._1)
+    val credit = scala.collection.mutable.Map.empty[(Long, String), Long]
+      .withDefaultValue(0L)
+    bySupPair.foreach { case ((s1, s2), cs) =>
+      val w = cs.length.toLong
+      if (w >= 2) {
+        credit((s1 * 2 + 1, "supplier")) += w * (w - 1) / 2
+        credit((s2 * 2 + 1, "supplier")) += w * (w - 1) / 2
+        cs.foreach { case (_, c) => credit((c * 2, "customer")) += w - 1 }
+      }
+    }
+    val wantTop = credit.toSeq
+      .sortBy { case ((n, _), b) => (-b, n) }.take(20)
+      .map { case ((n, k), b) => (n, k, b) }
+    val got = GraphOps.butterflies(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === wantTop)
+  }
+
   test("mmrRerank: every query's 5-pick slate (ids, ranks, AND scores) " +
       "equals an independent driver-side greedy MMR over independently " +
       "recomputed rounded cosines; pick 1 is the relevance argmax") {
