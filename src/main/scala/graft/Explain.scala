@@ -61,7 +61,8 @@ object Explain {
           // same treatment for the round-8 checkpointed loops: the full
           // query plus the fact-sized edge build and (kcore) a real
           // peel round — the frames the loop's checkpoints hide
-          else if (name == "graph_kcore" || name == "graph_components")
+          else if (name == "graph_kcore" || name == "graph_components"
+              || name == "graph_hop_histogram")
             try ops.GraphOps.explainLoopFrames(spark, sfDir, name)
               .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
               .mkString("\n")

@@ -3815,6 +3815,33 @@ object OracleSql {
          |  CAST(r AS DOUBLE) / 1e12 AS ppr
          |FROM pr10 ORDER BY r DESC, node LIMIT 20""".stripMargin,
 
+    // GraphOps.hopHistogram twin: bounded recursive closure, min hop
+    // count per node = BFS depth inside the shared 20-hop cap.
+    "graph_hop_histogram" ->
+      """WITH RECURSIVE tpe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT src, dst FROM tpe UNION SELECT dst, src FROM tpe),
+        |seeds AS (
+        |  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_0'
+        |    AND c_custkey * 2 IN (SELECT src FROM edges)),
+        |reach(node, dd) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.dd + 1 FROM reach r JOIN edges e
+        |    ON e.src = r.node
+        |  WHERE r.dd < 20),
+        |lab AS (SELECT node, min(dd) AS distance FROM reach GROUP BY 1)
+        |SELECT CAST(distance AS BIGINT) AS distance,
+        |  CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_customers,
+        |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppliers
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // GraphOps.butterflies twin: same repeat-business edges, same
     // customer-pivot wedges, pure integer counting — per supplier pair
     // C(w,2) to each supplier, (w-1) to each common customer.

@@ -240,6 +240,9 @@ object SparkEntry {
     // repeat-business trade graph
     "graph_butterflies"       -> ((s, d) =>
       graft.ops.GraphOps.butterflies(s, d)),
+    // round 8: multi-source BFS hop census from the seed nation
+    "graph_hop_histogram"     -> ((s, d) =>
+      graft.ops.GraphOps.hopHistogram(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
     // round 8: MMR diversity re-rank of the brute cosine top-10 slate

@@ -660,8 +660,21 @@ object GraphOps {
     */
   def explainLoopFrames(s: SparkSession, d: String, name: String)
       : Seq[(String, DataFrame)] = {
-    val edges = coPurchaseEdges(s, d)
+    lazy val edges = coPurchaseEdges(s, d)
     name match {
+      case "graph_hop_histogram" =>
+        val te = tradeEdges(s, d).localCheckpoint()
+        val seeds = te.select(col("src").as("node")).distinct()
+          .limit(50).localCheckpoint()
+        val settled = seeds.withColumn("distance", lit(0L))
+          .localCheckpoint()
+        val oneRound = seeds.join(te, seeds("node") === te("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+        Seq("full query" -> hopHistogram(s, d),
+          "edge construction (fact-sized)" -> tradeEdges(s, d),
+          "one frontier round (frontier⋈edges + anti-join settled)" ->
+            oneRound)
       case "graph_kcore" =>
         val e0 = edges.select(explode(array(
             struct(col("a").as("src"), col("b").as("dst")),
@@ -676,6 +689,68 @@ object GraphOps {
         Seq("full query" -> components(s, d),
           "edge construction (fact-sized)" -> edges)
     }
+  }
+
+  /** Multi-source BFS hop distances from one nation's trading customers
+    * over the trade graph — the traversal workload class (reachability,
+    * influence radius, supply-chain blast radius) beside the fixpoint
+    * (PageRank/CC) and motif (triangle/butterfly) classes. Frontier
+    * iteration: each round joins the CURRENT frontier (not the full
+    * node set) against edges and anti-joins the settled set, so a round
+    * costs O(frontier-adjacent edges) and the loop runs diameter
+    * rounds — the textbook Pregel BFS shape, lineage-truncated per
+    * round like every loop here. Distances are pure layer indices
+    * (integers); the oracle's bounded recursive closure takes min hop
+    * count per node, which equals BFS depth for every node within the
+    * shared `maxHops` cap — both engines cap identically, so even a
+    * pathological chain agrees. Driver face is the per-distance census
+    * (distance, customers, suppliers) — diameter-sized output; the
+    * per-node distance frame is the 100 TB product and feeds it.
+    */
+  def hopHistogram(s: SparkSession, d: String,
+      nation: String = "NATION_0", maxHops: Int = 20): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seedIds = graft.Tables.customer(s, d)
+      .join(broadcast(graft.Tables.nation(s, d)
+          .filter(col("n_name") === nation)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select((col("c_custkey") * 2).as("node"))
+    val seeds = nodes.join(seedIds, Seq("node"), "left_semi")
+      .localCheckpoint()
+    hopHistogramFromEdges(edges, seeds, maxHops)
+  }
+
+  /** [[hopHistogram]]'s frontier-BFS core over explicit directed
+    * (src, dst) edge and (node) seed frames — spec-drivable with hand
+    * graphs. `maxHops` must equal the oracle's recursion cap.
+    */
+  private[graft] def hopHistogramFromEdges(edges: DataFrame,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    var dist = seeds.withColumn("distance", lit(0L)).localCheckpoint()
+    var frontier = seeds
+    var r = 1
+    var n = frontier.count() // bounded driver state: one long per round
+    while (n > 0 && r <= maxHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      n = next.count()
+      if (n > 0) {
+        dist = dist
+          .unionByName(next.withColumn("distance", lit(r.toLong)))
+          .localCheckpoint()
+        frontier = next
+      }
+      r += 1
+    }
+    dist.groupBy("distance")
+      .agg(sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
+          .as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L))
+          .as("n_suppliers"))
+      .orderBy("distance")
   }
 
   /** Butterfly counting (Wang et al. 2014) over the REPEAT-BUSINESS

@@ -471,6 +471,73 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hopHistogram: BFS layers on a path, two frontiers meeting in " +
+      "the middle, the maxHops cap truncates, disconnected nodes never " +
+      "appear, and the fixture matches a driver-side BFS recount") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def und(pairs: (Long, Long)*) = {
+      val p = pairs.toSeq
+      (p ++ p.map(_.swap)).toDF("src", "dst")
+    }
+    def seedsOf(ns: Long*) = ns.toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    // path 0-1-2-3 (alternating parity), seed 0: one node per layer
+    val path = und((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(rows(GraphOps.hopHistogramFromEdges(path, seedsOf(0L), 20)) ===
+      Seq((0L, 1L, 0L), (1L, 0L, 1L), (2L, 1L, 0L), (3L, 0L, 1L)))
+    // seeds at both ends of 0-1-2-3-4: frontiers meet at 2
+    val path5 = und((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(rows(GraphOps.hopHistogramFromEdges(path5, seedsOf(0L, 4L),
+      20)) === Seq((0L, 2L, 0L), (1L, 0L, 2L), (2L, 1L, 0L)))
+    // cap truncates: only layers 0..2 survive maxHops = 2; the isolated
+    // edge 10-11 is unreachable and never appears
+    assert(rows(GraphOps.hopHistogramFromEdges(
+      und((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)),
+      seedsOf(0L), 2)) ===
+      Seq((0L, 1L, 0L), (1L, 0L, 1L), (2L, 1L, 0L)))
+    // fixture: independent driver-side BFS over collected trade edges
+    val d = TestSpark.sf0001
+    val tp = graft.Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, d)
+          .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    def link(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a,
+        scala.collection.mutable.Set.empty[Long]) += b
+    tp.foreach { case (c, sp) => link(c, sp); link(sp, c) }
+    val seeds = graft.Tables.customer(spark, d)
+      .join(graft.Tables.nation(spark, d)
+          .filter(col("n_name") === "NATION_0"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select((col("c_custkey") * 2).as("node"))
+      .collect().map(_.getLong(0)).filter(adj.contains).toSet
+    val distM = scala.collection.mutable.Map.empty[Long, Long]
+    seeds.foreach(distM(_) = 0L)
+    var frontier = seeds
+    var hop = 1L
+    while (frontier.nonEmpty && hop <= 20) {
+      val next = frontier.flatMap(adj(_)).filterNot(distM.contains)
+      next.foreach(distM(_) = hop)
+      frontier = next
+      hop += 1
+    }
+    val want = distM.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (dd, ns) =>
+        (dd, ns.count(_._1 % 2 == 0).toLong,
+          ns.count(_._1 % 2 == 1).toLong)
+    }
+    assert(rows(GraphOps.hopHistogram(spark, d)) === want)
+  }
+
   test("butterflies: K2,2 is one butterfly crediting all four nodes " +
       "once; K2,3 yields three with suppliers at 2 and customers at 3; " +
       "stars and paths have none; fixture matches a driver-side recount") {
