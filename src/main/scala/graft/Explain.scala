@@ -62,7 +62,8 @@ object Explain {
           // query plus the fact-sized edge build and (kcore) a real
           // peel round — the frames the loop's checkpoints hide
           else if (name == "graph_kcore" || name == "graph_components"
-              || name == "graph_hop_histogram")
+              || name == "graph_hop_histogram"
+              || name == "graph_label_prop" || name == "graph_modularity")
             try ops.GraphOps.explainLoopFrames(spark, sfDir, name)
               .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
               .mkString("\n")

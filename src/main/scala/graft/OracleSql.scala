@@ -3667,11 +3667,81 @@ object OracleSql {
          |  JOIN kk$i kb ON kb.src = e.dst)"""
     }.mkString(",\n")
 
+  /** GraphOps.lpaLabels twin: `rounds` unrolled synchronous label
+    * updates — each node adopts the most frequent neighbor label,
+    * (count desc, label asc) tiebreak. MATERIALIZED because each lp_i
+    * feeds the next round's join; pure integer (count, label) argmax.
+    */
+  private def lpaCtes(rounds: Int): String = {
+    val base =
+      """ladj AS MATERIALIZED (
+        |  SELECT a AS node, b AS nb FROM e2
+        |  UNION ALL SELECT b, a FROM e2),
+        |lp0 AS MATERIALIZED (
+        |  SELECT node, node AS lab FROM (
+        |    SELECT DISTINCT node FROM ladj))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""lc$i AS MATERIALIZED (
+         |  SELECT j.node, l.lab, count(*) AS c
+         |  FROM ladj j JOIN lp${i - 1} l ON j.nb = l.node
+         |  GROUP BY 1, 2),
+         |lp$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lab) AS rn
+         |    FROM lc$i)
+         |  WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"$base,\n$steps"
+  }
+
   /** Round-8 additions: the two remaining TPC-H shapes (Q2 adapted to
     * the fixture's lineitem-as-supply-catalog, Q4 on the ship-date
     * late convention) — the full 22-query family is now covered.
     */
   val round8: Map[String, String] = Map(
+    // GraphOps.labelPropagation twin: 4 unrolled synchronous LPA
+    // rounds over the thresholded co-purchase graph (the engine's loop
+    // uses the SAME depth), then the community-size census.
+    "graph_label_prop" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |${lpaCtes(4)}
+         |SELECT community_size,
+         |  CAST(count(*) AS BIGINT) AS n_communities
+         |FROM (
+         |  SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+         |  FROM lp4 GROUP BY 1)
+         |GROUP BY 1 ORDER BY community_size""".stripMargin,
+
+    // GraphOps.modularity twin: Newman–Girvan Q of the same 4-round
+    // LPA partition — every input an exact integer count, each
+    // community term the identical double expression rounded onto
+    // DECIMAL(24,9) so the cross-community sum is associative.
+    "graph_modularity" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |${lpaCtes(4)},
+         |mm AS (SELECT count(*) AS m FROM e2),
+         |ldeg AS (
+         |  SELECT node, count(*) AS deg FROM ladj GROUP BY 1),
+         |ldc AS (
+         |  SELECT l.lab, sum(d.deg) AS dc
+         |  FROM ldeg d JOIN lp4 l ON d.node = l.node GROUP BY 1),
+         |lmc AS (
+         |  SELECT la.lab AS lab, count(*) AS mc
+         |  FROM e2 JOIN lp4 la ON e2.a = la.node
+         |  JOIN lp4 lb ON e2.b = lb.node
+         |  WHERE la.lab = lb.lab GROUP BY 1),
+         |lterms AS (
+         |  SELECT m, CAST(
+         |      CAST(COALESCE(mc, 0) AS DOUBLE) / m
+         |        - (CAST(dc AS DOUBLE) / (m * 2))
+         |          * (CAST(dc AS DOUBLE) / (m * 2))
+         |    AS DECIMAL(24,9)) AS term
+         |  FROM ldc LEFT JOIN lmc USING (lab) CROSS JOIN mm)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |  CAST(max(m) AS BIGINT) AS m_edges,
+         |  CAST(sum(term) AS DOUBLE) AS modularity
+         |FROM lterms""".stripMargin,
     // GraphOps.components twin: recursive transitive closure over the
     // thresholded co-purchase graph; label = least reachable part id —
     // exactly the fixpoint the engine's min-label propagation (pointer

@@ -243,6 +243,12 @@ object SparkEntry {
     // round 8: multi-source BFS hop census from the seed nation
     "graph_hop_histogram"     -> ((s, d) =>
       graft.ops.GraphOps.hopHistogram(s, d)),
+    // round 8: synchronous label-propagation communities + their
+    // Newman–Girvan partition quality
+    "graph_label_prop"        -> ((s, d) =>
+      graft.ops.GraphOps.labelPropagation(s, d)),
+    "graph_modularity"        -> ((s, d) =>
+      graft.ops.GraphOps.modularity(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
     // round 8: MMR diversity re-rank of the brute cosine top-10 slate

@@ -685,6 +685,22 @@ object GraphOps {
           "edge construction (fact-sized)" -> edges,
           "one peel round (degree agg + two semi-joins)" ->
             kcorePeelRound(e0, 3))
+      case "graph_label_prop" | "graph_modularity" =>
+        val und = edges.select("a", "b").localCheckpoint()
+        val adj = und.select(explode(array(
+            struct(col("a").as("node"), col("b").as("nb")),
+            struct(col("b").as("node"), col("a").as("nb")))).as("e"))
+          .select(col("e.node").as("node"), col("e.nb").as("nb"))
+          .localCheckpoint()
+        val lab0 = adj.select("node").distinct()
+          .withColumn("lab", col("node")).localCheckpoint()
+        val full =
+          if (name == "graph_modularity") modularity(s, d)
+          else labelPropagation(s, d)
+        Seq("full query" -> full,
+          "edge construction (fact-sized)" -> edges,
+          "one LPA round (adjacency⋈labels + argmax)" ->
+            lpaRound(adj, lab0))
       case _ =>
         Seq("full query" -> components(s, d),
           "edge construction (fact-sized)" -> edges)
@@ -882,5 +898,131 @@ object GraphOps {
       .limit(topK)
       .select(col("u"), col("v"), col("common_neighbors"),
         col("score_dec").cast("double").as("aa_score"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007) over the thresholded co-purchase graph —
+    * the near-linear community pass curation pipelines run before
+    * anything quadratic, and the family's community class beside
+    * fixpoint (CC), peel (k-core), traversal (BFS), and motif
+    * (triangles). Each round every node simultaneously adopts the most
+    * frequent label among its NEIGHBORS, ties broken toward the
+    * smallest label — a fully determinate update (no peel-order or
+    * visit-order dependence), so a fixed round count is engine-exact:
+    * the oracle unrolls the same `rounds` argmax CTEs and pure integer
+    * (count, label) comparisons cannot diverge. Asynchronous LPA's
+    * randomized visit order is deliberately NOT reproduced — the
+    * synchronous variant can oscillate on bipartite structures, but
+    * both engines oscillate identically under the shared cap, which is
+    * the property the gate needs (the classic mitigation, per-node
+    * hashed round offsets, would bolt determinism onto the async form
+    * at the cost of the textbook semantics).
+    *
+    * Scale shape: one label-keyed join of the adjacency against the
+    * current assignment + one (node, label) aggregate + one per-node
+    * argmax per round — edge-sized shuffles throughout, label state one
+    * row per node, lineage truncated per round like every loop here.
+    * Driver face is the community-size census (size, how many) —
+    * histogram-sized output; the per-node label frame is the 100 TB
+    * product and [[modularity]] consumes it.
+    */
+  def labelPropagation(s: SparkSession, d: String, rounds: Int = 4,
+      minCount: Int = 2): DataFrame =
+    lpaLabels(coPurchaseEdges(s, d, minCount).select("a", "b"), rounds)
+      .groupBy("lab").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size")
+      .agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+
+  /** [[labelPropagation]]'s per-node assignment after `rounds`
+    * synchronous updates over an explicit distinct (a < b) undirected
+    * edge frame — spec-drivable with hand graphs; `rounds` must equal
+    * the oracle's unroll depth.
+    */
+  private[graft] def lpaLabels(undIn: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = undIn.localCheckpoint()
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nb").as("nb"))
+      .localCheckpoint()
+    var lab = adj.select("node").distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds)
+      lab = lpaRound(adj, lab).localCheckpoint()
+    lab
+  }
+
+  /** One synchronous LPA round (adjacency⋈labels + (node, label) count
+    * + argmax with the (count desc, label asc) tiebreak) — factored so
+    * the plan audit can snapshot a REAL round.
+    */
+  private[graft] def lpaRound(adj: DataFrame,
+      lab: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lab"))
+    adj.join(lab.select(col("node").as("nb"), col("lab")), Seq("nb"))
+      .groupBy("node", "lab").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("node", "lab")
+  }
+
+  /** Newman–Girvan modularity of the [[labelPropagation]] partition:
+    * Q = Σ_c [ m_c/m − (d_c/(2m))² ] over communities c, with m the
+    * undirected edge count, m_c the intra-community edge count, and
+    * d_c the summed member degree — the standard partition-quality
+    * score, closing the loop on the community pass (detect, then
+    * measure). Every input to the formula is an exact integer count;
+    * each community's term is evaluated with the identical double
+    * expression in both engines (int→double conversion and one
+    * division/multiply chain are correctly rounded, hence
+    * engine-identical) and rounded onto DECIMAL(24,9) so the
+    * cross-community sum is associative — grouping shape stops
+    * mattering (the established windowed-sum discipline).
+    *
+    * Scale shape: the LPA rounds dominate; on top of the final label
+    * frame this is one degree aggregate, one two-sided label join of
+    * the edge set (intra-edge count), one community-keyed aggregate,
+    * and a single-row reduce — all edge- or community-sized. The edge
+    * total rides as a broadcast 1-row frame, never a driver value.
+    */
+  def modularity(s: SparkSession, d: String, rounds: Int = 4,
+      minCount: Int = 2): DataFrame =
+    modularityFromEdges(
+      coPurchaseEdges(s, d, minCount).select("a", "b"), rounds)
+
+  /** [[modularity]]'s scoring core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def modularityFromEdges(undIn: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = undIn.localCheckpoint()
+    val lab = lpaLabels(und, rounds)
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy("lab").agg(sum("deg").as("dc"))
+    val mc = und
+      .join(lab.select(col("node").as("a"), col("lab").as("la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lab").as("lb")),
+        Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("mc"))
+    val terms = dc.join(mc, Seq("lab"), "left")
+      .withColumn("mc", coalesce(col("mc"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("term",
+        (col("mc").cast("double") / col("m")
+          - (col("dc").cast("double") / (col("m") * 2))
+            * (col("dc").cast("double") / (col("m") * 2)))
+          .cast("decimal(24,9)"))
+    terms.agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("m_edges"),
+        sum(col("term")).cast("double").as("modularity"))
   }
 }

@@ -649,4 +649,51 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.toSeq === want,
       "greedy MMR slate must match the independent recompute exactly")
   }
+
+  test("labelPropagation: two triangles bridged by one edge settle into " +
+      "two size-3 communities in 4 synchronous rounds (tie-break toward " +
+      "the smaller label); modularity matches the hand-computed " +
+      "Newman–Girvan Q with the decimal(24,9) term rounding") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+        (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val lab = GraphOps.lpaLabels(und, 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lab === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)))
+    // histogram face over the same frame
+    val hist = GraphOps.lpaLabels(und, 4)
+      .groupBy("lab").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist === Seq((3L, 2L)))
+    // modularity: m = 7, both communities mc = 3, dc = 7
+    val q = GraphOps.modularityFromEdges(und, 4).collect()(0)
+    assert(q.getLong(q.fieldIndex("n_communities")) === 2L)
+    assert(q.getLong(q.fieldIndex("m_edges")) === 7L)
+    val term = java.math.BigDecimal.valueOf(
+        3.0 / 7 - (7.0 / 14) * (7.0 / 14))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    assert(q.getDouble(q.fieldIndex("modularity"))
+      === term.add(term).doubleValue)
+  }
+
+  test("lpaRound is determinate: a perfectly symmetric 4-cycle keeps " +
+      "oscillating under synchronous updates, but identically on every " +
+      "invocation (the shared-cap engine/oracle agreement argument)") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val a = GraphOps.lpaLabels(und, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = GraphOps.lpaLabels(und, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
+    // and one more round CHANGES it (the oscillation is real — the cap
+    // is what pins both engines to the same snapshot)
+    val c = GraphOps.lpaLabels(und, 4).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a !== c)
+  }
 }
