@@ -3392,6 +3392,39 @@ object OracleSql {
          |  CAST(sum(lp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // TextOps.knScore twin: interpolated Kneser–Ney bigram smoothing
+    // (Chen & Goodman 1999 eq. 16, D = 0.75) — same bigram frame, plus
+    // the three continuation-count aggregates; identical double
+    // operation order, per-position DECIMAL(24,9) rounding.
+    "txt_kn_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, pr.prev AS prev, pr.cur AS cur FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(t) - 1),
+         |        i -> struct_pack(prev := t[i], cur := t[i + 1]))) AS pr
+         |    FROM toks WHERE len(t) >= 2) x),
+         |cb AS (SELECT prev, cur, count(*) AS cb FROM big GROUP BY 1, 2),
+         |cp AS (SELECT prev, count(*) AS cp FROM big GROUP BY 1),
+         |n1p AS (SELECT prev, count(*) AS n1p FROM cb GROUP BY 1),
+         |n1c AS (SELECT cur, count(*) AS n1c FROM cb GROUP BY 1),
+         |nt AS (SELECT count(*) AS ntypes FROM cb),
+         |tf AS (
+         |  SELECT doc_id, prev, cur, count(*) AS tf
+         |  FROM big GROUP BY 1, 2, 3),
+         |lp AS (
+         |  SELECT doc_id, tf, CAST(tf * ln(
+         |      (cb - 0.75) / cp
+         |        + (0.75 * n1p / cp) * (CAST(n1c AS DOUBLE) / ntypes)
+         |    ) AS DECIMAL(24,9)) AS lp
+         |  FROM tf JOIN cb USING (prev, cur) JOIN cp USING (prev)
+         |  JOIN n1p USING (prev) JOIN n1c USING (cur) CROSS JOIN nt)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+         |    AS avg_logprob
+         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // TextOps.ccnetBucketsBigram twin: per-language terciles by mean
     // bigram logprob (the txt_ccnet_buckets window, one n-gram order up).
     "txt_ccnet_bigram" ->

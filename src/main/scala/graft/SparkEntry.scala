@@ -48,6 +48,8 @@ object SparkEntry {
     "txt_lm_score"        -> (TextOps.lmScore(_, _)),
     "txt_lm_bigram"       -> (TextOps.lmScoreBigram(_, _)),
     "txt_ccnet_bigram"    -> (TextOps.ccnetBucketsBigram(_, _)),
+    // round 8: interpolated Kneser–Ney smoothing — the KenLM formula
+    "txt_kn_score"        -> (TextOps.knScore(_, _)),
     "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
     "txt_gopher_rules"    -> (TextOps.gopherRules(_, _)),
     "txt_c4_rules"        -> (TextOps.c4Rules(_, _)),

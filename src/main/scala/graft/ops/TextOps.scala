@@ -795,14 +795,7 @@ object TextOps {
     * associative decimal.
     */
   private[graft] def lmBigramPerDoc(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
-    val big = toks.filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("prev"),
-            element_at(col("t"), (i + 1).cast("int")).as("cur")))).as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val big = docBigrams(s, d)
     val cb = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
     val cp = big.groupBy("prev").agg(count(lit(1)).as("cp"))
     val v = Tables.documents(s, d)
@@ -815,6 +808,86 @@ object TextOps {
       .withColumn("lp",
         (col("tf") * log((col("cb") + lit(1.0)) / (col("cp") + col("v"))))
           .cast("decimal(24,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+  }
+
+  /** Adjacent (prev, cur) token-pair positions per document — the
+    * bigram frame [[lmBigramPerDoc]] and [[knPerDoc]] share: one
+    * row-local explode of the corpus, no shuffle.
+    */
+  private def docBigrams(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+    toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("prev"),
+            element_at(col("t"), (i + 1).cast("int")).as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"),
+        col("p.cur").as("cur"))
+  }
+
+  /** Interpolated Kneser–Ney bigram LM score (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 16) — the smoothing KenLM implements and
+    * CCNet-style perplexity filters actually run, upgrading
+    * [[lmScoreBigram]]'s add-one proxy: per document the mean of
+    * ln p(cur|prev) with
+    *
+    *   p(cur|prev) = (c(prev,cur) − D)/c(prev,·)
+    *               + (D·N₁₊(prev,·)/c(prev,·)) · (N₁₊(·,cur)/N₁₊(·,·))
+    *
+    * at the standard discount D = 0.75 (exactly representable in
+    * binary, so both engines carry the identical double). The
+    * continuation weight N₁₊(·,cur)/N₁₊(·,·) scores a word by how many
+    * DISTINCT contexts it follows — the "San Francisco" insight:
+    * "Francisco" is frequent but only ever follows "San", so its
+    * continuation probability is tiny where a unigram back-off would
+    * overrate it. Scored bigrams are by construction observed in the
+    * corpus (c ≥ 1 > D), so the max(c−D, 0) clamp is vacuous and the
+    * absolute-discount term is always positive. Every count is an
+    * exact integer; each factor is one correctly-rounded int→double
+    * conversion and division written in the IDENTICAL operation order
+    * in both engines, and per-position contributions tf·ln(p) round
+    * onto DECIMAL(24,9) (the [[lmScore]] discipline) so per-doc sums
+    * are associative. Docs with fewer than two tokens carry no bigram
+    * evidence and are absent, as in [[lmScoreBigram]].
+    *
+    * Scale shape: the [[lmScoreBigram]] plan plus three model-sized
+    * aggregates — N₁₊(prev,·) and N₁₊(·,cur) reduce the OBSERVED
+    * bigram-type table (≤ corpus positions, vocabulary²-bounded), and
+    * the type total rides as a broadcast 1-row frame. The per-doc join
+    * chain stays (prev, cur)-keyed throughout — one fact-sized shuffle,
+    * model tables broadcast-or-type-sized.
+    */
+  def knScore(s: SparkSession, d: String): DataFrame =
+    knPerDoc(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams"))
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+
+  /** [[knScore]] internals (pre-division decimal sums, the
+    * [[lmPerDoc]] pattern).
+    */
+  private[graft] def knPerDoc(s: SparkSession, d: String): DataFrame = {
+    val big = docBigrams(s, d)
+    val cb = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val cp = big.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val n1p = cb.groupBy("prev").agg(count(lit(1)).as("n1p"))
+    val n1c = cb.groupBy("cur").agg(count(lit(1)).as("n1c"))
+    val nt = cb.agg(count(lit(1)).as("ntypes"))
+    big.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf"))
+      .join(cb, Seq("prev", "cur"))
+      .join(cp, Seq("prev"))
+      .join(n1p, Seq("prev"))
+      .join(n1c, Seq("cur"))
+      .crossJoin(broadcast(nt))
+      .withColumn("p",
+        (col("cb") - lit(0.75)) / col("cp")
+          + (lit(0.75) * col("n1p") / col("cp"))
+            * (col("n1c").cast("double") / col("ntypes")))
+      .withColumn("lp", (col("tf") * log(col("p"))).cast("decimal(24,9)"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
   }

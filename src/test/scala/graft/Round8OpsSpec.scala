@@ -364,6 +364,53 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("knScore: every doc's interpolated Kneser–Ney mean bigram " +
+      "logprob matches an independent driver-side model recompute " +
+      "exactly (counts, continuation counts, discount, decimal " +
+      "rounding), and every smoothed p stays in (0, 1)") {
+    import graft.ops.TextOps
+    val d = TestSpark.sf0001
+    val got = TextOps.knScore(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    val toks = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq)
+    // corpus model
+    val cb = scala.collection.mutable
+      .Map.empty[(String, String), Long].withDefaultValue(0L)
+    toks.foreach { case (_, ts) =>
+      ts.sliding(2).filter(_.length == 2)
+        .foreach(w => cb((w(0), w(1))) += 1)
+    }
+    val cp = cb.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val n1p = cb.keys.groupBy(_._1).map { case (p, k) => p -> k.size }
+    val n1c = cb.keys.groupBy(_._2).map { case (c, k) => c -> k.size }
+    val ntypes = cb.size
+    def pKn(prev: String, cur: String): Double =
+      (cb((prev, cur)) - 0.75) / cp(prev) +
+        (0.75 * n1p(prev) / cp(prev)) *
+          (n1c(cur).toDouble / ntypes)
+    val want = toks.filter(_._2.length >= 2).map { case (id, ts) =>
+      // per-doc (prev, cur) tf first — the engine rounds tf·ln(p) ONCE
+      // per group, not once per position
+      val tf = scala.collection.mutable
+        .Map.empty[(String, String), Long].withDefaultValue(0L)
+      ts.sliding(2).filter(_.length == 2)
+        .foreach(w => tf((w(0), w(1))) += 1)
+      val lpSum = tf.toSeq.map { case ((p0, c0), t) =>
+        val p = pKn(p0, c0)
+        assert(p > 0.0 && p < 1.0, s"p($p0, $c0) = $p out of (0, 1)")
+        BigDecimal(t * math.log(p))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.foldLeft(BigDecimal(0))(_ + _)
+      val n = ts.length - 1L
+      id -> (n, lpSum.toDouble / n)
+    }.toMap
+    assert(got === want,
+      "KN scores must equal the independent model recompute exactly")
+  }
+
   test("components: summary matches an independent driver-side " +
       "union-find over the same thresholded edge set (sizes AND min-id " +
       "component labels), and member counts sum to the node count") {
