@@ -3733,6 +3733,27 @@ object OracleSql {
     * late convention) — the full 22-query family is now covered.
     */
   val round8: Map[String, String] = Map(
+    // EventOps.seasonalProfile twin: hourly integer counts, one
+    // int->double day mean, residuals rounded onto DECIMAL(24,9) so
+    // the per-hour-of-day sum is associative.
+    "ev_seasonal_profile" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |trend AS (
+        |  SELECT day, sum(c) AS dsum, count(*) AS dcnt
+        |  FROM hourly GROUP BY 1),
+        |resid AS (
+        |  SELECT hod, c,
+        |    CAST(c - CAST(dsum AS DOUBLE) / dcnt AS DECIMAL(24,9)) AS r
+        |  FROM hourly JOIN trend USING (day))
+        |SELECT hod, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(sum(r) AS DOUBLE) / count(*) AS seasonal
+        |FROM resid GROUP BY 1 ORDER BY hod""".stripMargin,
+
     // GraphOps.labelPropagation twin: 4 unrolled synchronous LPA
     // rounds over the thresholded co-purchase graph (the engine's loop
     // uses the SAME depth), then the community-size census.

@@ -141,6 +141,8 @@ object SparkEntry {
     "r_storage_partitioned_join" -> ((s, _) =>
       Relational.storagePartitionedJoinAgg(s)),
     "ev_grain_rollup"     -> (EventOps.grainRollup(_, _)),
+    // round 8: additive hour-of-day seasonal decomposition
+    "ev_seasonal_profile" -> (EventOps.seasonalProfile(_, _)),
     "ev_anomaly_mad"      -> (EventOps.anomalyMad(_, _)),
     "ev_cusum_changepoint" -> (EventOps.cusumChangepoint(_, _)),
     // the 100 TB shape of the same detector: per-day buckets + carried

@@ -1012,4 +1012,39 @@ object EventOps {
       .unionByName(tag(day, "day"))
       .orderBy("grain", "bucket_ts")
   }
+
+  /** Additive seasonal (hour-of-day) profile of event volume — the
+    * classical-decomposition first pass (trend + seasonal + remainder,
+    * Cleveland et al.'s STL ancestor) monitoring and forecasting
+    * pipelines run before any model: per hour-of-day, the mean
+    * deviation of that hour's event count from its OWN DAY's mean,
+    * i.e. the seasonal component under a day-level trend. A positive
+    * `seasonal` is an hour that reliably runs hot relative to its day.
+    *
+    * Engine-exactness: hourly counts and per-day sums are exact
+    * integers; the day mean is one int→double conversion + division
+    * (correctly rounded, engine-identical), each residual rounds onto
+    * DECIMAL(24,9) so the per-hour-of-day sum is associative, and the
+    * final mean is one decimal→double cast + division. Scale shape:
+    * one fact-sized (day, hod) aggregate, then day-sized and 24-row
+    * frames — the fact table is touched once; the residual join keys
+    * on day (day-count-sized broadcast at any realistic retention).
+    */
+  def seasonalProfile(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val trend = hourly.groupBy("day")
+      .agg(sum("c").as("dsum"), count(lit(1)).as("dcnt"))
+    val resid = hourly.join(broadcast(trend), Seq("day"))
+      .withColumn("r",
+        (col("c") - col("dsum").cast("double") / col("dcnt"))
+          .cast("decimal(24,9)"))
+    resid.groupBy("hod")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("n_events"),
+        (sum(col("r")).cast("double") / count(lit(1))).as("seasonal"))
+      .orderBy("hod")
+  }
 }

@@ -411,6 +411,43 @@ class Round8OpsSpec extends AnyFunSuite {
       "KN scores must equal the independent model recompute exactly")
   }
 
+  test("seasonalProfile: every hour-of-day row matches an independent " +
+      "driver-side decomposition exactly, and the n_days-weighted " +
+      "seasonal components cancel (day residuals sum to zero before " +
+      "rounding)") {
+    import graft.ops.EventOps
+    val d = TestSpark.sf0001
+    val got = EventOps.seasonalProfile(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty &&
+      got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // driver-side recompute from the raw (day, hod) counts
+    val raw = graft.Tables.events(spark, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val byDay = raw.groupBy(_._1)
+    val dayMean = byDay.map { case (day, rows) =>
+      day -> rows.map(_._3).sum.toDouble / rows.length
+    }
+    val byHod = raw.groupBy(_._2)
+    val want = byHod.map { case (hod, rows) =>
+      val rs = rows.map { case (day, _, c) =>
+        BigDecimal(c - dayMean(day))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (hod, rows.length.toLong, rows.map(_._3).sum,
+        rs.sum.toDouble / rows.length)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    // weighted seasonal components cancel up to the 1e-9 rounding grain
+    val weighted = got.map { case (_, nd, _, s0) => nd * s0 }.sum
+    assert(math.abs(weighted) < 1e-6,
+      s"weighted seasonal sum $weighted should be ~0")
+  }
+
   test("components: summary matches an independent driver-side " +
       "union-find over the same thresholded edge set (sizes AND min-id " +
       "component labels), and member counts sum to the node count") {
