@@ -3754,6 +3754,33 @@ object OracleSql {
         |  CAST(sum(r) AS DOUBLE) / count(*) AS seasonal
         |FROM resid GROUP BY 1 ORDER BY hod""".stripMargin,
 
+    // GraphOps.assortativity twin: exact integer moment sums over the
+    // directed edge list, cast once to double, identical Pearson
+    // expression (the r_correlation discipline).
+    "graph_assortativity" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |ddeg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+         |  GROUP BY 1),
+         |dadj AS (
+         |  SELECT a AS src, b AS dst FROM e2
+         |  UNION ALL SELECT b, a FROM e2),
+         |mom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+         |    CAST(sum(x.deg) AS DOUBLE) AS sx,
+         |    CAST(sum(y.deg) AS DOUBLE) AS sy,
+         |    CAST(sum(x.deg * y.deg) AS DOUBLE) AS sxy,
+         |    CAST(sum(x.deg * x.deg) AS DOUBLE) AS sxx,
+         |    CAST(sum(y.deg * y.deg) AS DOUBLE) AS syy
+         |  FROM dadj e JOIN ddeg x ON e.src = x.node
+         |  JOIN ddeg y ON e.dst = y.node)
+         |SELECT n_dir_edges,
+         |  (n_dir_edges * sxy - sx * sy)
+         |    / sqrt((n_dir_edges * sxx - sx * sx)
+         |      * (n_dir_edges * syy - sy * sy)) AS assortativity
+         |FROM mom""".stripMargin,
+
     // GraphOps.labelPropagation twin: 4 unrolled synchronous LPA
     // rounds over the thresholded co-purchase graph (the engine's loop
     // uses the SAME depth), then the community-size census.

@@ -253,6 +253,9 @@ object SparkEntry {
       graft.ops.GraphOps.labelPropagation(s, d)),
     "graph_modularity"        -> ((s, d) =>
       graft.ops.GraphOps.modularity(s, d)),
+    // round 8: degree assortativity — do hubs trade with hubs?
+    "graph_assortativity"     -> ((s, d) =>
+      graft.ops.GraphOps.assortativity(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
     // round 8: MMR diversity re-rank of the brute cosine top-10 slate

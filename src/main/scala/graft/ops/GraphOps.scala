@@ -969,6 +969,60 @@ object GraphOps {
       .select("node", "lab")
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of (deg src, deg dst) over the DIRECTED edge list
+    * (both orientations of each undirected edge — the standard
+    * undirected treatment), answering "do hubs trade with hubs?" in
+    * one number — negative for hub-and-spoke structures, positive for
+    * core-periphery ones. The single summary statistic topology
+    * monitoring wants beside the motif censuses.
+    *
+    * Engine-exactness is the [[Analytics.quantityDiscountCorr]]
+    * Pearson discipline: the five moment sums are EXACT integer
+    * aggregates (degrees are counts; Σdeg² over edges stays far inside
+    * LONG at any realistic degree bound), cast once to double (exact
+    * below 2⁵³), and the final expression — products, subtractions,
+    * one correctly-rounded sqrt and division — is written identically
+    * in both engines. Scale shape: one degree aggregate + two
+    * node-keyed joins of the directed edge list + a single-row reduce;
+    * everything edge-sized, no driver state.
+    */
+  def assortativity(s: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    assortativityFromEdges(
+      coPurchaseEdges(s, d, minCount).select("a", "b"))
+
+  /** [[assortativity]]'s core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def assortativityFromEdges(undIn: DataFrame)
+      : DataFrame = {
+    val und = undIn.localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    dir
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("dx")).cast("double").as("sx"),
+        sum(col("dy")).cast("double").as("sy"),
+        sum(col("dx") * col("dy")).cast("double").as("sxy"),
+        sum(col("dx") * col("dx")).cast("double").as("sxx"),
+        sum(col("dy") * col("dy")).cast("double").as("syy"))
+      .select(col("n_dir_edges"),
+        ((col("n_dir_edges") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n_dir_edges") * col("sxx")
+              - col("sx") * col("sx"))
+            * (col("n_dir_edges") * col("syy")
+              - col("sy") * col("sy"))))
+          .as("assortativity"))
+  }
+
   /** Newman–Girvan modularity of the [[labelPropagation]] partition:
     * Q = Σ_c [ m_c/m − (d_c/(2m))² ] over communities c, with m the
     * undirected edge count, m_c the intra-community edge count, and

@@ -364,6 +364,25 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("assortativity: a star is perfectly disassortative (exactly -1), " +
+      "and a triangle-plus-pendant matches the closed-form Pearson over " +
+      "the directed edge list") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val rStar = GraphOps.assortativityFromEdges(star).collect()(0)
+    assert(rStar.getLong(0) === 6L)
+    assert(rStar.getDouble(1) === -1.0)
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val rMix = GraphOps.assortativityFromEdges(mixed).collect()(0)
+    assert(rMix.getLong(0) === 8L)
+    // degs: 1->3, 2->2, 3->2, 4->1; closed form over 8 directed edges
+    val (n, sx, sy, sxy, sxx, syy) =
+      (8.0, 18.0, 18.0, 38.0, 44.0, 44.0)
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(rMix.getDouble(1) === want)
+  }
+
   test("knScore: every doc's interpolated Kneser–Ney mean bigram " +
       "logprob matches an independent driver-side model recompute " +
       "exactly (counts, continuation counts, discount, decimal " +
