@@ -3754,6 +3754,72 @@ object OracleSql {
         |  CAST(sum(r) AS DOUBLE) / count(*) AS seasonal
         |FROM resid GROUP BY 1 ORDER BY hod""".stripMargin,
 
+    // SimilarityOps.annRecallAudit twin: the emb_topk_brute and
+    // emb_topk_ivf_seeded recipes verbatim (shared cast/norm CTE,
+    // same 1e-6 rounding and tie-breaks), joined on (query, neighbor)
+    // and reduced to per-query recall@5.
+    "emb_recall_audit" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |bscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 6) AS cs
+        |  FROM emb q CROSS JOIN emb c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |bt AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+        |    FROM bscored) WHERE rank <= 5),
+        |cent AS (
+        |  SELECT vec_id AS cell, e AS ce, nrm AS cnrm
+        |  FROM emb WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, len(v.e) + 1),
+        |      i -> v.e[i] * c.ce[i])) / (v.nrm * c.cnrm) AS sim
+        |  FROM emb v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cell) AS rn
+        |    FROM sims WHERE vec_id < 10) WHERE rn <= 3),
+        |icand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a ON p.cell = a.cell
+        |  WHERE a.vec_id <> p.query_id),
+        |iscored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) / (q.nrm * v.nrm), 6) AS cs
+        |  FROM icand c JOIN emb q ON c.query_id = q.vec_id
+        |  JOIN emb v ON c.vec_id = v.vec_id),
+        |it AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+        |    FROM iscored) WHERE rank <= 5)
+        |SELECT b.query_id,
+        |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 5 AS recall
+        |FROM bt b LEFT JOIN it i
+        |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // GraphOps.assortativity twin: exact integer moment sums over the
     // directed edge list, cast once to double, identical Pearson
     // expression (the r_correlation discipline).

@@ -875,4 +875,36 @@ object SimilarityOps {
       "one greedy round (slate-sized: anti-join + max-sim + argmax)" ->
         round2)
   }
+
+  /** Recall@k audit of the IVF ANN path against brute-force ground
+    * truth — the measurement every approximate index owes its users
+    * before anyone trusts it at 100 TB (the spec-pinned recall floors
+    * assert a lower bound; this surfaces the actual per-query number
+    * as data): per query, how many of the true cosine top-k the
+    * [[ivfTopKSeeded]] probe set recovered. Both sides are the
+    * REGISTERED operators verbatim (same 1e-6 cosine rounding, same
+    * (score desc, id) tie-break), so the audit measures the production
+    * path, not a reimplementation. Output is queries-sized; the
+    * expensive frames are exactly the two audited operators, joined on
+    * (query, neighbor) and reduced — recall = |approx ∩ truth| / k.
+    *
+    * Scale shape: ground truth is the corpus-sized brute pass — that is
+    * inherent to a recall audit (you run it on a SAMPLE of queries, as
+    * here); the join and reduce are (queries·k)-sized.
+    */
+  def annRecallAudit(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val truth = bruteForceTopK(s, d, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopKSeeded(s, d, k)
+      .select(col("query_id").as("a_query"),
+        col("neighbor_id").as("got_id"))
+    truth.join(approx,
+        col("query_id") === col("a_query")
+          && col("neighbor_id") === col("got_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("got_id").isNotNull, 1L).otherwise(0L))
+        .as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+      .orderBy("query_id")
+  }
 }

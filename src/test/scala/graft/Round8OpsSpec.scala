@@ -364,6 +364,27 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("annRecallAudit: per-query n_hits equals the driver-side " +
+      "intersection of the two REGISTERED operators' outputs, recall " +
+      "= n_hits/k, and every query is present exactly once") {
+    import graft.ops.SimilarityOps
+    val d = TestSpark.sf0001
+    val got = SimilarityOps.annRecallAudit(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = SimilarityOps.bruteForceTopK(spark, d, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SimilarityOps.ivfTopKSeeded(spark, d, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.map(_._1).toSeq === truth.keys.toSeq.sorted)
+    got.foreach { case (q, hits, rec) =>
+      val want = (truth(q) & approx.getOrElse(q, Set.empty)).size.toLong
+      assert(hits === want, s"query $q")
+      assert(rec === hits.toDouble / 5)
+    }
+  }
+
   test("assortativity: a star is perfectly disassortative (exactly -1), " +
       "and a triangle-plus-pendant matches the closed-form Pearson over " +
       "the directed edge list") {
