@@ -3754,6 +3754,57 @@ object OracleSql {
         |  CAST(sum(r) AS DOUBLE) / count(*) AS seasonal
         |FROM resid GROUP BY 1 ORDER BY hod""".stripMargin,
 
+    // Relational.equidepthHist twin: NTILE over the identical
+    // (value, key) total order — pure integer bucketing; DECIMAL money
+    // bounds cast to double at the end.
+    "r_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders),
+        |b AS (
+        |  SELECT v, CAST(NTILE(10) OVER (ORDER BY v, o_orderkey)
+        |    AS BIGINT) AS bucket
+        |  FROM v)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // TextOps.zipfFit twin: determinate (ctf desc, term) ranks, one ln
+    // per factor, per-term DECIMAL(24,9) rounding before the sums,
+    // identical closed-form OLS over the four cast sums.
+    "txt_zipf_fit" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |ctf AS (
+         |  SELECT term, count(*) AS ctf FROM t GROUP BY 1),
+         |ranked AS (
+         |  SELECT ctf, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY ctf DESC, term) AS BIGINT) AS rank
+         |  FROM ctf),
+         |terms AS (
+         |  SELECT
+         |    CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(24,9)) AS x,
+         |    CAST(ln(CAST(ctf AS DOUBLE)) AS DECIMAL(24,9)) AS y,
+         |    CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(ctf AS DOUBLE))
+         |      AS DECIMAL(24,9)) AS xy,
+         |    CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+         |      AS DECIMAL(24,9)) AS xx
+         |  FROM ranked),
+         |mom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(xy) AS DOUBLE) AS sxy,
+         |    CAST(sum(xx) AS DOUBLE) AS sxx
+         |  FROM terms)
+         |SELECT n_terms,
+         |  (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+         |    AS slope,
+         |  (sy - ((n_terms * sxy - sx * sy)
+         |      / (n_terms * sxx - sx * sx)) * sx) / n_terms
+         |    AS intercept
+         |FROM mom""".stripMargin,
+
     // SimilarityOps.annRecallAudit twin: the emb_topk_brute and
     // emb_topk_ivf_seeded recipes verbatim (shared cast/norm CTE,
     // same 1e-6 rounding and tie-breaks), joined on (query, neighbor)

@@ -50,6 +50,8 @@ object SparkEntry {
     "txt_ccnet_bigram"    -> (TextOps.ccnetBucketsBigram(_, _)),
     // round 8: interpolated Kneser–Ney smoothing — the KenLM formula
     "txt_kn_score"        -> (TextOps.knScore(_, _)),
+    // round 8: Zipf rank–frequency fit — the datasheet fingerprint
+    "txt_zipf_fit"        -> (TextOps.zipfFit(_, _)),
     "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
     "txt_gopher_rules"    -> (TextOps.gopherRules(_, _)),
     "txt_c4_rules"        -> (TextOps.c4Rules(_, _)),
@@ -181,6 +183,8 @@ object SparkEntry {
     "r_constraint_audit"  -> (Relational.constraintAudit(_, _)),
     "r_scd2"              -> (Relational.scd2(_, _)),
     "r_table_stats"       -> (Relational.tableStats(_, _)),
+    // round 8: equi-depth histogram — the ANALYZE-stats distribution
+    "r_equidepth_hist"    -> (Relational.equidepthHist(_, _)),
     "emb_topk_int8"       -> (SimilarityOps.bruteForceTopKInt8(_, _)),
     "txt_quality_gate"    -> (TextOps.qualityGate(_, _)),
     "txt_mixture_sample"  -> (TextOps.mixtureSample(_, _)),

@@ -608,6 +608,37 @@ object Relational {
       .orderBy("column")
   }
 
+  /** Equi-depth histogram of order value — the optimizer-statistics
+    * primitive ([[tableStats]]'s distribution companion; what ANALYZE
+    * TABLE computes per column): NTILE(10) buckets over the
+    * determinate (value, key) order, each bucket reporting count and
+    * exact [lo, hi] bounds. Equal-HEIGHT buckets expose the
+    * distribution shape that equal-WIDTH bins hide under skew — bucket
+    * boundaries are the deciles. Money stays DECIMAL(18,2) through
+    * min/max and surfaces as DOUBLE (exact conversion); NTILE over an
+    * identical total order is pure integer arithmetic, engine-exact.
+    *
+    * Scale shape: this audit form is one global sort of the profiled
+    * column (the [[tableStats]] trade — exact numbers for a profiling
+    * pass); the 100 TB variant feeds NTILE a fixed-fraction sample or
+    * reuses [[graft.functions.ExactQuantiles]]' partial-merge path —
+    * boundaries then carry the documented sketch error instead.
+    */
+  def equidepthHist(s: SparkSession, d: String,
+      buckets: Int = 10): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("o_orderkey"))
+    o.withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"))
+      .orderBy("bucket")
+  }
+
   /** CDC-style diff of two keyed versions of a table: classify every key
     * as insert / delete / update / same, null-safely (`<=>`) across all
     * non-key columns. One full-outer shuffle join on the key —

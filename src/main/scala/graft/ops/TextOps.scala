@@ -812,6 +812,55 @@ object TextOps {
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
   }
 
+  /** Zipf's-law fit of the corpus rank–frequency curve (Zipf 1949;
+    * Piantadosi 2014 review): OLS slope/intercept of ln(freq) against
+    * ln(rank) — the one-line distribution fingerprint a corpus
+    * datasheet reports (natural language sits near slope −1; a corpus
+    * drifting toward 0 is template/boilerplate-heavy, far below −1 is
+    * vocabulary-collapsed). Ranks are integers from the determinate
+    * (ctf desc, term asc) ordering; x = ln(rank) and y = ln(ctf) are
+    * single correctly-rounded `ln`s of integers, so identical in both
+    * engines up to the known 1-ulp libm spread — each of x, y, x·y,
+    * x² therefore rounds onto DECIMAL(24,9) BEFORE summing (the
+    * windowed-sum discipline: decimal sums are associative and the
+    * 1-ulp inputs survive the 1e-9 grain), and the closed-form
+    * slope/intercept is one identical double expression over the four
+    * cast sums.
+    *
+    * Scale shape: one corpus term count (the [[topTerms]] aggregate),
+    * one vocabulary-sized global rank (a single ORDER BY over vocab
+    * rows — fine at any corpus scale; vocabulary is the small table),
+    * one single-row reduce.
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val ctf = docTermTf(s, d)
+      .groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val ranked = ctf.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ctf").desc, col("term"))).cast("long"))
+    val terms = ranked.select(
+      log(col("rank").cast("double")).cast("decimal(24,9)").as("x"),
+      log(col("ctf").cast("double")).cast("decimal(24,9)").as("y"),
+      (log(col("rank").cast("double")) * log(col("ctf").cast("double")))
+        .cast("decimal(24,9)").as("xy"),
+      (log(col("rank").cast("double")) * log(col("rank").cast("double")))
+        .cast("decimal(24,9)").as("xx"))
+    terms.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .select(col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        ((col("sy") - ((col("n_terms") * col("sxy")
+              - col("sx") * col("sy"))
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("n_terms"))
+          .as("intercept"))
+  }
+
   /** Adjacent (prev, cur) token-pair positions per document — the
     * bigram frame [[lmBigramPerDoc]] and [[knPerDoc]] share: one
     * row-local explode of the corpus, no shuffle.

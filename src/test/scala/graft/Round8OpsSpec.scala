@@ -364,6 +364,55 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("equidepthHist: bucket heights differ by at most one, buckets " +
+      "are contiguous with non-overlapping monotone bounds, and the " +
+      "heights sum to the table row count") {
+    import graft.ops.Relational
+    val d = TestSpark.sf0001
+    val rows = Relational.equidepthHist(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    val heights = rows.map(_._2)
+    assert(heights.max - heights.min <= 1L, "equi-depth property")
+    assert(heights.sum === graft.Tables.orders(spark, d).count())
+    rows.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3,
+        s"bucket ${a._1} hi ${a._4} must not exceed bucket ${b._1} lo")
+      case _ => ()
+    }
+  }
+
+  test("zipfFit: slope and intercept equal a driver-side OLS recompute " +
+      "over the same determinate ranks exactly, and the fixture slope " +
+      "is negative (frequency falls with rank)") {
+    import graft.ops.TextOps
+    val d = TestSpark.sf0001
+    val row = TextOps.zipfFit(spark, d).collect()(0)
+    val ctf = graft.Tables.documents(spark, d)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ranked = ctf.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((_, c), i) => (i + 1L, c) }
+    def d9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val n = ranked.length.toLong
+    val sx = ranked.map(r => d9(math.log(r._1.toDouble))).sum.toDouble
+    val sy = ranked.map(r => d9(math.log(r._2.toDouble))).sum.toDouble
+    val sxy = ranked.map(r => d9(math.log(r._1.toDouble)
+      * math.log(r._2.toDouble))).sum.toDouble
+    val sxx = ranked.map(r => d9(math.log(r._1.toDouble)
+      * math.log(r._1.toDouble))).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(row.getLong(0) === n)
+    assert(row.getDouble(1) === slope)
+    assert(row.getDouble(2) === intercept)
+    assert(slope < 0.0)
+  }
+
   test("annRecallAudit: per-query n_hits equals the driver-side " +
       "intersection of the two REGISTERED operators' outputs, recall " +
       "= n_hits/k, and every query is present exactly once") {
