@@ -63,7 +63,8 @@ object Explain {
           // peel round — the frames the loop's checkpoints hide
           else if (name == "graph_kcore" || name == "graph_components"
               || name == "graph_hop_histogram"
-              || name == "graph_label_prop" || name == "graph_modularity")
+              || name == "graph_label_prop" || name == "graph_modularity"
+              || name == "graph_anf")
             try ops.GraphOps.explainLoopFrames(spark, sfDir, name)
               .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
               .mkString("\n")

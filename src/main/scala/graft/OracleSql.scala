@@ -3871,6 +3871,34 @@ object OracleSql {
         |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // GraphOps.neighborhoodFunction twin: bounded recursive min-hop
+    // closure from the SAME sampled sources (node % 8 = 0, cap 3) —
+    // exact audited pair counts; the sketch estimate never crosses the
+    // gate, only its engine-side bound flag (TRUE here).
+    "graph_anf" ->
+      s"""WITH RECURSIVE ${coEdgesCtes(2)},
+         |nadj AS (
+         |  SELECT a AS src, b AS dst FROM e2
+         |  UNION ALL SELECT b, a FROM e2),
+         |nseeds AS (
+         |  SELECT DISTINCT src AS node FROM nadj WHERE src % 8 = 0),
+         |nreach(srcu, node, dd) AS (
+         |  SELECT node, node, 0 FROM nseeds
+         |  UNION
+         |  SELECT r.srcu, e.dst, r.dd + 1
+         |  FROM nreach r JOIN nadj e ON e.src = r.node
+         |  WHERE r.dd < 3),
+         |nmd AS (
+         |  SELECT srcu, node, min(dd) AS dist FROM nreach GROUP BY 1, 2),
+         |rr AS (SELECT unnest([1, 2, 3]) AS r)
+         |SELECT CAST(rr.r AS BIGINT) AS r, ns.n_sources,
+         |  CAST(count(*) AS BIGINT) AS pairs_exact,
+         |  TRUE AS within_bound
+         |FROM rr JOIN nmd ON nmd.dist <= rr.r
+         |CROSS JOIN (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sources FROM nseeds) ns
+         |GROUP BY 1, 2 ORDER BY r""".stripMargin,
+
     // GraphOps.assortativity twin: exact integer moment sums over the
     // directed edge list, cast once to double, identical Pearson
     // expression (the r_correlation discipline).

@@ -260,6 +260,10 @@ object SparkEntry {
     // round 8: degree assortativity — do hubs trade with hubs?
     "graph_assortativity"     -> ((s, d) =>
       graft.ops.GraphOps.assortativity(s, d)),
+    // round 8: HyperANF neighborhood function (sketch×graph; bound
+    // contract — exact audited pairs + estimate-within flag)
+    "graph_anf"               -> ((s, d) =>
+      graft.ops.GraphOps.neighborhoodFunction(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
     // round 8: MMR diversity re-rank of the brute cosine top-10 slate

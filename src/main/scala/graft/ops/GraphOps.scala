@@ -685,6 +685,25 @@ object GraphOps {
           "edge construction (fact-sized)" -> edges,
           "one peel round (degree agg + two semi-joins)" ->
             kcorePeelRound(e0, 3))
+      case "graph_anf" =>
+        val und = edges.select("a", "b").localCheckpoint()
+        val adj = und.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .localCheckpoint()
+        val sk0 = adj.select(col("src").as("node")).distinct()
+          .groupBy("node").agg(expr("hll_sketch_agg(node)").as("sk"))
+          .localCheckpoint()
+        val oneRound = adj
+          .join(sk0.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("sk"))
+          .unionByName(sk0)
+          .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
+        Seq("full query" -> neighborhoodFunction(s, d),
+          "edge construction (fact-sized)" -> edges,
+          "one sketch superstep (neighbor-sketch join + hll_union_agg)" ->
+            oneRound)
       case "graph_label_prop" | "graph_modularity" =>
         val und = edges.select("a", "b").localCheckpoint()
         val adj = und.select(explode(array(
@@ -967,6 +986,84 @@ object GraphOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("node", "lab")
+  }
+
+  /** Approximate neighborhood function N(r) — HyperANF (Boldi, Rosa &
+    * Vigna 2011; ANF, Palmer et al. 2002) over the thresholded
+    * co-purchase graph: per node, an HLL sketch of the ball of radius
+    * r, advanced one hop per round by unioning each node's sketch with
+    * its neighbors' — the sketch×graph composition that turns the
+    * O(V·E) all-pairs reachability question ("how connected is this
+    * graph at radius r?", effective-diameter estimation) into
+    * edge-sized rounds carrying constant-size state per node. This is
+    * the family's thesis operator: the mergeable-sketch discipline
+    * (HLL union is a pure function of the input set, so estimates are
+    * bit-stable across any execution shape) applied to the superstep
+    * loop discipline.
+    *
+    * Driver-gated surface is the established bound contract
+    * ([[EventOps.slidingDistinctUsers]]): sketches are engine-specific
+    * bytes, so the gate sees EXACT audited ball counts (a sampled
+    * source set, `node % auditMod = 0`, through a pair-closure BFS —
+    * the audit the sketch exists to avoid at scale) plus a boolean
+    * pinning the summed estimate within `maxRelErr` of exact. Errors
+    * across audited sources do NOT cancel (saturated balls converge to
+    * the same set ⇒ the same sketch ⇒ the same signed error), so the
+    * bound is sized for a single sketch's deviation, not a √n average.
+    *
+    * Scale shape: per round one edge-keyed join shipping neighbor
+    * sketches + one node-keyed `hll_union_agg` — the PageRank superstep
+    * with sketch payloads; the audit closure is pairs-sized on the
+    * SAMPLED sources only and exists for the gate, not the product.
+    */
+  def neighborhoodFunction(s: SparkSession, d: String, maxR: Int = 3,
+      minCount: Int = 2, auditMod: Int = 8,
+      maxRelErr: Double = 0.05): DataFrame =
+    anfFromEdges(coPurchaseEdges(s, d, minCount).select("a", "b"),
+      maxR, auditMod, maxRelErr)
+
+  /** [[neighborhoodFunction]]'s core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs. `maxR`
+    * must equal the oracle's recursion cap and `auditMod` its sampling
+    * predicate.
+    */
+  private[graft] def anfFromEdges(undIn: DataFrame, maxR: Int,
+      auditMod: Int, maxRelErr: Double): DataFrame = {
+    val und = undIn.localCheckpoint()
+    val adj = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var sk = nodes.groupBy("node")
+      .agg(expr("hll_sketch_agg(node)").as("sk")).localCheckpoint()
+    val seeds = nodes.filter(col("node") % auditMod === 0)
+      .localCheckpoint()
+    var ball = seeds.select(col("node").as("srcu"), col("node"))
+      .localCheckpoint()
+    val rounds = (1 to maxR).map { r =>
+      val msgs = adj
+        .join(sk.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("sk"))
+        .unionByName(sk)
+      sk = msgs.groupBy("node")
+        .agg(expr("hll_union_agg(sk)").as("sk")).localCheckpoint()
+      val grown = ball.as("b")
+        .join(adj.as("e"), col("b.node") === col("e.src"))
+        .select(col("b.srcu").as("srcu"), col("e.dst").as("node"))
+      ball = ball.unionByName(grown).distinct().localCheckpoint()
+      val ex = ball.agg(count(lit(1)).as("pairs_exact"),
+        count_distinct(col("srcu")).as("n_sources"))
+      val es = sk.join(seeds, Seq("node"), "left_semi")
+        .select(expr("hll_sketch_estimate(sk)").as("e"))
+        .agg(sum(col("e")).as("pairs_est"))
+      ex.crossJoin(es).select(lit(r.toLong).as("r"),
+        col("n_sources"), col("pairs_exact"),
+        (abs(col("pairs_est") - col("pairs_exact"))
+          <= col("pairs_exact") * maxRelErr).as("within_bound"))
+    }
+    rounds.reduce(_ unionAll _).orderBy("r")
   }
 
   /** Degree assortativity coefficient (Newman 2002): the Pearson

@@ -364,6 +364,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("anfFromEdges: on a 5-path with every node audited, the exact " +
+      "ball-pair counts are 13/19/23 for r=1..3, n_sources is 5, and " +
+      "the HLL estimate (exact regime at these cardinalities) sits " +
+      "inside the bound") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val rows = GraphOps.anfFromEdges(und, 3, 1, 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.toSeq === Seq((1L, 5L, 13L, true), (2L, 5L, 19L, true),
+      (3L, 5L, 23L, true)))
+  }
+
   test("equidepthHist: bucket heights differ by at most one, buckets " +
       "are contiguous with non-overlapping monotone bounds, and the " +
       "heights sum to the table row count") {
