@@ -3805,6 +3805,52 @@ object OracleSql {
          |    AS intercept
          |FROM mom""".stripMargin,
 
+    // SimilarityOps.dimTruncationAudit twin: the brute recipe twice —
+    // full-dim truth vs the first-16-components slice — joined on
+    // (query, neighbor) and reduced to per-query recall@5.
+    "emb_dim_truncation" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ef
+        |  FROM embeddings),
+        |fscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.ef) + 1),
+        |        i -> q.ef[i] * c.ef[i]))
+        |      / (sqrt(list_sum(list_transform(q.ef, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.ef, x -> x * x)))), 6)
+        |      AS cs
+        |  FROM emb q CROSS JOIN emb c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ft AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+        |    FROM fscored) WHERE rank <= 5),
+        |te AS (SELECT vec_id, ef[1:16] AS et FROM emb),
+        |tscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.et) + 1),
+        |        i -> q.et[i] * c.et[i]))
+        |      / (sqrt(list_sum(list_transform(q.et, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.et, x -> x * x)))), 6)
+        |      AS cs
+        |  FROM te q CROSS JOIN te c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |tt AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+        |    FROM tscored) WHERE rank <= 5)
+        |SELECT f.query_id,
+        |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 5 AS recall
+        |FROM ft f LEFT JOIN tt t
+        |  ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // SimilarityOps.annRecallAudit twin: the emb_topk_brute and
     // emb_topk_ivf_seeded recipes verbatim (shared cast/norm CTE,
     // same 1e-6 rounding and tie-breaks), joined on (query, neighbor)

@@ -892,6 +892,43 @@ object SimilarityOps {
     * inherent to a recall audit (you run it on a SAMPLE of queries, as
     * here); the join and reduce are (queries·k)-sized.
     */
+  /** Matryoshka-style dimension-truncation audit (Kusupati et al.
+    * 2022): recall@k of cosine search over the FIRST `dims` embedding
+    * components against the full-dimension truth — the measurement
+    * behind the "can we store/search 4× fewer dims?" decision every
+    * embedding pipeline faces (truncation is the zeroth compression
+    * baseline PQ/int8 must beat). Same audit contract as
+    * [[annRecallAudit]]: both sides use the production scoring
+    * (1e-6-rounded cosine, (score desc, id) tie-break), per-query
+    * recall = |truncated ∩ full| / k. Scale: two brute passes over
+    * the query sample + a (queries·k)-sized join — and the truncated
+    * pass reads `dims/D` of the vector bytes, which is the point.
+    */
+  def dimTruncationAudit(s: SparkSession, d: String, k: Int = 5,
+      dims: Int = 16, nQueries: Int = 10): DataFrame = {
+    val full = bruteForceTopK(s, d, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        slice(col("embedding"), 1, dims).as("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val truncated = rankTopK(
+        emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .withColumn("cosine_sim",
+            cosineScore(col("q_emb"), col("embedding"))), k)
+      .select(col("query_id").as("a_query"),
+        col("neighbor_id").as("got_id"))
+    full.join(truncated,
+        col("query_id") === col("a_query")
+          && col("neighbor_id") === col("got_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("got_id").isNotNull, 1L).otherwise(0L))
+        .as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+      .orderBy("query_id")
+  }
+
   def annRecallAudit(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val truth = bruteForceTopK(s, d, k)
       .select(col("query_id"), col("neighbor_id"))

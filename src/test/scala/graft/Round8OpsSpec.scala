@@ -364,6 +364,49 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("dimTruncationAudit: truncating to the FULL dimension recovers " +
+      "recall exactly 1.0 for every query (self-consistency), and the " +
+      "16-dim audit matches a driver-side truncated-cosine recompute") {
+    import graft.ops.SimilarityOps
+    val d = TestSpark.sf0001
+    val dim = graft.Tables.embeddings(spark, d)
+      .select(size(col("embedding")).cast("long").as("n"))
+      .groupBy().agg(max(col("n")).as("n")).collect()(0).getLong(0).toInt
+    val fullSelf = SimilarityOps.dimTruncationAudit(spark, d, 5, dim)
+      .collect()
+    assert(fullSelf.nonEmpty)
+    fullSelf.foreach { r =>
+      assert(r.getLong(1) === 5L && r.getDouble(2) === 1.0)
+    }
+    // 16-dim audit vs driver recompute
+    val got = SimilarityOps.dimTruncationAudit(spark, d, 5, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val embs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosD(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        dt += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dt / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def top5(q: Long, n: Int): Set[Long] =
+      embs.keys.filter(_ != q).toSeq
+        .map(v => v -> cosD(embs(q), embs(v), n))
+        .sortBy { case (v, cs) => (-cs, v) }.take(5).map(_._1).toSet
+    got.foreach { case (q, hits, rec) =>
+      val want = (top5(q, dim) & top5(q, 16)).size.toLong
+      assert(hits === want, s"query $q")
+      assert(rec === hits.toDouble / 5)
+    }
+  }
+
   test("anfFromEdges: on a 5-path with every node audited, the exact " +
       "ball-pair counts are 13/19/23 for r=1..3, n_sources is 5, and " +
       "the HLL estimate (exact regime at these cardinalities) sits " +
