@@ -3917,6 +3917,27 @@ object OracleSql {
         |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // GraphOps.componentsIncremental twin: a FULL recompute — the
+    // recursive least-label closure over base ∪ delta trade edges.
+    // Equality with the engine's incremental fold is the min-label
+    // algebraic identity the operator rests on, checked end to end.
+    "graph_components_incremental" ->
+      """WITH RECURSIVE tpe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT src, dst FROM tpe UNION SELECT dst, src FROM tpe),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        |  SELECT src AS node, least(src, min(dst)) AS component_id
+        |  FROM reach GROUP BY src)
+        |SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+        |FROM lab GROUP BY 1
+        |ORDER BY n_members DESC, component_id""".stripMargin,
+
     // GraphOps.neighborhoodFunction twin: bounded recursive min-hop
     // closure from the SAME sampled sources (node % 8 = 0, cap 3) —
     // exact audited pair counts; the sketch estimate never crosses the

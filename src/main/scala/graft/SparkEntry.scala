@@ -264,6 +264,9 @@ object SparkEntry {
     // contract — exact audited pairs + estimate-within flag)
     "graph_anf"               -> ((s, d) =>
       graft.ops.GraphOps.neighborhoodFunction(s, d)),
+    // round 8: delta-batch CC maintenance; oracle is a FULL recompute
+    "graph_components_incremental" -> ((s, d) =>
+      graft.ops.GraphOps.componentsIncremental(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
     // round 8: MMR diversity re-rank of the brute cosine top-10 slate

@@ -588,6 +588,81 @@ object GraphOps {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("component_id"))
 
+  /** Incremental connected-components maintenance over the trade
+    * graph: fold a DELTA edge batch (orders from `cutoffYear` on) into
+    * the labels of the BASE graph (everything earlier) withOUT
+    * re-running the fixpoint over the base edges — the incremental
+    * discipline [[DedupOps.dedupIncremental]] applies to postings,
+    * applied to graph labels (the daily reality of any 100 TB graph:
+    * edges arrive in batches; relabeling the world per batch is the
+    * cost this avoids). The base labels COLLAPSE the base graph: each
+    * delta edge is rewritten onto its endpoints' base labels (self for
+    * unseen nodes), a CC fixpoint runs over that label-sized bridge
+    * graph only, and untouched components pass through unchanged.
+    *
+    * Correctness is an algebraic identity, and the oracle enforces it
+    * as one: min-label CC labels each base component with its minimum
+    * id, so the bridge CC's minimum-over-labels equals the
+    * minimum-over-nodes of the merged component — the gate compares
+    * the incremental result against a FULL recompute (the DuckDB
+    * recursive closure over base ∪ delta), which is the strongest
+    * possible check of an incremental operator.
+    *
+    * Scale shape: the base fixpoint is amortized (in steady state it
+    * is the stored labels artifact); per batch the work is one
+    * delta-sized label join + a CC over the bridge graph, whose size
+    * is bounded by the number of TOUCHED components, not |V| or |E|.
+    */
+  def componentsIncremental(s: SparkSession, d: String,
+      cutoffYear: Int = 1998): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("oy"))
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"), col("oy"))
+    val base = pairs.filter(col("oy") < cutoffYear)
+      .select("a", "b").distinct()
+    val delta = pairs.filter(col("oy") >= cutoffYear)
+      .select("a", "b").distinct()
+    incrementalCC(base, delta)
+  }
+
+  /** [[componentsIncremental]]'s core over explicit base/delta (a, b)
+    * pair frames — spec-drivable with hand graphs.
+    */
+  private[graft] def incrementalCC(baseIn: DataFrame,
+      deltaIn: DataFrame): DataFrame = {
+    val baseLab = DedupOps.connectedComponents(
+        baseIn.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .localCheckpoint()
+    val dl = deltaIn.localCheckpoint()
+    def labOf(c: String) = baseLab
+      .select(col("doc_id").as(c), col("cluster_id").as(s"lab_$c"))
+    val bridged = dl
+      .join(labOf("a"), Seq("a"), "left")
+      .join(labOf("b"), Seq("b"), "left")
+      .select(coalesce(col("lab_a"), col("a")).as("doc_a"),
+        coalesce(col("lab_b"), col("b")).as("doc_b"))
+    val bridgeCC = DedupOps.connectedComponents(bridged)
+      .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
+    val baseNodes = baseLab
+      .select(col("doc_id").as("node"), col("cluster_id").as("lab"))
+    val deltaNodes = dl.select(col("a").as("node"))
+      .unionAll(dl.select(col("b").as("node"))).distinct()
+      .join(baseLab.select(col("doc_id").as("node"), col("cluster_id")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("lab"))
+    baseNodes.unionByName(deltaNodes).distinct()
+      .join(bridgeCC, col("lab") === col("old_lab"), "left")
+      .select(col("node"),
+        coalesce(col("new_lab"), col("lab")).as("component_id"))
+      .groupBy("component_id").agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("component_id"))
+  }
+
   /** k-core of the thresholded co-purchase graph (Seidman 1983): the
     * maximal subgraph in which every node keeps degree ≥ k — the
     * density skeleton community detection and graph-sampling pipelines

@@ -364,6 +364,45 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("incrementalCC: a delta batch that bridges two base components, " +
+      "opens a new one, and attaches a fresh node yields EXACTLY the " +
+      "full-recompute summary — on the hand graph and on the fixture " +
+      "trade graph") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val delta = Seq((2L, 3L), (5L, 6L), (7L, 1L)).toDF("a", "b")
+    val inc = GraphOps.incrementalCC(base, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc === Seq((1L, 5L), (5L, 2L)))
+    // engine-side full recompute agrees
+    val full = DedupOps.connectedComponents(
+        base.unionByName(delta)
+          .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .groupBy(col("cluster_id").as("component_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("component_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc === full)
+    // fixture: incremental fold equals the full trade-graph recompute
+    val d = TestSpark.sf0001
+    val gotInc = GraphOps.componentsIncremental(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairs = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.lineitem(spark, d)
+          .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("doc_a"),
+        (col("l_suppkey") * 2 + 1).as("doc_b")).distinct()
+    val gotFull = DedupOps.connectedComponents(pairs)
+      .groupBy(col("cluster_id").as("component_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("component_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotInc === gotFull)
+  }
+
   test("dimTruncationAudit: truncating to the FULL dimension recovers " +
       "recall exactly 1.0 for every query (self-consistency), and the " +
       "16-dim audit matches a driver-side truncated-cosine recompute") {
