@@ -3917,6 +3917,48 @@ object OracleSql {
         |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // EventOps.seasonalAnomaly twin: same detrended cells, the
+    // hour-of-day component removed, then the exact-lower-median MAD
+    // fence (the ev_anomaly_mad rank formula).
+    "ev_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |trend AS (
+        |  SELECT day, sum(c) AS dsum, count(*) AS dcnt
+        |  FROM hourly GROUP BY 1),
+        |wt AS (
+        |  SELECT h.day, h.hod, h.c,
+        |    CAST(h.c - CAST(t.dsum AS DOUBLE) / t.dcnt
+        |      AS DECIMAL(24,9)) AS r
+        |  FROM hourly h JOIN trend t USING (day)),
+        |seas AS (
+        |  SELECT hod, CAST(sum(r) AS DOUBLE) / count(*) AS seasonal
+        |  FROM wt GROUP BY 1),
+        |resid AS (
+        |  SELECT day, hod, c, CAST(r AS DOUBLE) - seasonal AS resid
+        |  FROM wt JOIN seas USING (hod)),
+        |m1 AS (
+        |  SELECT resid AS med FROM (
+        |    SELECT resid, ROW_NUMBER() OVER (ORDER BY resid) AS rn,
+        |      COUNT(*) OVER () AS cnt
+        |    FROM resid)
+        |  WHERE rn = GREATEST(1, (50 * cnt + 99) // 100)),
+        |dv AS (
+        |  SELECT day, hod, c, resid, abs(resid - med) AS dev
+        |  FROM resid CROSS JOIN m1),
+        |m2 AS (
+        |  SELECT dev AS mad FROM (
+        |    SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn,
+        |      COUNT(*) OVER () AS cnt
+        |    FROM dv)
+        |  WHERE rn = GREATEST(1, (50 * cnt + 99) // 100))
+        |SELECT day, hod, c AS n_events, resid
+        |FROM dv CROSS JOIN m2 WHERE dev > 4.4478 * mad
+        |ORDER BY day, hod""".stripMargin,
+
     // GraphOps.componentsIncremental twin: a FULL recompute — the
     // recursive least-label closure over base ∪ delta trade edges.
     // Equality with the engine's incremental fold is the min-label

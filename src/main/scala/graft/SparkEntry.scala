@@ -145,6 +145,8 @@ object SparkEntry {
     "ev_grain_rollup"     -> (EventOps.grainRollup(_, _)),
     // round 8: additive hour-of-day seasonal decomposition
     "ev_seasonal_profile" -> (EventOps.seasonalProfile(_, _)),
+    // round 8: STL-style deseasonalized MAD anomaly cells
+    "ev_seasonal_anomaly" -> ((s, d) => EventOps.seasonalAnomaly(s, d)),
     "ev_anomaly_mad"      -> (EventOps.anomalyMad(_, _)),
     "ev_cusum_changepoint" -> (EventOps.cusumChangepoint(_, _)),
     // the 100 TB shape of the same detector: per-day buckets + carried

@@ -1030,21 +1030,65 @@ object EventOps {
     * frames — the fact table is touched once; the residual join keys
     * on day (day-count-sized broadcast at any realistic retention).
     */
-  def seasonalProfile(s: SparkSession, d: String): DataFrame = {
+  def seasonalProfile(s: SparkSession, d: String): DataFrame =
+    detrendedHourly(s, d).groupBy("hod")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("n_events"),
+        (sum(col("r")).cast("double") / count(lit(1))).as("seasonal"))
+      .orderBy("hod")
+
+  /** (day, hod, count, day-detrended residual) cells —
+    * [[seasonalProfile]] and [[seasonalAnomaly]] share this frame: one
+    * fact pass to hourly counts, the day-sized trend broadcast back.
+    */
+  private def detrendedHourly(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"),
         hour(col("ts")).cast("long").as("hod"))
       .agg(count(lit(1)).as("c"))
     val trend = hourly.groupBy("day")
       .agg(sum("c").as("dsum"), count(lit(1)).as("dcnt"))
-    val resid = hourly.join(broadcast(trend), Seq("day"))
+    hourly.join(broadcast(trend), Seq("day"))
       .withColumn("r",
         (col("c") - col("dsum").cast("double") / col("dcnt"))
           .cast("decimal(24,9)"))
-    resid.groupBy("hod")
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("c")).as("n_events"),
-        (sum(col("r")).cast("double") / count(lit(1))).as("seasonal"))
-      .orderBy("hod")
+  }
+
+  /** Seasonally-adjusted volume anomalies — the composition monitoring
+    * actually runs (STL-style: remove trend AND seasonality, THEN
+    * flag): the remainder after subtracting both the day trend and the
+    * [[seasonalProfile]] hour-of-day component, flagged by the robust
+    * [[anomalyMad]] fence (exact lower medians, 4.4478·MAD ≈ 3σ under
+    * normality, one literal so both engines evaluate the identical
+    * product). A raw-count fence would page on every busy evening;
+    * deseasonalizing first is what makes the alarm mean something.
+    *
+    * Determinism: residuals are the [[seasonalProfile]] decimal-exact
+    * chain extended by one identical double subtraction; medians are
+    * exact count-map aggregates ([[graft.functions.ExactQuantiles]]),
+    * broadcast back; the flag boundary is a single engine-identical
+    * product compare. Scale: the one fact pass builds the cell frame;
+    * everything after is (days×24)-sized.
+    */
+  def seasonalAnomaly(s: SparkSession, d: String,
+      kMad: Double = 4.4478): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val wt = detrendedHourly(s, d)
+    val seas = wt.groupBy("hod")
+      .agg((sum(col("r")).cast("double") / count(lit(1)))
+        .as("seasonal"))
+    val resid = wt.join(broadcast(seas), Seq("hod"))
+      .withColumn("resid", col("r").cast("double") - col("seasonal"))
+    val med = resid.agg(
+      exactQuantiles(col("resid"), Seq(50), 100).getItem(0).as("med"))
+    val dev = resid.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("resid") - col("med")))
+    val mad = dev.agg(
+      exactQuantiles(col("dev"), Seq(50), 100).getItem(0).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("dev") > lit(kMad) * col("mad"))
+      .select(col("day"), col("hod"), col("c").as("n_events"),
+        col("resid"))
+      .orderBy("day", "hod")
   }
 }

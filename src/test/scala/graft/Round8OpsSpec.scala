@@ -364,6 +364,46 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("seasonalAnomaly: the flagged cell set equals a driver-side " +
+      "STL-style recompute (detrend, deseasonalize, exact-lower-median " +
+      "MAD fence) exactly") {
+    import graft.ops.EventOps
+    val d = TestSpark.sf0001
+    val got = EventOps.seasonalAnomaly(spark, d).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val raw = graft.Tables.events(spark, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val dayMean = raw.groupBy(_._1).map { case (day, rs) =>
+      day -> rs.map(_._3).sum.toDouble / rs.length
+    }
+    def d9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val cells = raw.map { case (day, hod, c) =>
+      (day, hod, c, d9(c - dayMean(day)))
+    }
+    val seas = cells.groupBy(_._2).map { case (hod, rs) =>
+      hod -> rs.map(_._4).sum.toDouble / rs.length
+    }
+    val resid = cells.map { case (day, hod, c, r) =>
+      (day, hod, c, r.toDouble - seas(hod))
+    }
+    def lowerMed(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      s0(math.max(1, (50 * s0.length + 99) / 100) - 1)
+    }
+    val med = lowerMed(resid.map(_._4).toSeq)
+    val mad = lowerMed(resid.map(r => math.abs(r._4 - med)).toSeq)
+    val want = resid.filter(r => math.abs(r._4 - med) > 4.4478 * mad)
+      .sortBy(r => (r._1.getTime, r._2)).toSeq
+    assert(got === want)
+    assert(want.nonEmpty,
+      "fixture should produce at least one seasonally-adjusted anomaly")
+  }
+
   test("incrementalCC: a delta batch that bridges two base components, " +
       "opens a new one, and attaches a fresh node yields EXACTLY the " +
       "full-recompute summary — on the hand graph and on the fixture " +
