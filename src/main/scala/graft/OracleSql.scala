@@ -3917,6 +3917,33 @@ object OracleSql {
         |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // DedupOps.dedupRateReport twin: the survivors oracle's recursive
+    // label closure, sliced per language with pure integer counts.
+    "dedup_rate_report" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN l.cluster_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |  CAST(sum(CASE WHEN l.cluster_id IS NOT NULL
+         |      AND l.cluster_id <> d.doc_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN l.cluster_id IS NOT NULL
+         |      AND l.cluster_id <> d.doc_id
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+         |FROM documents d
+         |LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // EventOps.seasonalAnomaly twin: same detrended cells, the
     // hour-of-day component removed, then the exact-lower-median MAD
     // fence (the ev_anomaly_mad rank formula).

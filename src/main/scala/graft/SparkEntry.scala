@@ -65,6 +65,9 @@ object SparkEntry {
     "txt_classifier_score" -> (TextOps.classifierScore(_, _)),
     "txt_hash_embedding"  -> (TextOps.hashEmbedding(_, _)),
     // dedup
+    // round 8: per-language duplication-rate datasheet row
+    "dedup_rate_report"   -> ((s, d) =>
+      graft.ops.DedupOps.dedupRateReport(s, d)),
     "dedup_exact"         -> (DedupOps.exactDedup(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccardPairs(_, _)),
     "dedup_minhash_lsh"   -> (DedupOps.minhashLshPairs(_, _)),

@@ -444,6 +444,31 @@ object DedupOps {
     */
   def nearDupLabels(s: SparkSession, d: String): DataFrame = ccLabels(s, d)
 
+  /** Per-language duplication-rate report — the datasheet row
+    * deduplication owes the corpus owner ("how contaminated is each
+    * slice, and how much will dedup remove?"): per `lang`, total docs,
+    * docs participating in any near-dup cluster, docs dedup would
+    * REMOVE (non-survivors under the min-id rule), and the removal
+    * rate. Sliced reporting is what catches a single boilerplated
+    * source poisoning one language while the corpus-wide average looks
+    * healthy. Pure integer counts off the memoized CC label table (one
+    * label-sized left join against the doc list — no pair or fixpoint
+    * recompute) with one exact int→double division per row.
+    */
+  def dedupRateReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select("doc_id", "lang")
+      .join(ccLabels(s, d), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull
+            && col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_removed"))
+      .withColumn("dup_rate",
+        col("n_removed").cast("double") / col("n_docs"))
+      .orderBy("lang")
+
   /** Survivors derived from a PRECOMPUTED labels frame (in-session or
     * read back from a stage artifact): cluster minima plus every
     * unpaired document. One left join against the (tiny) label table —

@@ -364,6 +364,33 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("dedupRateReport: per-language counts reconcile with the label " +
+      "table and the doc list (n_docs sums to corpus size, n_removed = " +
+      "n_clustered - clusters-per-lang survivor count, rate = ratio)") {
+    import graft.ops.DedupOps
+    val d = TestSpark.sf0001
+    val got = DedupOps.dedupRateReport(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lab = DedupOps.nearDupLabels(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byLang = docs.groupBy(_._2)
+    val labByDoc = lab.toMap
+    got.foreach { case (lang, nDocs, nClustered, nRemoved, rate) =>
+      val ids = byLang(lang).keys.toSeq
+      assert(nDocs === ids.size.toLong)
+      assert(nClustered === ids.count(labByDoc.contains).toLong)
+      assert(nRemoved ===
+        ids.count(i => labByDoc.get(i).exists(_ != i)).toLong)
+      assert(rate === nRemoved.toDouble / nDocs)
+    }
+    assert(got.map(_._2).sum === docs.size.toLong)
+  }
+
   test("seasonalAnomaly: the flagged cell set equals a driver-side " +
       "STL-style recompute (detrend, deseasonalize, exact-lower-median " +
       "MAD fence) exactly") {
