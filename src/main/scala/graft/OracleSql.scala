@@ -3769,6 +3769,34 @@ object OracleSql {
         |  CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // TextOps.heapsFit twin: per-doc (tokens, distinct types), the
+    // zipf OLS discipline over ln/ln points.
+    "txt_heaps_fit" ->
+      s"""WITH per AS (
+         |  SELECT len(t) AS n_tokens, len(list_distinct(t)) AS n_types
+         |  FROM (SELECT ${toksSql("lower(text)")} AS t FROM documents)
+         |  WHERE len(t) >= 1),
+         |terms AS (
+         |  SELECT
+         |    CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,9)) AS x,
+         |    CAST(ln(CAST(n_types AS DOUBLE)) AS DECIMAL(24,9)) AS y,
+         |    CAST(ln(CAST(n_tokens AS DOUBLE))
+         |      * ln(CAST(n_types AS DOUBLE)) AS DECIMAL(24,9)) AS xy,
+         |    CAST(ln(CAST(n_tokens AS DOUBLE))
+         |      * ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,9)) AS xx
+         |  FROM per),
+         |mom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(xy) AS DOUBLE) AS sxy,
+         |    CAST(sum(xx) AS DOUBLE) AS sxx
+         |  FROM terms)
+         |SELECT n_docs,
+         |  (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx) AS beta,
+         |  (sy - ((n_docs * sxy - sx * sy)
+         |      / (n_docs * sxx - sx * sx)) * sx) / n_docs AS ln_k
+         |FROM mom""".stripMargin,
+
     // TextOps.zipfFit twin: determinate (ctf desc, term) ranks, one ln
     // per factor, per-term DECIMAL(24,9) rounding before the sums,
     // identical closed-form OLS over the four cast sums.
@@ -3916,6 +3944,37 @@ object OracleSql {
         |FROM bt b LEFT JOIN it i
         |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // GraphOps.clusteringCoeff twin: the oriented-closure triangle
+    // total + wedge arithmetic, one exact 3·T / W ratio.
+    "graph_clustering_coeff" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e2
+         |    UNION ALL SELECT b AS node FROM e2)
+         |  GROUP BY 1),
+         |oriented AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |           THEN a ELSE b END AS u,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |           THEN b ELSE a END AS v
+         |  FROM e2
+         |  JOIN deg da ON da.node = a
+         |  JOIN deg db ON db.node = b),
+         |tt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM oriented w1 JOIN oriented w2 ON w1.v = w2.u
+         |  WHERE EXISTS (SELECT 1 FROM oriented w3
+         |                WHERE w3.u = w1.u AND w3.v = w2.v)),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+         |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  3.0 * n_triangles / n_wedges AS global_clustering
+         |FROM st CROSS JOIN tt""".stripMargin,
 
     // DedupOps.dedupRateReport twin: the survivors oracle's recursive
     // label closure, sliced per language with pure integer counts.

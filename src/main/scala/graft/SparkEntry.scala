@@ -52,6 +52,8 @@ object SparkEntry {
     "txt_kn_score"        -> (TextOps.knScore(_, _)),
     // round 8: Zipf rank–frequency fit — the datasheet fingerprint
     "txt_zipf_fit"        -> (TextOps.zipfFit(_, _)),
+    // round 8: Heaps vocabulary-growth fit — Zipf's dual
+    "txt_heaps_fit"       -> (TextOps.heapsFit(_, _)),
     "txt_length_quantiles" -> (TextOps.lengthQuantiles(_, _)),
     "txt_gopher_rules"    -> (TextOps.gopherRules(_, _)),
     "txt_c4_rules"        -> (TextOps.c4Rules(_, _)),
@@ -272,6 +274,9 @@ object SparkEntry {
     // round 8: delta-batch CC maintenance; oracle is a FULL recompute
     "graph_components_incremental" -> ((s, d) =>
       graft.ops.GraphOps.componentsIncremental(s, d)),
+    // round 8: global transitivity — 3·triangles / wedges
+    "graph_clustering_coeff"  -> ((s, d) =>
+      graft.ops.GraphOps.clusteringCoeff(s, d)),
     // round 8: reciprocal-rank fusion of the BM25 + TF-IDF retrievers
     "txt_rrf_fusion"          -> ((s, d) => TextOps.rrfFusion(s, d)),
     // round 8: MMR diversity re-rank of the brute cosine top-10 slate

@@ -254,6 +254,61 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** Global clustering coefficient (transitivity): C = 3·triangles /
+    * wedges — the one-number "how cliquish is this graph" summary that
+    * contextualizes the [[triangleCounts]] census (many triangles in a
+    * dense graph is unremarkable; many relative to wedge opportunity is
+    * structure). Triangles come from the same degree-oriented closure
+    * as [[triangleCounts]] (each counted exactly once); wedges are
+    * Σ deg(deg−1)/2, pure integer arithmetic; the final ratio is one
+    * decimal-exact 3·T product over one int→double division, identical
+    * in both engines. Scale: the [[triangleCounts]] plan plus two
+    * single-row reduces — nothing new shuffles.
+    */
+  def clusteringCoeff(s: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    clusteringCoeffFromEdges(
+      coPurchaseEdges(s, d, minCount).select("a", "b"))
+
+  /** [[clusteringCoeff]]'s core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def clusteringCoeffFromEdges(edgesIn: DataFrame)
+      : DataFrame = {
+    val und = edgesIn.localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")),
+        Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val triTotal = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("wu"), col("e1.v").as("wv"),
+        col("e2.v").as("ww"))
+      .join(oriented.as("e3"),
+        col("wu") === col("e3.u") && col("ww") === col("e3.v"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    stats.crossJoin(triTotal)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("global_clustering"))
+  }
+
   /** The PageRank core over an arbitrary directed (src, dst) edge frame
     * (undirected callers supply both directions): returns (node, r)
     * with `r` in 1e-12 micro-units (LONG — see [[pageRank]]'s

@@ -861,6 +861,51 @@ object TextOps {
           .as("intercept"))
   }
 
+  /** Heaps'-law fit of per-document vocabulary growth (Heaps 1978;
+    * [[zipfFit]]'s companion — the two laws are duals): OLS of
+    * ln(distinct types) against ln(tokens) across documents, giving
+    * V(n) ≈ K·n^β. Natural prose sits at β ≈ 0.4–0.6; β drifting
+    * toward 1 means near-zero repetition (id-like/garbage text),
+    * toward 0 means template spam — the same datasheet page as the
+    * Zipf slope, answering "does vocabulary grow the way real text's
+    * does?". Identical numeric discipline to [[zipfFit]]: integer
+    * (tokens, types) per doc (one row-local pass — `size` and
+    * `array_distinct`, no shuffle), each OLS factor rounded onto
+    * DECIMAL(24,9) before the associative sums, closed-form
+    * slope/intercept over the four cast sums. Output is
+    * (n_docs, beta, ln_k).
+    */
+  def heapsFit(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(tokens(lower(col("text"))).as("t"))
+      .select(size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_types"))
+      .filter(col("n_tokens") >= 1)
+    val terms = per.select(
+      log(col("n_tokens").cast("double")).cast("decimal(24,9)").as("x"),
+      log(col("n_types").cast("double")).cast("decimal(24,9)").as("y"),
+      (log(col("n_tokens").cast("double"))
+        * log(col("n_types").cast("double")))
+        .cast("decimal(24,9)").as("xy"),
+      (log(col("n_tokens").cast("double"))
+        * log(col("n_tokens").cast("double")))
+        .cast("decimal(24,9)").as("xx"))
+    terms.agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .select(col("n_docs"),
+        ((col("n_docs") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_docs") * col("sxx") - col("sx") * col("sx")))
+          .as("beta"),
+        ((col("sy") - ((col("n_docs") * col("sxy")
+              - col("sx") * col("sy"))
+            / (col("n_docs") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("n_docs"))
+          .as("ln_k"))
+  }
+
   /** Adjacent (prev, cur) token-pair positions per document — the
     * bigram frame [[lmBigramPerDoc]] and [[knPerDoc]] share: one
     * row-local explode of the corpus, no shuffle.

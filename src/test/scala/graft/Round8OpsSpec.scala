@@ -364,6 +364,49 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("heapsFit: beta and ln_k equal a driver-side OLS recompute over " +
+      "the same per-doc (tokens, types) points exactly, and the " +
+      "fixture exponent is sublinear (0 < beta < 1)") {
+    import graft.ops.TextOps
+    val d = TestSpark.sf0001
+    val row = TextOps.heapsFit(spark, d).collect()(0)
+    val pts = graft.Tables.documents(spark, d)
+      .select(TextOps.tokens(lower(col("text"))).as("t"))
+      .collect().map(_.getSeq[String](0))
+      .filter(_.nonEmpty)
+      .map(t => (t.length.toLong, t.distinct.length.toLong))
+    def d9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val n = pts.length.toLong
+    val sx = pts.map(p => d9(math.log(p._1.toDouble))).sum.toDouble
+    val sy = pts.map(p => d9(math.log(p._2.toDouble))).sum.toDouble
+    val sxy = pts.map(p => d9(math.log(p._1.toDouble)
+      * math.log(p._2.toDouble))).sum.toDouble
+    val sxx = pts.map(p => d9(math.log(p._1.toDouble)
+      * math.log(p._1.toDouble))).sum.toDouble
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val lnK = (sy - beta * sx) / n
+    assert(row.getLong(0) === n)
+    assert(row.getDouble(1) === beta)
+    assert(row.getDouble(2) === lnK)
+    assert(beta > 0.0 && beta < 1.0)
+  }
+
+  test("clusteringCoeff: K4 is perfectly transitive (C exactly 1.0, " +
+      "4 triangles / 12 wedges / 6 edges); a path has wedges but C " +
+      "exactly 0.0") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val rk = GraphOps.clusteringCoeffFromEdges(k4).collect()(0)
+    assert((rk.getLong(0), rk.getLong(1), rk.getLong(2), rk.getLong(3),
+      rk.getDouble(4)) === ((4L, 6L, 12L, 4L, 1.0)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rp = GraphOps.clusteringCoeffFromEdges(path).collect()(0)
+    assert((rp.getLong(2), rp.getLong(3), rp.getDouble(4))
+      === ((2L, 0L, 0.0)))
+  }
+
   test("dedupRateReport: per-language counts reconcile with the label " +
       "table and the doc list (n_docs sums to corpus size, n_removed = " +
       "n_clustered - clusters-per-lang survivor count, rate = ratio)") {
