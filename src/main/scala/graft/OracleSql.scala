@@ -4571,7 +4571,79 @@ object OracleSql {
          |      ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fu)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    })
+    }) ++ Map(
+
+    // EventOps.attributionLastTouch twin: same dense per-user ordinal,
+    // same preceding-touch window max, same ordinal join-back — the
+    // 24 h cutoff compares micros-exact double seconds in both engines.
+    "ev_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |tagged AS (
+        |  SELECT *, max(CASE WHEN event_type <> 'purchase' THEN rn END)
+        |    OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS touch_rn
+        |  FROM ev),
+        |touches AS (
+        |  SELECT user_id, rn AS touch_rn, event_type AS touch_type,
+        |    ts AS touch_ts
+        |  FROM ev WHERE event_type <> 'purchase')
+        |SELECT
+        |  CASE WHEN t.touch_ts IS NOT NULL
+        |    AND epoch(p.ts) - epoch(t.touch_ts) <= 86400.0
+        |    THEN t.touch_type ELSE 'direct' END AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS attributed_revenue
+        |FROM tagged p LEFT JOIN touches t
+        |  ON p.user_id = t.user_id AND p.touch_rn = t.touch_rn
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // EventOps.markovTransitions twin: identical (ts, event_id) lag
+    // order; probability is one int/int double division.
+    "ev_markov_transitions" ->
+      """WITH bi AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, next_type, count(*) AS n
+        |  FROM bi WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+        |FROM cnt ORDER BY prev_type, next_type""".stripMargin,
+
+    // EventOps.acfHourly twin: BIGINT moment sums end to end; the same
+    // guard-then-(sqrt·sqrt)-divide double tail.
+    "ev_acf" ->
+      """WITH hourly AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT l.lag, count(*) AS n_pairs,
+        |    sum(a.c) AS sx, sum(b.c) AS sy,
+        |    sum(a.c * b.c) AS sxy,
+        |    sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+        |  FROM hourly a
+        |  CROSS JOIN (SELECT CAST(g AS BIGINT) AS lag
+        |              FROM generate_series(1, 24) t(g)) l
+        |  JOIN hourly b ON a.h + l.lag = b.h
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN (n_pairs * sxx - sx * sx) > 0
+        |    AND (n_pairs * syy - sy * sy) > 0
+        |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+        |  END AS acf
+        |FROM m ORDER BY lag""".stripMargin)
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

@@ -307,6 +307,13 @@ object SparkEntry {
     "ev_sliding_quantile"     -> ((s, d) => EventOps.slidingQuantile(s, d)),
     "ev_segment_exclusive"    -> ((s, d) =>
       EventOps.segmentExclusive(s, d)),
+    // round 8: last-touch conversion attribution with a 24 h lookback
+    "ev_attribution"          -> ((s, d) =>
+      EventOps.attributionLastTouch(s, d)),
+    // round 8: first-order Markov transition matrix over user streams
+    "ev_markov_transitions"   -> (EventOps.markovTransitions(_, _)),
+    // round 8: hourly-count autocorrelation at lags 1..24
+    "ev_acf"                  -> ((s, d) => EventOps.acfHourly(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -1091,4 +1091,126 @@ object EventOps {
         col("resid"))
       .orderBy("day", "hod")
   }
+
+  /** Last-touch marketing attribution: every `purchase` is credited to
+    * the most recent preceding NON-purchase event by the same user
+    * within a 24 h lookback, or to the synthetic `direct` channel when
+    * no touch qualifies. This is the conversion-credit aggregation the
+    * reference's event pipeline feeds downstream dashboards with —
+    * the batch form of "which activity drove the sale".
+    *
+    * Determinism: "most recent preceding" is defined on the total
+    * per-user order (ts, event_id) — a dense per-user `row_number`
+    * makes the predecessor unique even under timestamp ties, and the
+    * touch row is re-fetched by that ordinal (an equi-join), never by
+    * a float comparison. The 24 h cutoff compares `ts` cast to double
+    * seconds (exact micros→double conversion, identical in both
+    * engines); revenue sums ride the DECIMAL(18,2) money discipline.
+    *
+    * Scale: ONE shuffle on `user_id` serves both the ordinal window
+    * and the touch-back join (co-partitioned self-join on the window's
+    * own partitioning); everything after is channel-count-sized.
+    */
+  def attributionLastTouch(s: SparkSession, d: String,
+      lookbackSec: Double = 86400d): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val withRn = ev.withColumn("rn", row_number().over(ord))
+    val pred = Window.partitionBy("user_id").orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tagged = withRn.withColumn("touch_rn",
+      max(when(col("event_type") =!= "purchase", col("rn"))).over(pred))
+    val touches = withRn.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("rn").as("touch_rn"),
+        col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+    tagged.filter(col("event_type") === "purchase")
+      .join(touches, Seq("user_id", "touch_rn"), "left")
+      .withColumn("channel",
+        when(col("touch_ts").isNotNull &&
+            col("ts").cast("double") - col("touch_ts").cast("double")
+              <= lit(lookbackSec),
+          col("touch_type")).otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("attributed_revenue"))
+      .orderBy("channel")
+  }
+
+  /** Per-user event-type transition matrix (first-order Markov chain
+    * over the session stream): consecutive-event bigrams on the same
+    * total (ts, event_id) order [[attributionLastTouch]] uses, counted
+    * by (prev, next) with the row-conditional probability
+    * P(next | prev). The sequential-pattern summary behind "what do
+    * users do after an error?" — and the transition table a
+    * next-event-prediction baseline reads directly.
+    *
+    * Exactness: counts are integers; the probability is ONE int/int
+    * division (double in both engines). Scale: one fact shuffle on
+    * `user_id` for the lag window, then a |types|²-bounded aggregate;
+    * the per-prev totals come from a window over that tiny frame, not
+    * a second fact pass.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val bigrams = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    bigrams
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type")))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Autocorrelation function of the hourly event-count series at lags
+    * 1..24 — the periodicity fingerprint (a daily cycle shows as a
+    * peak at lag 24) that seasonal jobs like [[seasonalProfile]] assume
+    * and this operator verifies. Pearson r at each lag over the pairs
+    * (count(h), count(h+lag)) that BOTH exist — no gap imputation, so
+    * the estimate is the standard jagged-series ACF.
+    *
+    * Exactness: the five moment sums (Σx, Σy, Σxy, Σx², Σy², n) are
+    * all BIGINT — integer arithmetic end to end; the final r is two
+    * correctly-rounded sqrts and one division, bit-identical across
+    * engines, NULL when a side is constant (zero variance). Scale:
+    * one fact pass to hourly counts; the lag fanout multiplies an
+    * hours-sized frame by 24, never the fact table.
+    */
+  def acfHourly(s: SparkSession, d: String, maxLag: Int = 24): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy((floor(col("ts").cast("double") / 3600))
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val lags = s.range(1, maxLag + 1).select(col("id").as("lag"))
+    val pairs = hourly.select(col("h"), col("c").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(hourly.select(col("h").as("h2"), col("c").as("y")),
+        col("h") + col("lag") === col("h2"))
+    val m = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(col("lag"), col("n_pairs"),
+        (when(
+          (col("n_pairs") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n_pairs") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))))
+          .as("acf"))
+      .orderBy("lag")
+  }
 }
