@@ -4643,7 +4643,142 @@ object OracleSql {
         |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
         |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
         |  END AS acf
-        |FROM m ORDER BY lag""".stripMargin)
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // EventOps.psiValueDrift twin: same exact-rank decile edges from
+    // the baseline week, same 1e-4 floor, per-bin term quantized onto
+    // DECIMAL(24,9) before the associative cross-bin sum.
+    "ev_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch(ts) AS sec, value FROM events),
+        |span AS (SELECT min(sec) AS lo, max(sec) AS hi FROM ev),
+        |base AS (
+        |  SELECT value FROM ev CROSS JOIN span
+        |  WHERE sec < lo + 604800.0),
+        |cur AS (
+        |  SELECT value FROM ev CROSS JOIN span
+        |  WHERE sec >= hi - 604800.0),
+        |ranked AS (
+        |  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM base),
+        |bp AS (
+        |  SELECT
+        |    max(CASE WHEN rn = GREATEST(1, (10 * cnt + 99) // 100)
+        |      THEN value END) AS b0,
+        |    max(CASE WHEN rn = GREATEST(1, (20 * cnt + 99) // 100)
+        |      THEN value END) AS b1,
+        |    max(CASE WHEN rn = GREATEST(1, (30 * cnt + 99) // 100)
+        |      THEN value END) AS b2,
+        |    max(CASE WHEN rn = GREATEST(1, (40 * cnt + 99) // 100)
+        |      THEN value END) AS b3,
+        |    max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |      THEN value END) AS b4,
+        |    max(CASE WHEN rn = GREATEST(1, (60 * cnt + 99) // 100)
+        |      THEN value END) AS b5,
+        |    max(CASE WHEN rn = GREATEST(1, (70 * cnt + 99) // 100)
+        |      THEN value END) AS b6,
+        |    max(CASE WHEN rn = GREATEST(1, (80 * cnt + 99) // 100)
+        |      THEN value END) AS b7,
+        |    max(CASE WHEN rn = GREATEST(1, (90 * cnt + 99) // 100)
+        |      THEN value END) AS b8
+        |  FROM ranked),
+        |bb AS (
+        |  SELECT CASE WHEN value <= b0 THEN 0 WHEN value <= b1 THEN 1
+        |    WHEN value <= b2 THEN 2 WHEN value <= b3 THEN 3
+        |    WHEN value <= b4 THEN 4 WHEN value <= b5 THEN 5
+        |    WHEN value <= b6 THEN 6 WHEN value <= b7 THEN 7
+        |    WHEN value <= b8 THEN 8 ELSE 9 END AS bin
+        |  FROM base CROSS JOIN bp),
+        |cb AS (
+        |  SELECT CASE WHEN value <= b0 THEN 0 WHEN value <= b1 THEN 1
+        |    WHEN value <= b2 THEN 2 WHEN value <= b3 THEN 3
+        |    WHEN value <= b4 THEN 4 WHEN value <= b5 THEN 5
+        |    WHEN value <= b6 THEN 6 WHEN value <= b7 THEN 7
+        |    WHEN value <= b8 THEN 8 ELSE 9 END AS bin
+        |  FROM cur CROSS JOIN bp),
+        |bins AS (
+        |  SELECT CAST(g AS BIGINT) AS bin
+        |  FROM generate_series(0, 9) t(g)),
+        |joined AS (
+        |  SELECT bins.bin,
+        |    coalesce(nb.n, 0) AS n_base, coalesce(nc.n, 0) AS n_cur
+        |  FROM bins
+        |  LEFT JOIN (SELECT bin, count(*) AS n FROM bb GROUP BY 1) nb
+        |    ON bins.bin = nb.bin
+        |  LEFT JOIN (SELECT bin, count(*) AS n FROM cb GROUP BY 1) nc
+        |    ON bins.bin = nc.bin),
+        |tots AS (
+        |  SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM joined),
+        |terms AS (
+        |  SELECT bin, n_base, n_cur,
+        |    greatest(CAST(n_base AS DOUBLE) / tb, 0.0001) AS p,
+        |    greatest(CAST(n_cur AS DOUBLE) / tc, 0.0001) AS q
+        |  FROM joined CROSS JOIN tots),
+        |td AS (
+        |  SELECT bin, n_base, n_cur, p, q,
+        |    CAST((p - q) * ln(p / q) AS DECIMAL(24,9)) AS contrib_dec
+        |  FROM terms)
+        |SELECT bin, n_base, n_cur, p, q,
+        |  CAST(contrib_dec AS DOUBLE) AS contrib,
+        |  CAST(sum(contrib_dec) OVER () AS DOUBLE) AS psi
+        |FROM td ORDER BY bin""".stripMargin,
+
+    // TextOps.giniTokens twin: BIGINT rank identity end to end, one
+    // double division pair at the surface.
+    "txt_gini_tokens" ->
+      s"""WITH per AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS x
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT lang, x, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY x, doc_id) AS BIGINT) AS i
+         |  FROM per),
+         |agg AS (
+         |  SELECT lang, count(*) AS n_docs, sum(x) AS total_tokens,
+         |    sum(i * x) AS swx
+         |  FROM ranked GROUP BY 1)
+         |SELECT lang, n_docs, total_tokens,
+         |  CASE WHEN total_tokens > 0
+         |    THEN CAST(2 * swx - (n_docs + 1) * total_tokens AS DOUBLE)
+         |      / CAST(n_docs * total_tokens AS DOUBLE)
+         |  END AS gini
+         |FROM agg ORDER BY lang""".stripMargin,
+
+    // TextOps.ksSplitDrift twin: integer window cumsums (associative —
+    // segment-tree vs sequential evaluation agree), one ECDF division
+    // per side, argmax by (gap DESC, value).
+    "txt_ks_drift" ->
+      s"""WITH per AS (
+         |  SELECT CAST(len(${toksSql("text")}) AS BIGINT) AS v,
+         |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 8))
+         |        AS BIGINT) % 100 < 10
+         |      THEN 'test' ELSE 'train' END AS split
+         |  FROM documents),
+         |byval AS (
+         |  SELECT v,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS a,
+         |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS b
+         |  FROM per GROUP BY 1),
+         |ecdf AS (
+         |  SELECT v,
+         |    sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS ca,
+         |    sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cb,
+         |    sum(a) OVER () AS na, sum(b) OVER () AS nb
+         |  FROM byval),
+         |gaps AS (
+         |  SELECT na, nb, v,
+         |    abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+         |      AS gap,
+         |    ROW_NUMBER() OVER (ORDER BY abs(CAST(ca AS DOUBLE) / na
+         |      - CAST(cb AS DOUBLE) / nb) DESC, v) AS rn
+         |  FROM ecdf)
+         |SELECT na AS n_train, nb AS n_test, gap AS ks_stat,
+         |  v AS ks_at_value
+         |FROM gaps WHERE rn = 1""".stripMargin)
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

@@ -314,6 +314,12 @@ object SparkEntry {
     "ev_markov_transitions"   -> (EventOps.markovTransitions(_, _)),
     // round 8: hourly-count autocorrelation at lags 1..24
     "ev_acf"                  -> ((s, d) => EventOps.acfHourly(s, d)),
+    // round 8: PSI drift monitor (first-week baseline vs last week)
+    "ev_psi_drift"            -> ((s, d) => EventOps.psiValueDrift(s, d)),
+    // round 8: per-language Gini of token mass — corpus balance
+    "txt_gini_tokens"         -> (TextOps.giniTokens(_, _)),
+    // round 8: two-sample KS statistic between the split halves
+    "txt_ks_drift"            -> ((s, d) => TextOps.ksSplitDrift(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -1713,4 +1713,83 @@ object TextOps {
       .withColumn("keep", col("score") > 0)
       .orderBy("doc_id")
   }
+
+  /** Per-language Gini coefficient of token mass across documents — the
+    * corpus-balance inequality number on the datasheet page next to
+    * [[zipfFit]]: G ≈ 0 means documents contribute evenly, G → 1 means
+    * a few giant documents carry the language. Uses the rank identity
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending-sorted token
+    * counts, which is invariant under tie order (equal x share one
+    * value, so permuting their ranks leaves Σ i·xᵢ unchanged) — the
+    * (x, doc_id) sort makes the assignment engine-identical anyway.
+    *
+    * Exactness: token counts, ranks, and all three sums are BIGINT —
+    * integer end to end; the final G is one int→double division pair.
+    * Scale: one row-local token count, then a per-language sort (the
+    * range-partitioned sort any exact Gini needs — Spark distributes
+    * it; the sketch path for a quick read is the binned Lorenz curve
+    * off [[lengthQuantiles]]-style count maps).
+    */
+  def giniTokens(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("x"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.partitionBy("lang")
+        .orderBy(col("x"), col("doc_id"))).cast(LongType))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("swx"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        when(col("total_tokens") > 0,
+          (lit(2) * col("swx") - (col("n_docs") + 1) * col("total_tokens"))
+            .cast("double")
+            / (col("n_docs") * col("total_tokens")).cast("double"))
+          .as("gini"))
+      .orderBy("lang")
+  }
+
+  /** Kolmogorov–Smirnov drift check between the [[trainTestSplit]]
+    * halves on the token-count distribution: D = max over observed
+    * values of |F_train(v) − F_test(v)|, plus the value attaining it —
+    * the standard "did my split (or yesterday's corpus) drift?"
+    * two-sample test statistic. A content-hash split should show tiny
+    * D; a large D flags a skewed split or a shifted ingest.
+    *
+    * Exactness: per-value counts and running totals are BIGINT window
+    * sums (integer addition — associative, so DuckDB's segment-tree
+    * window evaluation agrees bit-for-bit); each ECDF is ONE int/int
+    * division, the gap one subtraction, and the argmax row is picked
+    * by (gap DESC, value) so double ties break on the integer value.
+    * Scale: one row-local pass to (split, n_tokens), a distinct-value-
+    * sized cumulative frame after — the fact table is never sorted,
+    * only the value domain (bounded by max doc length).
+    */
+  def ksSplitDrift(s: SparkSession, d: String, testPct: Int = 10): DataFrame = {
+    val per = Tables.documents(s, d).select(
+      size(tokens(col("text"))).cast(LongType).as("v"),
+      when((conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast(LongType) % 100) < testPct, lit("test"))
+        .otherwise(lit("train")).as("split"))
+    val byVal = per.groupBy("v").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("a"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("b"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ecdf = byVal
+      .withColumn("ca", sum(col("a")).over(cum))
+      .withColumn("cb", sum(col("b")).over(cum))
+      .withColumn("na", sum(col("a")).over(tot))
+      .withColumn("nb", sum(col("b")).over(tot))
+      .withColumn("gap", abs(col("ca").cast("double") / col("na")
+        - col("cb").cast("double") / col("nb")))
+    ecdf.withColumn("rn", row_number().over(
+        Window.orderBy(col("gap").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("na").as("n_train"), col("nb").as("n_test"),
+        col("gap").as("ks_stat"), col("v").as("ks_at_value"))
+  }
 }

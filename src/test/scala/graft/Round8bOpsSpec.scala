@@ -110,4 +110,97 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === (1L to 24L))
     assert(got.forall(_._2 > 0))
   }
+
+  private def tokenCounts: Array[(Long, String, Long)] =
+    Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("lang"),
+        size(ops.TextOps.tokens(col("text"))).cast("long").as("x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  test("giniTokens: every language's G matches the integer rank-identity " +
+      "recompute, sits in [0, 1), and a constant series gives exactly 0") {
+    val want = tokenCounts.groupBy(_._2).map { case (lang, rows) =>
+      val xs = rows.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val swx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      lang -> (n, tot,
+        if (tot > 0) Some((2 * swx - (n + 1) * tot).toDouble
+          / (n * tot).toDouble)
+        else None)
+    }
+    val got = ops.TextOps.giniTokens(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toMap === want)
+    assert(got.flatMap(_._2._3).forall(g => g >= 0 && g < 1))
+    // rank identity sanity: constant x ⇒ G = 0 exactly
+    val const = Seq.fill(7)(42L)
+    val cn = const.length.toLong; val ct = const.sum
+    val cs = const.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    assert((2 * cs - (cn + 1) * ct).toDouble / (cn * ct) === 0.0)
+  }
+
+  test("ksSplitDrift: the statistic equals the max ECDF gap over a " +
+      "driver-side two-sample replay, and the reported value attains it") {
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select(size(ops.TextOps.tokens(col("text"))).cast("long").as("v"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long") % 100 < 10).as("isTest"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val train = rows.filter(!_._2).map(_._1).sorted
+    val test = rows.filter(_._2).map(_._1).sorted
+    val na = train.length.toLong; val nb = test.length.toLong
+    val values = (train ++ test).distinct.sorted
+    val gaps = values.map { v =>
+      val ca = train.count(_ <= v).toLong
+      val cb = test.count(_ <= v).toLong
+      v -> math.abs(ca.toDouble / na - cb.toDouble / nb)
+    }
+    val best = gaps.maxBy { case (v, g) => (g, -v) }
+    val Array(r) = ops.TextOps.ksSplitDrift(spark, TestSpark.sf0001)
+      .collect()
+    assert(r.getLong(0) === na && r.getLong(1) === nb)
+    assert(r.getDouble(2) === best._2)
+    assert(gaps.toMap.apply(r.getLong(3)) === r.getDouble(2))
+  }
+
+  test("psiValueDrift: bins cover all events in each window, shares " +
+      "carry the 1e-4 floor, the psi column is the same associative " +
+      "decimal total on every row, and contributions match a driver-side " +
+      "recompute") {
+    val d = TestSpark.sf0001
+    val got = EventOps.psiValueDrift(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.map(_._1).toSeq === (0L to 9L))
+    // driver-side replay
+    val ev = Tables.events(spark, d)
+      .select(col("ts").cast("double"), col("value"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val lo = ev.map(_._1).min; val hi = ev.map(_._1).max
+    val base = ev.filter(_._1 < lo + 604800d).map(_._2)
+    val cur = ev.filter(_._1 >= hi - 604800d).map(_._2)
+    assert(got.map(_._2).sum === base.length.toLong)
+    assert(got.map(_._3).sum === cur.length.toLong)
+    val sortedB = base.sorted
+    val bps = (1 to 9).map(p =>
+      sortedB(math.max(1, (10 * p * sortedB.length + 99) / 100) - 1))
+    def bin(v: Double): Int = bps.indexWhere(v <= _) match {
+      case -1 => 9; case i => i
+    }
+    val nb = base.length.toDouble; val nc = cur.length.toDouble
+    val wantContrib = (0 to 9).map { b =>
+      val p = math.max(base.count(bin(_) == b) / nb, 1e-4)
+      val q = math.max(cur.count(bin(_) == b) / nc, 1e-4)
+      BigDecimal((p - q) * StrictMath.log(p / q))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    got.zip(wantContrib).foreach { case (g, w) =>
+      assert(BigDecimal(g._6) === w, s"bin ${g._1}")
+    }
+    val psi = wantContrib.sum.toDouble
+    assert(got.forall(_._7 === psi))
+  }
 }
