@@ -2949,6 +2949,28 @@ object OracleSql {
        |    GROUP BY 1) m ON m.node = nd.node)"""
   }.mkString(",\n")
 
+  /** The HITS half-round chain (round 8): integer sum → max-normalize
+    * via one floor division per side, mirroring [[ops.GraphOps.hits]]'
+    * scaled-integer contract — every round bit-equal, no doubles in
+    * the loop.
+    */
+  private val hitsSteps: String = (1 to 4).map { i =>
+    s"""a${i}r AS (
+       |  SELECT e.p, CAST(sum(h.hub) AS BIGINT) AS ar
+       |  FROM e JOIN h${i - 1} h ON e.c = h.c GROUP BY 1),
+       |a${i}m AS (SELECT max(ar) AS m FROM a${i}r),
+       |a$i AS (
+       |  SELECT p, ar * 1000000 // m AS auth
+       |  FROM a${i}r CROSS JOIN a${i}m),
+       |h${i}r AS (
+       |  SELECT e.c, CAST(sum(a.auth) AS BIGINT) AS hr
+       |  FROM e JOIN a$i a ON e.p = a.p GROUP BY 1),
+       |h${i}m AS (SELECT max(hr) AS m FROM h${i}r),
+       |h$i AS (
+       |  SELECT c, hr * 1000000 // m AS hub
+       |  FROM h${i}r CROSS JOIN h${i}m)"""
+  }.mkString(",\n")
+
   /** Round-6 additions: decorrelated Q21/Q22 shapes + BM25 retrieval. */
   val round6: Map[String, String] = Map(
     // Analytics.soleLateSupplier twin: the same decorrelated aggregate
@@ -4778,7 +4800,236 @@ object OracleSql {
          |  FROM ecdf)
          |SELECT na AS n_train, nb AS n_test, gap AS ks_stat,
          |  v AS ks_at_value
-         |FROM gaps WHERE rn = 1""".stripMargin)
+         |FROM gaps WHERE rn = 1""".stripMargin,
+
+    // TextOps.chisqLangLength twin: full R×C grid incl. zero-observed
+    // cells; per-cell double chain quantized onto DECIMAL(24,9) before
+    // the associative χ² total.
+    "txt_chisq_lang_length" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |      WHEN n_chars < 400 THEN 'medium'
+        |      ELSE 'long' END AS bucket
+        |  FROM documents),
+        |counted AS (
+        |  SELECT lang, bucket, count(*) AS obs FROM b GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(obs) AS rt FROM counted GROUP BY 1),
+        |ct AS (SELECT bucket, sum(obs) AS ct FROM counted GROUP BY 1),
+        |tot AS (SELECT sum(obs) AS n FROM counted),
+        |cells AS (
+        |  SELECT rt.lang, ct.bucket,
+        |    coalesce(c.obs, 0) AS observed
+        |  FROM (SELECT lang FROM rt) rt
+        |  CROSS JOIN (SELECT bucket FROM ct) ct
+        |  LEFT JOIN counted c
+        |    ON rt.lang = c.lang AND ct.bucket = c.bucket),
+        |terms AS (
+        |  SELECT cells.lang, cells.bucket, observed,
+        |    CAST(rt.rt * ct.ct AS DOUBLE) / tot.n AS expected
+        |  FROM cells
+        |  JOIN rt ON cells.lang = rt.lang
+        |  JOIN ct ON cells.bucket = ct.bucket
+        |  CROSS JOIN tot),
+        |td AS (
+        |  SELECT lang, bucket, observed, expected,
+        |    CAST((observed - expected) * (observed - expected)
+        |      / expected AS DECIMAL(24,9)) AS contrib_dec
+        |  FROM terms)
+        |SELECT lang, bucket, observed, expected,
+        |  CAST(contrib_dec AS DOUBLE) AS contrib,
+        |  CAST(sum(contrib_dec) OVER () AS DOUBLE) AS chi2
+        |FROM td ORDER BY lang, bucket""".stripMargin,
+
+    // Relational.skylineParts twin: the quadratic NOT EXISTS dominance
+    // spec — the engine's sort-order identity must agree exactly.
+    "r_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice,
+        |  CAST(p_size AS BIGINT) AS p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |      OR b.p_size < a.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+
+    // GraphOps.hits twin: 4 unrolled half-round pairs of the same
+    // scaled-integer iterate (see hitsSteps).
+    "graph_hits" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS hub
+         |  FROM e),
+         |$hitsSteps,
+         |ta AS (
+         |  SELECT 'authority' AS kind,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY auth DESC, p) AS BIGINT)
+         |      AS rank,
+         |    p AS node, CAST(auth AS DOUBLE) / 1e6 AS score
+         |  FROM a4),
+         |th AS (
+         |  SELECT 'hub' AS kind,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY hub DESC, c) AS BIGINT)
+         |      AS rank,
+         |    c AS node, CAST(hub AS DOUBLE) / 1e6 AS score
+         |  FROM h4)
+         |SELECT * FROM (
+         |  SELECT * FROM ta WHERE rank <= 10
+         |  UNION ALL SELECT * FROM th WHERE rank <= 10)
+         |ORDER BY kind, rank""".stripMargin,
+
+    // SimilarityOps.kcenterCoreset twin: 7 unrolled farthest-first
+    // rounds of the same round-6 cosine, coalesce(-1) NaN guard, and
+    // (max_sim ASC, vec_id) argmin.
+    "emb_kcenter_coreset" -> {
+      def simSql(p: String, c: String): String =
+        s"round(list_sum(list_transform(range(1, len($p.emb) + 1), " +
+          s"i -> $p.emb[i] * $c.emb[i])) / ($p.nrm * $c.nrm), 6)"
+      val steps = (2 to 8).map { i =>
+        s"""sel$i AS (
+           |  SELECT vec_id, max_sim FROM (
+           |    SELECT *, ROW_NUMBER() OVER (ORDER BY max_sim ASC,
+           |      vec_id) AS rn
+           |    FROM st${i - 1}) WHERE rn = 1),
+           |st$i AS (
+           |  SELECT p.vec_id, p.emb, p.nrm,
+           |    greatest(p.max_sim,
+           |      coalesce(${simSql("p", "c")}, -1.0)) AS max_sim
+           |  FROM st${i - 1} p
+           |  JOIN n c ON c.vec_id = (SELECT vec_id FROM sel$i)
+           |  WHERE p.vec_id <> c.vec_id)"""
+      }.mkString(",\n")
+      val picks = (2 to 8).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS k_rank, vec_id, " +
+          s"max_sim AS pick_sim FROM sel$i"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH n AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |c1 AS (
+         |  SELECT * FROM n
+         |  WHERE vec_id = (SELECT min(vec_id) FROM n)),
+         |st1 AS (
+         |  SELECT p.vec_id, p.emb, p.nrm,
+         |    coalesce(${simSql("p", "c")}, -1.0) AS max_sim
+         |  FROM n p CROSS JOIN c1 c WHERE p.vec_id <> c.vec_id),
+         |$steps
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS k_rank,
+         |    (SELECT min(vec_id) FROM n) AS vec_id,
+         |    CAST(NULL AS DOUBLE) AS pick_sim
+         |  UNION ALL $picks)
+         |ORDER BY k_rank""".stripMargin
+    },
+
+    // DedupOps.editVerifiedPairs twin: the exact-Jaccard pair truth the
+    // LSH path reproduces, re-ranked by plain Levenshtein on the same
+    // 200-char prefixes (the engine's bounded form returns the exact
+    // distance whenever it is <= the bound, so the <= filter twins it).
+    "dedup_edit_verify" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t,
+         |    substr(text, 1, 200) AS pre
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+         |    FROM toks WHERE len(t) >= 3)),
+         |pairforming AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+         |idx AS (
+         |  SELECT * FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM pairforming)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE shared * 100 >= 60 * (sa.n_sh + sb.n_sh - shared))
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ta.pre, tb.pre) AS BIGINT) AS edit_dist,
+         |  CAST(1 AS DOUBLE) - CAST(levenshtein(ta.pre, tb.pre)
+         |      AS DOUBLE)
+         |    / greatest(length(ta.pre), length(tb.pre)) AS edit_sim
+         |FROM verified
+         |JOIN toks ta ON doc_a = ta.doc_id
+         |JOIN toks tb ON doc_b = tb.doc_id
+         |WHERE levenshtein(ta.pre, tb.pre) <= 16
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // DedupOps.simhashAudit twin: both registered detectors' pair sets
+    // (the shared CTE fragments), full-outer joined and counted.
+    "dedup_simhash_audit" ->
+      s"""WITH $simhashPairsCtes,
+         |$ngramPairsCtes,
+         |sp AS (
+         |  SELECT doc_a, doc_b FROM cand WHERE hamming <= 3),
+         |fo AS (
+         |  SELECT sp.doc_a IS NOT NULL AS in_s,
+         |    j.doc_a IS NOT NULL AS in_e
+         |  FROM sp FULL OUTER JOIN jpairs j
+         |    ON sp.doc_a = j.doc_a AND sp.doc_b = j.doc_b),
+         |agg AS (
+         |  SELECT
+         |    sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS n_simhash,
+         |    sum(CASE WHEN in_e THEN 1 ELSE 0 END) AS n_exact,
+         |    sum(CASE WHEN in_s AND in_e THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN in_s AND NOT in_e THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN NOT in_s AND in_e THEN 1 ELSE 0 END) AS fn
+         |  FROM fo)
+         |SELECT n_simhash, n_exact, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+         |FROM agg""".stripMargin,
+
+    // Relational.pitJoin twin: the same union-sort as-of pick —
+    // version-at-equal-ts wins via (ts, is_v DESC, version), zero-width
+    // versions collapse to the later one.
+    "r_pit_join" ->
+      """WITH v AS (
+        |  SELECT o_custkey AS key, o_orderstatus AS status,
+        |    CAST(o_orderdate AS TIMESTAMP) AS ts,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS version
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_custkey AS key, CAST(l_shipdate AS TIMESTAMP) AS ts,
+        |    l_quantity AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |u AS (
+        |  SELECT key, ts, 1 AS is_v, version, status,
+        |    CAST(NULL AS DOUBLE) AS qty
+        |  FROM v
+        |  UNION ALL
+        |  SELECT key, ts, 0 AS is_v, 0 AS version,
+        |    CAST(NULL AS VARCHAR) AS status, qty
+        |  FROM p),
+        |wnd AS (
+        |  SELECT *, last_value(CASE WHEN is_v = 1 THEN status END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY key ORDER BY ts, is_v DESC, version
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS as_of_status
+        |  FROM u)
+        |SELECT as_of_status AS status, count(*) AS n_lines,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM wnd WHERE is_v = 0
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

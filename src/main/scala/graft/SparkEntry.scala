@@ -320,6 +320,22 @@ object SparkEntry {
     "txt_gini_tokens"         -> (TextOps.giniTokens(_, _)),
     // round 8: two-sample KS statistic between the split halves
     "txt_ks_drift"            -> ((s, d) => TextOps.ksSplitDrift(s, d)),
+    // round 8: χ² independence of language × length bucket
+    "txt_chisq_lang_length"   -> (TextOps.chisqLangLength(_, _)),
+    // round 8: 2-D Pareto skyline (price, size) via the sort identity
+    "r_skyline"               -> (Relational.skylineParts(_, _)),
+    // round 8: HITS hubs & authorities (scaled-integer iterate)
+    "graph_hits"              -> ((s, d) => graft.ops.GraphOps.hits(s, d)),
+    // round 8: greedy farthest-first k-center coreset (Gonzalez 1985)
+    "emb_kcenter_coreset"     -> ((s, d) =>
+      SimilarityOps.kcenterCoreset(s, d)),
+    // round 8: bounded-Levenshtein re-rank of the LSH near-dup pairs
+    "dedup_edit_verify"       -> ((s, d) =>
+      DedupOps.editVerifiedPairs(s, d)),
+    // round 8: simhash-vs-exact-Jaccard pair audit (precision/recall)
+    "dedup_simhash_audit"     -> (DedupOps.simhashAudit(_, _)),
+    // round 8: point-in-time join against the SCD2 dimension
+    "r_pit_join"              -> (Relational.pitJoin(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

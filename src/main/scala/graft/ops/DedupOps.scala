@@ -886,4 +886,84 @@ object DedupOps {
         lit(1L).as("n_members"), col("n_tokens"), col("keep"))
     pick.unionByName(unpaired).orderBy("doc_id")
   }
+
+  /** Edit-distance verification pass over the MinHash-LSH near-dup
+    * pairs: each surviving pair gets the Levenshtein distance of its
+    * 200-char prefixes and the normalized similarity
+    * 1 − d/max(|a|,|b|) — the re-rank step an entity-resolution /
+    * fuzzy-dedup pipeline runs AFTER candidate generation, never
+    * pairwise over the corpus. Character-level distance catches what
+    * shingle Jaccard blurs (transposed words score high Jaccard but
+    * nonzero edit distance), so the pair table carries both signals.
+    *
+    * The engine uses Spark's BOUNDED `levenshtein(l, r, threshold)` —
+    * the banded O(threshold·len) form that returns −1 above the bound
+    * (the pair is dropped), which is the 100 TB-relevant trick: cost
+    * per candidate is threshold-linear, not len². Determinism: unit-
+    * cost edit distance is a unique integer; the ratio is one int/int
+    * double division. Scale: candidates ∝ duplicate density (the LSH
+    * contract), one prefix join against the doc table, no new shuffle
+    * class.
+    */
+  def editVerifiedPairs(s: SparkSession, d: String,
+      prefixLen: Int = 200, maxDist: Int = 16): DataFrame = {
+    val pre = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pre"))
+    minhashLshPairs(s, d)
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")),
+        Seq("doc_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")),
+        Seq("doc_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("pre_a"), col("pre_b"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0)
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double")
+          / greatest(length(col("pre_a")), length(col("pre_b"))))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        col("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Pair-level audit of the SimHash banded path against the exact
+    * n-gram Jaccard truth ([[ngramJaccardPairs]]): true/false
+    * positives and misses plus precision/recall, in the same
+    * audit-the-approximate-path family as the ANN recall audit. The
+    * two detectors measure DIFFERENT similarity notions (64-bit
+    * profile Hamming vs set Jaccard), so this is the calibration
+    * number — "how much of the exact-dup surface does the cheap
+    * Hamming pass cover, and what does it over-admit?" — a datasheet
+    * row any production dedup stack publishes before swapping
+    * detectors.
+    *
+    * Exactness: set counts are integers from a full outer join of the
+    * two REGISTERED operators' outputs (the audit measures production
+    * scoring, not a reimplementation); precision/recall are int/int
+    * double divisions. Scale: both inputs are pair-table-sized
+    * (candidate-bounded); the join keys on the pair id.
+    */
+  def simhashAudit(s: SparkSession, d: String): DataFrame = {
+    val sp = simhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_sim"))
+    val ep = ngramJaccardPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_ex"))
+    val j = sp.join(ep, Seq("doc_a", "doc_b"), "full_outer")
+    j.agg(
+        sum(coalesce(col("in_sim"), lit(0L))).as("n_simhash"),
+        sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
+        sum(when(col("in_sim").isNotNull && col("in_ex").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("in_sim").isNotNull && col("in_ex").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("in_sim").isNull && col("in_ex").isNotNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("n_simhash"), col("n_exact"), col("tp"), col("fp"),
+        col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("recall"))
+  }
 }

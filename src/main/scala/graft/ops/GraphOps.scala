@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1305,5 +1306,171 @@ object GraphOps {
     terms.agg(count(lit(1)).as("n_communities"),
         max(col("m")).as("m_edges"),
         sum(col("term")).cast("double").as("modularity"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    * customer→supplier trade graph: a supplier is a strong AUTHORITY
+    * when strong hub customers buy from it; a customer is a strong HUB
+    * when it buys from strong authorities — the mutually-recursive
+    * centrality pair, distinct from PageRank's single stationary mass.
+    * Surfaces the top `topK` of each side with its normalized score.
+    *
+    * Engine-exactness is the [[pageRank]] scaled-integer contract
+    * transplanted: scores are BIGINT multiples of 1e-6 (init 1e6); each
+    * half-round is an integer-sum aggregate followed by max-normalization
+    * via ONE floor division (`x * 1e6 div max`) — no double ever enters
+    * the loop, so every round is bit-identical across engines and the
+    * oracle is `iters` unrolled CTE pairs. (The textbook L2
+    * normalization is a convergence convenience, not part of the fixed
+    * point's direction; max-normalization keeps the iterate exactly
+    * representable. Headroom: Σhub ≤ |C|·1e6, times the 1e6 rescale
+    * needs |C| < 9·10⁶ per partition-free sum — at larger |C| raise the
+    * scale denominator, same contract.)
+    *
+    * Scale: the edge list is the only big frame; each half-round is one
+    * shuffle on its key (map-side-combined sum), the max is a 1-row
+    * broadcast, and the node frames are |C|- / |S|-sized. Per-round
+    * lineage is cut with localCheckpoint exactly like [[pageRank]].
+    */
+  def hits(s: SparkSession, d: String, iters: Int = 4,
+      topK: Int = 10): DataFrame = {
+    val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    var hub = edges.select(col("c")).distinct()
+      .withColumn("hub", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = edges.join(hub, Seq("c"))
+        .groupBy("p").agg(sum(col("hub")).as("ar"))
+      val am = ar.agg(max(col("ar")).as("m"))
+      auth = ar.crossJoin(broadcast(am))
+        .select(col("p"), expr("ar * 1000000 div m").as("auth"))
+        .localCheckpoint()
+      val hr = edges.join(auth, Seq("p"))
+        .groupBy("c").agg(sum(col("auth")).as("hr"))
+      val hm = hr.agg(max(col("hr")).as("m"))
+      hub = hr.crossJoin(broadcast(hm))
+        .select(col("c"), expr("hr * 1000000 div m").as("hub"))
+        .localCheckpoint()
+    }
+    val topAuth = auth
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("auth").desc, col("p"))))
+      .filter(col("rank") <= topK)
+      .select(lit("authority").as("kind"), col("rank").cast("long").as("rank"),
+        col("p").as("node"),
+        (col("auth").cast("double") / lit(1e6)).as("score"))
+    val topHub = hub
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("hub").desc, col("c"))))
+      .filter(col("rank") <= topK)
+      .select(lit("hub").as("kind"), col("rank").cast("long").as("rank"),
+        col("c").as("node"),
+        (col("hub").cast("double") / lit(1e6)).as("score"))
+    topAuth.unionAll(topHub).orderBy("kind", "rank")
+  }
+
+  /** Single-source shortest paths (bounded-round Bellman–Ford) over
+    * the WEIGHTED trade graph — the min-plus semiring member of the
+    * superstep family: BFS ([[hopHistogram]]) counts hops, this
+    * accumulates integer edge costs, and both are the same
+    * frontier-join-aggregate shape. Edge weight is the pair's best
+    * observed shipping latency: per distinct (customer, supplier)
+    * pair, `greatest(1, min(abs(ship − order days)))` over its
+    * lineitems — an exact integer in both engines (date subtraction),
+    * symmetric by construction, clamped ≥ 1 so the metric is a true
+    * path length. Sources are NATION_0's trading customers (the
+    * [[hopHistogram]] seed set): "how costly is every reachable
+    * counterparty from this market".
+    *
+    * Round semantics are the EXACT contract with the oracle:
+    * d_0 = 0 on seeds; d_i(n) = min(d_{i-1}(n), min over incoming
+    * edges (d_{i-1}(src) + w)). The engine relaxes only from nodes
+    * IMPROVED in the previous round (delta optimization — a node can
+    * only improve via a neighbor that itself improved, so the round-i
+    * state is identical to full relaxation, at frontier-adjacent cost
+    * instead of full-edge cost), stops early at fixpoint, and shares
+    * the `maxRounds` cap with the oracle's unrolled rounds — identical
+    * caps ⇒ bit-equality whether or not the fixpoint lands inside the
+    * cap (the k-core/BFS discipline). All state is LONG cost; min over
+    * integers has no rounding surface at all.
+    *
+    * Scale shape: per round one frontier⋈edges join (both sides keyed
+    * by node id — co-partitionable; at 100 TB the bucketed-layout trick
+    * [[pageRankFromBucketed]] uses applies verbatim) + one dst-keyed
+    * min + one full-outer merge against the cost table, lineage
+    * truncated per round. Driver state is one long (improved count).
+    * The per-node cost frame is the 100 TB product; the driver face is
+    * the 50-unit cost-band census per node kind — band-count-sized.
+    */
+  def sssp(s: SparkSession, d: String, nation: String = "NATION_0",
+      maxRounds: Int = 8): DataFrame = {
+    val pairW = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("p"))
+      .agg(greatest(lit(1L),
+        min(abs(datediff(col("l_shipdate"), col("o_orderdate"))))
+          .cast("long")).as("w"))
+    val edges = pairW
+      .select(col("c").as("src"), col("p").as("dst"), col("w"))
+      .unionAll(pairW.select(col("p").as("src"), col("c").as("dst"),
+        col("w")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seedIds = graft.Tables.customer(s, d)
+      .join(broadcast(graft.Tables.nation(s, d)
+          .filter(col("n_name") === nation)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select((col("c_custkey") * 2).as("node"))
+    val seeds = nodes.join(seedIds, Seq("node"), "left_semi")
+      .localCheckpoint()
+    ssspFromEdges(edges, seeds, maxRounds)
+  }
+
+  /** [[sssp]]'s Bellman–Ford core over explicit weighted directed
+    * (src, dst, w) edges and (node) seeds — spec-drivable with hand
+    * graphs. `maxRounds` must equal the oracle's unrolled round count.
+    */
+  private[graft] def ssspFromEdges(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    var dist = seeds.withColumn("cost", lit(0L)).localCheckpoint()
+    var improved = dist
+    var r = 0
+    var n = improved.count() // bounded driver state: one long per round
+    while (n > 0 && r < maxRounds) {
+      val cand = improved.join(edges, improved("node") === edges("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cc"))
+        .groupBy("node").agg(min(col("cc")).as("cand"))
+      val merged = dist.select(col("node"), col("cost").as("oldc"))
+        .join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("oldc"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("cost"),
+          col("oldc"))
+        .localCheckpoint()
+      improved = merged
+        .filter(col("oldc").isNull || col("cost") < col("oldc"))
+        .select("node", "cost")
+      dist = merged.select("node", "cost")
+      n = improved.count()
+      r += 1
+    }
+    System.err.println(s"[graft] sssp settled in $r rounds")
+    dist.groupBy(expr("cost div 50").as("cost_band"))
+      .agg(sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
+          .as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L))
+          .as("n_suppliers"),
+        min(col("cost")).as("min_cost"),
+        max(col("cost")).as("max_cost"))
+      .orderBy("cost_band")
   }
 }

@@ -861,4 +861,92 @@ object Relational {
         max(col("a.doc_id")).as("max_id"))
       .orderBy("id_bucket")
   }
+
+  /** 2-D skyline (Pareto frontier; Börzsönyi et al., ICDE 2001) of
+    * parts minimizing (retail price, size): a part survives iff no
+    * other part is ≤ on both dimensions and < on at least one. The
+    * classic "best trade-offs" OLAP operator — here, the cheapest
+    * acceptable part at every size point.
+    *
+    * Instead of the quadratic NOT EXISTS (the oracle's spec form),
+    * the engine uses the sort-order identity: group to one
+    * (price → min size) row per DISTINCT price, take the running
+    * strict-prefix minimum size over ascending prices, and keep a
+    * part iff its size equals its own price's min AND beats every
+    * cheaper price's best (`size < prefix_min`). Same-price/same-size
+    * duplicates both survive (neither strictly dominates).
+    *
+    * Scale: one fact-sized aggregate to the distinct-price frame, then
+    * ONE ordered window over that frame only (price-domain-sized, not
+    * data-sized — the distributed form is local per-partition skylines
+    * then this merge over the tiny union). Price compares are exact
+    * (double equality on unmodified stored values); everything else is
+    * integer.
+    */
+  def skylineParts(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("p_size"))
+    val perPrice = parts.groupBy("p_retailprice")
+      .agg(min(col("p_size")).as("min_size"))
+    val prefix = perPrice.withColumn("prefix_min",
+      min(col("min_size")).over(Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    parts.join(prefix, Seq("p_retailprice"))
+      .filter(col("p_size") === col("min_size") &&
+        (col("prefix_min").isNull || col("p_size") < col("prefix_min")))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size").cast(LongType).as("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  /** Point-in-time (temporal/as-of) join of the fact stream against the
+    * [[scd2]] dimension: every lineitem is joined to the customer-status
+    * VERSION that was valid at its ship date, then rolled up per as-of
+    * status — the "what did the dimension say when the fact happened"
+    * join every warehouse backfill needs (joining to `is_current`
+    * silently rewrites history).
+    *
+    * Implemented as the union-sort trick, not a range join: versions
+    * and probes interleave on one (key, ts)-sorted stream and each
+    * probe takes the LAST version at or before it (`last … ignoreNulls`
+    * over a running frame) — version-at-equal-ts wins via the sort key
+    * (ts, is_version DESC, version), which also collapses zero-width
+    * versions (same valid_from twice ⇒ the later version is in effect),
+    * exactly the [valid_from, valid_to) range semantics without the
+    * per-key versions×probes blowup. ONE shuffle+sort on the key serves
+    * the whole join — the scalable as-of shape ([[graft.plans]]' native
+    * AsOfJoinExec is the operator form; this is the windowed form).
+    *
+    * Exactness: the picked version is a sort-unique row; quantity sums
+    * ride DECIMAL(18,2). A probe earlier than its customer's first
+    * version (the fixture ships lines before the order date for ~half
+    * the rows) genuinely has no as-of row and lands in the NULL-status
+    * group — the honest outer-join contract, not an error.
+    */
+  def pitJoin(s: SparkSession, d: String): DataFrame = {
+    val versions = scd2(s, d).select(col("key"),
+      col("valid_from").as("ts"), lit(1).as("is_v"), col("version"),
+      col("status"), lit(null).cast("double").as("qty"))
+    val probes = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("key"), col("l_shipdate").as("ts"),
+        lit(0).as("is_v"), lit(0L).as("version"),
+        lit(null).cast("string").as("status"), col("l_quantity").as("qty"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("ts"), col("is_v").desc, col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(probes)
+      .withColumn("as_of_status",
+        last(when(col("is_v") === 1, col("status")), ignoreNulls = true)
+          .over(w))
+      .filter(col("is_v") === 0)
+      .groupBy(col("as_of_status").as("status"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qty").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("status")
+  }
 }

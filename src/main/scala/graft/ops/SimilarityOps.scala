@@ -944,4 +944,62 @@ object SimilarityOps {
       .withColumn("recall", col("n_hits").cast("double") / k)
       .orderBy("query_id")
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+    * traversal, the 2-approximation) over the embedding table in cosine
+    * space: start from the min-id vector, then `k−1` times pick the
+    * point FARTHEST from its nearest already-chosen center (= minimum
+    * max-similarity; ties → min vec_id). The diversity-sampling pass a
+    * training-data pipeline runs to pick maximally-spread exemplars —
+    * the dual of [[semanticDedup]] (keep the spread instead of dropping
+    * the dense).
+    *
+    * Each pick row carries `pick_sim` — its similarity to the nearest
+    * earlier center at selection time (descending-radius certificate;
+    * `1 − pick_sim` of the LAST pick upper-bounds twice the optimal
+    * k-center radius). Determinism: similarities are the shared
+    * [[cosineScore]] (round 6; NULL-on-NaN coalesced to −1 before
+    * `greatest` so degenerate zero-norm vectors order identically in
+    * both engines); the argmin is (max_sim ASC, vec_id).
+    *
+    * Scale: the classic k-scan shape — each round broadcasts ONE new
+    * center row and updates the per-point running max similarity in a
+    * single narrow pass (O(k·n) total, no pairwise term); round frames
+    * are localCheckpoint-truncated like every driver-paced loop here.
+    */
+  def kcenterCoreset(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .localCheckpoint()
+    val first = emb.withColumn("rn",
+        row_number().over(Window.orderBy(col("vec_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+    var centers = first.select(col("vec_id"), lit(1L).as("k_rank"),
+      lit(null).cast("double").as("pick_sim"))
+    var state = emb
+      .join(first.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb")), col("vec_id") =!= col("c_id"))
+      .select(col("vec_id"), col("embedding"),
+        coalesce(cosineScore(col("embedding"), col("c_emb")), lit(-1.0))
+          .as("max_sim"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val pick = state.withColumn("rn", row_number().over(
+          Window.orderBy(col("max_sim"), col("vec_id"))))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint()
+      centers = centers.unionByName(pick.select(col("vec_id"),
+        lit(i.toLong).as("k_rank"), col("max_sim").as("pick_sim")))
+      state = state
+        .join(pick.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb")), col("vec_id") =!= col("c_id"))
+        .select(col("vec_id"), col("embedding"),
+          greatest(col("max_sim"),
+            coalesce(cosineScore(col("embedding"), col("c_emb")),
+              lit(-1.0))).as("max_sim"))
+        .localCheckpoint()
+    }
+    centers.select(col("k_rank"), col("vec_id"), col("pick_sim"))
+      .orderBy("k_rank")
+  }
 }

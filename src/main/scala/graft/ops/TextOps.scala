@@ -1792,4 +1792,56 @@ object TextOps {
       .select(col("na").as("n_train"), col("nb").as("n_test"),
         col("gap").as("ks_stat"), col("v").as("ks_at_value"))
   }
+
+  /** χ² test of independence between language and document-length
+    * bucket (short <200 / medium <400 / long chars) — the datasheet
+    * check for "does one language systematically contribute shorter
+    * documents?" (a skew that biases token budgets computed from doc
+    * counts). Emits the full contingency diagnostics per cell —
+    * observed, expected under independence, the (o−e)²/e contribution
+    * — plus the χ² total on every row.
+    *
+    * Determinism: observed and margin counts are BIGINT; each
+    * expected value is one int·int/int double division; each
+    * contribution is a short scalar double chain quantized onto
+    * DECIMAL(24,9) (the [[zipfFit]] discipline) so the cross-cell χ²
+    * total is an associative decimal sum. Scale: one fact-sized
+    * (lang, bucket) aggregate; margins and cells are
+    * |langs|·3-bounded.
+    */
+  def chisqLangLength(s: SparkSession, d: String): DataFrame = {
+    val bucketed = Tables.documents(s, d)
+      .select(col("lang"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "medium")
+          .otherwise("long").as("bucket"))
+    val counted = bucketed.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = counted.groupBy("lang").agg(sum("obs").as("rt"))
+    val colTot = counted.groupBy("bucket").agg(sum("obs").as("ct"))
+    val tot = counted.agg(sum("obs").as("n"))
+    // the full R×C grid — zero-observed cells still contribute e
+    val grid = rowTot.select(col("lang")).crossJoin(
+      colTot.select(col("bucket")))
+    val cells = grid.join(counted, Seq("lang", "bucket"), "left")
+      .withColumn("observed", coalesce(col("obs"), lit(0L))).drop("obs")
+    val terms = cells
+      .join(broadcast(rowTot), Seq("lang"))
+      .join(broadcast(colTot), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        (col("rt") * col("ct")).cast("double") / col("n"))
+      .withColumn("contrib_dec",
+        ((col("observed") - col("expected"))
+          * (col("observed") - col("expected")) / col("expected"))
+          .cast("decimal(24,9)"))
+    terms.withColumn("chi2",
+        sum(col("contrib_dec")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double"))
+      .select(col("lang"), col("bucket"), col("observed"),
+        col("expected"), col("contrib_dec").cast("double").as("contrib"),
+        col("chi2"))
+      .orderBy("lang", "bucket")
+  }
 }

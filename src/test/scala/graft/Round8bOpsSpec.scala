@@ -203,4 +203,245 @@ class Round8bOpsSpec extends AnyFunSuite {
     val psi = wantContrib.sum.toDouble
     assert(got.forall(_._7 === psi))
   }
+
+  test("skylineParts: the sort-identity frontier equals the brute-force " +
+      "dominance filter, and every non-frontier part is dominated by " +
+      "some frontier part") {
+    val parts = Tables.part(spark, TestSpark.sf0001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominates(a: (Long, Double, Int), b: (Long, Double, Int)) =
+      a._2 <= b._2 && a._3 <= b._3 && (a._2 < b._2 || a._3 < b._3)
+    val want = parts.filter(p => !parts.exists(q => dominates(q, p)))
+      .map(_._1).toSet
+    val got = ops.Relational.skylineParts(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).toSet === want)
+    val frontier = got.map(g => (g._1, g._2, g._3.toInt))
+    parts.filter(p => !want(p._1)).foreach { p =>
+      assert(frontier.exists(f => dominates(f, p)), s"part ${p._1}")
+    }
+    // presentation order: ascending price, frontier sizes descend
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted)
+  }
+
+  test("chisqLangLength: full R×C grid (zero-observed cells included), " +
+      "margins consistent, contributions match a driver-side recompute, " +
+      "and chi2 is their associative decimal total on every row") {
+    val d = TestSpark.sf0001
+    val docs = Tables.documents(spark, d)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0),
+        if (r.getLong(1) < 200) "short"
+        else if (r.getLong(1) < 400) "medium" else "long"))
+    val langs = docs.map(_._1).distinct.sorted
+    val buckets = docs.map(_._2).distinct.sorted
+    val n = docs.length.toDouble
+    val got = ops.TextOps.chisqLangLength(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._1).toSet ===
+      (for (l <- langs; b <- buckets) yield (l, b)).toSet)
+    assert(got.map(_._2).sum === docs.length.toLong)
+    val contribs = got.map { case ((l, b), o, e, c, _) =>
+      val rt = docs.count(_._1 == l).toLong
+      val ct = docs.count(_._2 == b).toLong
+      assert(o === docs.count(x => x == ((l, b))).toLong)
+      assert(e === (rt * ct).toDouble / n)
+      val wantC = BigDecimal((o - e) * (o - e) / e)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(c) === wantC, s"cell ($l,$b)")
+      wantC
+    }
+    val chi2 = contribs.sum.toDouble
+    assert(got.forall(_._5 === chi2))
+  }
+
+  test("hits: both top-10 sides match an integer driver-side replay of " +
+      "the 4 scaled half-rounds, and each side's max-normalized leader " +
+      "scores exactly 1.0") {
+    val d = TestSpark.sf0001
+    val edges = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val ar = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum
+      }
+      val am = ar.values.max
+      auth = ar.map { case (p, v) => p -> v * 1000000L / am }
+      val hr = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum
+      }
+      val hm = hr.values.max
+      hub = hr.map { case (c, v) => c -> v * 1000000L / hm }
+    }
+    def top10(m: Map[Long, Long]): Seq[(Long, Long, Double)] =
+      m.toSeq.sortBy { case (id, v) => (-v, id) }.take(10).zipWithIndex
+        .map { case ((id, v), i) => (i + 1L, id, v.toDouble / 1e6) }
+    val got = ops.GraphOps.hits(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val gotAuth = got.filter(_._1 == "authority").map(g => (g._2, g._3, g._4))
+    val gotHub = got.filter(_._1 == "hub").map(g => (g._2, g._3, g._4))
+    assert(gotAuth.toSeq === top10(auth))
+    assert(gotHub.toSeq === top10(hub))
+    assert(gotAuth.head._3 === 1.0 && gotHub.head._3 === 1.0)
+  }
+
+  test("kcenterCoreset: the 8 picks replay a driver-side farthest-first " +
+      "traversal exactly (ids AND pick similarities), picks are " +
+      "distinct, and pick_sim certifies a non-decreasing cover") {
+    val d = TestSpark.sf0001
+    val embs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (c.isNaN) -1.0
+      else BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val byId = embs.toMap
+    val first = embs.map(_._1).min
+    var picks = Vector((1L, first, Option.empty[Double]))
+    var state = embs.filter(_._1 != first)
+      .map { case (id, e) => id -> cos(e, byId(first)) }
+    for (i <- 2 to 8) {
+      val (id, ms) = state.minBy { case (v, m) => (m, v) }
+      picks :+= ((i.toLong, id, Some(ms)))
+      state = state.filter(_._1 != id)
+        .map { case (v, m) => v -> math.max(m, cos(byId(v), byId(id))) }
+    }
+    val got = ops.SimilarityOps.kcenterCoreset(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toVector === picks)
+    assert(got.map(_._2).distinct.length === 8)
+    // farthest-first: each later pick is at least as covered (its
+    // nearest-center similarity never decreases round over round)
+    val sims = got.flatMap(_._3)
+    assert(sims.toSeq === sims.sorted.toSeq)
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(cur + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("editVerifiedPairs: every pair is an LSH pair, edit_dist equals " +
+      "a driver-side Levenshtein of the 200-char prefixes, edit_sim is " +
+      "the normalized form, and maxDist=0 keeps only identical prefixes") {
+    import graft.ops.DedupOps
+    val d = TestSpark.sf0001
+    val lshPairs = DedupOps.minhashLshPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = Tables.documents(spark, d)
+      .select(col("doc_id"), substring(col("text"), 1, 200)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = DedupOps.editVerifiedPairs(spark, d).collect()
+      .map(r => ((r.getLong(1), r.getLong(0)), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case ((b, a), dist, sim) =>
+      assert(lshPairs((a, b)))
+      val wd = lev(pre(a), pre(b))
+      assert(dist === wd.toLong && wd <= 16)
+      assert(sim === 1.0 - dist.toDouble /
+        math.max(pre(a).length, pre(b).length))
+    }
+    val strict = DedupOps.editVerifiedPairs(spark, d, maxDist = 0)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    assert(strict.forall(_._3 === 0L))
+    assert(strict.forall { case (b, a, _) => pre(a) == pre(b) })
+    assert(strict.length ===
+      got.count { case ((b, a), _, _) => pre(a) == pre(b) })
+  }
+
+  test("simhashAudit: the single audit row recomputes exactly from the " +
+      "two registered detectors' collected pair sets, with consistent " +
+      "margins") {
+    import graft.ops.DedupOps
+    val d = TestSpark.sf0001
+    val sp = DedupOps.simhashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ep = DedupOps.ngramJaccardPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val Array(r) = DedupOps.simhashAudit(spark, d).collect()
+    val (tp, fp, fn) = ((sp & ep).size.toLong, (sp -- ep).size.toLong,
+      (ep -- sp).size.toLong)
+    assert(r.getLong(0) === sp.size.toLong)
+    assert(r.getLong(1) === ep.size.toLong)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((tp, fp, fn)))
+    assert(r.getLong(0) === r.getLong(2) + r.getLong(3))
+    assert(r.getLong(1) === r.getLong(2) + r.getLong(4))
+    if (tp + fp > 0) assert(r.getDouble(5) === tp.toDouble / (tp + fp))
+    if (tp + fn > 0) assert(r.getDouble(6) === tp.toDouble / (tp + fn))
+  }
+
+  test("pitJoin: the union-sort pick equals a direct driver-side " +
+      "[valid_from, valid_to) range lookup for every probe, rolled up") {
+    val d = TestSpark.sf0001
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("timestamp").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val versions = orders.groupBy(_._2).map { case (c, os) =>
+      val sorted = os.sortBy(o => (o._4, o._1))
+      // [valid_from, valid_to) ranges; zero-width rows can never match
+      c -> sorted.zipWithIndex.map { case (o, i) =>
+        val to = if (i + 1 < sorted.length) Some(sorted(i + 1)._4)
+        else None
+        (o._4, to, o._3)
+      }
+    }
+    val probes = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").cast("double"),
+        col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val custOf = orders.map(o => o._1 -> o._2).toMap
+    val agg = scala.collection.mutable.Map
+      .empty[Option[String], (Long, BigDecimal)]
+    probes.foreach { case (ok, ts, qty) =>
+      val vs = versions(custOf(ok))
+      val hit = vs.filter(v => v._1 <= ts && v._2.forall(ts < _))
+      assert(hit.length <= 1, s"probe $ok matched ${hit.length} versions")
+      // a probe before the first version has no as-of row: NULL status
+      val st = hit.headOption.map(_._3)
+      val (n0, s0) = agg.getOrElse(st, (0L, BigDecimal(0)))
+      agg(st) = (n0 + 1,
+        s0 + BigDecimal(qty).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }
+    assert(agg.contains(None), "fixture must exercise the NULL branch")
+    val got = ops.Relational.pitJoin(spark, d).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2)))
+    assert(got.toMap ===
+      agg.toMap.map { case (k, (n, s)) => k -> (n, s.toDouble) })
+    // NULL group first, then ascending status — both engines' contract
+    assert(got.map(_._1).toSeq ===
+      got.map(_._1).toSeq.sortBy(o => (o.isDefined, o.getOrElse(""))))
+  }
 }
