@@ -4928,6 +4928,48 @@ object OracleSql {
          |ORDER BY k_rank""".stripMargin
     },
 
+    // GraphOps.sssp twin: 8 unrolled full Bellman–Ford relaxation
+    // rounds. The engine relaxes only from the previous round's improved
+    // frontier, but a non-improved source contributes the same candidate
+    // it contributed last round (already folded into the min), so the
+    // round-i state is identical to full relaxation — and the shared
+    // round cap makes the comparison exact whether or not the fixpoint
+    // lands inside it (the k-core/BFS discipline). All-integer min-plus:
+    // no rounding surface anywhere.
+    "graph_sssp" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(cost) AS cost FROM (
+           |    SELECT node, cost FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.cost + e.w AS cost
+           |    FROM d${i - 1} d JOIN edges e ON e.src = d.node
+           |  ) GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH pw AS (
+         |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p,
+         |    greatest(1, min(abs(datediff('day', o_orderdate, l_shipdate))))
+         |      AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT c AS src, p AS dst, w FROM pw
+         |  UNION ALL SELECT p AS src, c AS dst, w FROM pw),
+         |d0 AS (
+         |  SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS cost
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_0'
+         |    AND c_custkey * 2 IN (SELECT src FROM edges)),
+         |$rounds
+         |SELECT cost // 50 AS cost_band,
+         |  CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_customers,
+         |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_suppliers,
+         |  min(cost) AS min_cost, max(cost) AS max_cost
+         |FROM d8 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // DedupOps.editVerifiedPairs twin: the exact-Jaccard pair truth the
     // LSH path reproduces, re-ranked by plain Levenshtein on the same
     // 200-char prefixes (the engine's bounded form returns the exact

@@ -336,6 +336,9 @@ object SparkEntry {
     "dedup_simhash_audit"     -> (DedupOps.simhashAudit(_, _)),
     // round 8: point-in-time join against the SCD2 dimension
     "r_pit_join"              -> (Relational.pitJoin(_, _)),
+    // round 8: weighted single-source shortest paths (bounded-round
+    // Bellman–Ford over the shipping-latency trade graph)
+    "graph_sssp"              -> ((s, d) => graft.ops.GraphOps.sssp(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -444,4 +444,43 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq ===
       got.map(_._1).toSeq.sortBy(o => (o.isDefined, o.getOrElse(""))))
   }
+
+  test("ssspFromEdges: multi-hop relaxation beats the direct edge, the " +
+      "round cap freezes the k-round state exactly, unreached nodes " +
+      "stay absent, and the fixture entry returns the seed band") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def edges(ts: (Long, Long, Long)*) = ts.toDF("src", "dst", "w")
+    def seeds(ns: Long*) = ns.toDF("node")
+    // A=2 (customer parity), B=4, C=3 (supplier parity), D=5.
+    // Direct A->B costs 1000, but A->C->D->B costs 300: rounds 2 and 3
+    // must IMPROVE B below the round-1 estimate.
+    val g = edges((2L, 4L, 1000L), (2L, 3L, 100L), (3L, 5L, 100L),
+      (5L, 4L, 100L))
+    val full = GraphOps.ssspFromEdges(g, seeds(2L), maxRounds = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bands of 50: A cost 0 -> band 0; C 100 -> 2; D 200 -> 4; B 300 -> 6
+    assert(full === Map(
+      0L -> (1L, 0L, 0L, 0L),   // A alone: customer
+      2L -> (0L, 1L, 100L, 100L), // C: supplier parity
+      4L -> (0L, 1L, 200L, 200L), // D: supplier parity
+      6L -> (1L, 0L, 300L, 300L))) // B improved to 300 via 3 hops
+    // cap at 1 round: B keeps the direct 1000 (band 20), D unreached
+    val one = GraphOps.ssspFromEdges(g, seeds(2L), maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(one === Map(0L -> (0L, 0L), 2L -> (100L, 100L),
+      20L -> (1000L, 1000L)))
+    // disconnected node 7 never appears even at the full cap
+    val disc = GraphOps.ssspFromEdges(
+      edges((2L, 4L, 10L), (7L, 9L, 10L)), seeds(2L), maxRounds = 8)
+      .agg(sum($"n_customers" + $"n_suppliers")).head.getLong(0)
+    assert(disc === 2L)
+    // fixture entry: seed band present, bands ascend
+    val fix = GraphOps.sssp(spark, TestSpark.sf0001).collect()
+    assert(fix.nonEmpty && fix.head.getLong(0) === 0L)
+    assert(fix.map(_.getLong(0)).toSeq ===
+      fix.map(_.getLong(0)).toSeq.sorted)
+  }
 }
