@@ -4667,6 +4667,45 @@ object OracleSql {
         |  END AS acf
         |FROM m ORDER BY lag""".stripMargin,
 
+    // EventOps.abTestZ twin: the same DECIMAL(18,2)-quantized exact
+    // Σv/Σv² per (type, arm), then the identical double expression
+    // shape for means, Welch variances, and z — bit-exact end to end.
+    "ev_ab_ztest" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS svv
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 0 THEN sv END) AS sv_a,
+        |    max(CASE WHEN arm = 0 THEN svv END) AS svv_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 1 THEN sv END) AS sv_b,
+        |    max(CASE WHEN arm = 1 THEN svv END) AS svv_b
+        |  FROM g GROUP BY 1),
+        |zc AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |    CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |    (CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(
+        |      (CAST(svv_a AS DOUBLE)
+        |        - CAST(sv_a AS DOUBLE) * CAST(sv_a AS DOUBLE)
+        |          / CAST(n_a AS DOUBLE))
+        |        / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      + (CAST(svv_b AS DOUBLE)
+        |        - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE)
+        |          / CAST(n_b AS DOUBLE))
+        |        / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS z
+        |  FROM w)
+        |SELECT event_type, n_a, mean_a, n_b, mean_b, z,
+        |  abs(z) > 1.96 AS significant
+        |FROM zc ORDER BY event_type""".stripMargin,
+
     // EventOps.psiValueDrift twin: same exact-rank decile edges from
     // the baseline week, same 1e-4 floor, per-bin term quantized onto
     // DECIMAL(24,9) before the associative cross-bin sum.

@@ -314,6 +314,8 @@ object SparkEntry {
     "ev_markov_transitions"   -> (EventOps.markovTransitions(_, _)),
     // round 8: hourly-count autocorrelation at lags 1..24
     "ev_acf"                  -> ((s, d) => EventOps.acfHourly(s, d)),
+    // round 8: per-type Welch z-test between deterministic A/B arms
+    "ev_ab_ztest"             -> (EventOps.abTestZ(_, _)),
     // round 8: PSI drift monitor (first-week baseline vs last week)
     "ev_psi_drift"            -> ((s, d) => EventOps.psiValueDrift(s, d)),
     // round 8: per-language Gini of token mass — corpus balance

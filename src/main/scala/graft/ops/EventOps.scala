@@ -1275,4 +1275,55 @@ object EventOps {
           .as("acf"))
       .orderBy("lag")
   }
+
+  /** Two-arm A/B experiment readout: per event type, a Welch z-test on
+    * the mean event `value` between deterministic assignment arms
+    * (arm = user_id mod 2 here; production swaps in a salted hash —
+    * the statistics are assignment-agnostic). The classic
+    * experimentation-analytics primitive: mean_A, mean_B, and
+    * z = (m_A − m_B) / √(s²_A/n_A + s²_B/n_B), flagged significant at
+    * |z| > 1.96 (two-sided 5%, normal approximation — valid at the
+    * n ≫ 30 scales this targets).
+    *
+    * Exactness contract: `value` is quantized to DECIMAL(18,2) (the
+    * [[movingStats]] discipline), so per-arm Σv and Σv² are EXACT
+    * decimals — associative, engine- and partitioning-invariant. The
+    * handful of double ops that follow (means, variances, z) are
+    * correctly-rounded IEEE ops applied in the same expression shape
+    * as the oracle, so even the z-score is bit-identical.
+    *
+    * Scale shape: ONE map-side-combined shuffle on (event_type, arm)
+    * reduces the fact table to |types|·2 rows; everything after is
+    * driver-trivial. No distinct, no window, no second fact pass.
+    */
+  def abTestZ(s: SparkSession, d: String): DataFrame = {
+    val q = col("value").cast("decimal(18,2)")
+    val g = Tables.events(s, d)
+      .select(col("event_type"), pmod(col("user_id"), lit(2)).as("arm"),
+        q.as("q"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sv"),
+        sum(col("q") * col("q")).as("svv"))
+    def side(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+    val wide = g.groupBy("event_type").agg(
+      side(0, "n").as("n_a"), side(0, "sv").as("sv_a"),
+      side(0, "svv").as("svv_a"),
+      side(1, "n").as("n_b"), side(1, "sv").as("sv_b"),
+      side(1, "svv").as("svv_b"))
+    def mean(sv: String, n: String) =
+      col(sv).cast("double") / col(n).cast("double")
+    def variance(svv: String, sv: String, n: String) = {
+      val sd = col(sv).cast("double")
+      (col(svv).cast("double") - sd * sd / col(n).cast("double")) /
+        (col(n) - lit(1)).cast("double")
+    }
+    val z = (mean("sv_a", "n_a") - mean("sv_b", "n_b")) /
+      sqrt(variance("svv_a", "sv_a", "n_a") / col("n_a").cast("double") +
+        variance("svv_b", "sv_b", "n_b") / col("n_b").cast("double"))
+    wide.select(col("event_type"), col("n_a"),
+        mean("sv_a", "n_a").as("mean_a"), col("n_b"),
+        mean("sv_b", "n_b").as("mean_b"), z.as("z"),
+        (abs(z) > 1.96).as("significant"))
+      .orderBy("event_type")
+  }
 }

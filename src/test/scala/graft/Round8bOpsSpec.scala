@@ -483,4 +483,33 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(fix.map(_.getLong(0)).toSeq ===
       fix.map(_.getLong(0)).toSeq.sorted)
   }
+
+  test("abTestZ: per-type arm counts, quantized means, and the Welch z " +
+      "replay a driver-side recompute exactly, and the significance " +
+      "flag is |z| > 1.96") {
+    val got = EventOps.abTestZ(spark, TestSpark.sf0001).collect()
+    assert(got.nonEmpty)
+    val ev = rawEvents
+    got.foreach { r =>
+      val t = r.getString(0)
+      def arm(a: Int) = ev.filter(e => e._4 == t && e._1 % 2 == a)
+        .map(e => BigDecimal(e._5)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val (va, vb) = (arm(0), arm(1))
+      assert(r.getLong(1) === va.length.toLong)
+      assert(r.getLong(3) === vb.length.toLong)
+      def mean(v: Seq[BigDecimal]) = v.sum.toDouble / v.length
+      assert(r.getDouble(2) === mean(va))
+      assert(r.getDouble(4) === mean(vb))
+      def vr(v: Seq[BigDecimal]) =
+        (v.map(x => x * x).sum.toDouble
+          - v.sum.toDouble * v.sum.toDouble / v.length) / (v.length - 1)
+      val z = (mean(va) - mean(vb)) /
+        math.sqrt(vr(va) / va.length + vr(vb) / vb.length)
+      assert(r.getDouble(5) === z)
+      assert(r.getBoolean(6) === (math.abs(z) > 1.96))
+    }
+    // the fixture must exercise both arms non-trivially
+    assert(got.forall(r => r.getLong(1) > 30 && r.getLong(3) > 30))
+  }
 }
