@@ -4706,6 +4706,24 @@ object OracleSql {
         |  abs(z) > 1.96 AS significant
         |FROM zc ORDER BY event_type""".stripMargin,
 
+    // EventOps.abSrmCheck twin: distinct (type, user) frame, exact
+    // per-arm counts, then the identical 1-df chi-square double shape.
+    "ev_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS users_a,
+        |    count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS users_b
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, users_a, users_b,
+        |  CAST(users_a - users_b AS DOUBLE)
+        |    * CAST(users_a - users_b AS DOUBLE)
+        |    / CAST(users_a + users_b AS DOUBLE) AS chi_sq,
+        |  CAST(users_a - users_b AS DOUBLE)
+        |    * CAST(users_a - users_b AS DOUBLE)
+        |    / CAST(users_a + users_b AS DOUBLE) > 3.841 AS srm
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // EventOps.psiValueDrift twin: same exact-rank decile edges from
     // the baseline week, same 1e-4 floor, per-bin term quantized onto
     // DECIMAL(24,9) before the associative cross-bin sum.

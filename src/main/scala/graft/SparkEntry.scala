@@ -316,6 +316,8 @@ object SparkEntry {
     "ev_acf"                  -> ((s, d) => EventOps.acfHourly(s, d)),
     // round 8: per-type Welch z-test between deterministic A/B arms
     "ev_ab_ztest"             -> (EventOps.abTestZ(_, _)),
+    // round 8: sample-ratio-mismatch chi-square guardrail per type
+    "ev_ab_srm"               -> (EventOps.abSrmCheck(_, _)),
     // round 8: PSI drift monitor (first-week baseline vs last week)
     "ev_psi_drift"            -> ((s, d) => EventOps.psiValueDrift(s, d)),
     // round 8: per-language Gini of token mass — corpus balance

@@ -1326,4 +1326,36 @@ object EventOps {
         (abs(z) > 1.96).as("significant"))
       .orderBy("event_type")
   }
+
+  /** Sample-ratio-mismatch (SRM) guardrail for the A/B readout: per
+    * event type, the count of DISTINCT users landing in each arm and
+    * the one-degree-of-freedom chi-square against the designed 50/50
+    * split — `(n_a − n_b)² / (n_a + n_b)`, flagged at the 5% critical
+    * value 3.841. SRM is the standard pre-test validity check run
+    * before any experiment readout is trusted (Fabijan et al., KDD'19
+    * "Diagnosing Sample Ratio Mismatch"): a triggered flag means the
+    * assignment itself is broken, not the metric.
+    *
+    * Exactness: everything up to the chi-square is exact integer
+    * counting; the chi-square is three IEEE double ops on exact
+    * integers, identical expression shape to the oracle — bit-exact.
+    *
+    * Scale shape: one map-side-partial DISTINCT shuffle on
+    * (event_type, user_id) reduces the fact table to the distinct
+    * frame, then a |types|-row aggregate. No joins, no windows, no
+    * second fact pass.
+    */
+  def abSrmCheck(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), pmod(col("user_id"), lit(2)).as("arm"))
+    val w = u.groupBy("event_type").agg(
+      count(when(col("arm") === 0, lit(1))).as("users_a"),
+      count(when(col("arm") === 1, lit(1))).as("users_b"))
+    val diff = (col("users_a") - col("users_b")).cast("double")
+    val chi = diff * diff / (col("users_a") + col("users_b")).cast("double")
+    w.select(col("event_type"), col("users_a"), col("users_b"),
+        chi.as("chi_sq"), (chi > 3.841).as("srm"))
+      .orderBy("event_type")
+  }
 }

@@ -512,4 +512,25 @@ class Round8bOpsSpec extends AnyFunSuite {
     // the fixture must exercise both arms non-trivially
     assert(got.forall(r => r.getLong(1) > 30 && r.getLong(3) > 30))
   }
+
+  test("abSrmCheck: per-type distinct-user arm counts match a driver-side " +
+      "set replay, the chi-square is the exact (d*d)/n double, and the " +
+      "flag fires iff chi_sq > 3.841") {
+    val ev = rawEvents
+    val got = EventOps.abSrmCheck(spark, TestSpark.sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getString(0)).toSeq ===
+      got.map(_.getString(0)).toSeq.sorted)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val users = ev.filter(_._4 == t).map(_._1).distinct
+      val na = users.count(_ % 2 == 0).toLong
+      val nb = users.count(_ % 2 == 1).toLong
+      assert(r.getLong(1) === na)
+      assert(r.getLong(2) === nb)
+      val chi = (na - nb).toDouble * (na - nb).toDouble / (na + nb).toDouble
+      assert(r.getDouble(3) === chi)
+      assert(r.getBoolean(4) === (chi > 3.841))
+    }
+  }
 }
