@@ -4724,6 +4724,47 @@ object OracleSql {
         |    / CAST(users_a + users_b AS DOUBLE) > 3.841 AS srm
         |FROM c ORDER BY event_type""".stripMargin,
 
+    // EventOps.abCuped twin: same midpoint split (exact integer epoch
+    // micros), same DECIMAL(18,2) per-user X/Y totals, same double
+    // expression shapes for theta/mean_x, and the same DECIMAL(20,8)
+    // quantization of the per-user adjusted metric before the
+    // associative per-arm sum.
+    "ev_ab_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,2)) AS q
+        |  FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(sum(CASE WHEN us < mid THEN q END), 0)
+        |      AS DECIMAL(18,2)) AS x,
+        |    CAST(COALESCE(sum(CASE WHEN us >= mid THEN q END), 0)
+        |      AS DECIMAL(18,2)) AS y
+        |  FROM ev CROSS JOIN m GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pu),
+        |th AS (
+        |  SELECT
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+        |  FROM st),
+        |adj AS (
+        |  SELECT user_id % 2 AS arm, y, theta,
+        |    CAST(CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - mean_x)
+        |      AS DECIMAL(20,8)) AS y_adj
+        |  FROM pu CROSS JOIN th)
+        |SELECT arm, count(*) AS n_users,
+        |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_y,
+        |  CAST(sum(y_adj) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_y_cuped,
+        |  max(theta) AS theta
+        |FROM adj GROUP BY 1 ORDER BY arm""".stripMargin,
+
     // EventOps.psiValueDrift twin: same exact-rank decile edges from
     // the baseline week, same 1e-4 floor, per-bin term quantized onto
     // DECIMAL(24,9) before the associative cross-bin sum.

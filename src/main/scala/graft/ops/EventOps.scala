@@ -1358,4 +1358,68 @@ object EventOps {
         chi.as("chi_sq"), (chi > 3.841).as("srm"))
       .orderBy("event_type")
   }
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"). The observation window is split
+    * at its midpoint (computed from the data — no fixture dates): the
+    * first half is the pre-experiment covariate period, the second the
+    * experiment. Per user, X = pre-period value total and Y =
+    * experiment total; θ = cov(X,Y)/var(X) pooled over all users; the
+    * adjusted metric is Y − θ·(X − mean(X)). Output per arm
+    * (user_id mod 2, as [[abTestZ]]): user count, raw mean, CUPED
+    * mean, and θ. The adjusted means estimate the same treatment
+    * effect with variance shrunk by the X↔Y correlation.
+    *
+    * Exactness: X and Y are DECIMAL(18,2) totals (exact), so n, ΣX,
+    * ΣY, ΣXY, ΣX² are exact decimals; θ and mean(X) are single double
+    * expressions over those scalars (same shape as the oracle); each
+    * user's adjusted Y is a few IEEE ops then quantized onto
+    * DECIMAL(20,8) so the per-arm sum is associative — bit-exact end
+    * to end.
+    *
+    * Scale shape: one fact shuffle to user grain; the scalar stats
+    * row and the midpoint are single-row broadcasts joined back; the
+    * final aggregate is two rows. No re-scan of the fact table — the
+    * user-grain frame feeds both the stats pass and the readout.
+    */
+  def abCuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      col("value").cast("decimal(18,2)").as("q"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    // materialized ONCE (eager localCheckpoint): both the stats pass
+    // and the per-arm readout consume this user-grain frame — without
+    // it each branch would re-scan and re-shuffle the fact table
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("us") < col("mid"), col("q"))), lit(0))
+          .cast("decimal(18,2)").as("x"),
+        coalesce(sum(when(col("us") >= col("mid"), col("q"))), lit(0))
+          .cast("decimal(18,2)").as("y"))
+      .localCheckpoint()
+    val st = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    def dbl(c: String) = col(c).cast("double")
+    val theta = (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+      (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+    val stats = st.select(theta.as("theta"), (dbl("sx") / dbl("n")).as("mean_x"))
+    val adj = perUser.crossJoin(broadcast(stats))
+      .select(pmod(col("user_id"), lit(2)).as("arm"), col("y"), col("theta"),
+        (col("y").cast("double") - col("theta")
+          * (col("x").cast("double") - col("mean_x")))
+          .cast("decimal(20,8)").as("y_adj"))
+    adj.groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_y"),
+        (sum(col("y_adj")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_y_cuped"),
+        max(col("theta")).as("theta"))
+      .orderBy("arm")
+  }
 }

@@ -533,4 +533,46 @@ class Round8bOpsSpec extends AnyFunSuite {
       assert(r.getBoolean(4) === (chi > 3.841))
     }
   }
+
+  test("abCuped: theta, raw means, and CUPED-adjusted means replay a " +
+      "driver-side recompute exactly, and the adjustment preserves the " +
+      "pooled mean (sum of adjustments ~ 0)") {
+    val evUs = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = (evUs.map(_._2).min + evUs.map(_._2).max) / 2
+    def q2(v: Double) =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val perUser = evUs.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.filter(_._2 < mid).map(r => q2(r._3)).sum,
+        rows.filter(_._2 >= mid).map(r => q2(r._3)).sum)
+    }.toSeq
+    val n = perUser.length.toDouble
+    val sx = perUser.map(_._2).sum.toDouble
+    val sy = perUser.map(_._3).sum.toDouble
+    val sxy = perUser.map(r => r._2 * r._3).sum.toDouble
+    val sxx = perUser.map(r => r._2 * r._2).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val meanX = sx / n
+    val adj = perUser.map { case (u, x, y) =>
+      (u % 2, y, BigDecimal(y.toDouble - theta * (x.toDouble - meanX))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val got = EventOps.abCuped(spark, TestSpark.sf0001).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      val arm = r.getLong(0)
+      val rows = adj.filter(_._1 == arm)
+      assert(r.getLong(1) === rows.length.toLong)
+      assert(r.getDouble(2) === rows.map(_._2).sum.toDouble / rows.length)
+      assert(r.getDouble(3) === rows.map(_._3).sum.toDouble / rows.length)
+      assert(r.getDouble(4) === theta)
+    }
+    // CUPED must not move the pooled mean: total adjustment is
+    // -theta * sum(x - mean_x), which is 0 up to quantization
+    val drift = adj.map(_._3).sum.toDouble - perUser.map(_._3.toDouble).sum
+    assert(math.abs(drift) < 1e-4 * perUser.length)
+    // and the fixture must give a non-degenerate covariate
+    assert(!theta.isNaN && theta != 0.0)
+  }
 }
