@@ -4765,6 +4765,45 @@ object OracleSql {
         |  max(theta) AS theta
         |FROM adj GROUP BY 1 ORDER BY arm""".stripMargin,
 
+    // EventOps.survivalHazard twin: same integer day durations and
+    // censoring, same reverse-cumulative risk window, hazard quantized
+    // onto DECIMAL(20,10) before the associative running sum.
+    "ev_survival_hazard" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |e AS (SELECT max(us) AS tend FROM ev),
+        |pu AS (
+        |  SELECT user_id, min(us) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' AND value > 180
+        |      THEN us END) AS tp,
+        |    max(tend) AS tend
+        |  FROM ev CROSS JOIN e GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+        |         ELSE (tend - t0) // 86400000000 END AS day,
+        |    tp IS NOT NULL AS observed
+        |  FROM pu),
+        |bd AS (
+        |  SELECT day, count(*) AS exits,
+        |    count(CASE WHEN observed THEN 1 END) AS events
+        |  FROM du GROUP BY 1),
+        |rk AS (
+        |  SELECT day, events,
+        |    CAST(sum(exits) OVER (ORDER BY day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM bd),
+        |hz AS (
+        |  SELECT day, n_risk, events,
+        |    CAST(events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard
+        |  FROM rk WHERE events > 0)
+        |SELECT day, n_risk, events, hazard,
+        |  CAST(sum(CAST(hazard AS DECIMAL(20,10))) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_hazard
+        |FROM hz ORDER BY day""".stripMargin,
+
     // EventOps.psiValueDrift twin: same exact-rank decile edges from
     // the baseline week, same 1e-4 floor, per-bin term quantized onto
     // DECIMAL(24,9) before the associative cross-bin sum.

@@ -1422,4 +1422,56 @@ object EventOps {
         max(col("theta")).as("theta"))
       .orderBy("arm")
   }
+
+  /** Right-censored survival analysis of time-to-first BIG-TICKET
+    * purchase (value > 180 — a conversion definition rare enough that
+    * a majority of users are genuinely censored): the Nelson–Aalen
+    * cumulative-hazard estimator (Nelson 1972, Aalen 1978) —
+    * Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over event days tᵢ, with dᵢ the users
+    * whose first qualifying purchase lands dᵢ days after their first
+    * event and nᵢ the at-risk count (users whose event OR censoring
+    * time is ≥ tᵢ; users who never convert are censored at the global
+    * observation end). Chosen over Kaplan–Meier deliberately: KM's
+    * survival curve is a sequential PRODUCT (only expressible
+    * cross-engine through ln/exp, which is 1-ulp unstable between
+    * StrictMath and glibc), while the N–A hazard is a cumulative SUM —
+    * quantized per-day onto DECIMAL(20,10) it is associative and
+    * bit-exact. S(t) ≈ exp(−Ĥ(t)) when a curve is needed downstream.
+    *
+    * Scale shape: one fact shuffle to user grain (min / conditional
+    * min / broadcast observation end), then everything lives at DAY
+    * grain — the two unpartitioned windows (reverse-cumulative risk
+    * set, running hazard) run over ≤ observation-window-days rows
+    * regardless of fact size.
+    */
+  def survivalHazard(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+    val end = ev.agg(max("us").as("tend"))
+    val pu = ev.crossJoin(broadcast(end))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("t0"),
+        min(when(col("event_type") === "purchase" && col("value") > 180,
+          col("us"))).as("tp"),
+        max(col("tend")).as("tend"))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400000000"))
+          .otherwise(expr("(tend - t0) div 86400000000")).as("day"),
+        col("tp").isNotNull.as("observed"))
+    val byDay = pu.groupBy("day").agg(
+      count(lit(1)).as("exits"),
+      count(when(col("observed"), lit(1))).as("events"))
+    val risk = byDay.withColumn("n_risk",
+      sum(col("exits")).over(Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val haz = risk.filter(col("events") > 0)
+      .withColumn("hazard",
+        col("events").cast("double") / col("n_risk").cast("double"))
+    haz.select(col("day"), col("n_risk"), col("events"), col("hazard"),
+        sum(col("hazard").cast("decimal(20,10)"))
+          .over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("cum_hazard"))
+      .orderBy("day")
+  }
 }

@@ -575,4 +575,44 @@ class Round8bOpsSpec extends AnyFunSuite {
     // and the fixture must give a non-degenerate covariate
     assert(!theta.isNaN && theta != 0.0)
   }
+
+  test("survivalHazard: per-day event counts, at-risk sets, hazards, and " +
+      "the running cumulative hazard replay a driver-side Nelson-Aalen " +
+      "recompute with censoring at the observation end") {
+    val evUs = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase" && col("value") > 180,
+          lit(true)).otherwise(lit(false)).as("conv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val tend = evUs.map(_._2).max
+    val durs = evUs.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val t0 = rows.map(_._2).min
+      val tp = rows.filter(_._3).map(_._2).minOption
+      tp match {
+        case Some(t) => ((t - t0) / 86400000000L, true)
+        case None    => ((tend - t0) / 86400000000L, false)
+      }
+    }
+    val got = EventOps.survivalHazard(spark, TestSpark.sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(0)).toSeq === got.map(_.getLong(0)).toSeq.sorted)
+    var cum = BigDecimal(0)
+    got.foreach { r =>
+      val day = r.getLong(0)
+      val nRisk = durs.count(_._1 >= day).toLong
+      val dEv = durs.count(x => x._1 == day && x._2).toLong
+      assert(r.getLong(1) === nRisk)
+      assert(r.getLong(2) === dEv)
+      assert(dEv > 0)
+      val hz = dEv.toDouble / nRisk.toDouble
+      assert(r.getDouble(3) === hz)
+      cum += BigDecimal(hz).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getDouble(4) === cum.toDouble)
+    }
+    // every event day present: output days == distinct observed-event days
+    assert(got.map(_.getLong(0)).toSet ===
+      durs.filter(_._2).map(_._1).toSet)
+    // censoring must actually occur in the fixture (some user never buys)
+    assert(durs.exists(!_._2))
+  }
 }
