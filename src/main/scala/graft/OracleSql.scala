@@ -3791,6 +3791,48 @@ object OracleSql {
         |  CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // Relational.benfordAudit twin: same DECIMAL(18,2)-string first
+    // digit, same hardcoded Benford literals cast to DOUBLE, same
+    // chi-term shape, total as an associative DECIMAL(24,9) window sum.
+    "r_benford_audit" ->
+      """WITH d0 AS (
+        |  SELECT CAST(regexp_extract(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    '[1-9]', 0) AS BIGINT) AS digit
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT digit, count(*) AS observed FROM d0
+        |  WHERE digit IS NOT NULL GROUP BY 1),
+        |dg AS (SELECT range AS digit FROM range(1, 10)),
+        |j AS (
+        |  SELECT dg.digit,
+        |    CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed
+        |  FROM dg LEFT JOIN o ON dg.digit = o.digit),
+        |t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM j),
+        |c AS (
+        |  SELECT digit, observed,
+        |    CAST(CASE digit WHEN 1 THEN 0.3010299957
+        |      WHEN 2 THEN 0.1760912591 WHEN 3 THEN 0.1249387366
+        |      WHEN 4 THEN 0.0969100130 WHEN 5 THEN 0.0791812460
+        |      WHEN 6 THEN 0.0669467896 WHEN 7 THEN 0.0579919470
+        |      WHEN 8 THEN 0.0511525224 WHEN 9 THEN 0.0457574906
+        |      END AS DOUBLE) AS expected_p
+        |  FROM j),
+        |e AS (
+        |  SELECT digit, observed, expected_p,
+        |    expected_p * CAST(n AS DOUBLE) AS expected_n
+        |  FROM c CROSS JOIN t),
+        |x AS (
+        |  SELECT digit, observed, expected_p, expected_n,
+        |    CAST((CAST(observed AS DOUBLE) - expected_n)
+        |      * (CAST(observed AS DOUBLE) - expected_n)
+        |      / expected_n AS DECIMAL(24,9)) AS chi_dec
+        |  FROM e)
+        |SELECT digit, observed, expected_p, expected_n,
+        |  CAST(chi_dec AS DOUBLE) AS chi_term,
+        |  CAST(sum(chi_dec) OVER () AS DOUBLE) AS chi_sq
+        |FROM x ORDER BY digit""".stripMargin,
+
     // TextOps.heapsFit twin: per-doc (tokens, distinct types), the
     // zipf OLS discipline over ln/ln points.
     "txt_heaps_fit" ->

@@ -192,6 +192,8 @@ object SparkEntry {
     "r_table_stats"       -> (Relational.tableStats(_, _)),
     // round 8: equi-depth histogram — the ANALYZE-stats distribution
     "r_equidepth_hist"    -> (Relational.equidepthHist(_, _)),
+    // round 8: Benford first-digit forensic audit of revenue amounts
+    "r_benford_audit"     -> (Relational.benfordAudit(_, _)),
     "emb_topk_int8"       -> (SimilarityOps.bruteForceTopKInt8(_, _)),
     "txt_quality_gate"    -> (TextOps.qualityGate(_, _)),
     "txt_mixture_sample"  -> (TextOps.mixtureSample(_, _)),

@@ -639,6 +639,63 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Benford first-significant-digit audit of line-item revenue — the
+    * classic forensic data-quality screen (Benford 1938; Nigrini 2012,
+    * "Benford's Law: Applications for Forensic Accounting"): naturally
+    * occurring multi-magnitude amounts follow P(d) = log10(1 + 1/d),
+    * and a large per-digit chi-square term flags fabricated, truncated,
+    * or unit-mangled data. Output per digit 1–9: observed count, the
+    * Benford expectation (hardcoded 10-dp literals — universal
+    * constants, so no cross-engine log10 in the plan), the chi-square
+    * contribution, and the 8-df total repeated on every row (the
+    * [[graft.ops.EventOps.psiValueDrift]] presentation).
+    *
+    * Exactness: the digit comes from the DECIMAL(18,2)-quantized
+    * amount's string form (no data-dependent log10), counts are exact,
+    * each chi term is a few IEEE ops on exact inputs, and the total is
+    * an associative DECIMAL(24,9) sum — bit-exact.
+    *
+    * Scale shape: one map-side-combined 9-group aggregate over a
+    * single projected column; the digit frame, total, and chi algebra
+    * are 9-row driver-trivial broadcasts. No joins on the fact side,
+    * no window over fact rows.
+    */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val digits = s.range(1, 10).select(col("id").as("digit"))
+    val obs = Tables.lineitem(s, d)
+      .select(regexp_extract(col("l_extendedprice").cast("decimal(18,2)")
+        .cast("string"), "[1-9]", 0).cast("long").as("digit"))
+      .where(col("digit").isNotNull)
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    // materialized ONCE (9 rows): the total and the chi terms both
+    // consume this frame — without it each branch re-scans the fact
+    val joined = digits.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"))
+      .localCheckpoint()
+    val tot = joined.agg(sum(col("observed")).as("n"))
+    val p = Seq(1 -> 0.3010299957, 2 -> 0.1760912591, 3 -> 0.1249387366,
+        4 -> 0.0969100130, 5 -> 0.0791812460, 6 -> 0.0669467896,
+        7 -> 0.0579919470, 8 -> 0.0511525224, 9 -> 0.0457574906)
+      .foldLeft(lit(null).cast("double")) { case (acc, (dg, pr)) =>
+        when(col("digit") === dg, lit(pr)).otherwise(acc)
+      }
+    val terms = joined.crossJoin(broadcast(tot))
+      .withColumn("expected_p", p)
+      .withColumn("expected_n", col("expected_p") * col("n").cast("double"))
+      .withColumn("chi_dec",
+        ((col("observed").cast("double") - col("expected_n"))
+          * (col("observed").cast("double") - col("expected_n"))
+          / col("expected_n")).cast("decimal(24,9)"))
+    terms.withColumn("chi_sq",
+        sum(col("chi_dec")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double"))
+      .select(col("digit"), col("observed"), col("expected_p"),
+        col("expected_n"), col("chi_dec").cast("double").as("chi_term"),
+        col("chi_sq"))
+      .orderBy("digit")
+  }
+
   /** CDC-style diff of two keyed versions of a table: classify every key
     * as insert / delete / update / same, null-safely (`<=>`) across all
     * non-key columns. One full-outer shuffle join on the key —

@@ -615,4 +615,36 @@ class Round8bOpsSpec extends AnyFunSuite {
     // censoring must actually occur in the fixture (some user never buys)
     assert(durs.exists(!_._2))
   }
+
+  test("benfordAudit: digit counts replay a driver-side first-digit " +
+      "census, chi terms match the exact recompute, all 9 digits are " +
+      "present, and the total equals the quantized term sum on every row") {
+    val amounts = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0))
+    val want = amounts
+      .map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toString.dropWhile(c => !(c >= '1' && c <= '9')).head.asDigit.toLong)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val benford = Map(1 -> 0.3010299957, 2 -> 0.1760912591,
+      3 -> 0.1249387366, 4 -> 0.0969100130, 5 -> 0.0791812460,
+      6 -> 0.0669467896, 7 -> 0.0579919470, 8 -> 0.0511525224,
+      9 -> 0.0457574906)
+    val n = amounts.length.toDouble
+    val got = ops.Relational.benfordAudit(spark, TestSpark.sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq === (1L to 9L))
+    var tot = BigDecimal(0)
+    got.foreach { r =>
+      val dg = r.getLong(0)
+      val obs = want.getOrElse(dg, 0L)
+      assert(r.getLong(1) === obs)
+      val p = benford(dg.toInt)
+      assert(r.getDouble(2) === p)
+      val en = p * n
+      assert(r.getDouble(3) === en)
+      val chi = (obs.toDouble - en) * (obs.toDouble - en) / en
+      tot += BigDecimal(chi).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    got.foreach(r => assert(r.getDouble(5) === tot.toDouble))
+    assert(want.values.sum === amounts.length.toLong)
+  }
 }
