@@ -4291,6 +4291,35 @@ object OracleSql {
          |FROM sc LEFT JOIN e2 ON sc.u = e2.a AND sc.v = e2.b
          |WHERE e2.a IS NULL
          |ORDER BY score_dec DESC, u, v LIMIT 30""".stripMargin,
+
+    // GraphOps.jaccardNeighbors twin: same wedge-join common counts,
+    // degrees, union expansion, and the single exact-integer division.
+    "graph_jaccard_neighbors" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+         |  GROUP BY 1),
+         |adj AS (
+         |  SELECT a AS w, b AS nb FROM e2
+         |  UNION ALL SELECT b, a FROM e2),
+         |cm AS (
+         |  SELECT x.nb AS u, y.nb AS v,
+         |    CAST(count(*) AS BIGINT) AS common_neighbors
+         |  FROM adj x JOIN adj y ON x.w = y.w AND x.nb < y.nb
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT u, v, common_neighbors, du.deg AS deg_u,
+         |    dv.deg AS deg_v,
+         |    CAST(common_neighbors AS DOUBLE)
+         |      / CAST(du.deg + dv.deg - common_neighbors AS DOUBLE)
+         |      AS jaccard
+         |  FROM cm JOIN deg du ON cm.u = du.node
+         |  JOIN deg dv ON cm.v = dv.node)
+         |SELECT u, v, common_neighbors, deg_u, deg_v, jaccard
+         |FROM sc LEFT JOIN e2 ON sc.u = e2.a AND sc.v = e2.b
+         |WHERE e2.a IS NULL
+         |ORDER BY jaccard DESC, u, v LIMIT 30""".stripMargin,
     // Analytics.minCostSupplier twin (TPC-H Q2 shape): correlated MIN
     // decorrelated as a per-(part, supplier) DECIMAL-exact aggregate +
     // rank-1 window with (offer, suppkey) tiebreak.

@@ -251,6 +251,9 @@ object SparkEntry {
     "graph_kcore"             -> ((s, d) =>
       graft.ops.GraphOps.kcore(s, d)),
     // round 8: Adamic–Adar link prediction with the hub wedge guard
+    // round 8: neighborhood-Jaccard link prediction (Liben-Nowell 2003)
+    "graph_jaccard_neighbors" -> ((s, d) =>
+      graft.ops.GraphOps.jaccardNeighbors(s, d)),
     "graph_adamic_adar"       -> ((s, d) =>
       graft.ops.GraphOps.adamicAdar(s, d)),
     // round 8: butterfly (2×2 biclique) census on the bipartite

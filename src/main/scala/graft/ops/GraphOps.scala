@@ -1050,6 +1050,64 @@ object GraphOps {
         col("score_dec").cast("double").as("aa_score"))
   }
 
+  /** Neighborhood-Jaccard link prediction over the thresholded
+    * co-purchase graph — [[adamicAdar]]'s set-overlap sibling
+    * (Liben-Nowell & Kleinberg 2003, "The Link Prediction Problem for
+    * Social Networks"): J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|, with the
+    * union expanded as deg(u) + deg(v) − common so no second wedge
+    * pass is needed. Candidates are non-adjacent pairs sharing at
+    * least one neighbor (the same inverted-index wedge join Adamic–
+    * Adar pays — pairs with zero overlap are never materialized).
+    *
+    * Exactness: common counts and degrees are exact BIGINTs; the
+    * Jaccard is ONE division of exact integers — correctly rounded to
+    * the identical double in any engine — so even the score ORDER is
+    * engine-exact (ties broken on (u, v)).
+    *
+    * Scale shape: identical to [[adamicAdarFromEdges]] — the wedge
+    * join is edge×degree-bounded and the ≥ minCount threshold is the
+    * proven skew guard (SCALE.md: unthresholded wedges spill, +
+    * thresholded run 12× cheaper); degree attachment is two node-keyed
+    * broadcast-or-shuffle joins on the pair frame, never on facts.
+    */
+  def jaccardNeighbors(s: SparkSession, d: String, minCount: Int = 2,
+      topK: Int = 30): DataFrame =
+    jaccardFromEdges(coPurchaseEdges(s, d, minCount).select("a", "b"), topK)
+
+  /** [[jaccardNeighbors]]' scoring core over an explicit distinct
+    * (a < b) undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def jaccardFromEdges(undIn: DataFrame,
+      topK: Int): DataFrame = {
+    val und = undIn.localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("a").as("w"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("nb")))
+    val common = adj.as("x")
+      .join(adj.as("y"),
+        col("x.w") === col("y.w") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("u"), col("y.nb").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common_neighbors"))
+    val scored = common
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")),
+        Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")),
+        Seq("v"))
+      .withColumn("jaccard",
+        col("common_neighbors").cast("double")
+          / (col("deg_u") + col("deg_v") - col("common_neighbors"))
+            .cast("double"))
+    scored
+      .join(und, col("u") === col("a") && col("v") === col("b"),
+        "left_anti")
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common_neighbors"),
+        col("deg_u"), col("deg_v"), col("jaccard"))
+  }
+
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara 2007) over the thresholded co-purchase graph —
     * the near-linear community pass curation pipelines run before

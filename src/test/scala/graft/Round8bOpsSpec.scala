@@ -647,4 +647,51 @@ class Round8bOpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(5) === tot.toDouble))
     assert(want.values.sum === amounts.length.toLong)
   }
+
+  test("jaccardFromEdges: hand graphs score exactly (diamond diagonal " +
+      "J=1, path-star candidates J=1/3 tie-broken on (u,v)), adjacent " +
+      "pairs never appear, and the fixture run replays a driver-side " +
+      "census") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    def und(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+    // diamond 1-2-4-3-1 plus chord 2-3: the only non-adjacent pair is
+    // (1,4), sharing both of its endpoints' entire neighborhoods
+    val diamond = GraphOps.jaccardFromEdges(
+      und((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)), 10).collect()
+    assert(diamond.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq ===
+      Seq((1L, 4L, 2L, 2L, 2L, 1.0)))
+    // triangle 1-2-3 with pendant path 1-4-5: three candidates all at
+    // J = 1/3, surfaced in (u, v) tie order
+    val path = GraphOps.jaccardFromEdges(
+      und((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L)), 10).collect()
+    assert(path.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 5L), (2L, 4L), (3L, 4L)))
+    path.foreach(r => assert(r.getDouble(5) === 1.0 / 3.0))
+    // fixture: full driver-side replay of the top-30
+    val d = TestSpark.sf0001
+    val edges = GraphOps.coPurchaseEdges(spark, d)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbr = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val edgeSet = edges.toSet
+    val cand = nbr.keys.toSeq.combinations(2).map(_.sorted)
+      .map { case Seq(u, v) => (u, v) }
+      .filter { case (u, v) => !edgeSet((u, v)) }
+      .map { case (u, v) =>
+        val c = (nbr(u) & nbr(v)).size.toLong
+        (u, v, c, nbr(u).size.toLong, nbr(v).size.toLong,
+          c.toDouble / (nbr(u).size + nbr(v).size - c).toDouble)
+      }
+      .filter(_._3 > 0).toSeq
+      .sortBy { case (u, v, _, _, _, j) => (-j, u, v) }
+      .take(30)
+    val got = GraphOps.jaccardNeighbors(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === cand)
+    assert(got.nonEmpty)
+  }
 }
