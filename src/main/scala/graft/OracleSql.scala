@@ -4875,6 +4875,31 @@ object OracleSql {
         |    AS cum_hazard
         |FROM hz ORDER BY day""".stripMargin,
 
+    // EventOps.ewmaDaily twin: same DECIMAL(18,2) daily totals, same
+    // renormalized integer weights 2^(39-dk) (exact decimal products,
+    // no per-term float), same single exponent-shift division by 2^40.
+    "ev_ewma_daily" ->
+      """WITH dd AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dref,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS xd
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(dref) AS d0 FROM dd),
+        |x AS (
+        |  SELECT event_type, dref - d0 AS day,
+        |    CAST(xd AS DECIMAL(18,2)) AS xq
+        |  FROM dd CROSS JOIN m),
+        |t AS (
+        |  SELECT a.event_type, a.day, a.xq,
+        |    b.xq * CAST(1::BIGINT
+        |      << CAST(39 - (a.day - b.day) AS INTEGER)
+        |      AS DECIMAL(12,0)) AS term
+        |  FROM x a JOIN x b ON a.event_type = b.event_type
+        |    AND b.day <= a.day AND a.day - b.day < 40)
+        |SELECT event_type, day, CAST(xq AS DOUBLE) AS x_day,
+        |  CAST(sum(term) AS DOUBLE) / 1099511627776.0 AS ewma
+        |FROM t GROUP BY event_type, day, xq
+        |ORDER BY event_type, day""".stripMargin,
+
     // EventOps.psiValueDrift twin: same exact-rank decile edges from
     // the baseline week, same 1e-4 floor, per-bin term quantized onto
     // DECIMAL(24,9) before the associative cross-bin sum.

@@ -1474,4 +1474,61 @@ object EventOps {
           .cast("double").as("cum_hazard"))
       .orderBy("day")
   }
+
+  /** Exponentially-weighted daily value smoothing per event type
+    * (Brown 1956 simple exponential smoothing, α = 1/2, S₀ = 0):
+    * S_t = α·x_t + (1−α)·S_{t−1}. The recurrence is SEQUENTIAL, which
+    * no engine reproduces bit-stably via fold order — so it is
+    * re-expressed exactly as the geometric weighted sum
+    * S_t = Σ_{i≤t} 2^−(t−i+1) · x_i, and the weights are RENORMALIZED
+    * to integers: S_t = (Σ x_i · 2^(H−1−(t−i))) / 2^H with horizon
+    * H = 40. Every term is then a DECIMAL(18,2) × power-of-two-BIGINT
+    * product — EXACT decimal arithmetic, associative under any
+    * partitioning — and the single final division by 2⁴⁰ is a pure
+    * exponent shift on the correctly-rounded double of an exact sum:
+    * bit-identical in any engine, with NO per-term float rounding at
+    * all (a per-term double-quantize design was measurably 1-ulp
+    * engine-divergent on half-way values; this one cannot diverge).
+    * Terms older than H days are dropped in BOTH engines (identical
+    * join predicate): their weight is < 2⁻⁴⁰ ≈ 10⁻¹² of the newest
+    * day's.
+    *
+    * Scale shape: one fact shuffle to (type, day) grain; the
+    * horizon-capped pair join is |days|·min(|days|, 40) per type —
+    * day-grain work regardless of fact size. For multi-year horizons
+    * the chunked carry discipline ([[cusumChangepointPartitioned]])
+    * is the linear alternative; here the windowed closed form is the
+    * simpler exact shape.
+    */
+  def ewmaDaily(s: SparkSession, d: String): DataFrame = {
+    val dd = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("dref"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("xd"))
+    val m = dd.agg(min("dref").as("d0"))
+    // day-grain frame, materialized once: it is BOTH sides of the
+    // pair join (and tiny — one row per (type, day))
+    val x = dd.crossJoin(broadcast(m))
+      .select(col("event_type"), (col("dref") - col("d0")).as("day"),
+        col("xd").cast("decimal(18,2)").as("xq"))
+      .localCheckpoint()
+    val pairs = x.as("a").join(x.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("b.day") <= col("a.day") &&
+        col("a.day") - col("b.day") < lit(40L))
+    val terms = pairs.select(
+        col("a.event_type").as("event_type"), col("a.day").as("day"),
+        col("a.xq").as("xq"), col("b.xq").as("xb"),
+        (col("a.day") - col("b.day")).cast("int").as("dk"))
+      .select(col("event_type"), col("day"), col("xq"),
+        (col("xb") *
+          expr("cast(shiftleft(cast(1 as bigint), 39 - dk)" +
+            " as decimal(12,0))")).as("term"))
+    terms.groupBy("event_type", "day", "xq")
+      .agg(sum(col("term")).as("ew"))
+      .select(col("event_type"), col("day"),
+        col("xq").cast("double").as("x_day"),
+        (col("ew").cast("double") / lit(1099511627776.0)).as("ewma"))
+      .orderBy("event_type", "day")
+  }
 }

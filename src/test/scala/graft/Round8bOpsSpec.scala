@@ -694,4 +694,44 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(got.toSeq === cand)
     assert(got.nonEmpty)
   }
+
+  test("ewmaDaily: every (type, day) smoothed value replays the exact " +
+      "power-of-two weighted sum, and tracks the sequential recurrence " +
+      "S_t = x_t/2 + S_{t-1}/2 to quantization error") {
+    val evd = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def q2(v: Double) =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val daily = evd.groupBy(r => (r._1, r._2 / 86400000000L)).toSeq
+      .map { case ((t, dref), rows) => (t, dref, rows.map(r => q2(r._3)).sum) }
+    val d0 = daily.map(_._2).min
+    val byDay = daily.map { case (t, dref, x) => ((t, dref - d0), x) }.toMap
+    val want = byDay.map { case ((t, day), xq) =>
+      val terms = (0L to math.min(day, 39L)).flatMap { back =>
+        byDay.get((t, day - back)).map { xb =>
+          xb * BigDecimal(1L << (39 - back))
+        }
+      }
+      ((t, day), (xq.toDouble, terms.sum.toDouble / 1099511627776.0))
+    }
+    val got = EventOps.ewmaDaily(spark, TestSpark.sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3))))
+    assert(got.toMap === want)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    // the closed form must track the textbook recurrence: on
+    // contiguous days, S_t - (x_t/2 + S_{t-1}/2) is only the dropped
+    // >60-day tail plus per-term quantization — far below 1e-6
+    val gm = got.toMap
+    var checked = 0
+    gm.foreach { case ((t, day), (x, s)) =>
+      gm.get((t, day - 1)).foreach { case (_, sPrev) =>
+        assert(math.abs(s - (x / 2 + sPrev / 2)) < 1e-6)
+        checked += 1
+      }
+    }
+    assert(checked > 10)
+  }
 }
