@@ -1771,6 +1771,44 @@ object OracleSql {
         |       CAST(acc % 9223372036854775808 AS BIGINT) AS checksum
         |FROM folded ORDER BY media_id, frame_idx""".stripMargin,
 
+    // Multimodal.sceneDetect twin: same stride-1 frame slices, exact
+    // byte sums recovered from the hex payload, same one-division luma,
+    // lag delta, and threshold flag (first frame opens a scene).
+    "mm_scene_detect" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), frames AS (
+        |  SELECT media_id, h, n,
+        |         CAST(unnest(range(0, greatest(1, n // 256), 1)) AS BIGINT)
+        |           AS frame_idx
+        |  FROM vid
+        |), bounds AS (
+        |  SELECT media_id, h, frame_idx,
+        |         frame_idx * 256 AS f, least(n, frame_idx * 256 + 256) AS u
+        |  FROM frames
+        |), summed AS (
+        |  SELECT media_id, frame_idx, u - f AS frame_len,
+        |    list_sum(list_transform(range(f + 1, u + 1), i ->
+        |      (strpos('123456789ABCDEF',
+        |         substr(h, CAST(2*i-1 AS INT), 1))) * 16
+        |      + (strpos('123456789ABCDEF',
+        |          substr(h, CAST(2*i AS INT), 1))))) AS byte_sum
+        |  FROM bounds
+        |), luma AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(byte_sum AS DOUBLE) / CAST(frame_len AS DOUBLE) AS luma
+        |  FROM summed
+        |), lagged AS (
+        |  SELECT media_id, frame_idx, luma,
+        |    abs(luma - lag(luma, 1) OVER (PARTITION BY media_id
+        |      ORDER BY frame_idx)) AS delta
+        |  FROM luma)
+        |SELECT media_id, frame_idx, luma, delta,
+        |  COALESCE(delta > 1.0, TRUE) AS is_cut
+        |FROM lagged ORDER BY media_id, frame_idx""".stripMargin,
+
     // ------------------------------------------------------- relational
     "r_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

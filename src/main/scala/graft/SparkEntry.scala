@@ -116,6 +116,8 @@ object SparkEntry {
       Multimodal.sampleFrameStats(Multimodal.mediaTable(s, d))
         .orderBy("media_id", "frame_idx")),
     "mm_audio_energy"     -> (Multimodal.audioStats(_, _)),
+    // round 8: adjacent-frame intensity-delta shot boundary detector
+    "mm_scene_detect"     -> ((s, d) => Multimodal.sceneDetect(s, d)),
     "mm_phash"            -> (Multimodal.phash(_, _)),
     "mm_phash_pairs"      -> (Multimodal.phashPairs(_, _)),
     "mm_phash_clusters"   -> (Multimodal.phashClusters(_, _)),

@@ -362,6 +362,56 @@ object Multimodal {
           _.cast("string"))).as("members"))
       .orderBy("cluster_id")
 
+  /** Per-frame intensity stats at stride 1 for [[sceneDetect]] — same
+    * iterator contract and frame slicing as [[sampleFrameStats]], but
+    * emitting the exact byte SUM (the stub for a decoded frame's mean
+    * luma) instead of the fold checksum.
+    */
+  private[graft] def sceneFrameStats(media: Dataset[MediaRecord])
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      frameSlices(m.payload, 1).map { case (f, from, until) =>
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += (m.payload(i) & 0xFF); i += 1 }
+        (m.media_id, f, (until - from).toLong, sum)
+      }
+    }.toDF("media_id", "frame_idx", "frame_len", "byte_sum")
+  }
+
+  /** Shot/scene-boundary detection — the classic adjacent-frame
+    * intensity-delta cut detector (the mean-luma special case of
+    * pixel-difference shot detection, cf. Boreczky & Rowe 1996,
+    * "Comparison of video shot boundary detection techniques"): a cut
+    * is declared where |mean_luma(f) − mean_luma(f−1)| > threshold,
+    * and every video's first frame opens a scene. STUB boundary is the
+    * decode only (mean luma ≙ mean payload byte, same substitution as
+    * every codec stub here); the slicing, per-partition streaming, and
+    * the detector algebra are real.
+    *
+    * Exactness: byte sums and lengths are exact integers; each luma is
+    * ONE division, the delta ONE subtraction — correctly-rounded IEEE
+    * ops on identical inputs, so flags and values are engine-exact.
+    *
+    * Scale shape: frames stream out of `mapPartitions` (no driver
+    * materialization); the lag window partitions by media_id — state
+    * is one video's frame list, never a global sort.
+    */
+  def sceneDetect(s: SparkSession, d: String,
+      threshold: Double = 1.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    sceneFrameStats(mediaTable(s, d))
+      .withColumn("luma",
+        col("byte_sum").cast("double") / col("frame_len").cast("double"))
+      .withColumn("delta", abs(col("luma") - lag(col("luma"), 1).over(w)))
+      .withColumn("is_cut", coalesce(col("delta") > threshold, lit(true)))
+      .select(col("media_id"), col("frame_idx"), col("luma"),
+        col("delta"), col("is_cut"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   private def byteFold(b: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0

@@ -734,4 +734,40 @@ class Round8bOpsSpec extends AnyFunSuite {
     }
     assert(checked > 10)
   }
+
+  test("sceneDetect: per-frame lumas, deltas, and cut flags replay a " +
+      "driver-side stride-1 recompute over the video payloads, first " +
+      "frames always open a scene, and the fixture yields both cuts " +
+      "and non-cuts") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.filter(_._1 % 3 == 2).flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val n = math.max(1, b.length / 256)
+      val lumas = (0 until n).map { f =>
+        val from = f * 256
+        val until = math.min(b.length, from + 256)
+        val sum = (from until until).map(i => (b(i) & 0xFF).toLong).sum
+        sum.toDouble / (until - from).toDouble
+      }
+      lumas.zipWithIndex.map { case (l, f) =>
+        val delta = if (f == 0) None else Some(math.abs(l - lumas(f - 1)))
+        ((id, f.toLong), (l, delta, delta.forall(_ > 1.0)))
+      }
+    }.toMap
+    val got = ops.Multimodal.sceneDetect(spark, TestSpark.sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4))))
+    assert(got.toMap === want)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    // first frame of every video is a scene start with NULL delta
+    got.filter(_._1._2 == 0L).foreach { case (_, (_, dl, cut)) =>
+      assert(dl.isEmpty && cut)
+    }
+    // detector must be exercised in both directions on the fixture
+    val later = got.filter(_._1._2 > 0L)
+    assert(later.exists(_._2._3) && later.exists(!_._2._3))
+  }
 }
