@@ -1049,6 +1049,47 @@ object OracleSql {
         |       vec_id AS neighbor_id, cosine_sim
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // SimilarityOps.centroidDrift twin: same DECIMAL(20,10) component
+    // quantization, exact-input centroid divisions, and per-term
+    // DECIMAL(24,12) dot/norm reductions. Spark's posexplode pos is
+    // 0-based and DuckDB's range here 1-based, but pos only keys the
+    // within-engine side join, so the offset cancels.
+    "emb_centroid_drift" ->
+      """WITH base AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS side,
+        |    embedding AS emb
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, side, unnest(range(1, len(emb) + 1)) AS i, emb
+        |  FROM base),
+        |e AS (
+        |  SELECT label, side, i AS pos,
+        |    CAST(CAST(emb[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(20,10))
+        |      AS v
+        |  FROM ex),
+        |comp AS (
+        |  SELECT label, side, pos,
+        |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c,
+        |    count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |a AS (SELECT label, pos, c AS ca, n AS n_a FROM comp
+        |  WHERE side = 0),
+        |b AS (SELECT label, pos, c AS cb, n AS n_b FROM comp
+        |  WHERE side = 1),
+        |g AS (
+        |  SELECT a.label,
+        |    CAST(max(n_a) AS BIGINT) AS n_a,
+        |    CAST(max(n_b) AS BIGINT) AS n_b,
+        |    sum(CAST(ca * cb AS DECIMAL(24,12))) AS dot,
+        |    sum(CAST(ca * ca AS DECIMAL(24,12))) AS naa,
+        |    sum(CAST(cb * cb AS DECIMAL(24,12))) AS nbb
+        |  FROM a JOIN b ON a.label = b.label AND a.pos = b.pos
+        |  GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(naa AS DOUBLE))
+        |    * sqrt(CAST(nbb AS DOUBLE))) AS cos_drift
+        |FROM g ORDER BY label""".stripMargin,
+
     // Hyperplane LSH reproduced in SQL: the signature planes are
     // deterministic literals (splitmix64, SimilarityOps.hyperplane), so
     // each signature bit is an explicit sign-of-dot-product expression.

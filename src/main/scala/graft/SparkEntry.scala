@@ -295,6 +295,9 @@ object SparkEntry {
     // round 8: Matryoshka truncation audit — first-16-dims recall@5
     "emb_dim_truncation"      -> ((s, d) =>
       graft.ops.SimilarityOps.dimTruncationAudit(s, d)),
+    // round 8: embedding-space drift — per-label split-centroid cosine
+    "emb_centroid_drift"      -> ((s, d) =>
+      graft.ops.SimilarityOps.centroidDrift(s, d)),
     // round 8: PMI collocations (Church & Hanks 1990)
     "txt_pmi_collocations"    -> ((s, d) => TextOps.pmiCollocations(s, d)),
     // same supersteps over the bucketed layout: exchange-free rank⋈edges

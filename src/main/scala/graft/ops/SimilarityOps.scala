@@ -1002,4 +1002,53 @@ object SimilarityOps {
     centers.select(col("k_rank"), col("vec_id"), col("pick_sim"))
       .orderBy("k_rank")
   }
+
+  /** Embedding-space drift monitor: per label, the cosine between the
+    * CENTROIDS of two deterministic halves of the corpus (vec_id
+    * parity — production swaps in time windows or train/serve splits).
+    * The embedding companion of the scalar drift family
+    * ([[graft.ops.EventOps.psiValueDrift]] on values,
+    * [[graft.ops.TextOps.ksSplitDrift]] on lengths): a centroid cosine
+    * falling from ~1 flags a representation or population shift that
+    * per-feature monitors miss.
+    *
+    * Exactness: per-dimension sums quantize each float component onto
+    * DECIMAL(20,10) (floats are exact doubles; the decimal recast is
+    * the associativity discipline), so centroid components are one
+    * exact-input division each; the 64-term dot/norm reductions are
+    * per-term DECIMAL(24,12)-quantized sums — no accumulation-order
+    * float anywhere, bit-exact in any engine.
+    *
+    * Scale shape: one posexplode shuffle to (label, side, dim) grain —
+    * the same component-sum pass any distributed mean costs — then
+    * everything lives at |labels|×|dims| grain. No pairwise term, no
+    * vector materialization on the driver.
+    */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        pmod(col("vec_id"), lit(2)).as("side"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("side"), col("pos"),
+        col("col").cast("double").cast("decimal(20,10)").as("v"))
+    val comp = e.groupBy("label", "side", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("side"), col("pos"),
+        (col("sv").cast("double") / col("n").cast("double")).as("c"),
+        col("n"))
+    val a = comp.filter(col("side") === 0).select(col("label"), col("pos"),
+      col("c").as("ca"), col("n").as("n_a"))
+    val b = comp.filter(col("side") === 1).select(col("label"), col("pos"),
+      col("c").as("cb"), col("n").as("n_b"))
+    val g = a.join(b, Seq("label", "pos")).groupBy("label").agg(
+      max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+      sum((col("ca") * col("cb")).cast("decimal(24,12)")).as("dot"),
+      sum((col("ca") * col("ca")).cast("decimal(24,12)")).as("naa"),
+      sum((col("cb") * col("cb")).cast("decimal(24,12)")).as("nbb"))
+    g.select(col("label"), col("n_a"), col("n_b"),
+        (col("dot").cast("double")
+          / (sqrt(col("naa").cast("double"))
+            * sqrt(col("nbb").cast("double")))).as("cos_drift"))
+      .orderBy("label")
+  }
 }

@@ -770,4 +770,45 @@ class Round8bOpsSpec extends AnyFunSuite {
     val later = got.filter(_._1._2 > 0L)
     assert(later.exists(_._2._3) && later.exists(!_._2._3))
   }
+
+  test("centroidDrift: per-label split sizes and the centroid cosine " +
+      "replay a driver-side recompute through the same decimal " +
+      "quantizations, every label appears, and cosines are valid") {
+    val vecs = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toArray))
+    def q10(v: Double) =
+      BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def q12(v: Double) =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = vecs.groupBy(_._2).map { case (label, rows) =>
+      def centroid(side: Long): (Long, Array[Double]) = {
+        val vs = rows.filter(_._1 % 2 == side).map(_._3)
+        val dims = vs.head.length
+        (vs.length.toLong, Array.tabulate(dims) { p =>
+          vs.map(v => q10(v(p).toDouble)).sum.toDouble / vs.length
+        })
+      }
+      val (na, ca) = centroid(0)
+      val (nb, cb) = centroid(1)
+      val dot = ca.zip(cb).map { case (x, y) => q12(x * y) }.sum.toDouble
+      val naa = ca.map(x => q12(x * x)).sum.toDouble
+      val nbb = cb.map(y => q12(y * y)).sum.toDouble
+      label -> (na, nb, dot / (math.sqrt(naa) * math.sqrt(nbb)))
+    }
+    val got = ops.SimilarityOps.centroidDrift(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toMap === want)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    assert(got.map(_._1).toSet === vecs.map(_._2).toSet)
+    got.foreach { case (_, (na, nb, cos)) =>
+      assert(na > 0 && nb > 0)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+  }
 }
