@@ -4856,6 +4856,42 @@ object OracleSql {
         |  abs(z) > 1.96 AS significant
         |FROM zc ORDER BY event_type""".stripMargin,
 
+    // EventOps.abPowerMde twin: the abTestZ exact-moment frame, then
+    // the identical pooled-variance / MDE double expression shapes
+    // (z constants 1.96 + 0.8416 hardcoded in both engines).
+    "ev_ab_power" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS svv
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 0 THEN sv END) AS sv_a,
+        |    max(CASE WHEN arm = 0 THEN svv END) AS svv_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 1 THEN sv END) AS sv_b,
+        |    max(CASE WHEN arm = 1 THEN svv END) AS svv_b
+        |  FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT event_type, n_a, n_b,
+        |    ((CAST(svv_a AS DOUBLE) - CAST(sv_a AS DOUBLE)
+        |        * CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |     + (CAST(svv_b AS DOUBLE) - CAST(sv_b AS DOUBLE)
+        |        * CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |    / CAST(n_a + n_b - 2 AS DOUBLE) AS pooled_var,
+        |    CAST(sv_a + sv_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE) AS grand_mean
+        |  FROM w)
+        |SELECT event_type, n_a, n_b, pooled_var,
+        |  2.8016 * sqrt(pooled_var * (1.0 / CAST(n_a AS DOUBLE)
+        |    + 1.0 / CAST(n_b AS DOUBLE))) AS mde_abs,
+        |  2.8016 * sqrt(pooled_var * (1.0 / CAST(n_a AS DOUBLE)
+        |    + 1.0 / CAST(n_b AS DOUBLE))) / grand_mean AS mde_rel
+        |FROM p ORDER BY event_type""".stripMargin,
+
     // EventOps.abSrmCheck twin: distinct (type, user) frame, exact
     // per-arm counts, then the identical 1-df chi-square double shape.
     "ev_ab_srm" ->

@@ -330,6 +330,8 @@ object SparkEntry {
     "ev_ab_srm"               -> (EventOps.abSrmCheck(_, _)),
     // round 8: CUPED variance-reduced A/B means (Deng et al. WSDM'13)
     "ev_ab_cuped"             -> (EventOps.abCuped(_, _)),
+    // round 8: minimum detectable effect at 5%/80% — sizing readout
+    "ev_ab_power"             -> (EventOps.abPowerMde(_, _)),
     // round 8: Nelson–Aalen cumulative hazard, censored conversions
     "ev_survival_hazard"      -> (EventOps.survivalHazard(_, _)),
     // round 8: exact EWMA smoothing via power-of-two geometric weights

@@ -1327,6 +1327,55 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Experiment sensitivity readout: per event type, the minimum
+    * detectable effect of the [[abTestZ]] design at 5% two-sided
+    * significance and 80% power — MDE = (z_{α/2} + z_β)·√(s²_p·(1/n_a
+    * + 1/n_b)) with the pooled variance s²_p = ((n_a−1)s²_a +
+    * (n_b−1)s²_b)/(n_a+n_b−2) and the universal constants 1.96 and
+    * 0.8416 hardcoded (no data-dependent quantile inversion).
+    * Completes the experimentation suite: [[abSrmCheck]] validates the
+    * assignment, [[abTestZ]] reads the effect, [[abCuped]] shrinks the
+    * variance, and this op says what effect size the traffic can even
+    * see — the go/no-go number experiment sizing runs on (Kohavi,
+    * Tang & Xu 2020, ch. 17).
+    *
+    * Exactness: the [[abTestZ]] discipline verbatim — DECIMAL(18,2)-
+    * quantized Σv/Σv² are exact, and MDE/mean are one double
+    * expression chain each over those scalars, identical shape to the
+    * oracle. Scale shape: ONE map-side-combined (type, arm) shuffle,
+    * then |types|-row algebra.
+    */
+  def abPowerMde(s: SparkSession, d: String): DataFrame = {
+    val q = col("value").cast("decimal(18,2)")
+    val g = Tables.events(s, d)
+      .select(col("event_type"), pmod(col("user_id"), lit(2)).as("arm"),
+        q.as("q"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sv"),
+        sum(col("q") * col("q")).as("svv"))
+    def side(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+    val wide = g.groupBy("event_type").agg(
+      side(0, "n").as("n_a"), side(0, "sv").as("sv_a"),
+      side(0, "svv").as("svv_a"),
+      side(1, "n").as("n_b"), side(1, "sv").as("sv_b"),
+      side(1, "svv").as("svv_b"))
+    def ss(svv: String, sv: String, n: String) =
+      col(svv).cast("double") -
+        col(sv).cast("double") * col(sv).cast("double") /
+          col(n).cast("double")
+    val pooledVar = (ss("svv_a", "sv_a", "n_a") + ss("svv_b", "sv_b", "n_b")) /
+      (col("n_a") + col("n_b") - lit(2)).cast("double")
+    val mde = lit(2.8016) *
+      sqrt(pooledVar * (lit(1.0) / col("n_a").cast("double")
+        + lit(1.0) / col("n_b").cast("double")))
+    val grandMean = (col("sv_a") + col("sv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    wide.select(col("event_type"), col("n_a"), col("n_b"),
+        pooledVar.as("pooled_var"), mde.as("mde_abs"),
+        (mde / grandMean).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
   /** Sample-ratio-mismatch (SRM) guardrail for the A/B readout: per
     * event type, the count of DISTINCT users landing in each arm and
     * the one-degree-of-freedom chi-square against the designed 50/50

@@ -513,6 +513,38 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(1) > 30 && r.getLong(3) > 30))
   }
 
+  test("abPowerMde: pooled variance and the 5%/80% minimum detectable " +
+      "effect replay a driver-side recompute exactly, and MDE shrinks " +
+      "with more traffic") {
+    val ev = rawEvents
+    val got = EventOps.abPowerMde(spark, TestSpark.sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      def arm(a: Int) = ev.filter(e => e._4 == t && e._1 % 2 == a)
+        .map(e => BigDecimal(e._5)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val (va, vb) = (arm(0), arm(1))
+      assert(r.getLong(1) === va.length.toLong)
+      assert(r.getLong(2) === vb.length.toLong)
+      def ss(v: Seq[BigDecimal]) =
+        v.map(x => x * x).sum.toDouble -
+          v.sum.toDouble * v.sum.toDouble / v.length
+      val pooled = (ss(va) + ss(vb)) / (va.length + vb.length - 2).toDouble
+      assert(r.getDouble(3) === pooled)
+      val mde = 2.8016 *
+        math.sqrt(pooled * (1.0 / va.length + 1.0 / vb.length))
+      assert(r.getDouble(4) === mde)
+      val grand = (va.sum + vb.sum).toDouble / (va.length + vb.length)
+      assert(r.getDouble(5) === mde / grand)
+      assert(mde > 0)
+      // sensitivity improves with n: doubling both arms shrinks MDE /sqrt2
+      val mde2 = 2.8016 *
+        math.sqrt(pooled * (0.5 / va.length + 0.5 / vb.length))
+      assert(mde2 < mde)
+    }
+  }
+
   test("abSrmCheck: per-type distinct-user arm counts match a driver-side " +
       "set replay, the chi-square is the exact (d*d)/n double, and the " +
       "flag fires iff chi_sq > 3.841") {
