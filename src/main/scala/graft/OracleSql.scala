@@ -4990,6 +4990,47 @@ object OracleSql {
         |    AS cum_hazard
         |FROM hz ORDER BY day""".stripMargin,
 
+    // EventOps.theilSenTrend twin: same exact daily totals, pairwise
+    // slope shape, and deterministic lower-median rank selections.
+    "ev_theil_sen" ->
+      """WITH dd AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dref,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS xd
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(dref) AS d0 FROM dd),
+        |x AS (
+        |  SELECT event_type, dref - d0 AS day,
+        |    CAST(CAST(xd AS DECIMAL(18,2)) AS DOUBLE) AS y
+        |  FROM dd CROSS JOIN m),
+        |p AS (
+        |  SELECT a.event_type, a.day AS di, b.day AS dj,
+        |    (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM x a JOIN x b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |ps AS (
+        |  SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope, di, dj) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM p),
+        |sl AS (
+        |  SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs, slope
+        |  FROM ps WHERE rn = (n_pairs + 1) // 2),
+        |rs AS (
+        |  SELECT x.event_type, sl.n_pairs, sl.slope, x.day,
+        |    x.y - sl.slope * CAST(x.day AS DOUBLE) AS r
+        |  FROM x JOIN sl ON x.event_type = sl.event_type),
+        |ri AS (
+        |  SELECT event_type, n_pairs, slope, r,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY r, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM rs)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, n_pairs,
+        |  slope, r AS intercept
+        |FROM ri WHERE rn = (n_days + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
     // EventOps.ewmaDaily twin: same DECIMAL(18,2) daily totals, same
     // renormalized integer weights 2^(39-dk) (exact decimal products,
     // no per-term float), same single exponent-shift division by 2^40.

@@ -336,6 +336,8 @@ object SparkEntry {
     "ev_survival_hazard"      -> (EventOps.survivalHazard(_, _)),
     // round 8: exact EWMA smoothing via power-of-two geometric weights
     "ev_ewma_daily"           -> (EventOps.ewmaDaily(_, _)),
+    // round 8: Theil–Sen robust daily trend (29% breakdown point)
+    "ev_theil_sen"            -> (EventOps.theilSenTrend(_, _)),
     // round 8: PSI drift monitor (first-week baseline vs last week)
     "ev_psi_drift"            -> ((s, d) => EventOps.psiValueDrift(s, d)),
     // round 8: per-language Gini of token mass — corpus balance

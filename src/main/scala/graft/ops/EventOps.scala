@@ -1524,6 +1524,69 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Robust per-type trend of daily value totals: the Theil–Sen
+    * estimator (Theil 1950, Sen 1968) — slope = the LOWER MEDIAN of
+    * all pairwise slopes (y_j − y_i)/(d_j − d_i), intercept = the
+    * lower median of y_i − slope·d_i. Unlike the OLS trend
+    * (`r_forecast_revenue`), Theil–Sen has a 29% breakdown point: one
+    * corrupted day cannot move it, which is the property a pipeline
+    * health monitor needs.
+    *
+    * Exactness: daily totals are DECIMAL(18,2) (exact → exact doubles
+    * ≤ 15 significant digits); each pairwise slope is one subtraction
+    * + one division of exact inputs (deterministic IEEE); the medians
+    * are RANK selections under the fully deterministic order
+    * (slope, d_i, d_j) — no float accumulation anywhere, so both the
+    * values and the selection are engine-exact.
+    *
+    * Scale shape: one fact shuffle to (type, day) grain, then the
+    * pair frame is |days|²/2 per type — DAY-grain quadratic, never
+    * fact-sized (a year is ~66k pairs/type). The rank windows
+    * partition by type. At multi-year horizons the documented
+    * alternative is Theil–Sen over a bounded day sample or per-window
+    * slopes merged by median-of-medians.
+    */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    val dd = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("dref"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("xd"))
+    val m = dd.agg(min("dref").as("d0"))
+    // day-grain frame, materialized once: pair join (both sides) and
+    // the intercept residuals all consume it
+    val x = dd.crossJoin(broadcast(m))
+      .select(col("event_type"), (col("dref") - col("d0")).as("day"),
+        col("xd").cast("decimal(18,2)").cast("double").as("y"))
+      .localCheckpoint()
+    val pairs = x.as("a").join(x.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.day").as("di"), col("b.day").as("dj"),
+        ((col("b.y") - col("a.y")) /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val wS = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("di"), col("dj"))
+    val slope = pairs
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"), col("slope"))
+    val resid = x.join(slope, Seq("event_type"))
+      .select(col("event_type"), col("n_pairs"), col("slope"),
+        col("day"), (col("y") - col("slope") * col("day").cast("double"))
+          .as("r"))
+    val wI = Window.partitionBy("event_type").orderBy(col("r"), col("day"))
+    resid.withColumn("rn", row_number().over(wI))
+      .withColumn("n_days",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope"), col("r").as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** Exponentially-weighted daily value smoothing per event type
     * (Brown 1956 simple exponential smoothing, α = 1/2, S₀ = 0):
     * S_t = α·x_t + (1−α)·S_{t−1}. The recurrence is SEQUENTIAL, which

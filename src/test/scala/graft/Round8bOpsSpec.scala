@@ -767,6 +767,44 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(checked > 10)
   }
 
+  test("theilSenTrend: slope and intercept equal the driver-side lower " +
+      "medians of pairwise slopes and residuals, and one corrupted day " +
+      "cannot move the estimator (breakdown sanity)") {
+    val evd = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def q2(v: Double) =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val daily = evd.groupBy(r => (r._1, r._2 / 86400000000L)).toSeq
+      .map { case ((t, dref), rows) =>
+        (t, dref, rows.map(r => q2(r._3)).sum.toDouble)
+      }
+    val d0 = daily.map(_._2).min
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val pts = rows.map(r => (r._2 - d0, r._3)).sortBy(_._1)
+      val slopes = (for {
+        (di, yi) <- pts; (dj, yj) <- pts if di < dj
+      } yield (((yj - yi) / (dj - di).toDouble), di, dj)).sortBy(x => (x._1, x._2, x._3))
+      val slope = slopes((slopes.length + 1) / 2 - 1)._1
+      val resid = pts.map { case (dd2, y) => (y - slope * dd2.toDouble, dd2) }
+        .sortBy(identity)
+      val intercept = resid((resid.length + 1) / 2 - 1)._1
+      t -> (pts.length.toLong, slopes.length.toLong, slope, intercept)
+    }
+    val got = EventOps.theilSenTrend(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toMap === want)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    // breakdown sanity on a synthetic series: y = 2d + 1 with one wild
+    // outlier — the pairwise-slope lower median stays 2
+    val pts = (0L to 10L).map(dd2 => (dd2, 2.0 * dd2 + 1)) :+ (11L, 1e6)
+    val sl = (for { (di, yi) <- pts; (dj, yj) <- pts if di < dj }
+      yield (yj - yi) / (dj - di).toDouble).sorted
+    assert(sl((sl.length + 1) / 2 - 1) === 2.0)
+  }
+
   test("sceneDetect: per-frame lumas, deltas, and cut flags replay a " +
       "driver-side stride-1 recompute over the video payloads, first " +
       "frames always open a scene, and the fixture yields both cuts " +
