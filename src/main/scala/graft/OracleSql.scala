@@ -5046,7 +5046,7 @@ object OracleSql {
         |  FROM dd CROSS JOIN m),
         |t AS (
         |  SELECT a.event_type, a.day, a.xq,
-        |    b.xq * CAST(1::BIGINT
+        |    CAST(b.xq AS DECIMAL(25,2)) * CAST(1::BIGINT
         |      << CAST(39 - (a.day - b.day) AS INTEGER)
         |      AS DECIMAL(12,0)) AS term
         |  FROM x a JOIN x b ON a.event_type = b.event_type
