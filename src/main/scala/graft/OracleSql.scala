@@ -5150,7 +5150,8 @@ object OracleSql {
          |  SELECT lang, count(*) AS n_docs, sum(x) AS total_tokens,
          |    sum(i * x) AS swx
          |  FROM ranked GROUP BY 1)
-         |SELECT lang, n_docs, total_tokens,
+         |SELECT lang, n_docs,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
          |  CASE WHEN total_tokens > 0
          |    THEN CAST(2 * swx - (n_docs + 1) * total_tokens AS DOUBLE)
          |      / CAST(n_docs * total_tokens AS DOUBLE)
@@ -5187,7 +5188,8 @@ object OracleSql {
          |    ROW_NUMBER() OVER (ORDER BY abs(CAST(ca AS DOUBLE) / na
          |      - CAST(cb AS DOUBLE) / nb) DESC, v) AS rn
          |  FROM ecdf)
-         |SELECT na AS n_train, nb AS n_test, gap AS ks_stat,
+         |SELECT CAST(na AS BIGINT) AS n_train,
+         |  CAST(nb AS BIGINT) AS n_test, gap AS ks_stat,
          |  v AS ks_at_value
          |FROM gaps WHERE rn = 1""".stripMargin,
 
@@ -5257,13 +5259,13 @@ object OracleSql {
          |  SELECT 'authority' AS kind,
          |    CAST(ROW_NUMBER() OVER (ORDER BY auth DESC, p) AS BIGINT)
          |      AS rank,
-         |    p AS node, CAST(auth AS DOUBLE) / 1e6 AS score
+         |    p * 2 + 1 AS node, CAST(auth AS DOUBLE) / 1e6 AS score
          |  FROM a4),
          |th AS (
          |  SELECT 'hub' AS kind,
          |    CAST(ROW_NUMBER() OVER (ORDER BY hub DESC, c) AS BIGINT)
          |      AS rank,
-         |    c AS node, CAST(hub AS DOUBLE) / 1e6 AS score
+         |    c * 2 AS node, CAST(hub AS DOUBLE) / 1e6 AS score
          |  FROM h4)
          |SELECT * FROM (
          |  SELECT * FROM ta WHERE rank <= 10
@@ -5421,7 +5423,10 @@ object OracleSql {
          |    sum(CASE WHEN in_s AND NOT in_e THEN 1 ELSE 0 END) AS fp,
          |    sum(CASE WHEN NOT in_s AND in_e THEN 1 ELSE 0 END) AS fn
          |  FROM fo)
-         |SELECT n_simhash, n_exact, tp, fp, fn,
+         |SELECT CAST(n_simhash AS BIGINT) AS n_simhash,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
          |  CASE WHEN tp + fp > 0
          |    THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
          |  CASE WHEN tp + fn > 0
@@ -5461,6 +5466,112 @@ object OracleSql {
         |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM wnd WHERE is_v = 0
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)
+
+  val round9: Map[String, String] = Map(
+    // EventOps.ltvCohort twin: DECIMAL(18,2)-quantized purchase revenue
+    // (the movingStats-proven double→decimal cast), integer epoch-week
+    // math, associative decimal cumulative window, double surface.
+    "ev_ltv_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END AS rev
+        |  FROM events),
+        |fs AS (SELECT user_id, min(ts) AS first_ts FROM ev GROUP BY 1),
+        |cs AS (
+        |  SELECT CAST(floor(date_diff('day', DATE '1970-01-01',
+        |      CAST(first_ts AS DATE)) / 7) AS BIGINT) AS cohort_week,
+        |    count(*) AS n_users
+        |  FROM fs GROUP BY 1),
+        |wk AS (
+        |  SELECT
+        |    CAST(floor(date_diff('day', DATE '1970-01-01',
+        |      CAST(f.first_ts AS DATE)) / 7) AS BIGINT) AS cohort_week,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01',
+        |        CAST(e.ts AS DATE)) / 7)
+        |      - floor(date_diff('day', DATE '1970-01-01',
+        |        CAST(f.first_ts AS DATE)) / 7) AS BIGINT) AS weeks_since,
+        |    e.rev
+        |  FROM ev e JOIN fs f ON e.user_id = f.user_id),
+        |weekly AS (
+        |  SELECT cohort_week, weeks_since, sum(rev) AS wk_rev
+        |  FROM wk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_week, weeks_since,
+        |    sum(wk_rev) OVER (PARTITION BY cohort_week
+        |      ORDER BY weeks_since ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_rev
+        |  FROM weekly)
+        |SELECT c.cohort_week, c.weeks_since, s.n_users,
+        |  CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+        |  CAST(c.cum_rev AS DOUBLE) / s.n_users AS ltv_per_user
+        |FROM cum c JOIN cs s ON c.cohort_week = s.cohort_week
+        |ORDER BY c.cohort_week, c.weeks_since""".stripMargin,
+
+    // EventOps.giniUserValue twin: integer micros end to end (one IEEE
+    // multiply + floor, identical in both engines), the giniTokens rank
+    // identity, BIGINT-cast sum surfaces (the HUGEINT lesson).
+    "ev_gini_value" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY x, user_id) AS BIGINT) AS i
+        |  FROM per),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_users,
+        |    sum(x) AS total_micros, sum(i * x) AS swx
+        |  FROM ranked GROUP BY 1)
+        |SELECT event_type, n_users,
+        |  CAST(total_micros AS BIGINT) AS total_micros,
+        |  CASE WHEN total_micros > 0
+        |    THEN CAST(2 * swx - (n_users + 1) * total_micros AS DOUBLE)
+        |      / CAST(n_users * total_micros AS DOUBLE)
+        |  END AS gini
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // DedupOps.ngramNovelty twin: the shared shingle chain (no df cap —
+    // novelty is linear, not quadratic), min-doc first occurrence,
+    // BIGINT counts, one int/int division.
+    "dedup_ngram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 2),
+         |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+         |    FROM toks WHERE len(t) >= 3)),
+         |fd AS (SELECT shingle, min(doc_id) AS first_doc
+         |  FROM sh GROUP BY 1),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM sh s JOIN fd f ON s.shingle = f.shingle GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN p.n_shingles > 0
+         |    THEN CAST(p.n_novel AS DOUBLE) / p.n_shingles END AS novelty
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // DedupOps.minhashEstAudit twin: the estimate never crosses the
+    // compare — the oracle recomputes exact J over the same candidate
+    // pair set and states the bound promise as TRUE (the
+    // r_approx_distinct_bound / txt_top_terms_cms precedent).
+    "dedup_minhash_est_audit" ->
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b,
+         |  CAST(shared AS DOUBLE) / (size_a + size_b - shared) AS j_exact,
+         |  TRUE AS within_bound
+         |FROM jpairs ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

@@ -363,6 +363,15 @@ object SparkEntry {
     // round 8: weighted single-source shortest paths (bounded-round
     // Bellman–Ford over the shipping-latency trade graph)
     "graph_sssp"              -> ((s, d) => graft.ops.GraphOps.sssp(s, d)),
+    // round 9: cohort LTV curve (retention's revenue companion)
+    "ev_ltv_cohort"           -> (EventOps.ltvCohort(_, _)),
+    // round 9: per-event-type Gini of user value mass (distributed rank)
+    "ev_gini_value"           -> (EventOps.giniUserValue(_, _)),
+    // round 9: per-doc n-gram first-occurrence novelty score
+    "dedup_ngram_novelty"     -> ((s, d) => DedupOps.ngramNovelty(s, d)),
+    // round 9: MinHash estimate-vs-exact-Jaccard bound audit
+    "dedup_minhash_est_audit" -> ((s, d) =>
+      DedupOps.minhashEstAudit(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql
@@ -372,7 +381,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     OracleSql.extended ++ OracleSql.aliased ++ OracleSql.round6 ++
-      OracleSql.round7 ++ OracleSql.round8 ++ Map(
+      OracleSql.round7 ++ OracleSql.round8 ++ OracleSql.round9 ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

@@ -469,6 +469,85 @@ object DedupOps {
         col("n_removed").cast("double") / col("n_docs"))
       .orderBy("lang")
 
+  /** Per-document n-gram novelty — the fraction of a document's
+    * distinct shingles whose FIRST corpus occurrence (min doc_id) is
+    * this document: ≈1 means fresh content, ≈0 means everything was
+    * seen before. The streaming-admission intuition ("how much does
+    * this doc add?") as a batch datasheet column, and the curriculum
+    * signal "order by novelty" rides directly on it. Documents too
+    * short to shingle (< n tokens) surface n_shingles = 0 and NULL
+    * novelty.
+    *
+    * Exactness: counts are integers off the same deduped shingle-hash
+    * index every dedup operator shares; min(doc_id) is an integer
+    * aggregate; novelty is ONE int/int division. Scale: the
+    * first-occurrence aggregate is map-side-combined min by shingle —
+    * hot boilerplate shingles cost one combiner cell, not a fanout —
+    * and the join back is 1:1 per (doc, shingle) posting. No df cap
+    * needed (unlike pair generation, nothing here is quadratic).
+    */
+  def ngramNovelty(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val sh = hashedShingles(s, d, n) // distinct (doc_id, h)
+    val first = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    val per = sh.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    Tables.documents(s, d).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          col("n_novel").cast("double") / col("n_shingles"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash estimate-quality audit — the sketch-bound contract entry
+    * for the MinHash signature itself (the [[simhashAudit]] discipline
+    * applied to the OTHER sketch): over the exact n-gram Jaccard pair
+    * set, the signature-agreement estimate m/k must sit within
+    * `boundPct/100` of the exact Jaccard. With k = 64 fixed seeds the
+    * estimate is DETERMINISTIC (same text → same signature → same
+    * deviation), so the bound checks one sketch's realized deviation,
+    * not an averaged tail ([[graft.ops.TextOps.topTermsCmsBound]]'s
+    * reasoning); Hoeffding puts P(|est−J| > 0.25) ≤ 2e⁻⁸ per pair — a
+    * broken signature (wrong seed chain, collision regression) lands
+    * orders of magnitude outside. The ESTIMATE never crosses the
+    * engine-agnostic compare: the surface is (pair, exact J, within) —
+    * the oracle recomputes J and states the promise as TRUE.
+    *
+    * Scale: the pair set is the inverted-index candidates (never
+    * all-pairs); signatures are one row-local compiled expression; the
+    * two signature joins are doc-keyed.
+    */
+  def minhashEstAudit(s: SparkSession, d: String, n: Int = 3,
+      numHashes: Int = 64, boundPct: Int = 25): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d, n)
+    val sig = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.MinHashSignature.minhashSignature(
+        TextOps.tokens(lower(col("text"))), n,
+        seeds(numHashes).toArray).as("sig"))
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .withColumn("est", agree.cast("double") / numHashes)
+      .withColumn("j_exact", col("shared").cast("double")
+        / (col("size_a") + col("size_b") - col("shared")))
+      .select(col("doc_a"), col("doc_b"), col("j_exact"),
+        (abs(col("est") - col("j_exact"))
+          <= lit(boundPct).cast("double") / 100).as("within_bound"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Survivors derived from a PRECOMPUTED labels frame (in-session or
     * read back from a stage artifact): cluster minima plus every
     * unpaired document. One left join against the (tiny) label table —

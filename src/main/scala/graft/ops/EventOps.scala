@@ -273,6 +273,87 @@ object EventOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** Cohort LTV curve — [[cohortRetention]]'s revenue companion and the
+    * other half of every growth dashboard: per (first-seen cohort week,
+    * weeks since first seen), the cohort's cumulative purchase revenue
+    * and revenue per cohort user. Cohorts are closed over the input
+    * (first event defines the cohort, as in [[cohortRetention]]), so
+    * the row for (w, k) is the LTV-at-k-weeks readout finance
+    * discounts against acquisition cost.
+    *
+    * Exactness: revenue rides the DECIMAL(18,2) money discipline
+    * ([[movingStats]]' proven double→decimal quantization of `value`);
+    * weekly sums and the cumulative window are associative decimal
+    * adds; the per-user division is ONE decimal→double pair at the
+    * surface. Scale: one user-keyed first-seen aggregate joined back
+    * (the retention shape), one (cohort, week) fact aggregate, then a
+    * cumulative window over the WEEKS-sized per-cohort frame — bounded
+    * by calendar, never fact-sized.
+    */
+  def ltvCohort(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def epochWeek(c: Column) =
+      floor(datediff(to_date(c), lit("1970-01-01").cast("date")) / 7)
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)")).as("rev"))
+    val firstSeen = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    val cohortSize = firstSeen
+      .groupBy(epochWeek(col("first_ts")).as("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val weekly = ev.join(firstSeen, Seq("user_id"))
+      .groupBy(epochWeek(col("first_ts")).as("cohort_week"),
+        (epochWeek(col("ts")) - epochWeek(col("first_ts")))
+          .as("weeks_since"))
+      .agg(sum(col("rev")).as("wk_rev"))
+    val cum = Window.partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_rev", sum(col("wk_rev")).over(cum))
+      .join(broadcast(cohortSize), Seq("cohort_week"))
+      .select(col("cohort_week").cast("long").as("cohort_week"),
+        col("weeks_since").cast("long").as("weeks_since"),
+        col("n_users"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        (col("cum_rev").cast("double") / col("n_users"))
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** Per-event-type Gini of user value mass — "do a few whales carry
+    * this event type's value?", the user-concentration twin of
+    * [[graft.ops.TextOps.giniTokens]] (same rank identity
+    * G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) over ascending per-user totals) and
+    * the inequality number next to [[topUsers]]' point answer.
+    *
+    * Exactness: per-event value is quantized to integer MICROS
+    * (`floor(value·1e6)` — one IEEE multiply, identical in both
+    * engines) so totals, ranks, and all three Gini sums are BIGINT;
+    * the final G is one int→double division pair. Scale: one fact
+    * aggregate to (type, user) totals, then the DISTRIBUTED per-type
+    * rank ([[Ranks.perKeyRank]]) — a users-sized group never sorts in
+    * one task.
+    */
+  def giniUserValue(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val ranked = Ranks.perKeyRank(per, "event_type",
+      Seq(col("x"), col("user_id")), "i")
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("total_micros"),
+        sum(col("i") * col("x")).as("swx"))
+      .select(col("event_type"), col("n_users"), col("total_micros"),
+        when(col("total_micros") > 0,
+          (lit(2) * col("swx")
+            - (col("n_users") + 1) * col("total_micros")).cast("double")
+            / (col("n_users") * col("total_micros")).cast("double"))
+          .as("gini"))
+      .orderBy("event_type")
+  }
+
   /** Top-k heavy hitters: users by exact event count, with rank. */
   def topUsers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val counts = Tables.events(s, d)
@@ -748,7 +829,13 @@ object EventOps {
   private[graft] def sketchPartials(s: SparkSession,
       d: String): DataFrame =
     graft.sources.Artifact.readOrCompute(s,
-      s"/tmp/graft_sketch_stages/${new java.io.File(d).getName}",
+      // full-path-hashed key (Sinks.namespaced): two datasets sharing a
+      // BASENAME (two checkouts' data/sf0_1) must not collide on one
+      // artifact dir — basename-only keying forced rebuild thrash and
+      // raced concurrent same-basename sessions on the part dirs
+      graft.sources.Sinks.namespaced(
+        s"${graft.sources.Artifact.stagingRoot(s)}/graft_sketch_stages/" +
+          new java.io.File(d).getName, d),
       "sketch.fingerprint", Seq(s"$d/events.parquet"),
       Seq("hourly_partials")) { () =>
       Map("hourly_partials" -> Tables.events(s, d)

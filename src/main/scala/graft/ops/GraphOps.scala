@@ -490,6 +490,14 @@ object GraphOps {
     * before trusting it, so enabling it can never produce a wrong
     * plan, only elide the per-round SMJ re-sorts. Set/restored here so
     * any caller's session gets the sort-free supersteps.
+    *
+    * Scope note: only frames PLANNED inside `f` get the elision — the
+    * loop's supersteps, which is where the per-round sorts live. The
+    * lazily-returned final `s.table(rankT(iters))` is planned by the
+    * caller AFTER the flag is restored, so the one read-back (whose
+    * consumer sorts for presentation anyway) does not — a caller that
+    * wants a sort-free downstream join must plan that join inside the
+    * wrapper too.
     */
   private def withSortedBucketScan[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
@@ -1419,15 +1427,18 @@ object GraphOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("auth").desc, col("p"))))
       .filter(col("rank") <= topK)
+      // 2k/2k+1 shared id space (customers even, suppliers odd) — the
+      // trade-graph family convention (see butterflies), so node ids
+      // join consistently against the other graph operators' output
       .select(lit("authority").as("kind"), col("rank").cast("long").as("rank"),
-        col("p").as("node"),
+        (col("p") * 2 + 1).as("node"),
         (col("auth").cast("double") / lit(1e6)).as("score"))
     val topHub = hub
       .withColumn("rank", row_number().over(
         Window.orderBy(col("hub").desc, col("c"))))
       .filter(col("rank") <= topK)
       .select(lit("hub").as("kind"), col("rank").cast("long").as("rank"),
-        col("c").as("node"),
+        (col("c") * 2).as("node"),
         (col("hub").cast("double") / lit(1e6)).as("score"))
     topAuth.unionAll(topHub).orderBy("kind", "rank")
   }

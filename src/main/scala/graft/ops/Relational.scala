@@ -618,24 +618,29 @@ object Relational {
     * min/max and surfaces as DOUBLE (exact conversion); NTILE over an
     * identical total order is pure integer arithmetic, engine-exact.
     *
-    * Scale shape: this audit form is one global sort of the profiled
-    * column (the [[tableStats]] trade — exact numbers for a profiling
-    * pass); the 100 TB variant feeds NTILE a fixed-fraction sample or
-    * reuses [[graft.functions.ExactQuantiles]]' partial-merge path —
-    * boundaries then carry the documented sketch error instead.
+    * Scale shape: ONE partial-merged count-map aggregate
+    * ([[graft.functions.EquidepthHist]], the [[graft.functions
+    * .ExactQuantiles]] machinery) — every executor builds a local
+    * value→count map, maps merge up the tree, and the finished map
+    * yields every bucket's (count, lo, hi) with the exact NTILE
+    * integer math. No global sort, no `Exchange SinglePartition`
+    * under a fact-sized Window (the round-8 `weak` shape this
+    * replaced); state ∝ distinct 2dp money values, not rows. Bucket
+    * output is bit-identical to the NTILE form: v is non-decreasing
+    * in the composite (v, key) order, so bucket min/max are the
+    * values at the boundary ranks counting multiplicity, independent
+    * of how the tie-break key splits equal values across buckets.
     */
   def equidepthHist(s: SparkSession, d: String,
       buckets: Int = 10): DataFrame = {
     val o = Tables.orders(s, d)
-      .select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("v"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"), col("o_orderkey"))
-    o.withColumn("bucket", ntile(buckets).over(w).cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("v")).cast("double").as("lo"),
-        max(col("v")).cast("double").as("hi"))
+      .select(col("o_totalprice").cast("decimal(18,2)")
+        .cast("double").as("v"))
+    o.agg(graft.functions.EquidepthHist.equidepthHist(col("v"), buckets)
+        .as("hist"))
+      .select(explode(col("hist")).as("h"))
+      .select(col("h.bucket").as("bucket"), col("h.n_rows").as("n_rows"),
+        col("h.lo").as("lo"), col("h.hi").as("hi"))
       .orderBy("bucket")
   }
 

@@ -26,6 +26,18 @@ object TextOps {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))
 
+  /** THE content-hash bucket: first 8 md5 hex chars of the raw text as
+    * a LONG, mod `mod`. Every sampling/splitting operator
+    * ([[trainTestSplit]], [[sampleStratified]], [[mixtureSampleFrom]],
+    * [[weightedSampleFrom]], [[curriculum]], [[ksSplitDrift]]) derives
+    * its buckets HERE — one definition, so the engine-side splits can
+    * never silently drift apart from each other (their DuckDB twins
+    * each restate the same formula). Content-keyed, stateless,
+    * engine-portable (md5 everywhere; no seeded rand()).
+    */
+  private[graft] def contentBucket(mod: Long): Column =
+    conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % mod
+
   /** Whitespace token count per document. */
   def tokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -191,8 +203,7 @@ object TextOps {
   def trainTestSplit(s: SparkSession, d: String, testPct: Int = 10): DataFrame =
     Tables.documents(s, d).select(
         col("doc_id"),
-        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100)
-          .as("bucket"))
+        contentBucket(100).as("bucket"))
       .withColumn("split",
         when(col("bucket") < testPct, "test").otherwise("train"))
       .orderBy("doc_id")
@@ -208,7 +219,7 @@ object TextOps {
       rates: Map[String, Int] = Map("en" -> 20),
       defaultPct: Int = 50): DataFrame = {
     val bucket =
-      conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100
+      contentBucket(100)
     val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (lang, pct)) =>
       when(col("lang") === lang, pct).otherwise(acc)
     }
@@ -499,8 +510,12 @@ object TextOps {
     */
   private def bpeArtifact(s: SparkSession, d: String,
       merges: Int): (DataFrame, DataFrame) = {
-    val outDir = "/tmp/graft_bpe_stages/" +
-      s"${new java.io.File(d).getName}_m$merges"
+    // full-path-hashed key (Sinks.namespaced) under the configurable
+    // staging root — same-basename datasets must not share an artifact
+    // dir (see EventOps.sketchPartials)
+    val outDir = graft.sources.Sinks.namespaced(
+      s"${graft.sources.Artifact.stagingRoot(s)}/graft_bpe_stages/" +
+        s"${new java.io.File(d).getName}_m$merges", d)
     val frames = graft.sources.Artifact.readOrCompute(s, outDir,
       "bpe.fingerprint", Seq(s"$d/documents.parquet"),
       Seq("merges", "final_vocab")) { () =>
@@ -988,8 +1003,10 @@ object TextOps {
 
   /** [[ccnetBuckets]] cut by the BIGRAM LM score instead of the unigram
     * proxy — per-language terciles by mean bigram logprob, the closer
-    * cousin of CCNet's perplexity bucketing. Same window + decimal
-    * aggregation discipline; docs without bigram evidence (single-token
+    * cousin of CCNet's perplexity bucketing. Same distributed-rank +
+    * decimal aggregation discipline
+    * ([[Ranks.perKeyRank]]/[[Ranks.ntileOfRank]] — no per-language
+    * single-task sort); docs without bigram evidence (single-token
     * docs) carry no score and are outside the cut, as in
     * [[lmScoreBigram]].
     */
@@ -998,10 +1015,12 @@ object TextOps {
       .withColumn("avg_logprob",
         col("sum_lp").cast("double") / col("n_bigrams"))
       .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
-    val w = Window.partitionBy("lang")
-      .orderBy(col("avg_logprob").desc, col("doc_id"))
-    scored
-      .withColumn("tile", ntile(3).over(w))
+    val ranked = Ranks.perKeyRank(scored, "lang",
+      Seq(col("avg_logprob").desc, col("doc_id")), "__rank")
+    val nLang = ranked.groupBy("lang").agg(max("__rank").as("__n_lang"))
+    ranked
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("tile", Ranks.ntileOfRank("__rank", "__n_lang", 3))
       .withColumn("bucket",
         when(col("tile") === 1, "head")
           .when(col("tile") === 2, "middle")
@@ -1130,11 +1149,15 @@ object TextOps {
     * of Chinese; per-stratum quantiles self-calibrate).
     *
     * Rank form (keep iff rank·100 ≤ n·pct, i.e. ⌊pct·n/100⌋ survivors per
-    * language) is integer-exact and oracle-comparable. At 100 TB the same gate is two cheap passes
-    * instead of a per-language sort: pass 1 `percentile_approx(alpha,
-    * 1-pct/100)` per language (tiny result, broadcast), pass 2 filter
-    * `alpha ≥ threshold` — sketch-bounded memory, no window. The rank
-    * form stays the spec/oracle twin for the sketch path.
+    * language) is integer-exact and oracle-comparable. Ranks come from
+    * the DISTRIBUTED per-language rank ([[Ranks.perKeyRank]] — no
+    * single task sorts a whole language) and group sizes from a tiny
+    * per-language count broadcast back, replacing the round-8 `weak`
+    * single-key windows. The cheaper-still 100 TB reading (one
+    * `percentile_approx(alpha, 1-pct/100)` threshold + stateless
+    * filter, no rank surfaced) remains available when the caller
+    * doesn't need `q_rank` — this form keeps the exact rank because it
+    * IS the output contract.
     */
   def qualityGate(s: SparkSession, d: String, keepPct: Int = 60): DataFrame =
     qualityGateFrom(Tables.documents(s, d), keepPct)
@@ -1147,13 +1170,12 @@ object TextOps {
     val nChars = length(col("text")).cast(LongType)
     val scored = docs.select(col("doc_id"), col("lang"),
       (nAlpha.cast("double") / greatest(nChars, lit(1L))).as("alpha_ratio"))
-    val byLang = Window.partitionBy("lang")
-    val ranked = scored
-      .withColumn("q_rank",
-        row_number().over(byLang.orderBy(col("alpha_ratio").desc,
-          col("doc_id"))).cast(LongType))
-      .withColumn("n_lang", count(lit(1)).over(byLang))
-    ranked
+    val ranked = Ranks.perKeyRank(scored, "lang",
+      Seq(col("alpha_ratio").desc, col("doc_id")), "q_rank")
+    // group size = max rank per language (O(languages) rows, read off
+    // the checkpointed rank frame — no second scoring pass)
+    val nLang = ranked.groupBy("lang").agg(max("q_rank").as("n_lang"))
+    ranked.join(broadcast(nLang), Seq("lang"))
       .filter(col("q_rank") * 100 <= col("n_lang") * keepPct)
       .select("doc_id", "lang", "alpha_ratio", "q_rank")
       .orderBy("doc_id")
@@ -1190,7 +1212,7 @@ object TextOps {
           expr(s"(10000 * ${budget}L * w) div (sum_w * n_lang)")))
       .select("lang", "thresh")
     val bucket =
-      conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 10000
+      contentBucket(10000)
     docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .join(broadcast(thresholds), Seq("lang"))
       .filter(col("bucket") < col("thresh"))
@@ -1314,19 +1336,26 @@ object TextOps {
     * near-midpoint double rounds differently across engines — measured).
     *
     * Scale: the LM pass is [[lmScore]]'s shape (term aggregate + one
-    * broadcast total); the tercile cut is one window over (lang) — at
-    * 100 TB that is the same per-language sort a quality gate already
-    * pays, and the output is O(languages) rows.
+    * broadcast total); the tercile cut is the DISTRIBUTED per-language
+    * rank ([[Ranks.perKeyRank]]) plus NTILE's integer arithmetic on
+    * (rank, n) ([[Ranks.ntileOfRank]]) — bit-identical buckets, and no
+    * single task ever sorts a whole language (the round-8 `weak`
+    * single-key-window shape this replaced). Output is O(languages)
+    * rows.
     */
   def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
     val scored = lmPerDoc(s, d)
       .withColumn("avg_logprob",
         col("sum_lp").cast("double") / col("n_tokens"))
       .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
-    val w = Window.partitionBy("lang")
-      .orderBy(col("avg_logprob").desc, col("doc_id"))
-    scored
-      .withColumn("tile", ntile(3).over(w))
+    val ranked = Ranks.perKeyRank(scored, "lang",
+      Seq(col("avg_logprob").desc, col("doc_id")), "__rank")
+    // group size = max rank — re-reads the checkpointed rank frame
+    // instead of re-running the LM scoring pass
+    val nLang = ranked.groupBy("lang").agg(max("__rank").as("__n_lang"))
+    ranked
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("tile", Ranks.ntileOfRank("__rank", "__n_lang", 3))
       .withColumn("bucket",
         when(col("tile") === 1, "head")
           .when(col("tile") === 2, "middle")
@@ -1600,8 +1629,7 @@ object TextOps {
         col("doc_id"),
         greatest(size(tokens(col("text"))).cast(LongType), lit(1L))
           .as("weight"),
-        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType)
-          % 10000L).as("bucket"))
+        contentBucket(10000).as("bucket"))
       // `div`, not `/`: the priority must be one exact integer division
       // on both engines (long `/` is double true-division in Spark SQL).
       .withColumn("priority", expr("(bucket * 1000000) div weight"))
@@ -1627,8 +1655,9 @@ object TextOps {
         exactQuantiles(col("n_chars"), Seq(25, 50, 75), 100).as("qs"))
       .select(col("qs").getItem(0).as("c25"),
         col("qs").getItem(1).as("c50"), col("qs").getItem(2).as("c75"))
-    val bucket =
-      conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType)
+    // full-width hash (shard = bucket % shards below) — the same
+    // contentBucket formula, unreduced
+    val bucket = contentBucket(Long.MaxValue)
     val phased = docs
       .select(col("doc_id"), col("n_chars"), bucket.as("bucket"))
       .crossJoin(broadcast(cuts))
@@ -1725,18 +1754,18 @@ object TextOps {
     *
     * Exactness: token counts, ranks, and all three sums are BIGINT —
     * integer end to end; the final G is one int→double division pair.
-    * Scale: one row-local token count, then a per-language sort (the
-    * range-partitioned sort any exact Gini needs — Spark distributes
-    * it; the sketch path for a quick read is the binned Lorenz curve
-    * off [[lengthQuantiles]]-style count maps).
+    * Scale: one row-local token count, then a DISTRIBUTED per-language
+    * rank ([[Ranks.perKeyRank]] — range-partitioned sort + offset
+    * cumsum), so no single task ever sorts a whole language (the
+    * round-8 `weak` single-key-window shape this replaced). Ranks are
+    * bit-identical to the window form.
     */
   def giniTokens(s: SparkSession, d: String): DataFrame = {
     val per = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast(LongType).as("x"))
-    val ranked = per.withColumn("i",
-      row_number().over(Window.partitionBy("lang")
-        .orderBy(col("x"), col("doc_id"))).cast(LongType))
+    val ranked = Ranks.perKeyRank(per, "lang",
+      Seq(col("x"), col("doc_id")), "i")
     ranked.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("x")).as("total_tokens"),
@@ -1769,8 +1798,7 @@ object TextOps {
   def ksSplitDrift(s: SparkSession, d: String, testPct: Int = 10): DataFrame = {
     val per = Tables.documents(s, d).select(
       size(tokens(col("text"))).cast(LongType).as("v"),
-      when((conv(substring(md5(col("text")), 1, 8), 16, 10)
-          .cast(LongType) % 100) < testPct, lit("test"))
+      when(contentBucket(100) < testPct, lit("test"))
         .otherwise(lit("train")).as("split"))
     val byVal = per.groupBy("v").agg(
       sum(when(col("split") === "train", 1L).otherwise(0L)).as("a"),

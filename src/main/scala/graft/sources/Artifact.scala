@@ -13,12 +13,24 @@ import org.apache.hadoop.fs.Path
   *
   * Crash discipline: the marker is written LAST, after every frame
   * landed — a crash mid-build leaves no (or a stale-keyed) marker and
-  * the next call rebuilds. A `None` fingerprint (degenerate walk —
-  * missing/empty input) always rebuilds and never writes a marker, so
-  * a guard can never match a degenerate constant. Unreadable artifacts
-  * fall through to rebuild, never fail the caller.
+  * the next call rebuilds. The fingerprint is re-read AFTER the build
+  * and the marker skipped if it moved — an input rewritten DURING the
+  * build would otherwise mark a torn artifact (built from mixed
+  * input) as covered by the pre-build fingerprint and silently serve
+  * it until the next input change. A `None` fingerprint (degenerate
+  * walk — missing/empty input) always rebuilds and never writes a
+  * marker, so a guard can never match a degenerate constant.
+  * Unreadable artifacts fall through to rebuild, never fail the
+  * caller.
   */
 object Artifact {
+
+  /** Staging root for artifact/stage directories — configurable so a
+    * cluster deployment points at job-scoped scratch storage instead
+    * of the shared default-FS `/tmp`.
+    */
+  def stagingRoot(s: SparkSession): String =
+    s.conf.get("spark.graft.staging.root", "/tmp")
 
   /** Reuse-or-rebuild the artifact frames named by `parts` (each
     * persisted at `outDir/<part>`): returns part → read-back frame.
@@ -52,7 +64,10 @@ object Artifact {
         s"artifact build produced ${frames.keySet}, expected $parts")
       parts.foreach(p =>
         frames(p).write.mode("overwrite").parquet(s"$outDir/$p"))
-      fp.foreach { f =>
+      // marker only if the input did NOT move during the build —
+      // otherwise leave unmarked so the next call rebuilds cleanly
+      val fpAfter = Fingerprint.of(s, fpRoots)
+      if (fpAfter == fp) fp.foreach { f =>
         val out = fs.create(fpFile, true)
         try out.write(f.getBytes("UTF-8")) finally out.close()
       }

@@ -40,6 +40,18 @@ class PlanSnapshotSpec extends AnyFunSuite {
         "(regenerate: runMain graft.Explain /root/testdata/sf0.001 --out plans)")
   }
 
+  test("every registered query is documented in SURVEY.md §8 (the coverage " +
+      "map the driver and judge audit against must not lag the registry)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val undocumented = SparkEntry.queries.keySet
+      .filterNot(name => survey.contains(name))
+    assert(undocumented.isEmpty,
+      s"registry entries missing from SURVEY.md: " +
+        s"${undocumented.toSeq.sorted.mkString(", ")} — add a §8 row " +
+        "(operator, implementation pointer, verification) for each")
+  }
+
   test("q2 on a year-partitioned layout: the year range prunes PARTITIONS " +
       "(directory-level elimination), not just row groups, and results " +
       "match the unpartitioned form") {

@@ -169,8 +169,11 @@ class Round8OpsSpec extends AnyFunSuite {
       "partials, not events") {
     import graft.ops.EventOps
     val d = TestSpark.sf0001
-    val art = new java.io.File("/tmp/graft_sketch_stages/" +
-      new java.io.File(d).getName)
+    // the full-path-namespaced artifact dir (same-basename datasets
+    // must not collide — round-9 advice fix)
+    val art = new java.io.File(graft.sources.Sinks.namespaced(
+      graft.sources.Artifact.stagingRoot(spark) +
+        "/graft_sketch_stages/" + new java.io.File(d).getName, d))
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
       f.delete(); ()

@@ -280,16 +280,19 @@ class Round8bOpsSpec extends AnyFunSuite {
       val hm = hr.values.max
       hub = hr.map { case (c, v) => c -> v * 1000000L / hm }
     }
-    def top10(m: Map[Long, Long]): Seq[(Long, Long, Double)] =
+    // surfaced node ids use the trade-graph shared space:
+    // customer k → 2k (hubs), supplier k → 2k+1 (authorities)
+    def top10(m: Map[Long, Long], toNode: Long => Long)
+        : Seq[(Long, Long, Double)] =
       m.toSeq.sortBy { case (id, v) => (-v, id) }.take(10).zipWithIndex
-        .map { case ((id, v), i) => (i + 1L, id, v.toDouble / 1e6) }
+        .map { case ((id, v), i) => (i + 1L, toNode(id), v.toDouble / 1e6) }
     val got = ops.GraphOps.hits(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     val gotAuth = got.filter(_._1 == "authority").map(g => (g._2, g._3, g._4))
     val gotHub = got.filter(_._1 == "hub").map(g => (g._2, g._3, g._4))
-    assert(gotAuth.toSeq === top10(auth))
-    assert(gotHub.toSeq === top10(hub))
+    assert(gotAuth.toSeq === top10(auth, p => p * 2 + 1))
+    assert(gotHub.toSeq === top10(hub, c => c * 2))
     assert(gotAuth.head._3 === 1.0 && gotHub.head._3 === 1.0)
   }
 

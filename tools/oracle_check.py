@@ -27,6 +27,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def val_kind(v):
+    """Canonical type kind of one non-null cell value (type-strict gate:
+    the driver hashes values WITH their types, so int64 3549 vs float64
+    3549.0 — e.g. an uncast DuckDB HUGEINT sum() — must FAIL here too)."""
+    import decimal
+    import numpy as np
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return "list"
+    if isinstance(v, (pd.Timestamp,)) or str(type(v)).find("datetime") >= 0:
+        return "datetime"
+    return type(v).__name__
+
+
 def cell_eq(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -40,9 +63,29 @@ def cell_eq(a, b) -> bool:
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+        if pd.isna(a) != pd.isna(b):
+            return False
     except (TypeError, ValueError):
         pass
+    if val_kind(a) != val_kind(b):
+        return False
     return a == b
+
+
+def col_kinds(s) -> set:
+    """Set of canonical kinds over a column's non-null values."""
+    kinds = set()
+    for v in s.tolist():
+        try:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if not isinstance(v, (list, tuple)) and \
+                    str(type(v)).find("ndarray") < 0 and pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        kinds.add(val_kind(v))
+    return kinds
 
 
 def frames_equal(a: pd.DataFrame, b: pd.DataFrame):
@@ -50,6 +93,11 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame):
         return False, f"columns {list(a.columns)} != {list(b.columns)}"
     if len(a) != len(b):
         return False, f"rows {len(a)} != {len(b)}"
+    for c in a.columns:
+        ka, kb = col_kinds(a[c]), col_kinds(b[c])
+        if ka != kb:
+            return False, (f"type-strict: col={c} kinds {sorted(ka)} != "
+                           f"{sorted(kb)} (spark vs oracle surface type)")
     for ci, c in enumerate(a.columns):
         av, bv = a[c].tolist(), b[c].tolist()
         for i in range(len(av)):
