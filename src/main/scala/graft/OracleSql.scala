@@ -5467,7 +5467,174 @@ object OracleSql {
         |FROM wnd WHERE is_v = 0
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)
 
+  /** GraphOps.ktrussFromEdges twin: `rounds` unrolled simultaneous
+    * edge-peel CTEs — each recomputes every surviving edge's triangle
+    * support (common-neighbor count over the surviving set) and drops
+    * all edges under k−2 at once. MATERIALIZED for the same
+    * doubly-referenced-chain reason as [[kcorePeelCtes]]. Edges with
+    * zero support vanish from the inner support join — correct, since
+    * 0 < k−2 for every k ≥ 3.
+    */
+  private def ktrussPeelCtes(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""tadj$i AS MATERIALIZED (
+         |  SELECT a AS w, b AS nb FROM te${i - 1}
+         |  UNION ALL SELECT b, a FROM te${i - 1}),
+         |tsup$i AS MATERIALIZED (
+         |  SELECT e.a, e.b, count(*) AS sup
+         |  FROM te${i - 1} e
+         |  JOIN tadj$i x ON x.w = e.a
+         |  JOIN tadj$i y ON y.w = e.b AND y.nb = x.nb
+         |  GROUP BY 1, 2),
+         |te$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM te${i - 1} e
+         |  JOIN tsup$i s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.sup >= ${k - 2})"""
+    }.mkString(",\n")
+
   val round9: Map[String, String] = Map(
+    // GraphOps.richClub twin: degree-domain histograms joined against
+    // the threshold grid; integer counts, one double division per k.
+    "graph_rich_club" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+         |  GROUP BY 1),
+         |dh AS (SELECT deg, count(*) AS n FROM deg GROUP BY 1),
+         |em AS (
+         |  SELECT least(x.deg, y.deg) AS m, count(*) AS ne
+         |  FROM e2
+         |  JOIN deg x ON x.node = e2.a
+         |  JOIN deg y ON y.node = e2.b
+         |  GROUP BY 1),
+         |grid AS (SELECT deg AS k FROM dh),
+         |nk AS (
+         |  SELECT g.k, CAST(sum(dh.n) AS BIGINT) AS n_nodes
+         |  FROM grid g JOIN dh ON dh.deg > g.k GROUP BY 1),
+         |ek AS (
+         |  SELECT g.k, CAST(sum(em.ne) AS BIGINT) AS n_edges
+         |  FROM grid g JOIN em ON em.m > g.k GROUP BY 1)
+         |SELECT g.k,
+         |  CAST(coalesce(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+         |  CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+         |  CASE WHEN coalesce(nk.n_nodes, 0) >= 2
+         |    THEN CAST(2 * coalesce(ek.n_edges, 0) AS DOUBLE)
+         |      / CAST(coalesce(nk.n_nodes, 0)
+         |        * (coalesce(nk.n_nodes, 0) - 1) AS DOUBLE)
+         |  END AS phi
+         |FROM grid g
+         |LEFT JOIN nk ON nk.k = g.k
+         |LEFT JOIN ek ON ek.k = g.k
+         |ORDER BY g.k""".stripMargin,
+
+    // TextOps.hapaxRatio twin: integer term frequencies, one division.
+    "txt_hapax_ratio" ->
+      s"""WITH tf AS (
+         |  SELECT lang, term, count(*) AS tf FROM (
+         |    SELECT lang, unnest(${toksSql("lower(text)")}) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT lang, count(*) AS vocab,
+         |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hapax,
+         |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS hapax_ratio
+         |FROM tf GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // GraphOps.ktruss twin: the shared co-purchase edge CTEs, 8
+    // unrolled support-peel rounds (the engine's maxRounds — identical
+    // caps => bit-equality, the kcore discipline), final support
+    // recounted on the surviving set.
+    "graph_ktruss" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |te0 AS MATERIALIZED (SELECT a, b FROM e2),
+         |${ktrussPeelCtes(4, 8)},
+         |tadjF AS MATERIALIZED (
+         |  SELECT a AS w, b AS nb FROM te8
+         |  UNION ALL SELECT b, a FROM te8),
+         |tsupF AS (
+         |  SELECT e.a, e.b, count(*) AS sup
+         |  FROM te8 e
+         |  JOIN tadjF x ON x.w = e.a
+         |  JOIN tadjF y ON y.w = e.b AND y.nb = x.nb
+         |  GROUP BY 1, 2)
+         |SELECT e.a, e.b,
+         |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+         |FROM te8 e LEFT JOIN tsupF s ON s.a = e.a AND s.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin,
+
+    // TextOps.langIdConfusion twin: the txt_lang_id prediction chain
+    // joined back to the labeled lang column; docs the classifier
+    // omits (empty token list) count as predicted 'und'.
+    "txt_langid_confusion" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS word
+         |  FROM documents),
+         |lex(lex_lang, lex_word) AS (VALUES $lexValues),
+         |hits AS (
+         |  SELECT t.doc_id, l.lex_lang, count(l.lex_lang) AS hits
+         |  FROM tok t LEFT JOIN lex l ON t.word = l.lex_word
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT doc_id, lex_lang, hits,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY hits DESC, lex_lang ASC NULLS LAST) AS rn
+         |  FROM hits),
+         |pred AS (
+         |  SELECT doc_id,
+         |    CASE WHEN hits > 0 THEN lex_lang ELSE 'und' END
+         |      AS predicted_lang
+         |  FROM r WHERE rn = 1),
+         |grid AS (
+         |  SELECT d.lang,
+         |    coalesce(p.predicted_lang, 'und') AS predicted_lang,
+         |    count(*) AS n_docs
+         |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT lang, predicted_lang, n_docs,
+         |  CAST(n_docs AS DOUBLE)
+         |    / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+         |    AS row_share
+         |FROM grid ORDER BY lang, predicted_lang""".stripMargin,
+
+    // EventOps.forecastBacktest twin: integer-micros daily revenue,
+    // BIGINT expanding moments (associative window sums), the SAME
+    // double expression shape for the one prediction division chain.
+    "ev_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 1000000) AS BIGINT)) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (
+        |  SELECT day, y,
+        |    count(*) OVER w AS n,
+        |    sum(day) OVER w AS sx,
+        |    sum(y) OVER w AS sy,
+        |    sum(day * y) OVER w AS sxy,
+        |    sum(day * day) OVER w AS sxx
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING))
+        |SELECT day, n AS n_prior,
+        |  CAST(y AS DOUBLE) / 1e6 AS actual,
+        |  ((CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    + (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * CAST(day AS DOUBLE)) / 1e6 AS predicted,
+        |  CAST(y AS DOUBLE) / 1e6
+        |    - ((CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    + (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * CAST(day AS DOUBLE)) / 1e6 AS residual
+        |FROM m WHERE n >= 2 ORDER BY day""".stripMargin,
+
     // EventOps.ltvCohort twin: DECIMAL(18,2)-quantized purchase revenue
     // (the movingStats-proven double→decimal cast), integer epoch-week
     // math, associative decimal cumulative window, double surface.

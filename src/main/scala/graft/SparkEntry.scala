@@ -372,6 +372,17 @@ object SparkEntry {
     // round 9: MinHash estimate-vs-exact-Jaccard bound audit
     "dedup_minhash_est_audit" -> ((s, d) =>
       DedupOps.minhashEstAudit(s, d)),
+    // round 9: edge-grain density skeleton (triangle-support peel)
+    "graph_ktruss"            -> ((s, d) => graft.ops.GraphOps.ktruss(s, d)),
+    // round 9: language-ID confusion matrix vs the labeled lang column
+    "txt_langid_confusion"    -> (TextOps.langIdConfusion(_, _)),
+    // round 9: walk-forward OLS backtest of daily purchase revenue
+    "ev_forecast_backtest"    -> (EventOps.forecastBacktest(_, _)),
+    // round 9: rich-club coefficient curve of the co-purchase graph
+    "graph_rich_club"         -> ((s, d) =>
+      graft.ops.GraphOps.richClub(s, d)),
+    // round 9: per-language hapax-legomena share (lexical sparsity)
+    "txt_hapax_ratio"         -> (TextOps.hapaxRatio(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

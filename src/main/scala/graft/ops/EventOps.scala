@@ -1699,6 +1699,57 @@ object EventOps {
     * is the linear alternative; here the windowed closed form is the
     * simpler exact shape.
     */
+  /** Expanding-window OLS backtest of daily purchase revenue — the
+    * eval twin of a point forecast: for every day t with ≥ 2 prior
+    * days, fit ordinary least squares on ALL days before t and emit
+    * (actual, predicted, residual). The walk-forward residual curve is
+    * how a forecast earns trust (a model judged only on its full-sample
+    * fit is judged on data it already saw); a drifting residual flags
+    * the regime change before the dashboard does.
+    *
+    * Exactness: revenue is integer micros (`floor(value·1e6)`, the
+    * [[giniUserValue]] quantization); all five expanding moments (n,
+    * Σx, Σy, Σxy, Σx²) are BIGINT window sums over the DAYS-sized
+    * frame (associative — segment-tree vs sequential agree); the
+    * normal-equation numerator/denominator stay integer and exactly
+    * ONE division chain in doubles (written with the identical
+    * expression shape in the oracle) produces the prediction. At
+    * multi-year × high-revenue scale the integer moments move to
+    * DECIMAL(38,0); the fixture stays far inside BIGINT.
+    *
+    * Scale: one fact pass to (day, revenue); everything after runs on
+    * the calendar-bounded day frame.
+    */
+  def forecastBacktest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("y"))
+    val prior = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = daily
+      .withColumn("n", count(lit(1)).over(prior))
+      .withColumn("sx", sum(col("day")).over(prior))
+      .withColumn("sy", sum(col("y")).over(prior))
+      .withColumn("sxy", sum(col("day") * col("y")).over(prior))
+      .withColumn("sxx", sum(col("day") * col("day")).over(prior))
+      .filter(col("n") >= 2)
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val beta = num / den
+    val alpha = (col("sy").cast("double")
+      - beta * col("sx").cast("double")) / col("n").cast("double")
+    val pred = alpha + beta * col("day").cast("double")
+    m.select(col("day"), col("n").as("n_prior"),
+        (col("y").cast("double") / 1e6).as("actual"),
+        (pred / 1e6).as("predicted"),
+        (col("y").cast("double") / 1e6 - pred / 1e6).as("residual"))
+      .orderBy("day")
+  }
+
   def ewmaDaily(s: SparkSession, d: String): DataFrame = {
     val dd = Tables.events(s, d)
       .groupBy(col("event_type"),

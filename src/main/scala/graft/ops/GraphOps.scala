@@ -727,6 +727,131 @@ object GraphOps {
       .orderBy(col("n_members").desc, col("component_id"))
   }
 
+  /** k-truss of the thresholded co-purchase graph (Cohen 2008): the
+    * maximal subgraph in which every EDGE sits in ≥ k−2 triangles —
+    * the edge-grain density skeleton one notch stricter than [[kcore]]
+    * (a k-truss is always inside a (k−1)-core), and the standard
+    * community-backbone pass for co-occurrence graphs. Implementation
+    * is the simultaneous edge peel: each round recomputes every
+    * surviving edge's triangle SUPPORT (its endpoints' common-neighbor
+    * count over the surviving edge set) and drops all under-supported
+    * edges at once — a determinate sequence with no peel-order
+    * dependence, so the oracle's unrolled CTE rounds are bit-equal
+    * (the [[kcore]] shared-cap discipline: identical `maxRounds`
+    * whether or not the fixpoint lands inside it; the engine's early
+    * fixpoint stop is a no-op for equality since further rounds leave
+    * the set unchanged). Pure integer support counts cannot diverge.
+    *
+    * Surface: the surviving edges with their FINAL support (recounted
+    * on the fixpoint/capped edge set).
+    *
+    * Scale: per round one adjacency expansion + one common-neighbor
+    * join per edge — the [[triangleCounts]] wedge cost on a shrinking
+    * edge set; the support-threshold co-purchase construction already
+    * bounds hub degree (one-off co-purchases never enter), and lineage
+    * is truncated per round like every superstep loop here.
+    */
+  def ktruss(s: SparkSession, d: String, k: Int = 4,
+      minCount: Int = 2, maxRounds: Int = 8): DataFrame =
+    ktrussFromEdges(coPurchaseEdges(s, d, minCount).select("a", "b"),
+      k, maxRounds)
+
+  /** [[ktruss]]'s peel core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def ktrussFromEdges(und: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    var e = und.select("a", "b").localCheckpoint()
+    var m = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val pruned = ktrussPeelRound(e, k).localCheckpoint()
+      val m2 = pruned.count()
+      converged = m2 == m
+      e = pruned
+      m = m2
+      rounds += 1
+    }
+    System.err.println(s"[graft] ktruss($k) converged in $rounds rounds")
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+      .orderBy("a", "b")
+  }
+
+  /** Triangle support per edge: |N(a) ∩ N(b)| over the current edge
+    * set — one adjacency expansion, one per-edge common-neighbor join.
+    */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val adj = e.select(col("a").as("w"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("nb")))
+    // join the second adjacency on (endpoint, NEIGHBOR) so the plan
+    // emits one row per (edge, common neighbor) — never the
+    // |N(a)|×|N(b)| cross-fan a neighbor-blind join would build
+    e.join(adj.select(col("w").as("a"), col("nb").as("cn")), Seq("a"))
+      .join(adj.select(col("w").as("b"), col("nb").as("cn")),
+        Seq("b", "cn"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+  }
+
+  /** One simultaneous edge-peel round — the loop body of
+    * [[ktrussFromEdges]], factored for the plan audit.
+    */
+  private[graft] def ktrussPeelRound(e: DataFrame, k: Int): DataFrame =
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+      .select("a", "b")
+
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004) of the
+    * thresholded co-purchase graph: for every degree threshold k in
+    * the graph's degree domain, φ(k) = 2·E_k / (N_k·(N_k−1)) where
+    * N_k nodes have degree > k and E_k edges join two of them — "do
+    * the hubs preferentially trade with each other?" The topology
+    * audit next to [[degreeAssortativity]]'s single number: a rising
+    * φ(k) is a rich club, a flat one is hub neutrality.
+    *
+    * Exactness: N_k and E_k are integer counts; φ is ONE int/int
+    * double division per threshold. Scale: one degree aggregate + one
+    * per-edge min-degree map; both suffix counts come from joining the
+    * DEGREE-DOMAIN-sized histograms against the (broadcast) threshold
+    * grid — bounded by max degree, never by nodes or edges.
+    */
+  def richClub(s: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    richClubFromEdges(coPurchaseEdges(s, d, minCount).select("a", "b"))
+
+  /** [[richClub]]'s core over an explicit distinct (a < b) undirected
+    * edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def richClubFromEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val degHist = deg.groupBy("deg").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed as grid AND histogram
+    val edgeMin = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .groupBy(least(col("da"), col("db")).as("m"))
+      .agg(count(lit(1)).as("ne"))
+    val grid = degHist.select(col("deg").as("k"))
+    val nk = grid.join(degHist, col("deg") > col("k"))
+      .groupBy("k").agg(sum(col("n")).as("n_nodes"))
+    val ek = grid.join(edgeMin, col("m") > col("k"))
+      .groupBy("k").agg(sum(col("ne")).as("n_edges"))
+    grid.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(coalesce(col("n_nodes"), lit(0L)) >= 2,
+          (lit(2) * coalesce(col("n_edges"), lit(0L))).cast("double")
+            / (coalesce(col("n_nodes"), lit(0L))
+              * (coalesce(col("n_nodes"), lit(0L)) - 1)).cast("double"))
+          .as("phi"))
+      .orderBy("k")
+  }
+
   /** k-core of the thresholded co-purchase graph (Seidman 1983): the
     * maximal subgraph in which every node keeps degree ≥ k — the
     * density skeleton community detection and graph-sampling pipelines

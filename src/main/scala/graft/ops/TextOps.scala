@@ -143,6 +143,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language hapax ratio — the share of each language's vocabulary
+    * seen exactly once in the corpus (hapax legomena): the classic
+    * lexical-richness/data-sparsity number beside [[zipfFit]] and
+    * [[heapsFit]] on the corpus datasheet (a high hapax share predicts
+    * tokenizer OOV pressure and poor n-gram LM coverage for that
+    * slice). Exactness: all counts integer, the ratio ONE int/int
+    * double division. Scale: one term-keyed map-side-combined
+    * aggregate, then a languages-sized rollup.
+    */
+  def hapaxRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("lang"), col("vocab"), col("hapax"),
+        (col("hapax").cast("double") / col("vocab")).as("hapax_ratio"))
+      .orderBy("lang")
+
+  /** Language-ID confusion matrix — the eval harness for [[languageId]]
+    * against the corpus's labeled `lang` column: per (true lang,
+    * predicted lang) cell, the doc count and the row share (recall on
+    * the diagonal, leakage off it). The "how good is my cheap
+    * classifier, per language" readout a pipeline owner checks before
+    * trusting a heuristic gate — a classifier that is 95% right on
+    * English and 40% on Chinese is exactly what a corpus-wide accuracy
+    * number hides. Docs [[languageId]] omits (empty text) count as
+    * predicted 'und' — every labeled doc appears in exactly one cell.
+    *
+    * Exactness: integer counts; the share is ONE int/int double
+    * division per cell. Scale: rides [[languageId]]'s shape (narrow
+    * explode → broadcast lexicon → doc-keyed aggregate), then a
+    * languages²-bounded grid; the share window runs over that grid,
+    * never rows.
+    */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = languageId(s, d).select("doc_id", "predicted_lang")
+    Tables.documents(s, d).select("doc_id", "lang")
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("lang"),
+        coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share", col("n_docs").cast("double")
+        / sum(col("n_docs")).over(Window.partitionBy("lang"))
+          .cast("double"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   /** PII patterns, written to the common subset of Java regex and RE2 (no
     * lookaround, no backreferences) so the oracle engine matches
     * identically: emails, IPv4s, international `+`-prefixed and

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{DedupOps, EventOps}
+import graft.ops.{DedupOps, EventOps, GraphOps, TextOps}
 
 /** Round-9 operators: cohort LTV, per-type user-value Gini, n-gram
   * first-occurrence novelty, and the MinHash estimate-bound audit —
@@ -132,6 +132,167 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length === got.length)
     assert(got.length ===
       Tables.documents(spark, d).count().toInt)
+  }
+
+  test("ktruss: K4 survives whole (every edge in 2 triangles); a " +
+      "pendant edge peels; a triangle-free cycle empties; 3-truss " +
+      "contains 4-truss; fixture fixpoint edges all carry support >= 2") {
+    import spark.implicits._
+    def edges(es: (Long, Long)*) = es.toDF("a", "b")
+    def run(und: org.apache.spark.sql.DataFrame, k: Int) =
+      GraphOps.ktrussFromEdges(und, k, maxRounds = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // K4: all 6 edges, each in exactly 2 triangles
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val k4Out = run(k4, 4)
+    assert(k4Out.map(e => (e._1, e._2)).sorted ===
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(k4Out.forall(_._3 == 2L))
+    // K4 + pendant: the pendant edge has zero support and peels round 1
+    val pend = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    assert(run(pend, 4).map(e => (e._1, e._2)).sorted ===
+      k4Out.map(e => (e._1, e._2)).sorted)
+    // C5: wedges but no triangles — 4-truss is empty
+    val c5 = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    assert(run(c5, 4).isEmpty)
+    // nesting on the fixture graph: 4-truss ⊆ 3-truss
+    val d = TestSpark.sf0001
+    val t4 = GraphOps.ktruss(spark, d, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val t3 = GraphOps.ktruss(spark, d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4.map(e => (e._1, e._2)).forall(t3.contains))
+    // converged fixture fixpoint: every surviving edge meets the bar
+    assert(t4.forall(_._3 >= 2L))
+  }
+
+  test("langIdConfusion: cells reconcile with languageId doc by doc, " +
+      "cover the whole corpus exactly once, and row shares sum to 1 " +
+      "per language") {
+    val d = TestSpark.sf0001
+    val got = TextOps.langIdConfusion(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val truth = Tables.documents(spark, d).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pred = TextOps.languageId(spark, d).select("doc_id",
+        "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = truth.toSeq
+      .map { case (id, lang) => (lang, pred.getOrElse(id, "und")) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.map(c => c._1 -> c._2._1).toMap === expected)
+    assert(got.map(_._2._1).sum === truth.size.toLong)
+    got.groupBy(_._1._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-12, lang)
+    }
+  }
+
+  test("forecastBacktest: every row's prediction equals a driver-side " +
+      "OLS fit on strictly-prior days (identical double chain), " +
+      "residual = actual - predicted, and n_prior counts prior days") {
+    val d = TestSpark.sf0001
+    val got = EventOps.forecastBacktest(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val daily = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select((expr("unix_micros(ts) div 86400000000")).as("day"),
+        floor(col("value") * 1e6).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .map { case (day, vs) => (day, vs.map(_._2).sum) }
+      .sortBy(_._1)
+    assert(got.length === daily.size - 2) // first two days lack n>=2
+    got.foreach { case (day, nPrior, actual, predicted, residual) =>
+      val prior = daily.filter(_._1 < day)
+      assert(nPrior === prior.size.toLong)
+      val n = prior.size.toLong
+      val sx = prior.map(_._1).sum
+      val sy = prior.map(_._2).sum
+      val sxy = prior.map(p => p._1 * p._2).sum
+      val sxx = prior.map(p => p._1 * p._1).sum
+      val beta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+      val alpha = (sy.toDouble - beta * sx.toDouble) / n.toDouble
+      val pred = (alpha + beta * day.toDouble) / 1e6
+      val y = daily.find(_._1 == day).get._2
+      assert(actual === y.toDouble / 1e6, day)
+      assert(predicted === pred, day)
+      assert(residual === y.toDouble / 1e6 - pred, day)
+    }
+  }
+
+  test("richClub: a hub star has phi(k)=0 rows only (no two high-degree " +
+      "nodes adjacent... the center stands alone), K4 is a perfect club " +
+      "below its degree, and the fixture curve replays driver-side") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)]) =
+      GraphOps.richClubFromEdges(es.toDF("a", "b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // K4: degrees all 3 — grid is {3}, nobody has deg > 3
+    val k4 = run(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    assert(k4.toSeq === Seq((3L, 0L, 0L, None)))
+    // star + one spoke-spoke edge: center deg 4, linked spokes deg 2,
+    // leaf spokes deg 1; the k=1 club {center, both linked spokes} is
+    // a triangle — a PERFECT club (phi = 1), while k=2 leaves the
+    // center alone (n=1, phi undefined)
+    val star = run(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L)))
+    val k1 = star.find(_._1 == 1L).get
+    assert(k1._2 === 3L && k1._3 === 3L && k1._4 === Some(1.0))
+    val k2 = star.find(_._1 == 2L).get
+    assert(k2._2 === 1L && k2._3 === 0L && k2._4.isEmpty)
+    // fixture replay
+    val d = TestSpark.sf0001
+    val got = GraphOps.richClub(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val edges = graft.ops.GraphOps
+      .coPurchaseEdges(spark, d, 2).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degs = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    got.foreach { case (k, nN, nE, phi) =>
+      val club = degs.filter(_._2 > k).keySet
+      val ce = edges.count(e => club(e._1) && club(e._2)).toLong
+      assert(nN === club.size.toLong, s"k=$k")
+      assert(nE === ce, s"k=$k")
+      if (club.size >= 2)
+        assert(phi === Some(2.0 * ce / (club.size.toLong
+          * (club.size - 1)).toDouble), s"k=$k")
+      else assert(phi.isEmpty, s"k=$k")
+    }
+    assert(got.map(_._1).toSet === degs.values.toSet)
+  }
+
+  test("hapaxRatio: per-language vocab/hapax equal a driver-side " +
+      "recount, hapax <= vocab, ratio is the exact quotient") {
+    val d = TestSpark.sf0001
+    val got = TextOps.hapaxRatio(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val tf = Tables.documents(spark, d)
+      .select(col("lang"), explode(TextOps.tokens(lower(col("text"))))
+        .as("term"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    // .toSeq before .map: mapping a Set of keys through tf would
+    // DEDUPE equal counts (the groupBy-replay trap)
+    val byLang = tf.keys.toSeq.groupBy(_._1).map { case (lang, keys) =>
+      val counts = keys.map(tf)
+      lang -> (counts.size.toLong, counts.count(_ == 1).toLong)
+    }
+    assert(got.map(_._1).toSet === byLang.keySet)
+    got.foreach { case (lang, vocab, hapax, ratio) =>
+      val (v, h) = byLang(lang)
+      assert(vocab === v, lang)
+      assert(hapax === h, lang)
+      assert(hapax <= vocab)
+      assert(ratio === h.toDouble / v, lang)
+    }
   }
 
   test("minhashEstAudit: the audited pair set IS ngramJaccardPairs' " +
