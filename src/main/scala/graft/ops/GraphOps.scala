@@ -824,7 +824,11 @@ object GraphOps {
   /** [[richClub]]'s core over an explicit distinct (a < b) undirected
     * edge frame — spec-drivable with hand graphs.
     */
-  private[graft] def richClubFromEdges(und: DataFrame): DataFrame = {
+  private[graft] def richClubFromEdges(undIn: DataFrame): DataFrame = {
+    // the (wedge-join-priced) edge construction feeds THREE consumers
+    // (degrees, per-edge min-degree, and the degree joins) —
+    // materialize once instead of rebuilding it per consumer
+    val und = undIn.localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
