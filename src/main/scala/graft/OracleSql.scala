@@ -5493,6 +5493,55 @@ object OracleSql {
     }.mkString(",\n")
 
   val round9: Map[String, String] = Map(
+    // Relational.equiwidthHist twin: integer cents, one ceil-div width,
+    // integer div bucketing, empty buckets via the range grid.
+    "r_equiwidth_hist" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents
+        |  FROM orders),
+        |span AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+        |counts AS (
+        |  SELECT (cents - lo) // ((hi - lo + 10) // 10) AS bucket,
+        |    count(*) AS n_rows
+        |  FROM c, span GROUP BY 1)
+        |SELECT g.bucket,
+        |  CAST(coalesce(counts.n_rows, 0) AS BIGINT) AS n_rows,
+        |  CAST(lo + g.bucket * ((hi - lo + 10) // 10) AS DOUBLE) / 100
+        |    AS bin_lo,
+        |  CAST(lo + (g.bucket + 1) * ((hi - lo + 10) // 10) - 1
+        |    AS DOUBLE) / 100 AS bin_hi
+        |FROM (SELECT unnest(range(0, 10)) AS bucket) g
+        |CROSS JOIN span
+        |LEFT JOIN counts ON counts.bucket = g.bucket
+        |ORDER BY g.bucket""".stripMargin,
+
+    // EventOps.dauWauMau twin: the distinct (user, day) frame fanned
+    // into the trailing windows, exact distinct counts, one division.
+    "ev_dau_wau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS day_g FROM ud),
+        |dau AS (
+        |  SELECT day AS day_g, count(DISTINCT user_id) AS dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT g.day_g, count(DISTINCT u.user_id) AS wau
+        |  FROM days g JOIN ud u
+        |    ON g.day_g - u.day >= 0 AND g.day_g - u.day < 7
+        |  GROUP BY 1),
+        |mau AS (
+        |  SELECT g.day_g, count(DISTINCT u.user_id) AS mau
+        |  FROM days g JOIN ud u
+        |    ON g.day_g - u.day >= 0 AND g.day_g - u.day < 30
+        |  GROUP BY 1)
+        |SELECT dau.day_g AS day, dau.dau, wau.wau, mau.mau,
+        |  CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+        |FROM dau JOIN wau ON dau.day_g = wau.day_g
+        |JOIN mau ON dau.day_g = mau.day_g
+        |ORDER BY day""".stripMargin,
+
     // GraphOps.richClub twin: degree-domain histograms joined against
     // the threshold grid; integer counts, one double division per k.
     "graph_rich_club" ->

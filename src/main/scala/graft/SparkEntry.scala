@@ -383,6 +383,10 @@ object SparkEntry {
       graft.ops.GraphOps.richClub(s, d)),
     // round 9: per-language hapax-legomena share (lexical sparsity)
     "txt_hapax_ratio"         -> (TextOps.hapaxRatio(_, _)),
+    // round 9: equi-width histogram (the other ANALYZE histogram)
+    "r_equiwidth_hist"        -> (Relational.equiwidthHist(_, _)),
+    // round 9: DAU/WAU/MAU + stickiness (exact twin of the HLL path)
+    "ev_dau_wau_mau"          -> (EventOps.dauWauMau(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

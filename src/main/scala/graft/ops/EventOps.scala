@@ -273,6 +273,44 @@ object EventOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** DAU / WAU / MAU + stickiness — the front page of every product
+    * dashboard: per observed day, the exact count of distinct active
+    * users that day, in the trailing 7 days, and in the trailing 30
+    * days, plus DAU/MAU stickiness. Windows trail the calendar
+    * (days with no events contribute nothing; days before the stream
+    * starts simply aren't there — both engines agree by construction).
+    *
+    * Exactness: distinct counts are exact integers at gate scale; the
+    * stickiness is ONE int/int double division. Scale: the fact
+    * collapses to the distinct (user, day) frame once; each window is
+    * that frame fanned out ≤ 30× and re-distinct-counted per day — one
+    * shuffle keyed by day. At 100 TB the same numbers come from the
+    * stored HLL partials ([[sketchPartials]] — union 7/30 daily
+    * sketches instead of recounting users), with this exact form as
+    * the oracle-checkable twin.
+    */
+  def dauWauMau(s: SparkSession, d: String): DataFrame = {
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val days = userDays.select(col("day").as("day_g")).distinct()
+    def activeWithin(win: Int): DataFrame = userDays
+      .join(broadcast(days),
+        col("day_g") - col("day") >= 0 &&
+          col("day_g") - col("day") < win)
+      .groupBy(col("day_g"))
+      .agg(countDistinct(col("user_id")).as(s"u$win"))
+    userDays.groupBy(col("day").as("day_g"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .join(activeWithin(7), Seq("day_g"))
+      .join(activeWithin(30), Seq("day_g"))
+      .select(col("day_g").as("day"), col("dau"),
+        col("u7").as("wau"), col("u30").as("mau"),
+        (col("dau").cast("double") / col("u30")).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Cohort LTV curve — [[cohortRetention]]'s revenue companion and the
     * other half of every growth dashboard: per (first-seen cohort week,
     * weeks since first seen), the cohort's cumulative purchase revenue

@@ -644,6 +644,43 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Equi-WIDTH histogram of order value — [[equidepthHist]]'s
+    * fixed-bin companion (the other histogram ANALYZE computes):
+    * `buckets` equal-width cent ranges between the exact min and max,
+    * each reporting its count and [lo, hi] bounds, EMPTY BUCKETS
+    * INCLUDED (an equi-width histogram's empty bins are the signal —
+    * they are where equi-depth hides the gaps).
+    *
+    * Exactness: money quantizes to integer CENTS (DECIMAL(18,2)·100 is
+    * integral), the width is one integer ceil-division, bucket
+    * assignment one integer div — no float touches a boundary; the
+    * surfaced bounds are cents/100 doubles (exact conversion). Scale:
+    * one min/max aggregate broadcast back + one stateless map-side
+    * bucket pass + a buckets-sized grid join. No window, no sort.
+    */
+  def equiwidthHist(s: SparkSession, d: String,
+      buckets: Int = 10): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val span = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val counts = o.crossJoin(broadcast(span))
+      .select(expr(s"(cents - lo) div ((hi - lo + $buckets) div $buckets)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    s.range(0, buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(span))
+      .withColumn("w", expr(s"(hi - lo + $buckets) div $buckets"))
+      .select(col("bucket"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        ((col("lo") + col("bucket") * col("w")).cast("double") / 100)
+          .as("bin_lo"),
+        ((col("lo") + (col("bucket") + 1) * col("w") - 1).cast("double")
+          / 100).as("bin_hi"))
+      .orderBy("bucket")
+  }
+
   /** Benford first-significant-digit audit of line-item revenue — the
     * classic forensic data-quality screen (Benford 1938; Nigrini 2012,
     * "Benford's Law: Applications for Forensic Accounting"): naturally

@@ -295,6 +295,57 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("equiwidthHist: exactly 10 contiguous equal-width cent bins " +
+      "covering [min, max], counts reconcile with a driver-side " +
+      "recount (empty bins included), totals preserved") {
+    val d = TestSpark.sf0001
+    val got = graft.ops.Relational.equiwidthHist(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (0L until 10L))
+    val cents = Tables.orders(spark, d)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).collect().map(_.getLong(0))
+    val lo = cents.min
+    val w = (cents.max - lo + 10) / 10
+    val expected = cents.groupBy(c => (c - lo) / w)
+      .map { case (b, cs) => b -> cs.size.toLong }
+    got.foreach { case (b, n, binLo, binHi) =>
+      assert(n === expected.getOrElse(b, 0L), s"bucket $b")
+      assert(binLo === (lo + b * w).toDouble / 100)
+      assert(binHi === (lo + (b + 1) * w - 1).toDouble / 100)
+    }
+    assert(got.map(_._2).sum === cents.length.toLong)
+    // bins tile the domain: each bin starts where the previous ended
+    got.sliding(2).foreach { case Array(p, n) =>
+      assert(math.abs(n._3 - (p._4 + 0.01)) < 1e-9)
+    }
+  }
+
+  test("dauWauMau: every day's three exact distinct counts replay " +
+      "driver-side, dau <= wau <= mau, stickiness = dau/mau") {
+    val d = TestSpark.sf0001
+    val got = EventOps.dauWauMau(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val ud = Tables.events(spark, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).distinct.sorted
+    assert(got.map(_._1).toSeq === days.toSeq)
+    got.foreach { case (day, dau, wau, mau, stick) =>
+      def active(win: Int) =
+        ud.filter(p => day - p._2 >= 0 && day - p._2 < win)
+          .map(_._1).distinct.length.toLong
+      assert(dau === active(1), s"dau day=$day")
+      assert(wau === active(7), s"wau day=$day")
+      assert(mau === active(30), s"mau day=$day")
+      assert(dau <= wau && wau <= mau)
+      assert(stick === dau.toDouble / mau)
+    }
+  }
+
   test("minhashEstAudit: the audited pair set IS ngramJaccardPairs' " +
       "pair set, every exact Jaccard is >= the 0.6 generator threshold, " +
       "and every deterministic 64-seed estimate sits within the bound") {
