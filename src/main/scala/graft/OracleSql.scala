@@ -5598,7 +5598,7 @@ object OracleSql {
     "graph_ktruss" ->
       s"""WITH ${coEdgesCtes(2)},
          |te0 AS MATERIALIZED (SELECT a, b FROM e2),
-         |${ktrussPeelCtes(4, 8)},
+         |${ktrussPeelCtes(3, 8)},
          |tadjF AS MATERIALIZED (
          |  SELECT a AS w, b AS nb FROM te8
          |  UNION ALL SELECT b, a FROM te8),

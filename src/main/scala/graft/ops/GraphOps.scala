@@ -743,7 +743,12 @@ object GraphOps {
     * the set unchanged). Pure integer support counts cannot diverge.
     *
     * Surface: the surviving edges with their FINAL support (recounted
-    * on the fixpoint/capped edge set).
+    * on the fixpoint/capped edge set). Default k = 3 (every edge in
+    * ≥ 1 triangle): the thresholded fixture graph's max support is 2,
+    * so k = 4 peels to EMPTY at both gate SFs — a vacuous 0 == 0
+    * oracle row; k = 3 keeps a real 181-edge backbone at sf0.01
+    * (checked in DuckDB before registering — the fixture-selectivity
+    * discipline).
     *
     * Scale: per round one adjacency expansion + one common-neighbor
     * join per edge — the [[triangleCounts]] wedge cost on a shrinking
@@ -751,7 +756,7 @@ object GraphOps {
     * bounds hub degree (one-off co-purchases never enter), and lineage
     * is truncated per round like every superstep loop here.
     */
-  def ktruss(s: SparkSession, d: String, k: Int = 4,
+  def ktruss(s: SparkSession, d: String, k: Int = 3,
       minCount: Int = 2, maxRounds: Int = 8): DataFrame =
     ktrussFromEdges(coPurchaseEdges(s, d, minCount).select("a", "b"),
       k, maxRounds)

@@ -34,6 +34,13 @@ import org.apache.spark.sql.types.LongType
   * Ranks are bit-identical to the single-window form for any total
   * `order` (callers include a unique tiebreak column, so range
   * boundaries can never split ties).
+  *
+  * Intended for LOW-cardinality keys whose groups are data-sized
+  * (languages, event types, tenants): the offsets frame is
+  * numPartitions × |keys| rows and must stay broadcastable. A
+  * HIGH-cardinality key (per-user, per-document) means small groups —
+  * there the plain hash-partitioned window is already the right plan
+  * and this helper buys nothing.
   */
 private[graft] object Ranks {
 

@@ -163,7 +163,11 @@ class Round9OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val t3 = GraphOps.ktruss(spark, d, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sf0.001's co-purchase graph is triangle-rich (max support 16) —
+    // both trusses are NON-vacuous here, so nesting is a real check
+    assert(t3.nonEmpty && t4.nonEmpty)
     assert(t4.map(e => (e._1, e._2)).forall(t3.contains))
+    assert(t4.size <= t3.size)
     // converged fixture fixpoint: every surviving edge meets the bar
     assert(t4.forall(_._3 >= 2L))
   }
