@@ -5516,6 +5516,36 @@ object OracleSql {
         |LEFT JOIN counts ON counts.bucket = g.bucket
         |ORDER BY g.bucket""".stripMargin,
 
+    // EventOps.paretoCover twin: global desc-sort + cumulative window
+    // (fine single-node), identical integer ceil targets; min rank
+    // where the cumsum crosses is tie-order independent.
+    "ev_pareto_cover" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(x) AS BIGINT) AS tm, count(*) AS tu FROM per),
+        |ranked AS (
+        |  SELECT x,
+        |    ROW_NUMBER() OVER (ORDER BY x DESC, user_id) AS r,
+        |    sum(x) OVER (ORDER BY x DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per),
+        |p(pct) AS (VALUES (50), (80), (90)),
+        |hit AS (
+        |  SELECT p.pct, min(r) AS n_users
+        |  FROM p, tot, ranked
+        |  WHERE cum >= (pct * tm + 99) // 100
+        |  GROUP BY 1)
+        |SELECT CAST(h.pct AS BIGINT) AS pct,
+        |  CAST(h.n_users AS BIGINT) AS n_users,
+        |  CAST(h.n_users AS DOUBLE) / tu AS user_share,
+        |  CAST((SELECT cum FROM ranked WHERE r = h.n_users) AS DOUBLE)
+        |    / tm AS mass_share
+        |FROM hit h, tot ORDER BY pct""".stripMargin,
+
     // EventOps.dauWauMau twin: the distinct (user, day) frame fanned
     // into the trailing windows, exact distinct counts, one division.
     "ev_dau_wau_mau" ->

@@ -387,6 +387,8 @@ object SparkEntry {
     "r_equiwidth_hist"        -> (Relational.equiwidthHist(_, _)),
     // round 9: DAU/WAU/MAU + stickiness (exact twin of the HLL path)
     "ev_dau_wau_mau"          -> (EventOps.dauWauMau(_, _)),
+    // round 9: 50/80/90% Pareto cover of user value mass (count-map agg)
+    "ev_pareto_cover"         -> (EventOps.paretoCover(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

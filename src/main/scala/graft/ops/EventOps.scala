@@ -273,6 +273,32 @@ object EventOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** Pareto cover of user value mass — "how many users produce 50 /
+    * 80 / 90% of the value": the operational 80/20 readout beside
+    * [[giniUserValue]]'s single inequality number. Computed by ONE
+    * partial-merged count-map aggregate
+    * ([[graft.functions.ParetoCover]]) instead of the global
+    * value-desc sort + cumulative window the naive form plans — no
+    * data-sized single-task sort, state ∝ distinct per-user totals.
+    *
+    * Exactness: per-user totals are integer micros; targets, unit
+    * counts, and covered mass are pure integer arithmetic inside the
+    * aggregate's eval (tie-order independent by construction); the
+    * two surfaced shares are int/int double divisions.
+    */
+  def paretoCover(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    per.agg(graft.functions.ParetoCover
+        .paretoCover(col("x"), Seq(50, 80, 90), 100).as("pc"))
+      .select(explode(col("pc")).as("p"))
+      .select(col("p.pct").as("pct"), col("p.n_units").as("n_users"),
+        col("p.unit_share").as("user_share"),
+        col("p.mass_share").as("mass_share"))
+      .orderBy("pct")
+  }
+
   /** DAU / WAU / MAU + stickiness — the front page of every product
     * dashboard: per observed day, the exact count of distinct active
     * users that day, in the trailing 7 days, and in the trailing 30

@@ -350,6 +350,40 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("paretoCover: fixture rows replay a driver-side desc-sort " +
+      "cumsum exactly; an all-equal hand frame needs exactly " +
+      "ceil(p*n) units (tie-order independence)") {
+    val d = TestSpark.sf0001
+    val got = EventOps.paretoCover(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val per = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val tm = per.sum
+    val tu = per.length.toLong
+    got.foreach { case (pct, nUsers, userShare, massShare) =>
+      val target = (pct * tm + 99) / 100
+      var cum = 0L
+      var n = 0
+      while (cum < target) { cum += per(n); n += 1 }
+      assert(nUsers === n.toLong, s"pct=$pct")
+      assert(userShare === n.toDouble / tu)
+      assert(massShare === cum.toDouble / tm)
+      assert(massShare >= pct.toDouble / 100)
+    }
+    assert(got.map(_._1).toSeq === Seq(50L, 80L, 90L))
+    // ties: 10 equal units — covering p needs exactly ceil(10p) units
+    import spark.implicits._
+    val eq = Seq.fill(10)(7L).toDF("x")
+      .agg(graft.functions.ParetoCover
+        .paretoCover(col("x"), Seq(50, 80, 90), 100).as("pc"))
+      .select(explode(col("pc")).as("p"))
+      .select(col("p.n_units")).collect().map(_.getLong(0)).toSeq
+    assert(eq === Seq(5L, 8L, 9L))
+  }
+
   test("minhashEstAudit: the audited pair set IS ngramJaccardPairs' " +
       "pair set, every exact Jaccard is >= the 0.6 generator threshold, " +
       "and every deterministic 64-seed estimate sits within the bound") {
