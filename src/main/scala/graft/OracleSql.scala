@@ -5546,6 +5546,43 @@ object OracleSql {
         |    / tm AS mass_share
         |FROM hit h, tot ORDER BY pct""".stripMargin,
 
+    // EventOps.timeToConvert twin: BIGINT micro latencies, the
+    // ev_value_quantiles integer-rank pick, one division per surface.
+    "ev_time_to_convert" ->
+      """WITH per AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase' AND value > 180
+        |      THEN epoch_us(ts) END) AS conv_us
+        |  FROM events GROUP BY 1),
+        |lats AS (
+        |  SELECT conv_us - first_us AS lat FROM per
+        |  WHERE conv_us IS NOT NULL),
+        |r AS (
+        |  SELECT lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM lats),
+        |q AS (
+        |  SELECT
+        |    max(CASE WHEN rn = GREATEST(1, (25 * cnt + 99) // 100)
+        |      THEN lat END) AS q25,
+        |    max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |      THEN lat END) AS q50,
+        |    max(CASE WHEN rn = GREATEST(1, (75 * cnt + 99) // 100)
+        |      THEN lat END) AS q75,
+        |    max(CASE WHEN rn = GREATEST(1, (90 * cnt + 99) // 100)
+        |      THEN lat END) AS q90
+        |  FROM r),
+        |tot AS (
+        |  SELECT count(*) AS n_users, count(conv_us) AS n_converted
+        |  FROM per)
+        |SELECT n_users, n_converted,
+        |  CAST(n_converted AS DOUBLE) / n_users AS conversion_rate,
+        |  CAST(q25 AS DOUBLE) / 1e6 AS p25_sec,
+        |  CAST(q50 AS DOUBLE) / 1e6 AS p50_sec,
+        |  CAST(q75 AS DOUBLE) / 1e6 AS p75_sec,
+        |  CAST(q90 AS DOUBLE) / 1e6 AS p90_sec
+        |FROM tot CROSS JOIN q""".stripMargin,
+
     // EventOps.dauWauMau twin: the distinct (user, day) frame fanned
     // into the trailing windows, exact distinct counts, one division.
     "ev_dau_wau_mau" ->

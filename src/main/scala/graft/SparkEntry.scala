@@ -389,6 +389,8 @@ object SparkEntry {
     "ev_dau_wau_mau"          -> (EventOps.dauWauMau(_, _)),
     // round 9: 50/80/90% Pareto cover of user value mass (count-map agg)
     "ev_pareto_cover"         -> (EventOps.paretoCover(_, _)),
+    // round 9: big-ticket conversion rate + exact latency quantiles
+    "ev_time_to_convert"      -> (EventOps.timeToConvert(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

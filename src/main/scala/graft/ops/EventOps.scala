@@ -273,6 +273,46 @@ object EventOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** Time-to-convert funnel latency: per user, the gap between their
+    * FIRST event and their first BIG-TICKET purchase (value > 180 —
+    * the fixture's real censoring threshold: every user has some
+    * purchase, so a plain first-purchase definition would convert 100%
+    * and the row would be vacuous), surfaced as the conversion rate
+    * plus exact p25/p50/p75/p90 latency quantiles over converted
+    * users. The activation-speed readout growth teams pair with
+    * [[cohortRetention]].
+    *
+    * Exactness: latencies are BIGINT microsecond differences; the
+    * quantiles come from ONE [[graft.functions.ExactQuantiles]]
+    * count-map aggregate (integer rank rule, NULL non-converters
+    * ignored); rate and the micros→seconds conversions are the only
+    * double divisions. Scale: one user-keyed aggregate, then one
+    * count-map aggregate over the |converted-users| latency column —
+    * no window, no sort.
+    */
+  def timeToConvert(s: SparkSession, d: String,
+      minValue: Double = 180.0): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val per = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts)")).as("first_us"),
+        min(when(col("event_type") === "purchase"
+            && col("value") > minValue, expr("unix_micros(ts)")))
+          .as("conv_us"))
+      .withColumn("lat", col("conv_us") - col("first_us"))
+    per.agg(count(lit(1)).as("n_users"),
+        count(col("conv_us")).as("n_converted"),
+        exactQuantiles(col("lat").cast("double"),
+          Seq(25, 50, 75, 90), 100).as("qs"))
+      .select(col("n_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_users"))
+          .as("conversion_rate"),
+        (col("qs").getItem(0) / 1e6).as("p25_sec"),
+        (col("qs").getItem(1) / 1e6).as("p50_sec"),
+        (col("qs").getItem(2) / 1e6).as("p75_sec"),
+        (col("qs").getItem(3) / 1e6).as("p90_sec"))
+  }
+
   /** Pareto cover of user value mass — "how many users produce 50 /
     * 80 / 90% of the value": the operational 80/20 readout beside
     * [[giniUserValue]]'s single inequality number. Computed by ONE

@@ -384,6 +384,38 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(eq === Seq(5L, 8L, 9L))
   }
 
+  test("timeToConvert: rate and every latency quantile replay a " +
+      "driver-side recount (integer rank rule over converted users), " +
+      "and the big-ticket threshold genuinely censors") {
+    val d = TestSpark.sf0001
+    val row = EventOps.timeToConvert(spark, d).collect().head
+    val per = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+      .groupBy(_._1).toSeq.map { case (u, rows) =>
+        val first = rows.map(_._2).min
+        val conv = rows.filter(r => r._3 == "purchase" && r._4 > 180.0)
+          .map(_._2).minOption
+        (u, conv.map(_ - first))
+      }
+    val nUsers = per.size.toLong
+    val lats = per.flatMap(_._2).sorted
+    val nConv = lats.size.toLong
+    assert(row.getLong(0) === nUsers)
+    assert(row.getLong(1) === nConv)
+    // censoring is real on the fixture: some but not all users convert
+    assert(nConv > 0 && nConv < nUsers)
+    assert(row.getDouble(2) === nConv.toDouble / nUsers)
+    Seq(25, 50, 75, 90).zipWithIndex.foreach { case (p, i) =>
+      val rank = math.max(1L, (p * nConv + 99) / 100)
+      val expected = lats(rank.toInt - 1).toDouble / 1e6
+      assert(row.getDouble(3 + i) === expected, s"p$p")
+    }
+  }
+
   test("minhashEstAudit: the audited pair set IS ngramJaccardPairs' " +
       "pair set, every exact Jaccard is >= the 0.6 generator threshold, " +
       "and every deterministic 64-seed estimate sits within the bound") {
