@@ -348,32 +348,41 @@ object EventOps {
     *
     * Exactness: distinct counts are exact integers at gate scale; the
     * stickiness is ONE int/int double division. Scale: the fact
-    * collapses to the distinct (user, day) frame once; each window is
-    * that frame fanned out ≤ 30× and re-distinct-counted per day — one
-    * shuffle keyed by day. At 100 TB the same numbers come from the
-    * stored HLL partials ([[sketchPartials]] — union 7/30 daily
-    * sketches instead of recounting users), with this exact form as
-    * the oracle-checkable twin.
+    * collapses to the distinct (user, day) frame once; each row is then
+    * fanned out MAP-SIDE to the ≤30 trailing days it belongs to
+    * (`explode(sequence(day, day+29))` — linear in window width, never
+    * in calendar length) and ONE day-keyed distinct aggregate counts
+    * all three windows via conditional `countDistinct` (offset 0 → DAU,
+    * offset < 7 → WAU, any → MAU). The round-9 form joined the frame
+    * against a broadcast calendar on a range condition, which Catalyst
+    * planned as a BroadcastNestedLoopJoin comparing every row against
+    * EVERY day — cost multiplied with dataset age; the explode form's
+    * cost multiplies only with the 30-day window. Days past a user's
+    * activity that no event observed carry dau = 0 and are exactly the
+    * un-observed days the contract excludes — one filter, no join.
+    * At 100 TB the same numbers come from the stored HLL partials
+    * ([[dauWauMauSketch]] — union 7/30 daily sketches instead of
+    * recounting users), with this exact form as the sampled-audit
+    * oracle twin.
     */
   def dauWauMau(s: SparkSession, d: String): DataFrame = {
     val userDays = Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
-    val days = userDays.select(col("day").as("day_g")).distinct()
-    def activeWithin(win: Int): DataFrame = userDays
-      .join(broadcast(days),
-        col("day_g") - col("day") >= 0 &&
-          col("day_g") - col("day") < win)
-      .groupBy(col("day_g"))
-      .agg(countDistinct(col("user_id")).as(s"u$win"))
-    userDays.groupBy(col("day").as("day_g"))
-      .agg(countDistinct(col("user_id")).as("dau"))
-      .join(activeWithin(7), Seq("day_g"))
-      .join(activeWithin(30), Seq("day_g"))
-      .select(col("day_g").as("day"), col("dau"),
-        col("u7").as("wau"), col("u30").as("mau"),
-        (col("dau").cast("double") / col("u30")).as("stickiness"))
+    userDays
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"), col("day") + 29)).as("day_g"))
+      .groupBy("day_g")
+      .agg(
+        countDistinct(when(col("day_g") === col("day"),
+          col("user_id"))).as("dau"),
+        countDistinct(when(col("day_g") - col("day") < 7,
+          col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .where(col("dau") > 0)
+      .select(col("day_g").as("day"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("mau")).as("stickiness"))
       .orderBy("day")
   }
 

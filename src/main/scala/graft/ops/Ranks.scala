@@ -68,6 +68,43 @@ private[graft] object Ranks {
       .drop("__pid", "__offset")
   }
 
+  /** Adds `rankName`: the 1-based GLOBAL rank of each row under `order`
+    * (a total order — include a unique tiebreak), LONG and exact — the
+    * keyless sibling of [[perKeyRank]] for ranks over a frame that is
+    * itself data-sized (a web corpus's vocabulary has 10⁸–10⁹ terms:
+    * "small next to facts" is still far too big for the one task a
+    * global `row_number()` window plans).
+    *
+    * Same range-sort scheme, but the offsets are the per-partition row
+    * counts cumulated — exactly how Spark's own `RDD.zipWithIndex`
+    * assigns global indices: the counts frame is numPartitions rows
+    * (bounded by CLUSTER size, not data), so it is collected to the
+    * driver, prefix-summed, and shipped back as a literal pid→offset
+    * map — no extra shuffle, no single-partition window anywhere. The
+    * `.collect()` is whitelisted bounded driver state
+    * (CollectWhitelistSpec): numPartitions longs.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column],
+      rankName: String): DataFrame = {
+    val sorted = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init)
+    sorted
+      .withColumn(rankName,
+        row_number().over(Window.partitionBy(col("__pid"))
+          .orderBy(order: _*)).cast(LongType)
+          + coalesce(element_at(
+            typedLit(offsets.toMap), col("__pid")), lit(0L)))
+      .drop("__pid")
+  }
+
   /** NTILE(`tiles`) bucket from a per-key rank and group size — the
     * exact integer semantics of SQL NTILE (first `n mod tiles` buckets
     * get the extra row), computed arithmetically so no window is

@@ -893,16 +893,19 @@ object TextOps {
     * cast sums.
     *
     * Scale shape: one corpus term count (the [[topTerms]] aggregate),
-    * one vocabulary-sized global rank (a single ORDER BY over vocab
-    * rows — fine at any corpus scale; vocabulary is the small table),
+    * then the DISTRIBUTED global rank ([[Ranks.globalRank]] — the
+    * range-sort + zipWithIndex-offset scheme): a web-scale vocabulary
+    * is 10⁸–10⁹ distinct terms, itself data-sized, so the naive single
+    * `ORDER BY` window's one-task sort (the round-9 `weak` flag) is
+    * replaced by a rank whose window groups are bounded by partition
+    * size. Ranks are bit-identical ((ctf desc, term) is total), then
     * one single-row reduce.
     */
   def zipfFit(s: SparkSession, d: String): DataFrame = {
     val ctf = docTermTf(s, d)
       .groupBy("term").agg(sum(col("tf")).as("ctf"))
-    val ranked = ctf.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("ctf").desc, col("term"))).cast("long"))
+    val ranked = Ranks.globalRank(ctf,
+      Seq(col("ctf").desc, col("term")), "rank")
     val terms = ranked.select(
       log(col("rank").cast("double")).cast("decimal(24,9)").as("x"),
       log(col("ctf").cast("double")).cast("decimal(24,9)").as("y"),

@@ -19,6 +19,10 @@ class CollectWhitelistSpec extends AnyFunSuite {
   private val whitelist = Map(
     "ops/SimilarityOps.scala" -> 5, // k-means centroids, PQ codebooks,
     // the shared medoidCentroids matrix (cells × dim doubles)
+    "ops/Ranks.scala" -> 1, // globalRank's per-partition row counts —
+    // numPartitions longs (bounded by CLUSTER size, not data): the
+    // RDD.zipWithIndex discipline, prefix-summed on the driver and
+    // shipped back as a literal pid→offset map
     "ops/TextOps.scala" -> 5 // CMS top-terms sketch query set (k strings)
     // + the BPE merge loop's per-round top-1 pair (ONE row per round;
     // total driver state = the k-row merge list — a constant of the
