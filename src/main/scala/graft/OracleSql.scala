@@ -5609,6 +5609,33 @@ object OracleSql {
         |JOIN mau ON dau.day_g = mau.day_g
         |ORDER BY day""".stripMargin,
 
+    // EventOps.dauWauMauSketch twin (the ev_sliding_distinct audit
+    // discipline): exact dau/wau/mau on every 3rd calendar day, TRUE
+    // bound flags where audited, NULLs elsewhere — the HLL estimates
+    // never cross the compare.
+    "ev_dau_wau_mau_sketch" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |obs AS (SELECT DISTINCT day FROM ud),
+        |ex AS (
+        |  SELECT day + u.off AS day_g,
+        |    count(DISTINCT CASE WHEN u.off = 0 THEN user_id END)
+        |      AS exact_dau,
+        |    count(DISTINCT CASE WHEN u.off < 7 THEN user_id END)
+        |      AS exact_wau,
+        |    count(DISTINCT user_id) AS exact_mau
+        |  FROM ud CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 29)) AS off) u
+        |  WHERE (day + u.off) % 3 = 0
+        |  GROUP BY 1)
+        |SELECT o.day, ex.exact_dau, ex.exact_wau, ex.exact_mau,
+        |  CASE WHEN ex.exact_dau IS NOT NULL THEN TRUE END AS dau_within,
+        |  CASE WHEN ex.exact_wau IS NOT NULL THEN TRUE END AS wau_within,
+        |  CASE WHEN ex.exact_mau IS NOT NULL THEN TRUE END AS mau_within
+        |FROM obs o LEFT JOIN ex ON o.day = ex.day_g
+        |ORDER BY o.day""".stripMargin,
+
     // GraphOps.richClub twin: degree-domain histograms joined against
     // the threshold grid; integer counts, one double division per k.
     "graph_rich_club" ->

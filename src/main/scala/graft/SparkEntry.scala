@@ -391,6 +391,10 @@ object SparkEntry {
     "ev_pareto_cover"         -> (EventOps.paretoCover(_, _)),
     // round 9: big-ticket conversion rate + exact latency quantiles
     "ev_time_to_convert"      -> (EventOps.timeToConvert(_, _)),
+    // round 10: DAU/WAU/MAU from the stored HLL partials (the 100 TB
+    // serving path), gated as a sampled exact audit + bound flags
+    "ev_dau_wau_mau_sketch"   -> ((s, d) =>
+      EventOps.dauWauMauSketch(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -386,6 +386,73 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** The 100 TB serving path for [[dauWauMau]]: DAU/WAU/MAU from the
+    * STORED hourly HLL partials ([[sketchPartials]] — ONE fact pass
+    * serves the whole sketch family) instead of recounting users —
+    * daily sketches are unioned from the hourly ones, then each
+    * trailing 7/30-day window UNIONS daily sketches (HLL union is a
+    * pure function of the input set) where the exact form re-scans the
+    * distinct (user, day) frame. Build-once/serve-many: the partials
+    * are fingerprint-guarded on disk and shared with the
+    * sliding-distinct/quantile/theta consumers.
+    *
+    * Sketch estimates are engine-specific, so the driver-gated surface
+    * is the [[slidingDistinctUsers]] bound contract: per observed day,
+    * the SAMPLED exact dau/wau/mau (every `auditEveryK`-th calendar
+    * day — the audit is an assurance sample; running the exact twin on
+    * every day at 100 TB would reintroduce the recount the sketch path
+    * exists to avoid) plus within-`maxRelErr` flags; unaudited days
+    * carry NULLs in both engines. The estimate itself never crosses
+    * the oracle compare. Day membership (observed vs not) is decided
+    * by EXACT set membership of the day key, never by an estimate.
+    */
+  def dauWauMauSketch(s: SparkSession, d: String,
+      maxRelErr: Double = 0.08, auditEveryK: Int = 3): DataFrame = {
+    // daily HLL sketches merged from the stored hourly partials (UTC
+    // session ⇒ epoch-hour div 24 is the same day key as the exact
+    // form's epoch-micros div 86400000000)
+    val daily = sketchPartials(s, d)
+      .groupBy(expr("h div 24").as("day"))
+      .agg(expr("hll_union_agg(hll_sk)").as("sk"))
+    val est = daily
+      .select(col("day"), col("sk"),
+        explode(sequence(col("day"), col("day") + 29)).as("day_g"))
+      .groupBy("day_g")
+      .agg(
+        max(when(col("day_g") === col("day"), 1).otherwise(0))
+          .as("observed"),
+        expr("hll_sketch_estimate(hll_union_agg(" +
+          "CASE WHEN day_g = day THEN sk END))").as("dau_est"),
+        expr("hll_sketch_estimate(hll_union_agg(" +
+          "CASE WHEN day_g - day < 7 THEN sk END))").as("wau_est"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("mau_est"))
+      .where(col("observed") === 1)
+    val exact = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        explode(filter(sequence(col("day"), col("day") + 29),
+          g => g % auditEveryK === 0)).as("day_g"))
+      .groupBy("day_g")
+      .agg(
+        countDistinct(when(col("day_g") === col("day"),
+          col("user_id"))).as("exact_dau"),
+        countDistinct(when(col("day_g") - col("day") < 7,
+          col("user_id"))).as("exact_wau"),
+        countDistinct(col("user_id")).as("exact_mau"))
+    def within(estC: String, exC: String) =
+      when(col(exC).isNotNull,
+        abs(col(estC) - col(exC)) <= col(exC) * maxRelErr)
+    est.join(exact, Seq("day_g"), "left")
+      .select(col("day_g").as("day"),
+        col("exact_dau"), col("exact_wau"), col("exact_mau"),
+        within("dau_est", "exact_dau").as("dau_within"),
+        within("wau_est", "exact_wau").as("wau_within"),
+        within("mau_est", "exact_mau").as("mau_within"))
+      .orderBy("day")
+  }
+
   /** Cohort LTV curve — [[cohortRetention]]'s revenue companion and the
     * other half of every growth dashboard: per (first-seen cohort week,
     * weeks since first seen), the cohort's cumulative purchase revenue
