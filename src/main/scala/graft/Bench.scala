@@ -57,12 +57,21 @@ object Bench {
     val sacrificial = (sorted.take(1).map(_._1) ++ Seq(
       "corpus_pipeline_stages", "dedup_clusters", "dedup_rate_report",
       "txt_bpe_merges", "ev_sliding_distinct")).distinct
-    sacrificial.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        try run(fn(spark, sfDir)) catch {
-          case e: Throwable =>
+    // Sacrificial runs are TIMED and ride along in the JSON line: the
+    // pre-build excludes one-time artifact-build cost from every
+    // measured rep (by design), which would otherwise make a regression
+    // in the BUILD path invisible to the bench and to history — the
+    // "sacrificial" map keeps that cost observable round over round
+    // even though it no longer feeds the medians.
+    val sacrificialSecs: Seq[(String, Double)] = sacrificial.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val sec = try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
             System.err.println(s"[bench] sacrificial $name failed: ${e.getMessage}")
-        }
+            -1.0 }
+        System.err.println(f"[bench] sacrificial $name%-26s $sec%8.2f s")
+        name -> sec
       }
     }
     Caches.releaseAll()
@@ -223,8 +232,11 @@ object Bench {
       .mkString("{", ",", "}")
     val probeJson =
       s"""{"before":$probeBefore,"after":$probeAfter,"score":$probeScore}"""
+    val sacrificialJson = sacrificialSecs
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"regressed":$regressedJson,"confirm":$confirmJson,"probe":$probeJson,"host":${BenchMath.hostFingerprint()},"queries":$qs,"mins":$minsJson,"stages":$stagesJson,"runs":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"regressed":$regressedJson,"confirm":$confirmJson,"probe":$probeJson,"host":${BenchMath.hostFingerprint()},"sacrificial":$sacrificialJson,"queries":$qs,"mins":$minsJson,"stages":$stagesJson,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Persisted per-query history: one JSONL line per bench invocation,
     // so a round-over-round diff sees the spread (all reps), not just

@@ -179,12 +179,19 @@ object CorpusPipeline {
       d: String): Option[String] =
     graft.sources.Fingerprint.of(s, Seq(s"$d/documents.parquet"))
 
-  /** Per-SF staging root — SF-keyed so a bench run at one SF cannot
-    * clobber the staging a correctness gate at another SF is about to
-    * re-count (the driver's oracle reads the sf0.01 paths).
+  /** Per-dataset staging dir: SF basename for human readability PLUS
+    * the full-path MD5 namespace (`Sinks.namespaced`) under the
+    * configurable staging root — the same keying as the sketch/BPE
+    * artifacts, closing the last basename-only staging path: two
+    * checkouts whose datasets share a basename (two `data/sf0_1`
+    * trees) must not thrash or serve each other's corpus stages. The
+    * oracle's `read_parquet` paths are GENERATED from the same helper
+    * over the canonical gate dir, so the two sides cannot drift.
     */
-  def stageDir(d: String): String =
-    s"/tmp/graft_corpus_stages/${new java.io.File(d).getName}"
+  def stageDir(s: SparkSession, d: String): String =
+    graft.sources.Sinks.namespaced(
+      s"${graft.sources.Artifact.stagingRoot(s)}/graft_corpus_stages/" +
+        new java.io.File(d).getName, d)
 
   /** Driver-gate face of the pipeline: run end-to-end, then surface the
     * stage-count reconciliation (total → survivors → … → packed) as a
@@ -195,7 +202,7 @@ object CorpusPipeline {
     */
   def stageSummary(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val c = run(s, d, stageDir(d))
+    val c = run(s, d, stageDir(s, d))
     Seq(
       ("1_total", c.total), ("2_survivors", c.survivors),
       ("3_boilerplate", c.afterBoiler), ("4_quality", c.afterQuality),

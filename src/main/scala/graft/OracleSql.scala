@@ -19,6 +19,17 @@ object OracleSql {
   private val lexValues = ops.TextOps.lexicon
     .map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
+  /** The corpus staging dir the gate's DuckDB re-count reads — GENERATED
+    * from the same `Sinks.namespaced` helper `CorpusPipeline.stageDir`
+    * uses (over the canonical gate dataset dir and the DEFAULT staging
+    * root), so the engine's write path and the oracle's read path cannot
+    * drift. Still deliberately coupled to the gate's pinned SF and root:
+    * a gate run from another path fails LOUD (absent path), never a
+    * silent false pass.
+    */
+  private val corpusStageDir = graft.sources.Sinks.namespaced(
+    "/tmp/graft_corpus_stages/sf0.01", "/root/testdata/sf0.01")
+
   /** Shared CTE chain producing `jpairs` — exact 3-gram Jaccard ≥ 60%
     * pairs over `documents` with the df∈[2,1000] skew guard; the twin of
     * `DedupOps.ngramJaccardPairsFrom`. Used by the ngram oracle and both
@@ -575,32 +586,32 @@ object OracleSql {
 
     // Independent audit of the corpus pipeline's reported stage counts:
     // DuckDB re-counts the parquet each stage STAGED (CorpusPipeline
-    // writes under /tmp/graft_corpus_stages/<sf>; the gate runs sf0.01).
-    // A mismatch means the pipeline's report diverged from what it wrote.
-    // The sf0.01 literal is a deliberate coupling to the gate's pinned SF
-    // (this map is static — no runtime templating seam exists): running
-    // the gate at another SF fails LOUD (absent path, or '1_total' from
-    // the new SF vs stage counts from the old staging — never a silent
-    // false pass), because stageSummary always re-runs the pipeline and
+    // writes under `corpusStageDir` above — namespaced by the same
+    // helper the engine uses, so the paths cannot drift). A mismatch
+    // means the pipeline's report diverged from what it wrote. The
+    // gate-dir coupling stays deliberate: running the gate at another
+    // SF or root fails LOUD (absent path, or '1_total' from the new SF
+    // vs stage counts from the old staging — never a silent false
+    // pass), because stageSummary always re-runs the pipeline and
     // rewrites its staging in the same invocation.
     "corpus_pipeline_stages" ->
-      """SELECT '1_total' AS stage, count(*) AS n_rows FROM documents
+      s"""SELECT '1_total' AS stage, count(*) AS n_rows FROM documents
         |UNION ALL SELECT '2_survivors', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/survivors/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/survivors/*.parquet')
         |UNION ALL SELECT '3_boilerplate', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/deboiled/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/deboiled/*.parquet')
         |UNION ALL SELECT '4_quality', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/quality/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/quality/*.parquet')
         |UNION ALL SELECT '5_gate', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/gated/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/gated/*.parquet')
         |UNION ALL SELECT '6_balance', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/balanced/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/balanced/*.parquet')
         |UNION ALL SELECT '7_decontam', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/clean/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/clean/*.parquet')
         |UNION ALL SELECT '8_chunks', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/chunks/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/chunks/*.parquet')
         |UNION ALL SELECT '9_packed', count(*)
-        |  FROM read_parquet('/tmp/graft_corpus_stages/sf0.01/packed/*.parquet')
+        |  FROM read_parquet('$corpusStageDir/packed/*.parquet')
         |ORDER BY stage""".stripMargin,
 
     // CMS sketch VALUES are engine-specific; the hash-compared contract is
@@ -5534,17 +5545,27 @@ object OracleSql {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM per),
         |p(pct) AS (VALUES (50), (80), (90)),
+        |-- tm > 0 guard: with zero total mass the ParetoCover aggregate
+        |-- emits n_users = 0 with 0.0 shares (its documented zero-target
+        |-- branch); an unguarded min(r) WHERE cum >= 0 would pick rank 1
+        |-- and divide by tm = 0 — a silent gate mismatch on an all-zero
+        |-- fixture slice.
         |hit AS (
         |  SELECT p.pct, min(r) AS n_users
         |  FROM p, tot, ranked
-        |  WHERE cum >= (pct * tm + 99) // 100
+        |  WHERE tm > 0 AND cum >= (pct * tm + 99) // 100
         |  GROUP BY 1)
-        |SELECT CAST(h.pct AS BIGINT) AS pct,
-        |  CAST(h.n_users AS BIGINT) AS n_users,
-        |  CAST(h.n_users AS DOUBLE) / tu AS user_share,
-        |  CAST((SELECT cum FROM ranked WHERE r = h.n_users) AS DOUBLE)
-        |    / tm AS mass_share
-        |FROM hit h, tot ORDER BY pct""".stripMargin,
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |  CAST(coalesce(h.n_users, 0) AS BIGINT) AS n_users,
+        |  CASE WHEN h.n_users IS NOT NULL
+        |    THEN CAST(h.n_users AS DOUBLE) / tu ELSE 0.0 END
+        |    AS user_share,
+        |  CASE WHEN h.n_users IS NOT NULL
+        |    THEN CAST((SELECT cum FROM ranked WHERE r = h.n_users)
+        |      AS DOUBLE) / tm
+        |    ELSE 0.0 END AS mass_share
+        |FROM p CROSS JOIN tot LEFT JOIN hit h ON p.pct = h.pct
+        |ORDER BY pct""".stripMargin,
 
     // EventOps.timeToConvert twin: BIGINT micro latencies, the
     // ev_value_quantiles integer-rank pick, one division per surface.

@@ -1889,13 +1889,14 @@ object EventOps {
     *
     * Exactness: revenue is integer micros (`floor(value·1e6)`, the
     * [[giniUserValue]] quantization); all five expanding moments (n,
-    * Σx, Σy, Σxy, Σx²) are BIGINT window sums over the DAYS-sized
-    * frame (associative — segment-tree vs sequential agree); the
-    * normal-equation numerator/denominator stay integer and exactly
-    * ONE division chain in doubles (written with the identical
-    * expression shape in the oracle) produces the prediction. At
-    * multi-year × high-revenue scale the integer moments move to
-    * DECIMAL(38,0); the fixture stays far inside BIGINT.
+    * Σx, Σy, Σxy, Σx²) are DECIMAL(38,0) window sums over the
+    * DAYS-sized frame (associative — segment-tree vs sequential
+    * agree; decimal rather than BIGINT because the DuckDB oracle's
+    * sum() is HUGEINT-exact and a 64-bit Spark side would silently
+    * wrap at ~10-100× the fixture's magnitudes); the normal-equation
+    * numerator/denominator stay exact integers and exactly ONE
+    * division chain in doubles (written with the identical expression
+    * shape in the oracle) produces the prediction.
     *
     * Scale: one fact pass to (day, revenue); everything after runs on
     * the calendar-bounded day frame.
@@ -1908,16 +1909,28 @@ object EventOps {
       .agg(sum(floor(col("value") * 1e6).cast("long")).as("y"))
     val prior = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Moments in DECIMAL(38,0), not LONG: the DuckDB oracle's sum()
+    // promotes to HUGEINT (int128), so a 64-bit Spark side would
+    // silently WRAP at ~10-100× the gate fixture's day-index × daily-
+    // revenue-micros magnitudes while the oracle stays exact — the
+    // decimal path keeps both engines on the same exact integers up to
+    // 38 digits (headroom ~1e14× over the worst-case product here).
+    // The per-term product widens each factor first (day × y can
+    // itself exceed LONG at large SF); day² fits LONG trivially.
     val m = daily
       .withColumn("n", count(lit(1)).over(prior))
-      .withColumn("sx", sum(col("day")).over(prior))
-      .withColumn("sy", sum(col("y")).over(prior))
-      .withColumn("sxy", sum(col("day") * col("y")).over(prior))
-      .withColumn("sxx", sum(col("day") * col("day")).over(prior))
+      .withColumn("sx", sum(col("day").cast("decimal(38,0)")).over(prior))
+      .withColumn("sy", sum(col("y").cast("decimal(38,0)")).over(prior))
+      .withColumn("sxy", sum((col("day").cast("decimal(19,0)")
+        * col("y").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .over(prior))
+      .withColumn("sxx", sum((col("day") * col("day"))
+        .cast("decimal(38,0)")).over(prior))
       .filter(col("n") >= 2)
-    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+    val nD = col("n").cast("decimal(38,0)")
+    val num = (nD * col("sxy") - col("sx") * col("sy"))
       .cast("double")
-    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+    val den = (nD * col("sxx") - col("sx") * col("sx"))
       .cast("double")
     val beta = num / den
     val alpha = (col("sy").cast("double")

@@ -766,6 +766,14 @@ object GraphOps {
     */
   private[graft] def ktrussFromEdges(und: DataFrame, k: Int,
       maxRounds: Int): DataFrame = {
+    // k = 2 would diverge from the oracle: the engine's left-join +
+    // coalesce(sup, 0) >= k-2 keeps zero-support edges (a correct
+    // 2-truss) while the oracle's inner support join drops them — the
+    // registered oracle template is only valid for k >= 3, so refuse
+    // rather than let a future caller register a silently-mismatched
+    // k = 2 variant.
+    require(k >= 3, s"ktruss requires k >= 3 (got $k): the oracle " +
+      "peel CTEs drop zero-support edges and only agree for k >= 3")
     var e = und.select("a", "b").localCheckpoint()
     var m = e.count()
     var rounds = 0
