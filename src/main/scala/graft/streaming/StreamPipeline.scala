@@ -1069,6 +1069,45 @@ object StreamPipeline {
     }
   }
 
+  /** Streaming DAILY HLL active-user sketch table — the incremental
+    * producer of the partials [[graft.ops.EventOps.dauWauMauSketch]]
+    * consumes, closing the growth family's batch/streaming loop the
+    * way the KLL/theta/CMS families already close theirs: each
+    * micro-batch sketches ITS rows per day (`hll_sketch_agg`) and
+    * unions them into the stored daily table. HLL union is a pure
+    * function of the input SET, so ANY batch slicing (and any replay —
+    * ledger-idempotent via [[TableSink.commit]]) converges to the
+    * batch operator's daily sketches byte-for-byte; a DAU/WAU/MAU
+    * dashboard then answers every trailing window by unioning ≤ 30
+    * stored day sketches without ever re-reading events.
+    */
+  def startDauSketchSink(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDauSketchBatch(batch, path, batchId)
+      }
+      .start()
+
+  /** One daily-HLL-maintenance micro-batch (spec-drivable). */
+  private[graft] def applyDauSketchBatch(batch: DataFrame,
+      path: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!TableSink.alreadyApplied(s, path, batchId)) {
+      val partial = batch
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged =
+        if (TableSink.hasParquet(s, path))
+          s.read.parquet(path).unionByName(partial)
+            .groupBy("day")
+            .agg(expr("hll_union_agg(sk)").as("sk"))
+        else partial
+      TableSink.commit(s, path, batchId, merged)
+    }
+  }
+
   /** Streaming materialized-view LADDER — the streaming twin of
     * [[graft.ops.EventOps.grainRollup]]: per micro-batch, the batch's
     * MINUTE-grain partials (count + DECIMAL sum, decomposable) merge

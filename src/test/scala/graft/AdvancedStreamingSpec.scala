@@ -482,6 +482,49 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily DAU HLL sketch table: uneven batch slicing (incl. " +
+      "a day split across batches) converges byte-for-byte to the batch " +
+      "daily sketches, and the trailing-window union over the STORED " +
+      "table answers WAU without re-reading events") {
+    import spark.implicits._
+    def day(dd: Int, h: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$dd%02d $h%02d:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("dau_sink").toString
+    val path = s"$dir/daily_sk"
+    val events = Seq( // users repeating within and ACROSS days
+      (day(1, 5), 100L), (day(1, 10), 101L), (day(1, 20), 100L),
+      (day(2, 0), 100L), (day(2, 9), 102L),
+      (day(3, 3), 103L), (day(3, 4), 101L), (day(3, 5), 100L))
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val q = StreamPipeline.startDauSketchSink(
+      mem.toDF().toDF("ts", "user_id"), path, s"$dir/ckpt")
+    try {
+      // uneven slicing: day 1 split across batches, day 2+3 mixed
+      mem.addData(events(0), events(1)); q.processAllAvailable()
+      mem.addData(events(2), events(3)); q.processAllAvailable()
+      mem.addData(events(4), events(5), events(6), events(7))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(path)
+      val batchSk = events.toDF("ts", "user_id")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      // HLL union is a pure function of the input set: byte equality
+      def bytes(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Byte]] =
+        df.collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(bytes(stored) === bytes(batchSk),
+        "streamed daily sketch table diverged from the batch sketches")
+      // the dauWauMauSketch consumption shape: trailing 7-day WAU for
+      // the last day from the STORED table alone (exact at these
+      // cardinalities: users {100,101,102,103})
+      val lastDay = stored.agg(max("day")).collect()(0).getLong(0)
+      val wauEst = stored.where(col("day") > lastDay - 7)
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()(0)
+        .getLong(0)
+      assert(wauEst === 4L)
+    } finally q.stop()
+  }
+
   test("fMGWS sessionization and a LATE group: with EventTimeTimeout the " +
       "engine drops below-watermark rows before the function — the query " +
       "survives and no phantom session is created") {
