@@ -5657,6 +5657,161 @@ object OracleSql {
         |FROM obs o LEFT JOIN ex ON o.day = ex.day_g
         |ORDER BY o.day""".stripMargin,
 
+    // EventOps.newVsReturning twin: first-seen min per user joined back,
+    // one day-keyed count; integer counts, one double division.
+    "ev_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT ud.day, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(count(*) - sum(CASE WHEN ud.day = f.first_day
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |  CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS new_share
+        |FROM ud JOIN f ON ud.user_id = f.user_id
+        |GROUP BY 1 ORDER BY ud.day""".stripMargin,
+
+    // EventOps.churnWeekly twin: the distinct (user, week) frame
+    // left-joined against itself shifted one week; integer counts.
+    "ev_churn_weekly" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 // 7 AS week
+        |  FROM events),
+        |mx AS (SELECT max(week) AS max_week FROM uw)
+        |SELECT uw.week, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  CAST(sum(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS churn_rate
+        |FROM uw
+        |LEFT JOIN uw n
+        |  ON n.user_id = uw.user_id AND n.week = uw.week + 1
+        |CROSS JOIN mx
+        |WHERE uw.week < mx.max_week
+        |GROUP BY 1 ORDER BY uw.week""".stripMargin,
+
+    // EventOps.interarrival twin: gaps from each (type, user)'s SORTED
+    // timestamp multiset (order-determinate under duplicate ts), exact
+    // ceil-rank quantiles (the ExactQuantiles contract).
+    "ev_interarrival" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |    list_sort(list(epoch_us(ts))) AS tss
+        |  FROM events GROUP BY 1, 2),
+        |gaps AS (
+        |  SELECT event_type,
+        |    unnest(list_transform(range(2, len(tss) + 1),
+        |      i -> tss[i] - tss[i-1])) AS gap
+        |  FROM per),
+        |r AS (
+        |  SELECT event_type, gap,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM gaps)
+        |SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_gaps,
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |    THEN gap END) AS DOUBLE) / 1e6 AS p50_sec,
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (90 * cnt + 99) // 100)
+        |    THEN gap END) AS DOUBLE) / 1e6 AS p90_sec
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // TextOps.readability twin: three integer counts (shared tokenizer
+    // + two fixed regexes), one double expression with the identical
+    // parenthesization; int/int `/` is double division in both engines.
+    "txt_readability" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, ${toksSql("lower(text)")} AS ws
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(ws) AS BIGINT) AS words,
+         |    GREATEST(CAST(1 AS BIGINT),
+         |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+         |      AS sentences,
+         |    CAST(list_sum(list_transform(ws,
+         |      w -> len(regexp_extract_all(w, '[aeiouy]+'))))
+         |      AS BIGINT) AS syllables
+         |  FROM t)
+         |SELECT doc_id, lang, words, sentences, syllables,
+         |  CAST(206.835 AS DOUBLE)
+         |    - CAST(1.015 AS DOUBLE) * (words / sentences)
+         |    - CAST(84.6 AS DOUBLE) * (syllables / words) AS flesch
+         |FROM per WHERE words >= 1 ORDER BY doc_id""".stripMargin,
+
+    // TextOps.jsDivergence twin: identical decomposition (shared-term
+    // contributions + the two one-sided remainders via 1 − Σp_shared),
+    // per-term DECIMAL(24,9) rounding before the sums, ln 2 pinned to
+    // the same literal.
+    "txt_js_divergence" ->
+      s"""WITH t AS (
+         |  SELECT lang, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |u AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, CAST(sum(tf) AS BIGINT) AS n FROM u GROUP BY 1),
+         |p AS (
+         |  SELECT u.lang, u.term, u.tf / tot.n AS p
+         |  FROM u JOIN tot ON u.lang = tot.lang),
+         |pr AS (
+         |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |    CAST(a.p * ln(CAST(2 AS DOUBLE) * a.p / (a.p + b.p))
+         |      + b.p * ln(CAST(2 AS DOUBLE) * b.p / (a.p + b.p))
+         |      AS DECIMAL(24,9)) AS c,
+         |    CAST(a.p AS DECIMAL(24,9)) AS pa9,
+         |    CAST(b.p AS DECIMAL(24,9)) AS pb9
+         |  FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang),
+         |m AS (
+         |  SELECT lang_a, lang_b, count(*) AS n_shared_terms,
+         |    sum(c) AS sc, sum(pa9) AS sp, sum(pb9) AS sq
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT lang_a, lang_b, n_shared_terms,
+         |  (CAST(sc AS DOUBLE)
+         |    + CAST(1 - sp AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE)
+         |    + CAST(1 - sq AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE))
+         |    / 2 AS jsd
+         |FROM m ORDER BY lang_a, lang_b""".stripMargin,
+
+    // GraphOps.powerlawFit twin: degree histogram → integer CCDF suffix
+    // counts (the rich-club grid trick) → the zipfFit OLS discipline.
+    "graph_powerlaw_fit" ->
+      s"""WITH ${coEdgesCtes(2)},
+         |pldeg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+         |  GROUP BY 1),
+         |pldh AS (SELECT deg, count(*) AS n FROM pldeg GROUP BY 1),
+         |plcc AS (
+         |  SELECT g.deg AS k, CAST(sum(pldh.n) AS BIGINT) AS cn
+         |  FROM (SELECT deg FROM pldh) g
+         |  JOIN pldh ON pldh.deg >= g.deg
+         |  GROUP BY 1),
+         |plterms AS (
+         |  SELECT CAST(ln(CAST(k AS DOUBLE)) AS DECIMAL(24,9)) AS x,
+         |    CAST(ln(CAST(cn AS DOUBLE)) AS DECIMAL(24,9)) AS y,
+         |    CAST(ln(CAST(k AS DOUBLE)) * ln(CAST(cn AS DOUBLE))
+         |      AS DECIMAL(24,9)) AS xy,
+         |    CAST(ln(CAST(k AS DOUBLE)) * ln(CAST(k AS DOUBLE))
+         |      AS DECIMAL(24,9)) AS xx
+         |  FROM plcc),
+         |plmom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(xy) AS DOUBLE) AS sxy,
+         |    CAST(sum(xx) AS DOUBLE) AS sxx
+         |  FROM plterms)
+         |SELECT n_points,
+         |  (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+         |    AS slope,
+         |  (sy - ((n_points * sxy - sx * sy)
+         |      / (n_points * sxx - sx * sx)) * sx) / n_points
+         |    AS intercept
+         |FROM plmom""".stripMargin,
+
     // GraphOps.richClub twin: degree-domain histograms joined against
     // the threshold grid; integer counts, one double division per k.
     "graph_rich_club" ->

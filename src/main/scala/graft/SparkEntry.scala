@@ -395,6 +395,19 @@ object SparkEntry {
     // serving path), gated as a sampled exact audit + bound flags
     "ev_dau_wau_mau_sketch"   -> ((s, d) =>
       EventOps.dauWauMauSketch(s, d)),
+    // round 10: new-vs-returning daily split (growth accounting)
+    "ev_new_returning"        -> (EventOps.newVsReturning(_, _)),
+    // round 10: weekly churn (active in w, absent in w+1)
+    "ev_churn_weekly"         -> (EventOps.churnWeekly(_, _)),
+    // round 10: per-type inter-arrival gap quantiles (burstiness)
+    "ev_interarrival"         -> (EventOps.interarrival(_, _)),
+    // round 10: Flesch reading-ease per document (quality feature)
+    "txt_readability"         -> (TextOps.readability(_, _)),
+    // round 10: pairwise Jensen–Shannon divergence between languages
+    "txt_js_divergence"       -> (TextOps.jsDivergence(_, _)),
+    // round 10: OLS power-law fit of the degree CCDF (hub-heaviness)
+    "graph_powerlaw_fit"      -> ((s, d) =>
+      graft.ops.GraphOps.powerlawFit(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

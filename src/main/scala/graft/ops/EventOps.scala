@@ -453,6 +453,106 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** New-vs-returning split per day — the growth-accounting row under
+    * [[dauWauMau]]: per observed day, how many active users were seen
+    * for the FIRST time that day vs had history. The new/returning mix
+    * is the first diagnostic when DAU moves (acquisition spike vs
+    * resurrection vs retention shift).
+    *
+    * Exactness: distinct counts are exact integers; the share is ONE
+    * int/int double division. Scale: the fact collapses to distinct
+    * (user, day) once; first-seen is a user-keyed min aggregate joined
+    * back user-keyed (co-partitioned with the frame that produced it),
+    * then one day-keyed count — no window, no fan-out.
+    */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        (col("n_new").cast("double") / col("n_active")).as("new_share"))
+      .orderBy("day")
+  }
+
+  /** Weekly churn — the loss side of [[cohortRetention]]'s curve: per
+    * epoch week w (except the last, which has no successor to churn
+    * into), the active users, how many of them are absent in week w+1,
+    * and the churn rate. The single number a subscription dashboard
+    * tracks weekly.
+    *
+    * Exactness: integer counts, ONE int/int double division. Scale:
+    * distinct (user, week) once; "retained" is an equi-join of that
+    * frame against itself shifted one week (user+week keyed — a hash
+    * join, never a window or fan-out); the last-week cutoff is a 1-row
+    * scalar broadcast (the lint-sanctioned global-scalar attach).
+    */
+  def churnWeekly(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+      .distinct()
+    val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"))
+      .distinct().withColumn("ret", lit(1))
+    val maxW = uw.agg(max(col("week")).as("max_week"))
+    uw.join(nxt, Seq("user_id", "week"), "left")
+      .crossJoin(broadcast(maxW))
+      .where(col("week") < col("max_week"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("ret").isNull, 1L).otherwise(0L)).as("n_churned"))
+      .select(col("week"), col("n_active"), col("n_churned"),
+        (col("n_churned").cast("double") / col("n_active"))
+          .as("churn_rate"))
+      .orderBy("week")
+  }
+
+  /** Inter-arrival time profile per event type — the burstiness
+    * readout capacity planning and bot detection both start from: the
+    * exact p50/p90 of the gaps between each user's CONSECUTIVE events
+    * of a type, plus the gap count. A p50 collapsing toward 0 flags
+    * scripted traffic; a drifting p90 flags disengagement before DAU
+    * moves.
+    *
+    * Exactness: gaps are differences of integer micros taken on each
+    * user's SORTED timestamp multiset (`sort_array(collect_list(us))`
+    * — order-determinate even under duplicate timestamps, where a
+    * lag-window formulation would depend on the engines' tie order);
+    * quantiles are ONE partial-merged [[graft.functions
+    * .ExactQuantiles]] count-map per type. Scale: one fact aggregate
+    * to per-(type, user) arrays — bounded by a single user's activity
+    * in a type, the standard sessionization bound — then a row-local
+    * diff and the count-map aggregate; no window, no sort, nothing
+    * keyed wider than (type, user).
+    */
+  def interarrival(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val per = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      .groupBy("event_type", "user_id")
+      .agg(sort_array(collect_list(col("us"))).as("ts"))
+    val gaps = per.select(col("event_type"),
+      explode(expr(
+        "transform(slice(ts, 2, size(ts) - 1), (x, i) -> x - ts[i])"))
+        .as("gap"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        exactQuantiles(col("gap").cast("double"), Seq(50, 90), 100)
+          .as("qs"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("qs").getItem(0) / 1e6).as("p50_sec"),
+        (col("qs").getItem(1) / 1e6).as("p90_sec"))
+      .orderBy("event_type")
+  }
+
   /** Cohort LTV curve — [[cohortRetention]]'s revenue companion and the
     * other half of every growth dashboard: per (first-seen cohort week,
     * weeks since first seen), the cohort's cumulative purchase revenue

@@ -869,6 +869,64 @@ object GraphOps {
       .orderBy("k")
   }
 
+  /** Power-law fit of the co-purchase degree distribution (Barabási &
+    * Albert 1999; the OLS-on-log-log-CCDF estimate — Clauset et al.
+    * 2009 §3 name it the standard first look, with MLE as the rigorous
+    * follow-up): OLS slope/intercept of ln(ccdf count) against
+    * ln(degree) over the observed degree grid. The slope ≈ −(α−1) is
+    * the one-number summary of hub-heaviness a graph datasheet reports
+    * beside [[richClub]]'s curve and [[assortativity]]'s mixing sign.
+    *
+    * Exactness: the CCDF counts are integer suffix sums over the
+    * degree-domain histogram (the [[richClub]] suffix-count trick — a
+    * domain-sized non-equi join, never a window); each OLS factor is a
+    * correctly-rounded `ln` of integers rounded onto DECIMAL(24,9)
+    * before the associative sums, closed-form slope/intercept over the
+    * four cast sums — the [[graft.ops.TextOps.zipfFit]] discipline
+    * verbatim. Scale: one edge-sized degree aggregate; everything
+    * after is bounded by the degree DOMAIN (max degree, not nodes or
+    * edges).
+    */
+  def powerlawFit(s: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    powerlawFitFromEdges(
+      coPurchaseEdges(s, d, minCount).select("a", "b"))
+
+  /** [[powerlawFit]]'s core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def powerlawFitFromEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val degHist = deg.groupBy("deg").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed as grid AND histogram
+    val grid = degHist.select(col("deg").as("k"))
+    val ccdf = grid.join(degHist, col("deg") >= col("k"))
+      .groupBy("k").agg(sum(col("n")).as("cn"))
+    val terms = ccdf.select(
+      log(col("k").cast("double")).cast("decimal(24,9)").as("x"),
+      log(col("cn").cast("double")).cast("decimal(24,9)").as("y"),
+      (log(col("k").cast("double")) * log(col("cn").cast("double")))
+        .cast("decimal(24,9)").as("xy"),
+      (log(col("k").cast("double")) * log(col("k").cast("double")))
+        .cast("decimal(24,9)").as("xx"))
+    terms.agg(count(lit(1)).as("n_points"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .select(col("n_points"),
+        ((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_points") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        ((col("sy") - ((col("n_points") * col("sxy")
+              - col("sx") * col("sy"))
+            / (col("n_points") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("n_points"))
+          .as("intercept"))
+  }
+
   /** k-core of the thresholded co-purchase graph (Seidman 1983): the
     * maximal subgraph in which every node keeps degree ≥ k — the
     * density skeleton community detection and graph-sampling pipelines

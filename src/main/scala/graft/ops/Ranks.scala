@@ -81,8 +81,8 @@ private[graft] object Ranks {
     * (bounded by CLUSTER size, not data), so it is collected to the
     * driver, prefix-summed, and shipped back as a literal pid→offset
     * map — no extra shuffle, no single-partition window anywhere. The
-    * `.collect()` is whitelisted bounded driver state
-    * (CollectWhitelistSpec): numPartitions longs.
+    * driver pull is whitelisted bounded state (CollectWhitelistSpec):
+    * numPartitions longs.
     */
   def globalRank(df: DataFrame, order: Seq[Column],
       rankName: String): DataFrame = {

@@ -929,6 +929,98 @@ object TextOps {
           .as("intercept"))
   }
 
+  /** Flesch reading-ease per document (Flesch 1948; Kincaid et al.
+    * 1975 recalibration) — the readability column of a corpus
+    * datasheet and a standard quality-filter feature beside the Gopher
+    * /C4 rules: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with syllables approximated as vowel-
+    * group runs (`[aeiouy]+`) — the classic heuristic; exact
+    * syllabification needs a dictionary, and the FEATURE contract is
+    * deterministic counting, not linguistics.
+    *
+    * Exactness: words/sentences/syllables are integer counts from the
+    * shared tokenizer and two fixed regexes (identical engines); the
+    * score is ONE double expression over three ints with the identical
+    * parenthesization in the oracle (int/int `/` is double division in
+    * BOTH engines). Empty-sentence docs clamp to 1 sentence
+    * (`greatest`) — a text with no terminal punctuation is one
+    * sentence, not a division by zero. Scale: entirely row-local — no
+    * shuffle at all before the output sort.
+    */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        tokens(lower(col("text"))).as("ws"), col("text"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("sentences"),
+        expr("""aggregate(transform(ws,
+          w -> size(regexp_extract_all(w, '[aeiouy]+', 0))),
+          0L, (acc, x) -> acc + x)""").as("syllables"))
+      .filter(col("words") >= 1)
+    per.select(col("doc_id"), col("lang"), col("words"),
+        col("sentences"), col("syllables"),
+        (lit(206.835) - lit(1.015) * (col("words") / col("sentences"))
+          - lit(84.6) * (col("syllables") / col("words"))).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  /** Pairwise Jensen–Shannon divergence between the languages' unigram
+    * distributions (Lin 1991) — the symmetric, bounded (≤ ln 2)
+    * corpus-comparison number beside [[chisqLangLength]]'s independence
+    * test and [[ksSplitDrift]]'s two-sample statistic: "how far apart
+    * are two languages' token distributions?", and the same machinery
+    * a datasheet uses to compare corpus SNAPSHOTS. Computed in nats.
+    *
+    * Decomposition that avoids a full-outer join: terms in only one
+    * distribution contribute p·ln 2, so JSD = [Σ_shared (p·ln(2p/(p+q))
+    * + q·ln(2q/(p+q))) + (1−Σ_shared p)·ln 2 + (1−Σ_shared q)·ln 2]/2 —
+    * everything comes from the INNER join on term plus the per-language
+    * totals. ln 2 is pinned to the literal 0.6931471805599453 in both
+    * engines (no libm call on a constant).
+    *
+    * Exactness: p, q are int/int double divisions; each shared-term
+    * contribution and each p/q rounds onto DECIMAL(24,9) BEFORE the
+    * associative sums (the windowed-sum discipline — the 1-ulp libm
+    * spread on `ln` survives the 1e-9 grain); the final combination is
+    * one double expression over the cast sums. Scale: one (lang, term)
+    * aggregate, a term-keyed equi-self-join (langs² pair fan-out of the
+    * VOCABULARY frame, never facts), one pair-keyed reduce.
+    */
+  def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val ln2 = lit(0.6931471805599453)
+    val u = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val tot = u.groupBy("lang").agg(sum(col("tf")).as("n"))
+    val p = u.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("term"),
+        (col("tf") / col("n")).as("p"))
+    val pairs = p.as("a").join(p.as("b"),
+      col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    pairs
+      .select(col("lang_a"), col("lang_b"),
+        (col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .cast("decimal(24,9)").as("c"),
+        col("pa").cast("decimal(24,9)").as("pa9"),
+        col("pb").cast("decimal(24,9)").as("pb9"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(col("c")).as("sc"),
+        sum(col("pa9")).as("sp"), sum(col("pb9")).as("sq"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared_terms"),
+        ((col("sc").cast("double")
+          + (lit(1).cast("decimal(24,9)") - col("sp")).cast("double") * ln2
+          + (lit(1).cast("decimal(24,9)") - col("sq")).cast("double") * ln2)
+          / 2).as("jsd"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** Heaps'-law fit of per-document vocabulary growth (Heaps 1978;
     * [[zipfFit]]'s companion — the two laws are duals): OLS of
     * ln(distinct types) against ln(tokens) across documents, giving

@@ -81,6 +81,8 @@ class PlanLintSpec extends AnyFunSuite {
     // degree-DOMAIN histogram × threshold grid — bounded by max
     // degree, never edge- or node-sized (judge-audited round 9)
     "graph_rich_club" -> "degree-domain histogram × threshold grid",
+    // same suffix-count trick: degree histogram × degree grid
+    "graph_powerlaw_fit" -> "degree-domain histogram × degree grid",
     // langs × 3 length buckets expectation grid
     "txt_chisq_lang_length" -> "langs × 3 length-bucket grid")
 

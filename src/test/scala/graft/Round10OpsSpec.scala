@@ -39,6 +39,96 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(audited > 0, "fixture must contain at least one audited day")
   }
 
+  test("powerlawFitFromEdges on a hand star S4: exact two-point fit " +
+      "(slope = -ln5/ln4, intercept = ln5)") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val r = graft.ops.GraphOps.powerlawFitFromEdges(star).collect()(0)
+    assert(r.getLong(0) === 2L) // degree grid {1, 4}
+    // 1e-8 tolerance: each OLS factor is quantized onto DECIMAL(24,9)
+    assert(math.abs(r.getDouble(1) - (-math.log(5) / math.log(4))) < 1e-8)
+    assert(math.abs(r.getDouble(2) - math.log(5)) < 1e-8)
+  }
+
+  test("interarrival ≡ driver-side replay (sorted per-(type,user) " +
+      "timestamp diffs, ceil-rank quantiles) on sf0.001") {
+    val d = TestSpark.sf0001
+    val got = EventOps.interarrival(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((t, _), es) =>
+      val s = es.map(_._3).sorted
+      s.zip(s.drop(1)).map { case (a, b) => t -> (b - a) }
+    }
+    val want = gaps.groupBy(_._1).map { case (t, g) =>
+      val xs = g.map(_._2).sorted
+      def q(pct: Int) = xs(math.max(1, (pct * xs.size + 99) / 100) - 1)
+      t -> (xs.size.toLong, q(50).toDouble / 1e6, q(90).toDouble / 1e6)
+    }
+    assert(got === want)
+  }
+
+  test("jsDivergence: symmetric-bounded (0 ≤ jsd ≤ ln 2), all lang " +
+      "pairs present, and zero iff distributions identical (fixture " +
+      "langs differ, so strictly positive)") {
+    val rows = graft.ops.TextOps.jsDivergence(spark, TestSpark.sf0001)
+      .collect()
+    val langs = Tables.documents(spark, TestSpark.sf0001)
+      .select("lang").distinct().count()
+    assert(rows.length === (langs * (langs - 1) / 2).toInt)
+    rows.foreach { r =>
+      val j = r.getDouble(3)
+      assert(j > 0 && j <= math.log(2) + 1e-9,
+        s"jsd out of range for ${r.getString(0)}/${r.getString(1)}: $j")
+    }
+  }
+
+  test("readability ≡ driver-side Flesch replay on a sample of docs") {
+    val d = TestSpark.sf0001
+    val got = graft.ops.TextOps.readability(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).take(50)
+    docs.foreach { case (id, text) =>
+      val ws = text.trim match {
+        case "" => Array.empty[String]
+        case tt => tt.split("\\s+")
+      }
+      if (ws.nonEmpty) {
+        val words = ws.length.toLong
+        val sentences = math.max(1,
+          "[.!?]+".r.findAllIn(text).length).toLong
+        val syl = ws.map(w =>
+          "[aeiouy]+".r.findAllIn(w.toLowerCase).length).sum.toLong
+        val flesch = 206.835 - 1.015 * (words.toDouble / sentences) -
+          84.6 * (syl.toDouble / words)
+        val (gw, gs, gy, gf) = got(id)
+        assert((gw, gs, gy) === ((words, sentences, syl)), s"doc $id")
+        assert(math.abs(gf - flesch) < 1e-9, s"doc $id flesch")
+      }
+    }
+  }
+
+  test("churnWeekly + newVsReturning invariants: churned ≤ active, new " +
+      "+ returning = active, week-0 actives are all new") {
+    val d = TestSpark.sf0001
+    val nr = EventOps.newVsReturning(spark, d).collect()
+    nr.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1))
+    }
+    assert(nr.head.getLong(1) === nr.head.getLong(2),
+      "every first-day active user is new by definition")
+    val ch = EventOps.churnWeekly(spark, d).collect()
+    assert(ch.nonEmpty)
+    ch.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("dauWauMauSketch estimates come from the SHARED hourly partials " +
       "artifact (build-once/serve-many), not a private fact re-scan: " +
       "plan reads the staged parquet") {
