@@ -5720,6 +5720,99 @@ object OracleSql {
         |    THEN gap END) AS DOUBLE) / 1e6 AS p90_sec
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // EventOps.streaks twin: the textbook day − row_number() island key
+    // over each user's distinct active days; pure integer counts.
+    "ev_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM ud),
+        |st AS (
+        |  SELECT user_id, day - rn AS isl, count(*) AS len
+        |  FROM r GROUP BY 1, 2)
+        |SELECT len AS streak_len, count(*) AS n_streaks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM st GROUP BY 1 ORDER BY streak_len""".stripMargin,
+
+    // TextOps.vocabCoverage twin: same determinate (ctf desc, term)
+    // rank, integer conditional sums, one double division per point.
+    "txt_vocab_coverage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |ctf AS (SELECT term, count(*) AS ctf FROM t GROUP BY 1),
+         |ranked AS (
+         |  SELECT ctf, ROW_NUMBER() OVER (ORDER BY ctf DESC, term)
+         |    AS rank
+         |  FROM ctf),
+         |m AS (
+         |  SELECT CAST(sum(ctf) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN rank <= 100 THEN ctf ELSE 0 END)
+         |      AS BIGINT) AS c100,
+         |    CAST(sum(CASE WHEN rank <= 1000 THEN ctf ELSE 0 END)
+         |      AS BIGINT) AS c1000,
+         |    CAST(sum(CASE WHEN rank <= 10000 THEN ctf ELSE 0 END)
+         |      AS BIGINT) AS c10000
+         |  FROM ranked)
+         |SELECT CAST(100 AS BIGINT) AS n_top, c100 AS covered_tokens,
+         |  total AS total_tokens,
+         |  CAST(c100 AS DOUBLE) / total AS coverage FROM m
+         |UNION ALL
+         |SELECT CAST(1000 AS BIGINT), c1000, total,
+         |  CAST(c1000 AS DOUBLE) / total FROM m
+         |UNION ALL
+         |SELECT CAST(10000 AS BIGINT), c10000, total,
+         |  CAST(c10000 AS DOUBLE) / total FROM m
+         |ORDER BY n_top""".stripMargin,
+
+    // SimilarityOps.normProfile twin: per-component integer-nanos
+    // quantization (floor(x²·1e9)), BIGINT row-local sums, one double
+    // division + sqrt, exact ceil-rank quartiles.
+    "emb_norm_profile" ->
+      """WITH n AS (
+        |  SELECT sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9)
+        |      AS BIGINT))) AS DOUBLE) / 1e9) AS nrm
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT nrm, ROW_NUMBER() OVER (ORDER BY nrm) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM n)
+        |SELECT CAST(max(cnt) AS BIGINT) AS n_vecs,
+        |  min(nrm) AS min_norm,
+        |  max(CASE WHEN rn = GREATEST(1, (25 * cnt + 99) // 100)
+        |    THEN nrm END) AS p25_norm,
+        |  max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |    THEN nrm END) AS p50_norm,
+        |  max(CASE WHEN rn = GREATEST(1, (75 * cnt + 99) // 100)
+        |    THEN nrm END) AS p75_norm,
+        |  max(nrm) AS max_norm
+        |FROM r""".stripMargin,
+
+    // GraphOps.componentSizes twin: the graph_components recursive
+    // closure's histogram — integer counts over the component frame.
+    "graph_component_sizes" ->
+      s"""WITH RECURSIVE ${coEdgesCtes(2)},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM e2
+         |  UNION SELECT b, a FROM e2),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS part, least(src, min(dst)) AS component_id
+         |  FROM reach GROUP BY src),
+         |comp AS (
+         |  SELECT component_id, count(*) AS n_members
+         |  FROM lab GROUP BY 1)
+         |SELECT n_members AS size, count(*) AS n_components,
+         |  CAST(n_members * count(*) AS BIGINT) AS n_nodes
+         |FROM comp GROUP BY 1 ORDER BY size""".stripMargin,
+
     // TextOps.readability twin: three integer counts (shared tokenizer
     // + two fixed regexes), one double expression with the identical
     // parenthesization; int/int `/` is double division in both engines.

@@ -408,6 +408,16 @@ object SparkEntry {
     // round 10: OLS power-law fit of the degree CCDF (hub-heaviness)
     "graph_powerlaw_fit"      -> ((s, d) =>
       graft.ops.GraphOps.powerlawFit(s, d)),
+    // round 10: consecutive-day activity streaks (gaps-and-islands)
+    "ev_streaks"              -> (EventOps.streaks(_, _)),
+    // round 10: top-N vocabulary coverage curve (tokenizer sizing)
+    "txt_vocab_coverage"      -> ((s, d) =>
+      TextOps.vocabCoverage(s, d)),
+    // round 10: embedding L2-norm profile (encoder sanity page)
+    "emb_norm_profile"        -> (SimilarityOps.normProfile(_, _)),
+    // round 10: component-size histogram of the co-purchase graph
+    "graph_component_sizes"   -> ((s, d) =>
+      graft.ops.GraphOps.componentSizes(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

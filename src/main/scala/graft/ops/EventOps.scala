@@ -514,6 +514,40 @@ object EventOps {
       .orderBy("week")
   }
 
+  /** Consecutive-day activity streaks (gaps-and-islands): the
+    * engagement-depth readout beside [[dauWauMau]]'s breadth — per
+    * streak length, how many maximal runs of consecutive active days
+    * exist and how many distinct users own one. Streak features feed
+    * habit scoring and reward mechanics; the distribution shifting
+    * toward 1 is disengagement DAU alone hides.
+    *
+    * Exactness: the island key is the textbook `day − row_number()`
+    * identity over each user's distinct active days (integers; the
+    * per-user order is total, so both engines derive identical
+    * islands); counts are exact. Scale: distinct (user, day) once,
+    * then a row_number window PARTITIONED BY user_id — a
+    * high-cardinality key with per-user-bounded groups, exactly where
+    * the plain hash-partitioned window is the right plan (the
+    * [[graft.ops.Ranks]] scaladoc's own boundary) — and two bounded
+    * aggregates. No data-sized window group anywhere.
+    */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val isl = ud.withColumn("isl",
+      col("day") - row_number().over(
+        Window.partitionBy("user_id").orderBy("day")).cast("long"))
+    isl.groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("len").as("streak_len"))
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("streak_len")
+  }
+
   /** Inter-arrival time profile per event type — the burstiness
     * readout capacity planning and bot detection both start from: the
     * exact p50/p90 of the gaps between each user's CONSECUTIVE events

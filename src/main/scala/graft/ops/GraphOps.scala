@@ -652,6 +652,25 @@ object GraphOps {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("component_id"))
 
+  /** Component-size histogram — [[components]]' distribution face: per
+    * component size, how many components and nodes. The shape a graph
+    * datasheet reports (one giant component + a long singleton-ish
+    * tail is healthy; many mid-size islands flags a fragmented
+    * catalog), and the same readout the dedup family publishes for
+    * near-dup clusters. Derived from the SAME min-label CC peel, so
+    * the oracle is the recursive closure's histogram — pure integer
+    * counts over the (component, size) frame, which is bounded by the
+    * number of components, never edges.
+    */
+  def componentSizes(s: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    components(s, d, minCount)
+      .groupBy(col("n_members").as("size"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_nodes"))
+      .orderBy("size")
+
   /** Incremental connected-components maintenance over the trade
     * graph: fold a DELTA edge batch (orders from `cutoffYear` on) into
     * the labels of the BASE graph (everything earlier) withOUT

@@ -71,6 +71,41 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** L2-norm profile of the embedding corpus — the first sanity page
+    * of any vector pipeline: count, min/max and exact quartiles of the
+    * per-vector norms. A p50 far from 1 flags an un-normalized encoder
+    * batch (cosine then silently degrades to dot-product ranking); a
+    * min of 0 flags failed encodes (the NaN case [[cosineScore]]
+    * guards).
+    *
+    * Exactness: each squared component is quantized to integer NANOS
+    * (`floor(x²·1e9)` — float→double promotion, one IEEE multiply
+    * chain, identical in both engines) so the per-vector sum is a
+    * BIGINT accumulated row-locally (HOF with a stable LONG
+    * accumulator — no decimal-precision drift, no float-sum order
+    * dependence); the norm is one double division + `sqrt` pair, and
+    * the quartiles are ONE partial-merged [[graft.functions
+    * .ExactQuantiles]] count-map. Scale: entirely row-local to the
+    * single global reduce.
+    */
+  def normProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val norms = Tables.embeddings(s, d).select(
+        expr("""aggregate(embedding, 0L, (acc, x) ->
+          acc + cast(floor(cast(x as double) * cast(x as double) * 1e9)
+            as bigint))""").as("ss"))
+      .select(sqrt(col("ss").cast("double") / 1e9).as("nrm"))
+    norms.agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        exactQuantiles(col("nrm"), Seq(25, 50, 75), 100).as("qs"),
+        max(col("nrm")).as("max_norm"))
+      .select(col("n_vecs"), col("min_norm"),
+        col("qs").getItem(0).as("p25_norm"),
+        col("qs").getItem(1).as("p50_norm"),
+        col("qs").getItem(2).as("p75_norm"),
+        col("max_norm"))
+  }
+
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
     * nearest corpus vectors (self excluded). Deterministic: rank on cosine
     * rounded to 1e-6 with vec_id tiebreak.

@@ -967,6 +967,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Top-N vocabulary coverage curve — the tokenizer-sizing readout:
+    * what share of all corpus tokens the N most frequent terms cover,
+    * at N ∈ {100, 1000, 10000}. The curve is how a vocabulary budget
+    * is chosen (and the OOV rate it implies is 1 − coverage); it pairs
+    * with [[zipfFit]]'s slope (a steeper Zipf means a smaller N covers
+    * more).
+    *
+    * Exactness: ranks come from the same determinate (ctf desc, term)
+    * order as [[zipfFit]]; covered/total are integer sums; coverage is
+    * ONE int/int double division per grid point. Scale: one corpus
+    * term count, then the DISTRIBUTED global rank ([[Ranks
+    * .globalRank]] — vocabulary is data-sized at web scale) and ONE
+    * conditional-sum aggregate; the grid never fans anything out.
+    */
+  def vocabCoverage(s: SparkSession, d: String,
+      grid: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    val ctf = docTermTf(s, d)
+      .groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val ranked = Ranks.globalRank(ctf,
+      Seq(col("ctf").desc, col("term")), "rank")
+    val agg = ranked.agg(
+      sum(col("ctf")).as("total"),
+      grid.map(n => sum(when(col("rank") <= n, col("ctf"))
+        .otherwise(0L)).as(s"c$n")): _*)
+    agg.select(explode(array(grid.map(n =>
+        struct(lit(n.toLong).as("n_top"), col(s"c$n").as("covered"))): _*))
+        .as("g"), col("total"))
+      .select(col("g.n_top").as("n_top"),
+        col("g.covered").as("covered_tokens"),
+        col("total").as("total_tokens"),
+        (col("g.covered").cast("double") / col("total")).as("coverage"))
+      .orderBy("n_top")
+  }
+
   /** Pairwise Jensen–Shannon divergence between the languages' unigram
     * distributions (Lin 1991) — the symmetric, bounded (≤ ln 2)
     * corpus-comparison number beside [[chisqLangLength]]'s independence

@@ -129,6 +129,66 @@ class Round10OpsSpec extends AnyFunSuite {
     ch.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("streaks ≡ driver-side gaps-and-islands replay on sf0.001, and " +
+      "total streak-days reconcile with the distinct (user, day) count") {
+    val d = TestSpark.sf0001
+    val got = EventOps.streaks(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ud = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val streaks = ud.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val days = ds.map(_._2).sorted
+      days.zipWithIndex.map { case (day, i) => day - i }
+        .groupBy(identity).toSeq
+        .map { case (_, g) => u -> g.size.toLong }
+    }
+    val want = streaks.groupBy(_._2).map { case (len, g) =>
+      len -> (g.size.toLong, g.map(_._1).distinct.size.toLong)
+    }
+    assert(got === want)
+    val totalDays = got.map { case (len, (n, _)) => len * n }.sum
+    assert(totalDays === ud.length.toLong,
+      "every distinct active day belongs to exactly one streak")
+  }
+
+  test("vocabCoverage: monotone non-decreasing in N, bounded by 1, " +
+      "covered(10000) = total when vocab < 10000 (sf0.001 fixture)") {
+    val rows = graft.ops.TextOps.vocabCoverage(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(100L, 1000L, 10000L))
+    val cov = rows.map(_.getDouble(3))
+    assert(cov.zip(cov.drop(1)).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0 && c <= 1.0))
+  }
+
+  test("normProfile ≡ driver-side integer-nanos replay on sf0.001") {
+    val d = TestSpark.sf0001
+    val r = graft.ops.SimilarityOps.normProfile(spark, d).collect()(0)
+    val vecs = Tables.embeddings(spark, d).select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    val norms = vecs.map(v => math.sqrt(
+      v.map(x => math.floor(x.toDouble * x.toDouble * 1e9).toLong)
+        .sum.toDouble / 1e9)).sorted
+    def q(pct: Int) =
+      norms(math.max(1, (pct * norms.length + 99) / 100) - 1)
+    assert(r.getLong(0) === norms.length.toLong)
+    assert(r.getDouble(1) === norms.head)
+    assert(r.getDouble(2) === q(25))
+    assert(r.getDouble(3) === q(50))
+    assert(r.getDouble(4) === q(75))
+    assert(r.getDouble(5) === norms.last)
+  }
+
+  test("componentSizes reconciles with components: Σ(size·n_components) " +
+      "= total labeled nodes and Σ n_components = total components") {
+    val d = TestSpark.sf0001
+    val comp = graft.ops.GraphOps.components(spark, d).collect()
+    val sizes = graft.ops.GraphOps.componentSizes(spark, d).collect()
+    assert(sizes.map(_.getLong(1)).sum === comp.length.toLong)
+    assert(sizes.map(_.getLong(2)).sum === comp.map(_.getLong(1)).sum)
+  }
+
   test("dauWauMauSketch estimates come from the SHARED hourly partials " +
       "artifact (build-once/serve-many), not a private fact re-scan: " +
       "plan reads the staged parquet") {
