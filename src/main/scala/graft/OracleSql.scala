@@ -5720,6 +5720,55 @@ object OracleSql {
         |    THEN gap END) AS DOUBLE) / 1e6 AS p90_sec
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // EventOps.percentileCont twin: both engines implement the ANSI
+    // percentile_cont linear interpolation at h = (n−1)·p — Spark's
+    // exact `percentile` aggregate vs DuckDB's quantile_cont.
+    "ev_percentile_cont" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  quantile_cont(value, 0.25) AS p25_cont,
+        |  quantile_cont(value, 0.5) AS p50_cont,
+        |  quantile_cont(value, 0.9) AS p90_cont
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // EventOps.userEntropy twin: per-(user, type) shares, −p·ln p
+    // rounded onto DECIMAL(24,9) before the ≤|types|-term sum, floor
+    // bucketing on the identical double.
+    "ev_user_entropy" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT user_id, c,
+        |    sum(c) OVER (PARTITION BY user_id) AS n
+        |  FROM ut),
+        |per AS (
+        |  SELECT user_id,
+        |    sum(CAST((-(c / n)) * ln(c / n) AS DECIMAL(24,9))) AS h
+        |  FROM sh GROUP BY 1)
+        |SELECT CAST(floor(CAST(h AS DOUBLE) * 4) AS BIGINT) AS bucket,
+        |  count(*) AS n_users,
+        |  CAST(sum(h) AS DOUBLE) / count(*) AS avg_entropy
+        |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // TextOps.mattr twin: identical 1-based window slices, integer
+    // distinct counts, one double division.
+    "txt_mattr" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${toksSql("lower(text)")} AS ws
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens, ws
+         |  FROM t WHERE len(ws) >= 1)
+         |SELECT doc_id, lang, n_tokens,
+         |  CASE WHEN n_tokens <= 50
+         |    THEN CAST(len(list_distinct(ws)) AS BIGINT) / n_tokens
+         |    ELSE CAST(list_sum(list_transform(
+         |        range(1, CAST(len(ws) - 50 + 2 AS INTEGER)),
+         |        i -> len(list_distinct(list_slice(ws, i, i + 49)))))
+         |      AS BIGINT) / (50 * (n_tokens - 50 + 1))
+         |  END AS mattr
+         |FROM per ORDER BY doc_id""".stripMargin,
+
     // EventOps.streaks twin: the textbook day − row_number() island key
     // over each user's distinct active days; pure integer counts.
     "ev_streaks" ->

@@ -418,6 +418,12 @@ object SparkEntry {
     // round 10: component-size histogram of the co-purchase graph
     "graph_component_sizes"   -> ((s, d) =>
       graft.ops.GraphOps.componentSizes(s, d)),
+    // round 10: ANSI percentile_cont via Spark's exact `percentile`
+    "ev_percentile_cont"      -> (EventOps.percentileCont(_, _)),
+    // round 10: behavioral-entropy histogram (user diversity feature)
+    "ev_user_entropy"         -> (EventOps.userEntropy(_, _)),
+    // round 10: moving-average type-token ratio (lexical diversity)
+    "txt_mattr"               -> ((s, d) => TextOps.mattr(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -514,6 +514,62 @@ object EventOps {
       .orderBy("week")
   }
 
+  /** Interpolated (percentile_cont) per-type value percentiles — the
+    * ANSI-SQL continuous-percentile surface beside the positional
+    * (percentile_disc-style) [[graft.functions.ExactQuantiles]]
+    * family: value = x⌊h⌋ + (h−⌊h⌋)·(x⌈h⌉−x⌊h⌋) at h = (n−1)·p.
+    * Spark ships this as the EXACT `percentile` aggregate (a
+    * partial-merged counts-buffer two-phase aggregate — the built-in
+    * the brief's "functions, not UDFs" rule points to), and DuckDB as
+    * `quantile_cont`: both implement the identical linear
+    * interpolation, so the doubles agree bit-for-bit.
+    */
+  def percentileCont(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        expr("percentile(value, array(0.25D, 0.5D, 0.9D))").as("ps"))
+      .select(col("event_type"), col("n_events"),
+        col("ps").getItem(0).as("p25_cont"),
+        col("ps").getItem(1).as("p50_cont"),
+        col("ps").getItem(2).as("p90_cont"))
+      .orderBy("event_type")
+
+  /** Behavioral-diversity histogram: Shannon entropy (nats) of each
+    * user's event-type mix, bucketed at 0.25-nat grain — "how varied
+    * is each user's behavior?", the engagement-quality feature next to
+    * [[streaks]]' depth and [[topUsers]]' volume. H = 0 is a
+    * single-action bot; H near ln(|types|) is full-surface usage.
+    *
+    * Exactness: p = per-(user, type) count / per-user count (int/int
+    * double division); each −p·ln p term rounds onto DECIMAL(24,9)
+    * before the per-user sum (≤ |types| terms, associative); the
+    * bucket is `floor(H·4)` on the identical double, and the per-
+    * bucket mean is one decimal-sum/count division. Scale: one fact
+    * aggregate to (user, type), a user-keyed rollup, a buckets-sized
+    * histogram — no window, nothing data-sized in one task.
+    */
+  def userEntropy(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val per = ut
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .select(col("user_id"),
+        (negate(col("c") / col("n"))
+          * log(col("c") / col("n"))).cast("decimal(24,9)").as("t"))
+      .groupBy("user_id").agg(sum(col("t")).as("h"))
+    per.select(col("user_id"),
+        floor(col("h").cast("double") * 4).cast("long").as("bucket"),
+        col("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("h")).cast("double") / count(lit(1)))
+          .as("avg_entropy"))
+      .orderBy("bucket")
+  }
+
   /** Consecutive-day activity streaks (gaps-and-islands): the
     * engagement-depth readout beside [[dauWauMau]]'s breadth — per
     * streak length, how many maximal runs of consecutive active days

@@ -967,6 +967,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MATTR — moving-average type-token ratio (Covington & McFall
+    * 2010), the length-independent lexical-diversity score: mean over
+    * all W-token sliding windows of (distinct types in window)/W,
+    * falling back to plain TTR for documents shorter than the window.
+    * Plain TTR decays mechanically with length (Heaps' law), so
+    * cross-document comparisons need the windowed form — the
+    * datasheet's diversity column beside [[heapsFit]]'s β and
+    * [[hapaxRatio]].
+    *
+    * Exactness: every window's distinct count is an integer from the
+    * shared tokenizer (`array_distinct` over 1-based slices — both
+    * engines slice identically); the summed counts stay integer and
+    * ONE int/int double division produces the score. Scale: entirely
+    * row-local (O(len·W) per document, bounded by document length —
+    * the same budget as the shingle builds); no shuffle before the
+    * output sort.
+    */
+  def mattr(s: SparkSession, d: String, w: Int = 50): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        tokens(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_tokens"), col("ws"))
+      .filter(col("n_tokens") >= 1)
+    per.select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(col("n_tokens") <= w,
+          size(array_distinct(col("ws"))) / col("n_tokens"))
+          .otherwise(
+            expr(s"""aggregate(transform(sequence(1, size(ws) - $w + 1),
+              i -> size(array_distinct(slice(ws, i, $w)))),
+              0L, (acc, x) -> acc + x)""")
+              / (lit(w) * (col("n_tokens") - w + 1)))
+          .as("mattr"))
+      .orderBy("doc_id")
+  }
+
   /** Top-N vocabulary coverage curve — the tokenizer-sizing readout:
     * what share of all corpus tokens the N most frequent terms cover,
     * at N ∈ {100, 1000, 10000}. The curve is how a vocabulary budget

@@ -189,6 +189,74 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(sizes.map(_.getLong(2)).sum === comp.map(_.getLong(1)).sum)
   }
 
+  test("percentileCont ≡ driver-side linear interpolation at h = (n-1)p " +
+      "per type on sf0.001") {
+    val d = TestSpark.sf0001
+    val got = EventOps.percentileCont(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ev = Tables.events(spark, d)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val want = ev.groupBy(_._1).map { case (t, vs) =>
+      val xs = vs.map(_._2).sorted
+      def q(p: Double) = {
+        val h = (xs.length - 1) * p
+        val lo = h.toInt
+        if (lo + 1 < xs.length) xs(lo) + (h - lo) * (xs(lo + 1) - xs(lo))
+        else xs(lo)
+      }
+      t -> (xs.length.toLong, q(0.25), q(0.5), q(0.9))
+    }
+    got.foreach { case (t, (n, a, b, c)) =>
+      val (wn, wa, wb, wc) = want(t)
+      assert(n === wn, t)
+      assert(math.abs(a - wa) < 1e-9 && math.abs(b - wb) < 1e-9 &&
+        math.abs(c - wc) < 1e-9, s"$t: ($a,$b,$c) vs ($wa,$wb,$wc)")
+    }
+  }
+
+  test("userEntropy: buckets cover [0, ln|types|·4], user counts " +
+      "reconcile with the distinct-user total, single-type users land " +
+      "in bucket 0") {
+    val d = TestSpark.sf0001
+    val rows = EventOps.userEntropy(spark, d).collect()
+    val nUsers = Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nUsers)
+    val maxBucket = (math.log(5) * 4).toLong
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= maxBucket)
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= math.log(5) + 1e-9)
+    }
+  }
+
+  test("mattr: equals plain TTR for docs at or under the window, sits " +
+      "in (0, 1], and equals a driver-side replay on a sample") {
+    val d = TestSpark.sf0001
+    val got = graft.ops.TextOps.mattr(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    got.values.foreach { case (_, m) => assert(m > 0 && m <= 1.0) }
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).take(40)
+    docs.foreach { case (id, text) =>
+      val ws = if (text.trim.isEmpty) Array.empty[String]
+        else text.trim.toLowerCase.split("\\s+")
+      if (ws.nonEmpty) {
+        val n = ws.length
+        val expect =
+          if (n <= 50) ws.distinct.length.toDouble / n
+          else (0 to n - 50).map(i =>
+            ws.slice(i, i + 50).distinct.length.toLong).sum.toDouble /
+            (50L * (n - 50 + 1))
+        val (gn, gm) = got(id)
+        assert(gn === n.toLong, s"doc $id token count")
+        assert(math.abs(gm - expect) < 1e-12, s"doc $id mattr")
+      }
+    }
+  }
+
   test("dauWauMauSketch estimates come from the SHARED hourly partials " +
       "artifact (build-once/serve-many), not a private fact re-scan: " +
       "plan reads the staged parquet") {
