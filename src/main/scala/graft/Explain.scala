@@ -49,6 +49,13 @@ object Explain {
               .map { case (sn, df) => s"===== stage $sn =====\n${fmt(df)}" }
               .mkString("\n")
             catch { case e: Throwable => s"[explain failed] $e" }
+          // the embedding pipeline's driver face is a 5-row local
+          // summary — same per-stage composition for the plan audit
+          else if (name == "emb_pipeline_stages")
+            try EmbPipeline.stagePlanFrames(spark, sfDir)
+              .map { case (sn, df) => s"===== stage $sn =====\n${fmt(df)}" }
+              .mkString("\n")
+            catch { case e: Throwable => s"[explain failed] $e" }
           // the pagerank loops checkpoint per round, so the query's own
           // plan is a vacuous post-checkpoint scan — snapshot a REAL
           // superstep frame alongside it

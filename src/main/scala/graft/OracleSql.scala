@@ -30,6 +30,10 @@ object OracleSql {
   private val corpusStageDir = graft.sources.Sinks.namespaced(
     "/tmp/graft_corpus_stages/sf0.01", "/root/testdata/sf0.01")
 
+  /** [[corpusStageDir]]'s embedding-pipeline sibling (EmbPipeline). */
+  private val embStageDir = graft.sources.Sinks.namespaced(
+    "/tmp/graft_emb_stages/sf0.01", "/root/testdata/sf0.01")
+
   /** Shared CTE chain producing `jpairs` — exact 3-gram Jaccard ≥ 60%
     * pairs over `documents` with the df∈[2,1000] skew guard; the twin of
     * `DedupOps.ngramJaccardPairsFrom`. Used by the ngram oracle and both
@@ -5719,6 +5723,22 @@ object OracleSql {
         |  CAST(max(CASE WHEN rn = GREATEST(1, (90 * cnt + 99) // 100)
         |    THEN gap END) AS DOUBLE) / 1e6 AS p90_sec
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // EmbPipeline.stageSummary twin: DuckDB re-counts the parquet each
+    // stage STAGED (the corpus_pipeline_stages discipline for the
+    // vector pipeline) — a mismatch means the pipeline's report
+    // diverged from what it wrote.
+    "emb_pipeline_stages" ->
+      s"""SELECT '1_total' AS stage, count(*) AS n_rows FROM embeddings
+         |UNION ALL SELECT '2_valid', count(*)
+         |  FROM read_parquet('$embStageDir/valid/*.parquet')
+         |UNION ALL SELECT '3_semdedup', count(*)
+         |  FROM read_parquet('$embStageDir/survivors/*.parquet')
+         |UNION ALL SELECT '4_sample', count(*)
+         |  FROM read_parquet('$embStageDir/sample/*.parquet')
+         |UNION ALL SELECT '5_export_int8', count(*)
+         |  FROM read_parquet('$embStageDir/export_int8/*.parquet')
+         |ORDER BY stage""".stripMargin,
 
     // EventOps.percentileCont twin: both engines implement the ANSI
     // percentile_cont linear interpolation at h = (n−1)·p — Spark's

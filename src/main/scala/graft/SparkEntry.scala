@@ -424,6 +424,11 @@ object SparkEntry {
     "ev_user_entropy"         -> (EventOps.userEntropy(_, _)),
     // round 10: moving-average type-token ratio (lexical diversity)
     "txt_mattr"               -> ((s, d) => TextOps.mattr(s, d)),
+    // round 10: embedding-curation pipeline stage reconciliation
+    // (valid → semdedup → sample → int8 export; DuckDB recounts the
+    // staged parquet per stage)
+    "emb_pipeline_stages"     -> ((s, d) =>
+      EmbPipeline.stageSummary(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -721,12 +721,23 @@ object SimilarityOps {
     * clustering pass ([[kmeansCentroids]]) instead of the first rows.
     */
   def semanticDedup(s: SparkSession, d: String, cells: Int = 10,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4): DataFrame =
     // default ε: the paper runs ~0.95+ on L2-normalized real embeddings;
     // the synthetic corpus is near-orthogonal (zero in-cell pairs above
     // 0.5 at sf0.01), so the shipped default sits where the operator has
     // observable work — callers tune per embedding space
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    semanticDedupFrom(
+      Tables.embeddings(s, d).select("vec_id", "embedding"),
+      cells, threshold)
+
+  /** [[semanticDedup]]'s core over an explicit (vec_id, embedding)
+    * frame — consumed by [[graft.EmbPipeline]] so the pipeline's
+    * semdedup stage runs on the STAGED prior stage, not a fresh table
+    * scan.
+    */
+  private[graft] def semanticDedupFrom(embIn: DataFrame, cells: Int,
+      threshold: Double): DataFrame = {
+    val emb = embIn.select("vec_id", "embedding")
     val centroids = medoidCentroids(emb, cells)
     val assigned = emb.withColumn("cell",
       element_at(nearestCentroids(col("embedding"), centroids, 1), 1))

@@ -257,6 +257,30 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("EmbPipeline: stage counts reconcile with the STAGED parquet, " +
+      "are monotone non-increasing, and the export is 1:1 with the " +
+      "sample (int8 rows carry the quantized array)") {
+    val d = TestSpark.sf0001
+    val dir = java.nio.file.Files
+      .createTempDirectory("emb_pipe").toString
+    val c = EmbPipeline.run(spark, d, dir)
+    assert(c.total >= c.valid && c.valid >= c.survivors &&
+      c.survivors >= c.sample && c.sample === c.exported)
+    Seq("valid" -> c.valid, "survivors" -> c.survivors,
+        "sample" -> c.sample, "export_int8" -> c.exported)
+      .foreach { case (st, n) =>
+        assert(spark.read.parquet(s"$dir/$st").count() === n,
+          s"stage $st recount")
+      }
+    // the export really is the quantized representation
+    val q = spark.read.parquet(s"$dir/export_int8")
+    assert(q.columns.toSeq === Seq("vec_id", "q8"))
+    val row = q.orderBy("vec_id").select("q8").collect()(0)
+      .getSeq[Int](0)
+    assert(row.forall(v => v >= -127 && v <= 127))
+    assert(row.exists(_ != 0))
+  }
+
   test("dauWauMauSketch estimates come from the SHARED hourly partials " +
       "artifact (build-once/serve-many), not a private fact re-scan: " +
       "plan reads the staged parquet") {
