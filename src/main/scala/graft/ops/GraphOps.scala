@@ -643,11 +643,32 @@ object GraphOps {
     * (component_id = min part id, member count); the per-node label
     * frame is the real 100 TB product and feeds it.
     */
+  /** STORED co-purchase component labels — fingerprint-guarded
+    * ([[graft.sources.Artifact]], full-path + minCount namespaced),
+    * shared by [[components]] and [[componentSizes]] so the CC
+    * fixpoint runs once per dataset and every consumer reads the
+    * label table (the steady state [[componentsIncremental]]'s
+    * docstring promises: at 100 TB the labels ARE the stored
+    * artifact; per-batch work is the incremental fold, and full
+    * recomputes are scheduled, not per-query).
+    */
+  private[graft] def coPurchaseLabels(s: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    graft.sources.Artifact.readOrCompute(s,
+      graft.sources.Sinks.namespaced(
+        s"${graft.sources.Artifact.stagingRoot(s)}/" +
+          s"graft_graph_labels_m$minCount/" +
+          new java.io.File(d).getName, d),
+      "labels.fingerprint", Seq(s"$d/lineitem.parquet"),
+      Seq("labels")) { () =>
+      Map("labels" -> DedupOps.connectedComponents(
+        coPurchaseEdges(s, d, minCount)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))))
+    }("labels")
+
   def components(s: SparkSession, d: String,
       minCount: Int = 2): DataFrame =
-    DedupOps.connectedComponents(
-        coPurchaseEdges(s, d, minCount)
-          .select(col("a").as("doc_a"), col("b").as("doc_b")))
+    coPurchaseLabels(s, d, minCount)
       .groupBy(col("cluster_id").as("component_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("component_id"))

@@ -189,6 +189,19 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(sizes.map(_.getLong(2)).sum === comp.map(_.getLong(1)).sum)
   }
 
+  test("components and componentSizes serve from the STORED labels " +
+      "artifact (one CC fixpoint per dataset, consumers read the " +
+      "label table)") {
+    Seq(graft.ops.GraphOps.components(spark, TestSpark.sf0001),
+        graft.ops.GraphOps.componentSizes(spark, TestSpark.sf0001))
+      .foreach { df =>
+        val scans = df.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString("\n")
+        assert(scans.contains("graft_graph_labels"),
+          s"no stored-labels scan in:\n$scans")
+      }
+  }
+
   test("percentileCont ≡ driver-side linear interpolation at h = (n-1)p " +
       "per type on sf0.001") {
     val d = TestSpark.sf0001
