@@ -56,7 +56,8 @@ object Bench {
     // per-rep Caches.releaseAll (they are cross-JVM state, not a cache).
     val sacrificial = (sorted.take(1).map(_._1) ++ Seq(
       "corpus_pipeline_stages", "dedup_clusters", "dedup_rate_report",
-      "txt_bpe_merges", "ev_sliding_distinct", "graph_components")).distinct
+      "txt_bpe_merges", "ev_sliding_distinct", "graph_components",
+      "graph_components_incremental")).distinct
     // Sacrificial runs are TIMED and ride along in the JSON line: the
     // pre-build excludes one-time artifact-build cost from every
     // measured rep (by design), which would otherwise make a regression

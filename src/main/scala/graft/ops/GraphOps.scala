@@ -726,21 +726,47 @@ object GraphOps {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"), col("oy"))
-    val base = pairs.filter(col("oy") < cutoffYear)
-      .select("a", "b").distinct()
     val delta = pairs.filter(col("oy") >= cutoffYear)
       .select("a", "b").distinct()
-    incrementalCC(base, delta)
+    // the STORED base labels — this is the steady state the docstring
+    // describes: the base fixpoint is amortized across calls as a
+    // fingerprint-guarded artifact (cutoff-keyed: a different split
+    // is a different base graph), so per call the work really is just
+    // the delta-sized label join + the bridge CC
+    val baseLab = graft.sources.Artifact.readOrCompute(s,
+      graft.sources.Sinks.namespaced(
+        s"${graft.sources.Artifact.stagingRoot(s)}/" +
+          s"graft_trade_labels_y$cutoffYear/" +
+          new java.io.File(d).getName, d),
+      "labels.fingerprint",
+      Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"),
+      Seq("labels")) { () =>
+      Map("labels" -> DedupOps.connectedComponents(
+        pairs.filter(col("oy") < cutoffYear)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+          .distinct()))
+    }("labels")
+    incrementalCCFromLabels(baseLab, delta)
   }
 
   /** [[componentsIncremental]]'s core over explicit base/delta (a, b)
     * pair frames — spec-drivable with hand graphs.
     */
   private[graft] def incrementalCC(baseIn: DataFrame,
+      deltaIn: DataFrame): DataFrame =
+    incrementalCCFromLabels(DedupOps.connectedComponents(
+      baseIn.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      // the fixpoint result feeds four consumers — pin it (the
+      // artifact path arrives as a parquet scan and needs no pin)
+      .localCheckpoint(),
+      deltaIn)
+
+  /** The incremental fold proper, over an explicit base LABEL frame
+    * (stored artifact in production; a fresh fixpoint in specs).
+    */
+  private[graft] def incrementalCCFromLabels(baseLabIn: DataFrame,
       deltaIn: DataFrame): DataFrame = {
-    val baseLab = DedupOps.connectedComponents(
-        baseIn.select(col("a").as("doc_a"), col("b").as("doc_b")))
-      .localCheckpoint()
+    val baseLab = baseLabIn
     val dl = deltaIn.localCheckpoint()
     def labOf(c: String) = baseLab
       .select(col("doc_id").as(c), col("cluster_id").as(s"lab_$c"))

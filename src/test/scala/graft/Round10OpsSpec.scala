@@ -202,6 +202,17 @@ class Round10OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("componentsIncremental serves its BASE labels from the stored " +
+      "trade-labels artifact — per call the work is the delta fold, " +
+      "not the base fixpoint") {
+    val df = graft.ops.GraphOps
+      .componentsIncremental(spark, TestSpark.sf0001)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scans.contains("graft_trade_labels"),
+      s"no stored base-labels scan in:\n$scans")
+  }
+
   test("percentileCont ≡ driver-side linear interpolation at h = (n-1)p " +
       "per type on sf0.001") {
     val d = TestSpark.sf0001
