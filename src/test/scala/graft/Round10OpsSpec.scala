@@ -305,6 +305,30 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.exists(_ != 0))
   }
 
+  test("EmbPipeline.stagePlanFrames (the in-memory plan-audit face) " +
+      "produces the same counts as the staged run — the two faces " +
+      "cannot drift") {
+    val d = TestSpark.sf0001
+    val dir = java.nio.file.Files
+      .createTempDirectory("emb_pipe_faces").toString
+    val c = EmbPipeline.run(spark, d, dir)
+    val frames = EmbPipeline.stagePlanFrames(spark, d).toMap
+    assert(frames("2_valid").count() === c.valid)
+    assert(frames("3_semdedup").count() === c.survivors)
+    assert(frames("4_sample").count() === c.sample)
+    assert(frames("5_export_int8").count() === c.exported)
+  }
+
+  test("Sinks.namespaced: deterministic per path, distinct for " +
+      "distinct dataset paths sharing a basename (the staging-" +
+      "collision contract every artifact dir rides on)") {
+    import graft.sources.Sinks.namespaced
+    val a = namespaced("/tmp/x/sf0.01", "/data/a/sf0.01")
+    assert(a === namespaced("/tmp/x/sf0.01", "/data/a/sf0.01"))
+    assert(a !== namespaced("/tmp/x/sf0.01", "/data/b/sf0.01"))
+    assert(a.startsWith("/tmp/x/sf0.01_"))
+  }
+
   test("dauWauMauSketch estimates come from the SHARED hourly partials " +
       "artifact (build-once/serve-many), not a private fact re-scan: " +
       "plan reads the staged parquet") {
