@@ -995,9 +995,12 @@ object TextOps {
         when(col("n_tokens") <= w,
           size(array_distinct(col("ws"))) / col("n_tokens"))
           .otherwise(
-            expr(s"""aggregate(transform(sequence(1, size(ws) - $w + 1),
-              i -> size(array_distinct(slice(ws, i, $w)))),
-              0L, (acc, x) -> acc + x)""")
+            // compiled sliding count-map (O(len), one codegen'd pass)
+            // — the transform/slice/array_distinct HOF chain is its
+            // spec twin (O(len·w) interpreted; MattrWindowSumSpec pins
+            // the integer equivalence)
+            graft.functions.MattrWindowSum
+              .mattrWindowSumCompiled(col("ws"), w)
               / (lit(w) * (col("n_tokens") - w + 1)))
           .as("mattr"))
       .orderBy("doc_id")
