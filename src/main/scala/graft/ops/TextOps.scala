@@ -956,9 +956,12 @@ object TextOps {
         greatest(lit(1L),
           size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
             .cast("long")).as("sentences"),
-        expr("""aggregate(transform(ws,
-          w -> size(regexp_extract_all(w, '[aeiouy]+', 0))),
-          0L, (acc, x) -> acc + x)""").as("syllables"))
+        // compiled vowel-run scan (one codegen'd pass; the
+        // transform/regexp HOF chain is its spec twin — a maximal
+        // [aeiouy]+ run is exactly one regex match, so the integers
+        // are identical; VowelRunSumSpec pins it)
+        graft.functions.VowelRunSum.vowelRunSumCompiled(col("ws"))
+          .as("syllables"))
       .filter(col("words") >= 1)
     per.select(col("doc_id"), col("lang"), col("words"),
         col("sentences"), col("syllables"),
