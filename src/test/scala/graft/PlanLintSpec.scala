@@ -173,6 +173,26 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  test("the special-plan faces pass the same lint: corpus/embedding " +
+      "pipeline stage frames and the pagerank superstep frames (their " +
+      "registered queries plan only small local summaries or post-" +
+      "checkpoint scans, so the lint must look at the REAL frames the " +
+      "Explain snapshots audit)") {
+    TestSpark.withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val frames =
+        CorpusPipeline.stagePlanFrames(spark, TestSpark.sf0001) ++
+        EmbPipeline.stagePlanFrames(spark, TestSpark.sf0001) ++
+        graft.ops.GraphOps.explainFrames(spark, TestSpark.sf0001, false)
+      val findings = frames.flatMap { case (n, df) =>
+        try lintPlan(s"stage:$n", df.queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          Seq(s"stage:$n: [lint failed to plan] ${e.getMessage}")
+        }
+      }
+      assert(findings.isEmpty, s"\n${findings.mkString("\n")}")
+    }
+  }
+
   test("the lint detects both round-9 shapes it was built to catch " +
       "(BNLJ on a range condition vs a multi-row broadcast; Window " +
       "over a global ORDER BY) and accepts their fixed forms") {
