@@ -6219,7 +6219,329 @@ object OracleSql {
          |SELECT doc_a, doc_b,
          |  CAST(shared AS DOUBLE) / (size_a + size_b - shared) AS j_exact,
          |  TRUE AS within_bound
-         |FROM jpairs ORDER BY doc_a, doc_b""".stripMargin)
+         |FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    // EventOps.pathTopK twin: identical (ts, event_id) total order and
+    // second-truncated 30-minute in-session gaps; integer counts.
+    "ev_path_topk" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, sec,
+        |    lag(event_type, 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+        |    lag(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |    lag(sec, 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+        |    lag(sec, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+        |  FROM e),
+        |tri AS (
+        |  SELECT t1 || '>' || t2 || '>' || event_type AS path, user_id
+        |  FROM w
+        |  WHERE t1 IS NOT NULL AND s2 - s1 < 1800 AND sec - s2 < 1800)
+        |SELECT path, count(*) AS n_occurrences,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM tri GROUP BY 1
+        |ORDER BY n_occurrences DESC, path LIMIT 25""".stripMargin,
+
+    // EventOps.lorenzDeciles twin: SQL NTILE's integer semantics equal
+    // Ranks.ntileOfRank's by construction; DECIMAL(18,2) money sums,
+    // one double division per row at the surface.
+    "ev_lorenz_deciles" ->
+      """WITH rev AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (
+        |  SELECT user_id, rev,
+        |    NTILE(10) OVER (ORDER BY rev, user_id) AS decile
+        |  FROM rev),
+        |d AS (
+        |  SELECT decile, count(*) AS n_users, sum(rev) AS drev
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS total FROM rev)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_users,
+        |  CAST(drev AS DOUBLE) AS decile_value,
+        |  CAST(sum(drev) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(total AS DOUBLE) AS cum_share
+        |FROM d, tot ORDER BY decile""".stripMargin,
+
+    // TextOps.burrowsDelta twin: same top-30 (tf desc, term) selection,
+    // DECIMAL(24,12)-quantized shares, exact decimal moments, var > 0
+    // guard BEFORE sqrt, re-quantized |z_a − z_b| decimal sums.
+    "txt_burrows_delta" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${toksSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tops AS (
+         |  SELECT term FROM (
+         |    SELECT term,
+         |      ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
+         |    FROM tok GROUP BY term) WHERE r <= 30),
+         |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+         |cnt AS (
+         |  SELECT source, term, count(*) AS c
+         |  FROM tok JOIN tops USING (term) GROUP BY 1, 2),
+         |grid AS (SELECT ns.source, tops.term, ns.n_s FROM ns, tops),
+         |f AS (
+         |  SELECT g.source, g.term,
+         |    CAST(CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(g.n_s AS DOUBLE)
+         |      AS DECIMAL(24,12)) AS fq
+         |  FROM grid g LEFT JOIN cnt c
+         |    ON g.source = c.source AND g.term = c.term),
+         |stats AS (
+         |  SELECT term, sum(fq) AS sf,
+         |    sum(CAST(CAST(fq AS DOUBLE) * CAST(fq AS DOUBLE)
+         |      AS DECIMAL(24,12))) AS sf2,
+         |    count(*) AS k
+         |  FROM f GROUP BY 1),
+         |vr AS (
+         |  SELECT term, CAST(sf AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+         |    CAST(sf2 AS DOUBLE) / CAST(k AS DOUBLE)
+         |      - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+         |      * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)) AS vr
+         |  FROM stats),
+         |sig AS (
+         |  SELECT term, mu, sqrt(vr) AS sigma FROM vr WHERE vr > 0),
+         |z AS (
+         |  SELECT f.source, f.term,
+         |    CAST((CAST(fq AS DOUBLE) - mu) / sigma AS DECIMAL(24,12)) AS z
+         |  FROM f JOIN sig USING (term))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_terms,
+         |  CAST(sum(abs(a.z - b.z)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS delta
+         |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    // EventOps.markovStationary twin: identical bigram chain, kept-and-
+    // renormalized row-stochastic matrix, and 20 unrolled power steps —
+    // each term one IEEE double product quantized onto DECIMAL(24,12)
+    // before the per-column sum (the graph-superstep oracle discipline).
+    "ev_markov_stationary" -> {
+      val rounds = (1 to 20).map { i =>
+        s"""v$i AS (
+           |  SELECT p.next_type AS state,
+           |    CAST(sum(CAST(CAST(v.v AS DOUBLE) * p.p AS DECIMAL(24,12)))
+           |      AS DECIMAL(24,12)) AS v
+           |  FROM v${i - 1} v JOIN p ON v.state = p.prev_type
+           |  GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |c AS (
+         |  SELECT prev_type, event_type AS next_type, count(*) AS n
+         |  FROM b WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |states AS (SELECT DISTINCT prev_type AS state FROM c),
+         |kept AS (
+         |  SELECT c.* FROM c JOIN states s ON c.next_type = s.state),
+         |tot AS (SELECT prev_type, sum(n) AS ni FROM kept GROUP BY 1),
+         |p AS MATERIALIZED (
+         |  SELECT k.prev_type, k.next_type,
+         |    CAST(k.n AS DOUBLE) / CAST(t.ni AS DOUBLE) AS p
+         |  FROM kept k JOIN tot t ON k.prev_type = t.prev_type),
+         |nk AS (SELECT count(*) AS k FROM states),
+         |v0 AS (
+         |  SELECT state,
+         |    CAST(CAST(1 AS DOUBLE) / CAST(nk.k AS DOUBLE)
+         |      AS DECIMAL(24,12)) AS v
+         |  FROM states, nk),
+         |$rounds,
+         |emp AS (
+         |  SELECT event_type AS state, count(*) AS n_events
+         |  FROM events GROUP BY 1),
+         |etot AS (SELECT sum(n_events) AS total FROM emp)
+         |SELECT v.state AS event_type,
+         |  CAST(v.v AS DOUBLE) AS stationary,
+         |  CAST(e.n_events AS DOUBLE) / CAST(t.total AS DOUBLE)
+         |    AS empirical,
+         |  CAST(v.v AS DOUBLE)
+         |    - CAST(e.n_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS gap
+         |FROM v20 v JOIN emp e ON v.state = e.state, etot t
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // SimilarityOps.dimCovariance twin: 1-based DuckDB list indexing
+    // shifted back to the engine's 0-based dims; identical 1e-9
+    // scaled-integer term quantization, exact integer sums, identical
+    // double formula shapes.
+    "emb_dim_covariance" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS idx),
+        |pr AS (
+        |  SELECT a.idx AS ii, b.idx AS jj FROM g a, g b
+        |  WHERE a.idx <= b.idx),
+        |t AS (
+        |  SELECT p.ii, p.jj,
+        |    CAST(floor(CAST(e.embedding[p.ii] AS DOUBLE)
+        |      * CAST(e.embedding[p.jj] AS DOUBLE) * 1e9) AS BIGINT) AS pq,
+        |    CAST(floor(CAST(e.embedding[p.ii] AS DOUBLE) * 1e9) AS BIGINT)
+        |      AS xi,
+        |    CAST(floor(CAST(e.embedding[p.jj] AS DOUBLE) * 1e9) AS BIGINT)
+        |      AS xj
+        |  FROM embeddings e, pr p),
+        |sums AS (
+        |  SELECT ii, jj, count(*) AS n,
+        |    CAST(sum(pq) AS BIGINT) AS spq,
+        |    CAST(sum(xi) AS BIGINT) AS sxi,
+        |    CAST(sum(xj) AS BIGINT) AS sxj
+        |  FROM t GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT ii, jj, n,
+        |    CAST(spq AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+        |      - (CAST(sxi AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+        |      * (CAST(sxj AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) AS cov
+        |  FROM sums),
+        |dg AS (SELECT ii AS dd, cov AS variance FROM cv WHERE ii = jj)
+        |SELECT c.ii - 1 AS dim_i, c.jj - 1 AS dim_j, c.n, c.cov,
+        |  c.cov / (sqrt(di.variance) * sqrt(dj.variance)) AS corr
+        |FROM cv c JOIN dg di ON c.ii = di.dd JOIN dg dj ON c.jj = dj.dd
+        |ORDER BY dim_i, dim_j""".stripMargin,
+
+    // GraphOps.harmonicCentrality twin: the sssp-style maxHops-capped
+    // min-plus closure keyed by (seed, node) equals the engine's
+    // frontier BFS within the shared cap; identical landmark selection
+    // and DECIMAL(18,12)-quantized 1/d terms.
+    "graph_harmonic" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT seed, node, min(dist) AS dist FROM (
+           |    SELECT seed, node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+           |    FROM d${i - 1} d JOIN edges e ON e.src = d.node
+           |  ) GROUP BY 1, 2)"""
+      }.mkString(",\n")
+      s"""WITH pw AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT c AS src, p AS dst FROM pw
+         |  UNION ALL SELECT p AS src, c AS dst FROM pw),
+         |sd AS (
+         |  SELECT o_custkey * 2 AS seed FROM orders GROUP BY o_custkey
+         |  ORDER BY count(DISTINCT o_orderkey) DESC, o_custkey LIMIT 5),
+         |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM sd),
+         |$rounds
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  count(*) AS n_reached,
+         |  CAST(sum(CAST(CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE)
+         |    AS DECIMAL(18,12))) AS DOUBLE) AS harmonic
+         |FROM d8 WHERE dist > 0 GROUP BY 1
+         |ORDER BY harmonic DESC, node LIMIT 20""".stripMargin
+    },
+
+    // SimilarityOps.pcaPower twin: the same scaled-integer covariance
+    // core as emb_dim_covariance (1-based list indices shifted back),
+    // then 50 unrolled power steps — per step one quantized-term matrix
+    // product and a max-|component| rescale, exactly the engine's
+    // DECIMAL(24,12) iteration.
+    "emb_pca_power" -> {
+      // every round CTE is MATERIALIZED: v$i reads w$i twice (once via
+      // m$i), so default inlining would double the tree per round —
+      // 2^15 expansion (the sssp-round lesson, measured as a hung gate)
+      val rounds = (1 to 50).map { i =>
+        s"""w$i AS MATERIALIZED (
+           |  SELECT f.i,
+           |    sum(CAST(f.cov * CAST(v.v AS DOUBLE) AS DECIMAL(24,12)))
+           |      AS w
+           |  FROM f JOIN v${i - 1} v ON f.j = v.dim GROUP BY 1),
+           |m$i AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$i),
+           |v$i AS MATERIALIZED (
+           |  SELECT w.i AS dim,
+           |    CAST(CAST(w.w AS DOUBLE) / CAST(m.m AS DOUBLE)
+           |      AS DECIMAL(24,12)) AS v
+           |  FROM w$i w, m$i m)"""
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT unnest(generate_series(1, 64)) AS idx),
+         |pr AS (
+         |  SELECT a.idx AS ii, b.idx AS jj FROM g a, g b
+         |  WHERE a.idx <= b.idx),
+         |t AS (
+         |  SELECT p.ii, p.jj,
+         |    CAST(floor(CAST(e.embedding[p.ii] AS DOUBLE)
+         |      * CAST(e.embedding[p.jj] AS DOUBLE) * 1e9) AS BIGINT) AS pq,
+         |    CAST(floor(CAST(e.embedding[p.ii] AS DOUBLE) * 1e9) AS BIGINT)
+         |      AS xi,
+         |    CAST(floor(CAST(e.embedding[p.jj] AS DOUBLE) * 1e9) AS BIGINT)
+         |      AS xj
+         |  FROM embeddings e, pr p),
+         |sums AS (
+         |  SELECT ii, jj, count(*) AS n,
+         |    CAST(sum(pq) AS BIGINT) AS spq,
+         |    CAST(sum(xi) AS BIGINT) AS sxi,
+         |    CAST(sum(xj) AS BIGINT) AS sxj
+         |  FROM t GROUP BY 1, 2),
+         |cv AS (
+         |  SELECT ii, jj,
+         |    CAST(spq AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+         |      - (CAST(sxi AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+         |      * (CAST(sxj AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) AS cov
+         |  FROM sums),
+         |f AS MATERIALIZED (
+         |  SELECT ii - 1 AS i, jj - 1 AS j, cov FROM cv
+         |  UNION ALL
+         |  SELECT jj - 1 AS i, ii - 1 AS j, cov FROM cv WHERE ii <> jj),
+         |tr AS (
+         |  SELECT sum(CAST(cov AS DECIMAL(24,12))) AS tr FROM cv
+         |  WHERE ii = jj),
+         |v0 AS (
+         |  SELECT DISTINCT i AS dim,
+         |    CAST(CAST(1 AS DOUBLE) / CAST(64 AS DOUBLE)
+         |      AS DECIMAL(24,12)) AS v
+         |  FROM f),
+         |$rounds,
+         |wf AS (
+         |  SELECT f.i,
+         |    sum(CAST(f.cov * CAST(v.v AS DOUBLE) AS DECIMAL(24,12))) AS w
+         |  FROM f JOIN v50 v ON f.j = v.dim GROUP BY 1),
+         |ray AS (
+         |  SELECT
+         |    sum(CAST(CAST(v.v AS DOUBLE) * CAST(w.w AS DOUBLE)
+         |      AS DECIMAL(24,12))) AS num,
+         |    sum(CAST(CAST(v.v AS DOUBLE) * CAST(v.v AS DOUBLE)
+         |      AS DECIMAL(24,12))) AS den
+         |  FROM v50 v JOIN wf w ON v.dim = w.i)
+         |SELECT v.dim,
+         |  CAST(v.v AS DOUBLE) / sqrt(CAST(den AS DOUBLE)) AS loading,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS lambda,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(tr AS DOUBLE)
+         |    AS explained
+         |FROM v50 v, ray, tr ORDER BY dim""".stripMargin
+    },
+
+    // Multimodal.sizeQuantiles twin: octet_length of the UTF-8 payload,
+    // the shared integer rank rule (rank = greatest(1, ceil(q·n/100))).
+    "mm_size_quantiles" ->
+      """WITH m AS (
+        |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+        |    AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |r AS (
+        |  SELECT kind, nb,
+        |    ROW_NUMBER() OVER (PARTITION BY kind ORDER BY nb) AS rn,
+        |    COUNT(*) OVER (PARTITION BY kind) AS cnt
+        |  FROM m)
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (25 * cnt + 99) // 100)
+        |    THEN nb END) AS BIGINT) AS p25_bytes,
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |    THEN nb END) AS BIGINT) AS p50_bytes,
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (75 * cnt + 99) // 100)
+        |    THEN nb END) AS BIGINT) AS p75_bytes,
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (95 * cnt + 99) // 100)
+        |    THEN nb END) AS BIGINT) AS p95_bytes
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin)
 
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL

@@ -429,6 +429,25 @@ object SparkEntry {
     // staged parquet per stage)
     "emb_pipeline_stages"     -> ((s, d) =>
       EmbPipeline.stageSummary(s, d)),
+    // round 10: top in-session event-type trigram paths (path census)
+    "ev_path_topk"            -> ((s, d) => EventOps.pathTopK(s, d)),
+    // round 10: Lorenz revenue curve over user deciles (whale economy)
+    "ev_lorenz_deciles"       -> (EventOps.lorenzDeciles(_, _)),
+    // round 10: Burrows' Delta stylometric distance between sources
+    "txt_burrows_delta"       -> ((s, d) => TextOps.burrowsDelta(s, d)),
+    // round 10: stationary distribution of the event-type Markov chain
+    "ev_markov_stationary"    -> ((s, d) =>
+      EventOps.markovStationary(s, d)),
+    // round 10: embedding dimension covariance/correlation matrix
+    "emb_dim_covariance"      -> ((s, d) =>
+      SimilarityOps.dimCovariance(s, d)),
+    // round 10: landmark harmonic centrality (seeded multi-source BFS)
+    "graph_harmonic"          -> ((s, d) =>
+      graft.ops.GraphOps.harmonicCentrality(s, d)),
+    // round 10: per-kind media payload-size quantile profile
+    "mm_size_quantiles"       -> (Multimodal.sizeQuantiles(_, _)),
+    // round 10: top principal component via quantized power iteration
+    "emb_pca_power"           -> ((s, d) => SimilarityOps.pcaPower(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

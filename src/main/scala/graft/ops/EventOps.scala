@@ -1627,6 +1627,80 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Stationary distribution of the event-type Markov chain — where
+    * [[markovTransitions]]' one-step matrix settles: π with π = πP,
+    * computed by `iters` power-iteration steps from the uniform start.
+    * The long-run behavioral mix a next-event model converges to,
+    * reported next to the EMPIRICAL type share so the gap (stationary
+    * − empirical) reads as "which types are transient vs sticky".
+    *
+    * Exactness: the chain state is DECIMAL(24,12) end to end — each
+    * step's term is (π_i as double) · (n_ij / n_i as double), one IEEE
+    * product of two determinate doubles, quantized onto the decimal
+    * grain BEFORE the per-column sum (≤ |types| associative decimal
+    * adds), so every iterate is bit-identical across engines and the
+    * oracle unrolls the same `iters` steps as CTEs (the
+    * [[graft.ops.GraphOps]] superstep discipline). States are the
+    * types with ≥ 1 outgoing bigram; transitions into a state with no
+    * outgoing edges would strand mass, so both engines drop them and
+    * renormalize the row totals over what is kept (a no-op on this
+    * fixture — every type both enters and leaves).
+    *
+    * Scale: ONE fact pass (the per-user lag window [[markovTransitions]]
+    * uses — per-user-bounded groups); everything after lives on the
+    * |types|²-bounded matrix, and each of the `iters` rounds is a join +
+    * aggregate over |types| rows with per-round lineage truncation.
+    */
+  def markovStationary(s: SparkSession, d: String,
+      iters: Int = 20): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val c = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|² rows; feeds states, totals, and P
+    val states = c.select(col("prev_type").as("state")).distinct()
+      .localCheckpoint()
+    val kept = c.join(states.withColumnRenamed("state", "next_type"),
+      Seq("next_type"), "left_semi")
+    val tot = kept.groupBy("prev_type").agg(sum(col("n")).as("ni"))
+    val p = kept.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"),
+        (col("n").cast("double") / col("ni").cast("double")).as("p"))
+      .localCheckpoint()
+    val k = states.crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+    var v = k.select(col("state"),
+        (lit(1.0) / col("k").cast("double")).cast("decimal(24,12)")
+          .as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      v = v.join(p, v("state") === p("prev_type"))
+        .select(col("next_type").as("state"),
+          (col("v").cast("double") * col("p")).cast("decimal(24,12)")
+            .as("t"))
+        .groupBy("state")
+        .agg(sum(col("t")).cast("decimal(24,12)").as("v"))
+        .localCheckpoint()
+    }
+    val emp = Tables.events(s, d)
+      .groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("n_events"))
+    val empTot = emp.agg(sum(col("n_events")).as("total"))
+    v.join(emp, Seq("state"))
+      .crossJoin(broadcast(empTot))
+      .select(col("state").as("event_type"),
+        col("v").cast("double").as("stationary"),
+        (col("n_events").cast("double") / col("total").cast("double"))
+          .as("empirical"))
+      .withColumn("gap", col("stationary") - col("empirical"))
+      .orderBy("event_type")
+  }
+
   /** Population-stability-index drift monitor over the event `value`
     * distribution: the first 7 days of the stream are the baseline,
     * the last 7 days the current window; baseline deciles (exact, via
@@ -2163,5 +2237,88 @@ object EventOps {
         col("xq").cast("double").as("x_day"),
         (col("ew").cast("double") / lit(1099511627776.0)).as("ewma"))
       .orderBy("event_type", "day")
+  }
+
+  /** Top in-session event-type paths (the behavioral n-gram census):
+    * the most frequent runs of three CONSECUTIVE events inside one
+    * session ([[sessionize]]'s 30-minute-gap rule), with occurrence and
+    * distinct-user counts — "what do people actually do in sequence?",
+    * the path-analysis readout funnel design and next-action models
+    * both start from, and [[markovTransitions]]' higher-order sibling
+    * (a first-order chain cannot see that view>click>purchase and
+    * click>view>purchase differ).
+    *
+    * Exactness: the per-user order is the total (ts, event_id) —
+    * [[sessionize]]'s own tiebreak — so both engines see identical
+    * neighbor pairs; the in-session test is the second-truncated
+    * 30-minute gap, also verbatim from [[sessionize]]; counts are
+    * integers and the top-k order (count desc, path) is total. Scale:
+    * ONE window pass partitioned by user_id — per-user-bounded groups,
+    * exactly where the plain hash-partitioned window is the right plan
+    * (the [[Ranks]] boundary) — then a paths-domain aggregate
+    * (≤ |types|³ groups) and a bounded top-k. Nothing data-sized in
+    * one task.
+    */
+  def pathTopK(s: SparkSession, d: String, k: Int = 25): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .withColumn("s1", lag("sec", 2).over(w))
+      .withColumn("s2", lag("sec", 1).over(w))
+      .filter(col("t1").isNotNull &&
+        col("s2") - col("s1") < 1800 && col("sec") - col("s2") < 1800)
+    e.select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+          .as("path"),
+        col("user_id"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Lorenz curve of purchase revenue over user deciles — the curve
+    * [[giniUserValue]] integrates and the concentration readout next to
+    * [[paretoCover]]'s "how many users cover X%": per revenue-ranked
+    * user decile (poorest first), the user count, the decile's revenue,
+    * and the CUMULATIVE revenue share. The bottom deciles flatlining at
+    * ~0 while the top holds ~everything is the whale-economy shape
+    * monetization planning starts from.
+    *
+    * Exactness: revenue is the DECIMAL(18,2) money discipline; the
+    * decile is exact integer NTILE math ([[Ranks.ntileOfRank]]) over a
+    * total (rev, user_id) rank; the cumulative sum is decimal over ten
+    * rows; ONE double division per output row at the surface. Scale:
+    * the per-user rollup is a fact aggregate; the rank is
+    * [[Ranks.globalRank]] — the user frame is itself data-sized at
+    * 100 TB (billions of purchasers), so a plain global NTILE window
+    * would plan the "one task sorts every user" shape; the only window
+    * here runs over the 10-row decile frame (bounded domain, lint-
+    * whitelisted like [[psiValueDrift]]'s deciles).
+    */
+  def lorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .localCheckpoint()
+    val ranked = Ranks.globalRank(rev,
+        Seq(col("rev").asc, col("user_id").asc), "rank")
+      .crossJoin(broadcast(rev.agg(count(lit(1)).as("n"))))
+      .withColumn("decile", Ranks.ntileOfRank("rank", "n", 10))
+    val dec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("rev")).as("drev"))
+    dec.crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
+      .withColumn("cum",
+        sum(col("drev")).over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_users"),
+        col("drev").cast("double").as("decile_value"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy("decile")
   }
 }

@@ -1193,6 +1193,81 @@ object GraphOps {
       .orderBy("distance")
   }
 
+  /** Landmark harmonic centrality (Boldi & Vigna 2014's harmonic
+    * variant of closeness, estimated from a fixed landmark set — the
+    * standard way centrality scales when all-pairs BFS cannot): from
+    * the `nSeeds` highest-order-count customers, run one multi-source
+    * BFS keyed by (landmark, node); each node's score is Σ 1/d over
+    * the landmarks that reach it. The "how reachable is this node from
+    * the network's hubs" readout — the centrality class (closeness)
+    * [[pageRank]]'s eigenvector class and [[hopHistogram]]'s plain
+    * reachability don't cover.
+    *
+    * Exactness: distances are BFS layer indices (integers; the
+    * frontier loop and the oracle's `maxHops`-capped min-plus closure
+    * agree on every node within the cap, the [[sssp]] argument); each
+    * 1/d is one IEEE double division quantized onto DECIMAL(18,12)
+    * before the ≤ nSeeds-term sum; landmark choice is the total
+    * (order count desc, custkey) order. Scale: state is
+    * (landmark, node) — |seeds| × reached, the documented landmark
+    * trade — each round joins the FRONTIER (not the full state)
+    * against edges and anti-joins the settled set, with per-round
+    * lineage truncation; the readout is a node-keyed aggregate and a
+    * bounded top-k.
+    */
+  def harmonicCentrality(s: SparkSession, d: String, nSeeds: Int = 5,
+      maxHops: Int = 8, topK: Int = 20): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val seeds = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+      .orderBy(col("n_ord").desc, col("o_custkey"))
+      .limit(nSeeds)
+      .select((col("o_custkey") * 2).as("seed"))
+      .localCheckpoint()
+    harmonicFromEdges(edges, seeds, maxHops, topK)
+  }
+
+  /** [[harmonicCentrality]]'s landmark-BFS core over explicit directed
+    * (src, dst) edge and (seed) landmark frames — spec-drivable with
+    * hand graphs. `maxHops` must equal the oracle's recursion cap.
+    */
+  private[graft] def harmonicFromEdges(edges: DataFrame,
+      seeds: DataFrame, maxHops: Int, topK: Int): DataFrame = {
+    var dist = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("distance"))
+      .localCheckpoint()
+    var frontier = dist
+    var r = 1
+    var n = frontier.count() // bounded driver state: one long per round
+    while (n > 0 && r <= maxHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(dist, Seq("seed", "node"), "left_anti")
+        .localCheckpoint()
+      n = next.count()
+      if (n > 0) {
+        dist = dist
+          .unionByName(next.withColumn("distance", lit(r.toLong)))
+          .localCheckpoint()
+        frontier = next
+      }
+      r += 1
+    }
+    dist.filter(col("distance") > 0)
+      .select(col("node"),
+        (lit(1.0) / col("distance").cast("double"))
+          .cast("decimal(18,12)").as("h"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"), sum(col("h")).as("hs"))
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("kind"),
+        col("n_reached"), col("hs").cast("double").as("harmonic"))
+      .orderBy(col("harmonic").desc, col("node"))
+      .limit(topK)
+  }
+
   /** Butterfly counting (Wang et al. 2014) over the REPEAT-BUSINESS
     * trade graph — the bipartite motif census: a butterfly is the 2×2
     * biclique (c1, c2) × (s1, s2), the smallest cohesion unit a

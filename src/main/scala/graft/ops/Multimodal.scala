@@ -219,6 +219,35 @@ object Multimodal {
       .orderBy("kind", "fmt")
   }
 
+  /** Per-kind payload-size quantile profile — the media sizing page
+    * batch shaping reads before decode: exact p25/p50/p75/p95 of the
+    * blob byte length per media kind (a long-tailed p95 forces smaller
+    * decode batches; a drifting p50 flags an upstream format change).
+    * [[mediaStats]]' sums say how much; this says how it's SHAPED.
+    *
+    * Exactness: byte lengths are integers and the quantiles are ONE
+    * partial-merged [[graft.functions.ExactQuantiles]] count-map per
+    * kind (exact order statistics, the integer rank rule — no
+    * interpolation). Scale: one scan that reads ONLY the length (the
+    * binary column prunes away), then a |kinds|-bounded aggregate whose
+    * shuffled state is count-map partials, state ∝ distinct lengths.
+    */
+  def sizeQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    mediaTable(s, d).toDF()
+      .select(col("kind"), length(col("payload")).cast("long").as("nb"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        exactQuantiles(col("nb").cast("double"), Seq(25, 50, 75, 95), 100)
+          .as("qs"))
+      .select(col("kind"), col("n_media"),
+        col("qs").getItem(0).cast("long").as("p25_bytes"),
+        col("qs").getItem(1).cast("long").as("p50_bytes"),
+        col("qs").getItem(2).cast("long").as("p75_bytes"),
+        col("qs").getItem(3).cast("long").as("p95_bytes"))
+      .orderBy("kind")
+  }
+
   /** Perceptual-hash image fingerprint (pHash shape). STUB decode: payload
     * bytes fold into an 8×8 "luma grid" — cell c accumulates the bytes at
     * positions ≡ c (mod 64); a real implementation decodes, resizes to 8×8

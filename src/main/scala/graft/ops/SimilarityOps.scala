@@ -106,6 +106,144 @@ object SimilarityOps {
         col("max_norm"))
   }
 
+  /** Upper-triangle covariance rows (dim_i ≤ dim_j): the shared
+    * scaled-integer Gram accumulation behind [[dimCovariance]]'s
+    * surface and [[pcaPower]]'s iteration matrix. Returned
+    * localCheckpointed — the fact-sized scan runs once per caller.
+    */
+  private def covUpper(s: SparkSession, d: String, dim: Int): DataFrame = {
+    val terms = Tables.embeddings(s, d).select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+         |  transform(sequence(i, ${dim - 1}), j -> struct(
+         |    i AS i, j AS j,
+         |    cast(floor(cast(embedding[i] as double)
+         |      * cast(embedding[j] as double) * 1e9) as bigint) AS pq,
+         |    cast(floor(cast(embedding[i] as double) * 1e9) as bigint)
+         |      AS xi,
+         |    cast(floor(cast(embedding[j] as double) * 1e9) as bigint)
+         |      AS xj))))""".stripMargin)).as("t"))
+      .select(col("t.i").cast("long").as("dim_i"),
+        col("t.j").cast("long").as("dim_j"),
+        col("t.pq"), col("t.xi"), col("t.xj"))
+    def covOf(spq: Column, sxi: Column, sxj: Column, n: Column): Column =
+      spq.cast("double") / 1e9 / n.cast("double") -
+        (sxi.cast("double") / 1e9 / n.cast("double")) *
+        (sxj.cast("double") / 1e9 / n.cast("double"))
+    terms.groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"), sum(col("pq")).as("spq"),
+        sum(col("xi")).as("sxi"), sum(col("xj")).as("sxj"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        covOf(col("spq"), col("sxi"), col("sxj"), col("n")).as("cov"))
+      .localCheckpoint()
+  }
+
+  /** Dimension–dimension covariance/correlation of the embedding space —
+    * the encoder-health matrix behind whitening, PCA sizing, and
+    * dead/duplicated-dimension audits: high off-diagonal |corr| means
+    * the encoder wastes capacity; a zero-variance diagonal entry is a
+    * dead dimension. Emits the full upper triangle (dim_i ≤ dim_j),
+    * d(d+1)/2 rows — bounded by the embedding WIDTH, never the corpus.
+    *
+    * Exactness is [[normProfile]]'s scaled-integer discipline: every
+    * per-row term (component and pairwise product) is floored onto a
+    * 1e-9 grain as a LONG, so the big sums are exact integer addition —
+    * associative, order-free — and the covariance/correlation formulas
+    * are then scalar IEEE double ops on those determinate sums.
+    * (The 1e-9 quantization IS the documented contract: this measures
+    * the covariance of the quantized space, identically in any engine.)
+    *
+    * Scale: ONE corpus scan fans each row into d(d+1)/2 (i, j, term)
+    * rows that feed a partially-aggregated hash aggregate — map-side
+    * combine reduces the shuffle to (pairs × partitions) partial rows,
+    * the standard distributed Gram-matrix accumulation. No window, no
+    * self-join of the corpus, nothing keyed by vec_id.
+    */
+  def dimCovariance(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    val sums = covUpper(s, d, dim) // feeds the surface AND the diagonal
+    val diag = sums.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").as("dd"), col("cov").as("variance"))
+    sums
+      .join(broadcast(diag.withColumnRenamed("dd", "dim_i")
+        .withColumnRenamed("variance", "var_i")), Seq("dim_i"))
+      .join(broadcast(diag.withColumnRenamed("dd", "dim_j")
+        .withColumnRenamed("variance", "var_j")), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"), col("n"), col("cov"),
+        (col("cov") / (sqrt(col("var_i")) * sqrt(col("var_j"))))
+          .as("corr"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  /** Top principal component of the embedding space by `iters` power-
+    * iteration steps (50 — the fixture's spectral gap ratio is ~0.93,
+    * so 15 steps leave a 5% eigen-residual; 50 reach 0.5%, spec-gated)
+    * over [[dimCovariance]]'s matrix (Mises–Pollaczek-
+    * Geiringer 1929; the PCA sizing readout): per dimension its loading
+    * on the first PC, plus the Rayleigh-quotient eigenvalue and the
+    * variance share it explains — "how one-dimensional is this encoder?"
+    * (explained → 1 means the space collapsed; ≈ 1/d means isotropic).
+    *
+    * Exactness: the matrix entries are determinate doubles over exact
+    * scaled-integer sums ([[covUpper]]); the iteration state is
+    * DECIMAL(24,12) — each step's terms are single IEEE products
+    * quantized before the ≤ d-term decimal sums, and the rescale by the
+    * max-|component| (an exact decimal max) is one double division per
+    * entry, so every iterate is bit-identical across engines and the
+    * oracle unrolls the same steps as CTEs. All decimal payloads stay
+    * under 2⁵³ so both engines' decimal→double casts are exact (the
+    * [[TextOps.burrowsDelta]] scale lesson). Convergence quality does
+    * not affect the gate: both engines surface the same `iters`-step
+    * iterate, and the spec checks it IS an eigenvector numerically.
+    *
+    * Scale: one fact-sized Gram pass (shared shape with
+    * [[dimCovariance]]); the iteration lives on the d²-bounded matrix —
+    * d² × iters join-aggregate work with per-round lineage truncation,
+    * independent of corpus size.
+    */
+  def pcaPower(s: SparkSession, d: String, dim: Int = 64,
+      iters: Int = 50): DataFrame = {
+    val upper = covUpper(s, d, dim)
+    val full = upper.select(col("dim_i").as("i"), col("dim_j").as("j"),
+        col("cov"))
+      .unionByName(upper.filter(col("dim_i") =!= col("dim_j"))
+        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
+      .localCheckpoint() // d² rows, reused every round
+    val trace = upper.filter(col("dim_i") === col("dim_j"))
+      .agg(sum(col("cov").cast("decimal(24,12)")).as("tr"))
+    var v = full.select(col("i").as("dim")).distinct()
+      .select(col("dim"),
+        (lit(1.0) / lit(dim.toDouble)).cast("decimal(24,12)").as("v"))
+      .localCheckpoint()
+    def step(vc: DataFrame): DataFrame =
+      full.join(vc, full("j") === vc("dim"))
+        .select(col("i"),
+          (col("cov") * col("v").cast("double")).cast("decimal(24,12)")
+            .as("t"))
+        .groupBy("i").agg(sum(col("t")).as("w"))
+    for (_ <- 1 to iters) {
+      val w = step(v)
+      v = w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("m"))))
+        .select(col("i").as("dim"),
+          (col("w").cast("double") / col("m").cast("double"))
+            .cast("decimal(24,12)").as("v"))
+        .localCheckpoint()
+    }
+    val wf = step(v)
+    val ray = v.join(wf, v("dim") === wf("i"))
+      .agg(sum((col("v").cast("double") * col("w").cast("double"))
+          .cast("decimal(24,12)")).as("num"),
+        sum((col("v").cast("double") * col("v").cast("double"))
+          .cast("decimal(24,12)")).as("den"))
+    v.crossJoin(broadcast(ray)).crossJoin(broadcast(trace))
+      .select(col("dim"),
+        (col("v").cast("double") / sqrt(col("den").cast("double")))
+          .as("loading"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("lambda"),
+        (col("num").cast("double") / col("den").cast("double")
+          / col("tr").cast("double")).as("explained"))
+      .orderBy("dim")
+  }
+
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
     * nearest corpus vectors (self excluded). Deterministic: rank on cosine
     * rounded to 1e-6 with vec_id tiebreak.

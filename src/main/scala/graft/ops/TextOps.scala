@@ -2093,4 +2093,85 @@ object TextOps {
         col("chi2"))
       .orderBy("lang", "bucket")
   }
+
+  /** Burrows' Delta (Burrows 2002, "'Delta': a measure of stylistic
+    * difference") between document SOURCES: z-score each source's
+    * relative frequency of the corpus's top-`m` terms against the
+    * cross-source mean/std, then Delta(a, b) = mean |z_a − z_b| over
+    * those terms — the stylometric distance matrix provenance audits
+    * read ("are src3 and src7 the same scraper?"). Low Delta = the two
+    * sources use the function-word profile identically.
+    *
+    * Exactness: relative frequencies are int/int double divisions
+    * quantized onto DECIMAL(24,12) (the [[EventOps.userEntropy]]-family
+    * grain);
+    * per-term moments are exact decimal sums over the sources grid;
+    * mean/variance/σ/z are then scalar double ops (IEEE-determinate on
+    * identical inputs in both engines); each |z_a − z_b| is re-quantized
+    * before the per-pair decimal sum. Terms with σ = 0 (identical share
+    * everywhere) carry no signal and are excluded by both engines.
+    * Scale: two fact-sized aggregates (corpus term counts; per-(source,
+    * term) counts against a broadcast top-`m` list), then everything
+    * lives on the sources × top-terms grid — bounded by |sources|·m,
+    * never corpus-sized. The grid completion is a |sources| × m
+    * cross join (lint-whitelisted bounded domain, the
+    * [[chisqLangLength]] precedent).
+    */
+  def burrowsDelta(s: SparkSession, d: String, m: Int = 30): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .localCheckpoint() // feeds the top-term AND the per-source aggregates
+    val top = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(m)
+      .select("term")
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val cnt = tok.join(broadcast(top), Seq("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    // dense grid: a source missing a top term has share 0 (its z-score
+    // is −μ/σ, not 0 — the zero rows carry real signal)
+    val grid = ns.select("source").crossJoin(broadcast(top))
+    val f = grid.join(cnt, Seq("source", "term"), "left")
+      .join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("term"),
+        (coalesce(col("c"), lit(0L)).cast("double")
+          / col("n_s").cast("double")).cast("decimal(24,12)").as("fq"))
+      .localCheckpoint() // grid-sized; feeds the moments AND the z rows
+    // f² rides the SAME 1e-12 grain as f: a finer scale (e.g. 24) would
+    // be exact in Spark's BigDecimal→double but NOT in DuckDB, whose
+    // int128 decimal→double conversion divides by a 10^scale double
+    // that is itself inexact past 10^22 — measured as a 1-unit z
+    // rounding flip. At scale 12 every sum's integer payload stays
+    // under 2^53, so both engines' double conversions are exact.
+    val stats = f.groupBy("term")
+      .agg(sum(col("fq")).as("sf"),
+        sum((col("fq").cast("double") * col("fq").cast("double"))
+          .cast("decimal(24,12)")).as("sf2"),
+        count(lit(1)).as("k"))
+      .select(col("term"),
+        (col("sf").cast("double") / col("k").cast("double")).as("mu"),
+        (col("sf2").cast("double") / col("k").cast("double")
+          - (col("sf").cast("double") / col("k").cast("double"))
+            * (col("sf").cast("double") / col("k").cast("double")))
+          .as("vr"))
+      // the var > 0 guard runs BEFORE sqrt: a float-cancellation
+      // negative epsilon must be filtered as a double, never reach
+      // sqrt (NaN casts to decimal differently across engines)
+      .filter(col("vr") > 0)
+      .select(col("term"), col("mu"), sqrt(col("vr")).as("sigma"))
+    val z = f.join(broadcast(stats), Seq("term"))
+      .select(col("source"), col("term"),
+        ((col("fq").cast("double") - col("mu")) / col("sigma"))
+          .cast("decimal(24,12)").as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.term") === col("b.term")
+          && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("a.z") - col("b.z"))).as("sd"))
+      .select(col("source_a"), col("source_b"), col("n_terms"),
+        (col("sd").cast("double") / col("n_terms").cast("double"))
+          .as("delta"))
+      .orderBy("source_a", "source_b")
+  }
 }

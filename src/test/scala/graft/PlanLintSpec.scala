@@ -49,6 +49,7 @@ class PlanLintSpec extends AnyFunSuite {
     */
   private val boundedWindowWhitelist = Map(
     "ev_forecast_backtest" -> "day grain (calendar-bounded)",
+    "ev_lorenz_deciles" -> "10 deciles",
     "ev_psi_drift" -> "10 deciles",
     "ev_survival_hazard" -> "day grain (calendar-bounded)",
     "r_benford_audit" -> "9 leading digits",
@@ -84,7 +85,10 @@ class PlanLintSpec extends AnyFunSuite {
     // same suffix-count trick: degree histogram × degree grid
     "graph_powerlaw_fit" -> "degree-domain histogram × degree grid",
     // langs × 3 length buckets expectation grid
-    "txt_chisq_lang_length" -> "langs × 3 length-bucket grid")
+    "txt_chisq_lang_length" -> "langs × 3 length-bucket grid",
+    // sources × top-30-term completion grid (zero-share rows carry the
+    // −μ/σ z-scores) — bounded by |sources| · m, never corpus-sized
+    "txt_burrows_delta" -> "sources × top-term grid (|sources| × 30)")
 
   /** True iff `p` provably produces at most one row: a global (no
     * grouping keys) aggregate, possibly under row-preserving /

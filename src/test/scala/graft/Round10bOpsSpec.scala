@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventOps, GraphOps, Multimodal, SimilarityOps, TextOps}
+
+/** Round-10 wave-2 operators: session paths, Lorenz deciles, Markov
+  * stationary mix, Burrows' Delta, dimension covariance, landmark
+  * harmonic centrality, media size quantiles.
+  */
+class Round10bOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("pathTopK ≡ driver-side replay (per-user (ts, event_id) order, " +
+      "second-truncated 30-min gaps, trigram census) on sf0.001") {
+    val d = TestSpark.sf0001
+    val got = EventOps.pathTopK(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val tri = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._4, r._2)).toList // (floored sec, id)
+      // NOTE: sec is the floor of ts; ordering by (sec, event_id) can
+      // differ from (ts, event_id) only when two events of one user
+      // share a second with out-of-id-order sub-second parts — absent
+      // in the fixture; the engine orders by full ts.
+      s.sliding(3).filter(_.size == 3).collect {
+        case List(a, b, c)
+            if b._4 - a._4 < 1800 && c._4 - b._4 < 1800 =>
+          (s"${a._3}>${b._3}>${c._3}", c._1)
+      }
+    }
+    val want = tri.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+    }.toSeq.sortBy(t => (-t._2, t._1)).take(25)
+    assert(got.toSeq === want)
+  }
+
+  test("pathTopK replay caveat does not bite: no user has two events " +
+      "inside one second in the fixture (makes the replay's sec-order " +
+      "equal the engine's ts-order)") {
+    val dups = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("user_id"), expr("unix_timestamp(ts)").as("sec"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dups === 0)
+  }
+
+  test("lorenzDeciles: NTILE replay matches exactly; cum_share is " +
+      "monotone and ends at exactly 1.0; user counts cover every " +
+      "purchaser") {
+    val d = TestSpark.sf0001
+    val got = EventOps.lorenzDeciles(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val revs = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getDecimal(1), r.getLong(0)))
+      .sortBy(t => (BigDecimal(t._1), t._2))
+    val n = revs.size
+    val q = n / 10
+    val r10 = n % 10
+    // SQL NTILE: first n mod k buckets get one extra row
+    val bucketOf = (rank: Int) => {
+      val cut = r10 * (q + 1)
+      if (rank <= cut) (rank + q) / (q + 1) else r10 + (rank - cut + q - 1) / q
+    }
+    val byDec = revs.zipWithIndex
+      .groupBy { case (_, i) => bucketOf(i + 1) }
+    val total = revs.map(t => BigDecimal(t._1)).sum
+    var cum = BigDecimal(0)
+    (1 to 10).foreach { dec =>
+      val rows = byDec(dec)
+      val drev = rows.map(t => BigDecimal(t._1._1)).sum
+      cum += drev
+      val g = got(dec - 1)
+      assert(g._2 === rows.size.toLong, s"decile $dec user count")
+      assert(g._3 === drev.toDouble, s"decile $dec revenue")
+      assert(g._4 === (cum.bigDecimal.doubleValue
+        / total.bigDecimal.doubleValue), s"decile $dec cum share")
+    }
+    assert(got.map(_._2).sum === n.toLong)
+    assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    assert(got.last._4 === 1.0)
+  }
+
+  test("markovStationary ≡ driver-side replay (kept/renormalized " +
+      "matrix, 20 power steps, HALF_UP 1e-12 quantization per term) " +
+      "and the mix sums to ~1") {
+    val d = TestSpark.sf0001
+    val got = EventOps.markovStationary(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // replay
+    val m = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val states = m.map(_._1._1).distinct.sorted
+    val kept = m.filter(t => states.contains(t._1._2))
+    val ni = kept.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val p = kept.map { case ((a, b), n) => ((a, b), n.toDouble / ni(a)) }
+      .toMap
+    def quant(x: Double): BigDecimal =
+      BigDecimal.decimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var v: Map[String, BigDecimal] =
+      states.map(_ -> quant(1.0 / states.size)).toMap
+    (1 to 20).foreach { _ =>
+      v = states.map { j =>
+        j -> states.flatMap(i => p.get((i, j))
+          .map(pij => quant(v(i).toDouble * pij))).sum
+      }.toMap
+    }
+    states.foreach { st =>
+      assert(got(st)._1 === v(st).toDouble, s"stationary($st)")
+    }
+    val sum = got.values.map(_._1).sum
+    assert(math.abs(sum - 1.0) < 1e-9, s"mix sums to $sum")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("burrowsDelta: full pair matrix over the sources, constant " +
+      "term panel ≤ 30, non-negative distances") {
+    val d = TestSpark.sf0001
+    val rows = TextOps.burrowsDelta(spark, d).collect()
+    val nSrc = Tables.documents(spark, d).select("source").distinct()
+      .count().toInt
+    assert(rows.length === nSrc * (nSrc - 1) / 2)
+    val panels = rows.map(_.getLong(2)).distinct
+    assert(panels.length === 1 && panels.head <= 30L)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("dimCovariance: d(d+1)/2 rows, constant n, unit diagonal corr, " +
+      "|corr| ≤ 1, and the (0,1) entry replays exactly driver-side") {
+    val d = TestSpark.sf0001
+    val rows = SimilarityOps.dimCovariance(spark, d).collect()
+    assert(rows.length === 64 * 65 / 2)
+    assert(rows.map(_.getLong(2)).distinct.length === 1)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9,
+        s"corr out of range at (${r.getLong(0)}, ${r.getLong(1)})")
+      if (r.getLong(0) == r.getLong(1))
+        assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+    }
+    val embs = Tables.embeddings(spark, d).select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    val n = embs.length
+    def s(f: Seq[Float] => Long): Long = embs.map(f).sum
+    val spq = s(e => math.floor(e(0).toDouble * e(1).toDouble * 1e9).toLong)
+    val sxi = s(e => math.floor(e(0).toDouble * 1e9).toLong)
+    val sxj = s(e => math.floor(e(1).toDouble * 1e9).toLong)
+    val cov = spq.toDouble / 1e9 / n -
+      (sxi.toDouble / 1e9 / n) * (sxj.toDouble / 1e9 / n)
+    val got01 = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(got01.getDouble(3) === cov)
+  }
+
+  test("harmonicFromEdges on a hand path 2-4-6-8-10: single landmark " +
+      "distances, two-landmark sums, and the maxHops cap") {
+    import spark.implicits._
+    val nodes = Seq(2L, 4L, 6L, 8L, 10L)
+    val und = nodes.sliding(2).flatMap { case Seq(a, b) =>
+      Seq((a, b), (b, a)) }.toSeq
+    val edges = und.toDF("src", "dst")
+    val one = GraphOps.harmonicFromEdges(edges, Seq(2L).toDF("seed"),
+      maxHops = 8, topK = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(one(4L) === 1.0)
+    assert(one(6L) === 0.5)
+    assert(math.abs(one(8L) - 1.0 / 3) < 1e-11)
+    assert(one(10L) === 0.25)
+    assert(!one.contains(2L), "a landmark's self-distance is excluded")
+    val two = GraphOps.harmonicFromEdges(edges,
+      Seq(2L, 10L).toDF("seed"), maxHops = 8, topK = 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(two(6L)._1 === 2L)
+    assert(two(6L)._2 === 1.0) // 1/2 + 1/2 from both ends
+    val capped = GraphOps.harmonicFromEdges(edges, Seq(2L).toDF("seed"),
+      maxHops = 2, topK = 20).collect().map(_.getLong(0)).toSet
+    assert(capped === Set(4L, 6L), "nodes beyond the cap are unreached")
+  }
+
+  test("pcaPower: unit loading norm, λ ≥ max diagonal variance (top-" +
+      "eigenvalue lower bound), explained ∈ (0, 1], and the 50-step " +
+      "iterate IS an eigenvector (small relative residual ‖Cv − λv‖)") {
+    val d = TestSpark.sf0001
+    val rows = SimilarityOps.pcaPower(spark, d).collect()
+      .sortBy(_.getLong(0))
+    val v = rows.map(_.getDouble(1))
+    val lambda = rows.head.getDouble(2)
+    val explained = rows.head.getDouble(3)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(explained > 0 && explained <= 1 + 1e-12)
+    // replay the quantized covariance matrix driver-side
+    val embs = Tables.embeddings(spark, d).select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    val n = embs.length
+    val dim = 64
+    val c = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      var spq = 0L; var sxi = 0L; var sxj = 0L
+      embs.foreach { e =>
+        spq += math.floor(e(i).toDouble * e(j).toDouble * 1e9).toLong
+        sxi += math.floor(e(i).toDouble * 1e9).toLong
+        sxj += math.floor(e(j).toDouble * 1e9).toLong
+      }
+      val cov = spq.toDouble / 1e9 / n -
+        (sxi.toDouble / 1e9 / n) * (sxj.toDouble / 1e9 / n)
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    assert(lambda >= (0 until dim).map(i => c(i)(i)).max - 1e-12,
+      "Rayleigh quotient must dominate every diagonal variance")
+    val cv = (0 until dim).map(i =>
+      (0 until dim).map(j => c(i)(j) * v(j)).sum)
+    val resid = math.sqrt((0 until dim)
+      .map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
+    assert(resid / lambda < 0.01,
+      s"50-step iterate is not an eigenvector: relative residual " +
+        s"${resid / lambda}")
+  }
+
+  test("sizeQuantiles ≡ driver-side ceil-rank replay per kind") {
+    val d = TestSpark.sf0001
+    val got = Multimodal.sizeQuantiles(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val lens = Tables.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ASCII fixture text ⇒ octet_length == char length; assert that
+    // premise so a future non-ASCII fixture fails loudly here
+    val bytes = Tables.documents(spark, d)
+      .select(octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(bytes.toSeq === lens.map(_._2).sorted.toSeq)
+    val kinds = Array("image", "audio", "video")
+    lens.groupBy(t => kinds((t._1 % 3).toInt)).foreach { case (k, xs) =>
+      val s = xs.map(_._2).sorted
+      def qq(p: Int) = s(math.max(1, (p * s.length + 99) / 100) - 1)
+      assert(got(k) === ((s.length.toLong, qq(25), qq(50), qq(75), qq(95))),
+        s"kind $k")
+    }
+  }
+}
