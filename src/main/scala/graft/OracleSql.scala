@@ -6519,6 +6519,97 @@ object OracleSql {
          |FROM v50 v, ray, tr ORDER BY dim""".stripMargin
     },
 
+    // SimilarityOps.silhouette twin: centroids recomputed in SQL from
+    // the same exact integer component sums (the engine ships them as
+    // double literals — identical values, shortest-repr round-trip);
+    // squared-gap terms on the 1e-9 integer grain, s quantized onto
+    // DECIMAL(10,6) before the per-label mean.
+    "emb_silhouette" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS idx),
+        |comp AS (
+        |  SELECT e.label, u.idx AS i,
+        |    CAST(floor(CAST(e.embedding[u.idx] AS DOUBLE) * 1e9)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings e, g u),
+        |cent AS MATERIALIZED (
+        |  SELECT label, i,
+        |    CAST(sum(xq) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE) AS c
+        |  FROM comp GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT e.vec_id, e.label AS own, c.label AS cand,
+        |    sum(CAST(floor((CAST(e.embedding[c.i] AS DOUBLE) - c.c)
+        |      * (CAST(e.embedding[c.i] AS DOUBLE) - c.c) * 1e9)
+        |      AS BIGINT)) AS q
+        |  FROM embeddings e CROSS JOIN cent c
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, own,
+        |    sqrt(CAST(max(CASE WHEN cand = own THEN q END) AS DOUBLE)
+        |      / 1e9) AS a,
+        |    sqrt(CAST(min(CASE WHEN cand <> own THEN q END) AS DOUBLE)
+        |      / 1e9) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT own AS label,
+        |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |      ELSE CAST(0 AS DOUBLE) END AS sil
+        |  FROM ab)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
+        |  CAST(sum(CAST(sil AS DECIMAL(10,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_silhouette,
+        |  CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative
+        |FROM sv GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // EventOps.retentionFit twin: integer retained/eligible counts
+    // (eligible = suffix sums of the horizon histogram via
+    // generate_series — the same calendar-bounded fan as the engine's
+    // explode(sequence)), zipfFit's DECIMAL(24,9) OLS factor grain.
+    "ev_retention_fit" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS w0 FROM uw GROUP BY 1),
+        |mx AS (SELECT max(wk) AS wmax FROM uw),
+        |offs AS (
+        |  SELECT u.wk - f.w0 AS k, count(DISTINCT u.user_id) AS retained
+        |  FROM uw u JOIN f ON u.user_id = f.user_id
+        |  WHERE u.wk - f.w0 >= 1 GROUP BY 1),
+        |hor AS (
+        |  SELECT (SELECT wmax FROM mx) - w0 AS horizon, count(*) AS nh
+        |  FROM f GROUP BY 1),
+        |elig AS (
+        |  SELECT unnest(generate_series(1, CAST(horizon AS BIGINT)))
+        |    AS k, nh
+        |  FROM hor WHERE horizon >= 1),
+        |eligk AS (
+        |  SELECT k, CAST(sum(nh) AS BIGINT) AS eligible
+        |  FROM elig GROUP BY 1),
+        |pts AS (
+        |  SELECT
+        |    CAST(ln(CAST(o.k AS DOUBLE)) AS DECIMAL(24,9)) AS x,
+        |    CAST(ln(CAST(o.retained AS DOUBLE)
+        |      / CAST(e.eligible AS DOUBLE)) AS DECIMAL(24,9)) AS y,
+        |    CAST(ln(CAST(o.k AS DOUBLE)) * ln(CAST(o.retained AS DOUBLE)
+        |      / CAST(e.eligible AS DOUBLE)) AS DECIMAL(24,9)) AS xy,
+        |    CAST(ln(CAST(o.k AS DOUBLE)) * ln(CAST(o.k AS DOUBLE))
+        |      AS DECIMAL(24,9)) AS xx
+        |  FROM offs o JOIN eligk e ON o.k = e.k
+        |  WHERE o.retained > 0),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(xy) AS DOUBLE) AS sxy,
+        |    CAST(sum(xx) AS DOUBLE) AS sxx
+        |  FROM pts)
+        |SELECT n_points,
+        |  (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+        |    AS slope,
+        |  (sy - ((n_points * sxy - sx * sy)
+        |      / (n_points * sxx - sx * sx)) * sx) / n_points
+        |    AS intercept
+        |FROM mom""".stripMargin,
+
     // Multimodal.sizeQuantiles twin: octet_length of the UTF-8 payload,
     // the shared integer rank rule (rank = greatest(1, ceil(q·n/100))).
     "mm_size_quantiles" ->

@@ -448,6 +448,11 @@ object SparkEntry {
     "mm_size_quantiles"       -> (Multimodal.sizeQuantiles(_, _)),
     // round 10: top principal component via quantized power iteration
     "emb_pca_power"           -> ((s, d) => SimilarityOps.pcaPower(s, d)),
+    // round 10: simplified silhouette per embedding label
+    "emb_silhouette"          -> ((s, d) =>
+      SimilarityOps.silhouette(s, d)),
+    // round 10: power-law fit of the pooled weekly retention curve
+    "ev_retention_fit"        -> (EventOps.retentionFit(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

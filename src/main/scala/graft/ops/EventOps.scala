@@ -1627,6 +1627,73 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Power-law fit of the pooled DAILY retention curve — the decay
+    * exponent growth models project from (retention curves are
+    * famously power-shaped, not exponential): per day-offset k ≥ 1,
+    * the share of ELIGIBLE users (first seen ≥ k days before the data
+    * edge — right-censoring handled, the [[timeToConvert]] discipline)
+    * still active at offset k, then OLS of ln(share) on ln(k) — slope
+    * is the decay exponent, intercept the day-1 anchor. A flattening
+    * slope across rounds is the habit signal; steepening is churn.
+    * Day grain, not week: the fixture (like any high-frequency
+    * product) saturates weekly retention at 1.0 — a constant-y fit is
+    * vacuous, the vacuity discipline that set timeToConvert's
+    * threshold.
+    *
+    * Exactness: retained/eligible are integer counts (eligible via a
+    * calendar-bounded `explode(sequence)` suffix count — the
+    * [[dauWauMau]] map-side idiom, never a range join); each OLS
+    * factor is quantized onto DECIMAL(24,9) before the sums (the
+    * zipfFit discipline — StrictMath vs libm `ln` differ by an ulp);
+    * the closed form runs on exact decimal-summed moments. Scale: one
+    * distinct (user, day) pass, a user-keyed min join-back, then
+    * everything lives on the DAYS-sized (calendar-bounded) offset
+    * domain.
+    */
+  def retentionFit(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("wk"))
+      .distinct().localCheckpoint() // feeds first-seen AND activity
+    val first = uw.groupBy("user_id").agg(min(col("wk")).as("w0"))
+    val offs = uw.join(first, Seq("user_id"))
+      .select(col("user_id"), (col("wk") - col("w0")).as("k"))
+      .filter(col("k") >= 1)
+      .groupBy("k").agg(countDistinct(col("user_id")).as("retained"))
+    val elig = first.crossJoin(broadcast(uw.agg(max(col("wk"))
+        .as("wmax"))))
+      .select((col("wmax") - col("w0")).as("horizon"))
+      .groupBy("horizon").agg(count(lit(1)).as("nh"))
+      .filter(col("horizon") >= 1)
+      .select(explode(expr("sequence(1L, horizon)")).as("k"), col("nh"))
+      .groupBy("k").agg(sum(col("nh")).as("eligible"))
+    val pts = offs.join(elig, Seq("k"))
+      .filter(col("retained") > 0)
+      .select(
+        log(col("k").cast("double")).cast("decimal(24,9)").as("x"),
+        log(col("retained").cast("double") / col("eligible")
+          .cast("double")).cast("decimal(24,9)").as("y"),
+        (log(col("k").cast("double")) * log(col("retained")
+          .cast("double") / col("eligible").cast("double")))
+          .cast("decimal(24,9)").as("xy"),
+        (log(col("k").cast("double")) * log(col("k").cast("double")))
+          .cast("decimal(24,9)").as("xx"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .select(col("n_points"),
+        ((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_points") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        ((col("sy") - ((col("n_points") * col("sxy")
+              - col("sx") * col("sy"))
+            / (col("n_points") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("n_points"))
+          .as("intercept"))
+  }
+
   /** Stationary distribution of the event-type Markov chain — where
     * [[markovTransitions]]' one-step matrix settles: π with π = πP,
     * computed by `iters` power-iteration steps from the uniform start.

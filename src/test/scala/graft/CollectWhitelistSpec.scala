@@ -17,8 +17,10 @@ class CollectWhitelistSpec extends AnyFunSuite {
 
   // file (relative to src/main/scala/graft) -> max allowed .collect() sites
   private val whitelist = Map(
-    "ops/SimilarityOps.scala" -> 5, // k-means centroids, PQ codebooks,
-    // the shared medoidCentroids matrix (cells × dim doubles)
+    "ops/SimilarityOps.scala" -> 6, // k-means centroids, PQ codebooks,
+    // the shared medoidCentroids matrix (cells × dim doubles), and
+    // silhouette's per-label centroid sums (|labels| × dim pairs —
+    // a constant of the label alphabet, not the corpus)
     "ops/Ranks.scala" -> 1, // globalRank's per-partition row counts —
     // numPartitions longs (bounded by CLUSTER size, not data): the
     // RDD.zipWithIndex discipline, prefix-summed on the driver and

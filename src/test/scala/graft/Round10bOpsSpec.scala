@@ -233,6 +233,90 @@ class Round10bOpsSpec extends AnyFunSuite {
         s"${resid / lambda}")
   }
 
+  test("silhouette: every label covered, counts reconcile with the " +
+      "corpus, s ∈ [-1, 1], and a driver-side replay of one vector's " +
+      "(a, b) matches") {
+    val d = TestSpark.sf0001
+    val rows = SimilarityOps.silhouette(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    assert(rows.map(_._1).toSeq === emb.map(_._3.toLong).distinct.sorted)
+    assert(rows.map(_._2).sum === emb.length.toLong)
+    rows.foreach { r =>
+      assert(r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9)
+      assert(r._4 <= r._2)
+    }
+    // replay vector 0: quantized centroid distances, a vs min-other b
+    val dim = 64
+    val cents = emb.groupBy(_._3).map { case (l, vs) =>
+      l -> (0 until dim).map { i =>
+        vs.map(v => math.floor(v._2(i).toDouble * 1e9).toLong).sum
+          .toDouble / 1e9 / vs.length.toDouble
+      }.toArray
+    }
+    val v0 = emb.find(_._1 == 0L).get
+    def d2(c: Array[Double]): Double = (0 until dim).map { i =>
+      math.floor((v0._2(i).toDouble - c(i)) * (v0._2(i).toDouble - c(i))
+        * 1e9).toLong
+    }.sum.toDouble / 1e9
+    val a = math.sqrt(d2(cents(v0._3)))
+    val b = math.sqrt(
+      cents.filter(_._1 != v0._3).values.map(d2).min)
+    val s0 = if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+    // the vector's s contributes to its label's decimal mean; recompute
+    // the label mean driver-side over ALL its vectors to pin the path
+    val lbl = v0._3
+    val sAll = emb.filter(_._3 == lbl).map { v =>
+      def dd(c: Array[Double]): Double = (0 until dim).map { i =>
+        math.floor((v._2(i).toDouble - c(i)) * (v._2(i).toDouble - c(i))
+          * 1e9).toLong
+      }.sum.toDouble / 1e9
+      val av = math.sqrt(dd(cents(lbl)))
+      val bv = math.sqrt(cents.filter(_._1 != lbl).values.map(dd).min)
+      if (math.max(av, bv) > 0) (bv - av) / math.max(av, bv) else 0.0
+    }
+    assert(sAll.contains(s0))
+    val mean = sAll.map(x => BigDecimal.decimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+      sAll.length.toDouble
+    val got = rows.find(_._1 == lbl.toLong).get
+    assert(got._3 === mean, s"label $lbl mean silhouette")
+  }
+
+  test("retentionFit: a real fit (≥ 3 points, non-constant shares — " +
+      "the vacuity gate that forced day grain), finite slope, and the " +
+      "point set replays driver-side") {
+    val d = TestSpark.sf0001
+    val r = EventOps.retentionFit(spark, d).collect()(0)
+    val (n, slope, icept) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n >= 3, "fixture must span enough days for a fit")
+    assert(!slope.isNaN && !icept.isNaN)
+    // replay the (k, retained, eligible) points at the day grain
+    val uw = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+        .as("dy")).distinct().collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)))
+    val w0 = uw.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min }
+    val dmax = uw.map(_._2).max
+    val retained = uw.map(t => (t._2 - w0(t._1), t._1))
+      .filter(_._1 >= 1).groupBy(_._1).map { case (k, xs) =>
+        k -> xs.map(_._2).distinct.size.toLong }
+    val eligible = (1L to (dmax - w0.values.min)).map { k =>
+      k -> w0.values.count(w => dmax - w >= k).toLong
+    }.toMap
+    val pts = retained.toSeq.filter(_._2 > 0)
+    assert(pts.size.toLong === n, "point count")
+    val shares = pts.sortBy(_._1)
+      .map { case (k, ret) => ret.toDouble / eligible(k) }
+    assert(shares.min < shares.max,
+      "retention shares must vary — a constant-share grain makes the " +
+        "fit vacuous (the weekly-saturation trap)")
+  }
+
   test("sizeQuantiles ≡ driver-side ceil-rank replay per kind") {
     val d = TestSpark.sf0001
     val got = Multimodal.sizeQuantiles(spark, d).collect()
