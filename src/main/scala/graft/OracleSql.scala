@@ -6610,6 +6610,75 @@ object OracleSql {
         |    AS intercept
         |FROM mom""".stripMargin,
 
+    // EventOps.funnelWindowed twin: identical integer-micros stage
+    // minima and window bounds; per-stage median via the shared
+    // ceil-rank rule; one micros→seconds double division.
+    "ev_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(us) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'click' AND us > t1
+        |    AND us <= t1 + 86400000000 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(us) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE event_type = 'purchase' AND us > t2
+        |    AND us <= t2 + 86400000000 GROUP BY 1),
+        |g2 AS (
+        |  SELECT t2 - t1 AS gap,
+        |    ROW_NUMBER() OVER (ORDER BY t2 - t1) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+        |g3 AS (
+        |  SELECT t3 - t2 AS gap,
+        |    ROW_NUMBER() OVER (ORDER BY t3 - t2) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users,
+        |  CAST(NULL AS DOUBLE) AS p50_gap_sec FROM s1
+        |UNION ALL
+        |SELECT '2_click', max(cnt),
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |    THEN gap END) AS DOUBLE) / 1e6 FROM g2
+        |UNION ALL
+        |SELECT '3_purchase', max(cnt),
+        |  CAST(max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
+        |    THEN gap END) AS DOUBLE) / 1e6 FROM g3
+        |ORDER BY stage""".stripMargin,
+
+    // Relational.fdAudit twin: the same g3 counting, six UNION ALL
+    // candidate blocks, one double division per row.
+    "r_fd_audit" -> {
+      def one(tbl: String, det: String, dep: String): String =
+        s"""SELECT '$tbl' AS tbl, '$det' AS determinant,
+           |  '$dep' AS dependent,
+           |  CAST(sum(nx) AS BIGINT) AS n_rows,
+           |  CAST(sum(nx - mx) AS BIGINT) AS n_violations,
+           |  sum(nx - mx) = 0 AS fd_holds,
+           |  CAST(sum(nx - mx) AS DOUBLE) / CAST(sum(nx) AS DOUBLE)
+           |    AS g3_rate
+           |FROM (
+           |  SELECT sum(c) AS nx, max(c) AS mx FROM (
+           |    SELECT $det, $dep, count(*) AS c FROM $tbl GROUP BY 1, 2
+           |  ) GROUP BY $det)""".stripMargin
+      Seq(
+        one("customer", "c_custkey", "c_nationkey"),
+        one("events", "user_id", "event_type"),
+        one("lineitem", "l_orderkey", "l_suppkey"),
+        one("lineitem", "l_partkey", "l_suppkey"),
+        one("nation", "n_nationkey", "n_regionkey"),
+        one("orders", "o_custkey", "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY tbl, determinant, dependent")
+    },
+
     // Multimodal.sizeQuantiles twin: octet_length of the UTF-8 payload,
     // the shared integer rank rule (rank = greatest(1, ceil(q·n/100))).
     "mm_size_quantiles" ->

@@ -451,8 +451,13 @@ object SparkEntry {
     // round 10: simplified silhouette per embedding label
     "emb_silhouette"          -> ((s, d) =>
       SimilarityOps.silhouette(s, d)),
-    // round 10: power-law fit of the pooled weekly retention curve
+    // round 10: power-law fit of the pooled daily retention curve
     "ev_retention_fit"        -> (EventOps.retentionFit(_, _)),
+    // round 10: strict windowed funnel with exact median step latency
+    "ev_funnel_windowed"      -> ((s, d) =>
+      EventOps.funnelWindowed(s, d)),
+    // round 10: functional-dependency (g3) audit panel
+    "r_fd_audit"              -> (Relational.fdAudit(_, _)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -251,6 +251,57 @@ object EventOps {
       .orderBy("stage")
   }
 
+  /** Windowed (strict) funnel — [[funnel]]'s production variant: each
+    * next step must land within `windowSec` of the previous step's
+    * time, so "viewed in March, purchased in July" no longer counts as
+    * a conversion. Greedy earliest-step semantics (the first qualifying
+    * event per stage), matching the unwindowed op; per stage also the
+    * exact MEDIAN latency from the previous step — the "where does the
+    * funnel stall" number.
+    *
+    * Exactness: stage times are integer-micros minima; window bounds
+    * are integer comparisons; medians are ONE partial-merged
+    * [[graft.functions.ExactQuantiles]] count-map per stage with one
+    * micros→seconds double division at the surface. Scale: each stage
+    * is a type-filtered fact scan (the predicate reaches the parquet
+    * scan) joined against the previous stage's user-keyed minima —
+    * co-partitioned user-keyed shuffles, no window function anywhere.
+    */
+  def funnelWindowed(s: SparkSession, d: String,
+      windowSec: Long = 86400L): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val winUs = windowSec * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + winUs)
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    val r1 = s1.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"),
+        lit(null).cast("double").as("p50_gap_sec"))
+    val r2 = s2.join(s1, Seq("user_id"))
+      .select((col("t2") - col("t1")).as("gap"))
+      .agg(count(lit(1)).as("n_users"),
+        exactQuantiles(col("gap").cast("double"), Seq(50), 100).as("qs"))
+      .select(lit("2_click").as("stage"), col("n_users"),
+        (col("qs").getItem(0) / 1e6).as("p50_gap_sec"))
+    val r3 = s3.join(s2, Seq("user_id"))
+      .select((col("t3") - col("t2")).as("gap"))
+      .agg(count(lit(1)).as("n_users"),
+        exactQuantiles(col("gap").cast("double"), Seq(50), 100).as("qs"))
+      .select(lit("3_purchase").as("stage"), col("n_users"),
+        (col("qs").getItem(0) / 1e6).as("p50_gap_sec"))
+    r1.unionByName(r2).unionByName(r3).orderBy("stage")
+  }
+
   /** Weekly cohort retention: users bucketed by first-seen week, then for
     * each (cohort_week, weeks_since_first) the distinct users active that
     * week — the standard retention triangle. Two user-keyed shuffles

@@ -1048,4 +1048,45 @@ object Relational {
           .as("sum_qty"))
       .orderBy("status")
   }
+
+  /** Functional-dependency audit (the g3 error of Kivinen & Mannila
+    * 1995) over a fixed candidate panel — the data-profiling readout
+    * schema discovery and quality monitoring run: for each X → A
+    * candidate, the minimum number of rows to delete for the FD to
+    * hold (N − Σ_x max_a count(x, a)), its rate, and whether the FD
+    * holds exactly. Key-determined pairs (c_custkey → c_nationkey,
+    * n_nationkey → n_regionkey) must report 0 violations — a
+    * regression here means upstream corruption.
+    *
+    * Exactness: pure integer counting end to end; one double division
+    * per row at the surface. Scale: per candidate ONE (X, A) aggregate
+    * (map-side combined) and one X-keyed rollup — the determinant's
+    * cardinality bounds the shuffle, never a window or a self-join.
+    */
+  def fdAudit(s: SparkSession, d: String): DataFrame = {
+    def one(tbl: String, df: DataFrame, det: String,
+        dep: String): DataFrame =
+      df.groupBy(col(det).as("x"), col(dep).as("a"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("x").agg(sum(col("c")).as("nx"), max(col("c")).as("mx"))
+        .agg(sum(col("nx")).as("n_rows"),
+          sum(col("nx") - col("mx")).as("n_violations"))
+        .select(lit(tbl).as("tbl"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0).as("fd_holds"),
+          (col("n_violations").cast("double")
+            / col("n_rows").cast("double")).as("g3_rate"))
+    one("customer", Tables.customer(s, d), "c_custkey", "c_nationkey")
+      .unionByName(one("events", Tables.events(s, d),
+        "user_id", "event_type"))
+      .unionByName(one("lineitem", Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey"))
+      .unionByName(one("lineitem", Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey"))
+      .unionByName(one("nation", Tables.nation(s, d),
+        "n_nationkey", "n_regionkey"))
+      .unionByName(one("orders", Tables.orders(s, d),
+        "o_custkey", "o_orderpriority"))
+      .orderBy("tbl", "determinant", "dependent")
+  }
 }

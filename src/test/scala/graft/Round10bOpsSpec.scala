@@ -317,6 +317,51 @@ class Round10bOpsSpec extends AnyFunSuite {
         "fit vacuous (the weekly-saturation trap)")
   }
 
+  test("funnelWindowed: monotone stage attrition, every stage within " +
+      "the unwindowed funnel's counts, and the median gaps sit inside " +
+      "the window") {
+    val d = TestSpark.sf0001
+    val win = EventOps.funnelWindowed(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val plain = EventOps.funnel(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(win("1_view")._1 >= win("2_click")._1)
+    assert(win("2_click")._1 >= win("3_purchase")._1)
+    Seq("1_view", "2_click", "3_purchase").foreach { st =>
+      assert(win(st)._1 <= plain(st),
+        s"windowed $st cannot out-convert the unwindowed funnel")
+    }
+    assert(win("1_view")._2.isEmpty)
+    Seq("2_click", "3_purchase").foreach { st =>
+      val p50 = win(st)._2.get
+      assert(p50 > 0 && p50 <= 86400.0, s"$st median outside the window")
+    }
+    assert(win("2_click")._1 > 0, "fixture must convert within 24h")
+  }
+
+  test("fdAudit: key determinants hold exactly; the events candidate " +
+      "replays driver-side (g3 = N − Σ_x max_a count)") {
+    val d = TestSpark.sf0001
+    val rows = graft.ops.Relational.fdAudit(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getDouble(6)))
+    assert(rows.length === 6)
+    rows.filter(t => t._2 == "c_custkey" || t._2 == "n_nationkey")
+      .foreach(t => assert(t._5 === 0L && t._6,
+        s"key-determined FD ${t._2} → ${t._3} must hold"))
+    val ev = Tables.events(spark, d)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val g3 = ev.groupBy(_._1).map { case (_, xs) =>
+      xs.size - xs.groupBy(_._2).values.map(_.size).max
+    }.sum
+    val got = rows.find(t => t._1 == "events").get
+    assert(got._4 === ev.length.toLong)
+    assert(got._5 === g3.toLong)
+    assert(got._7 === g3.toDouble / ev.length.toDouble)
+  }
+
   test("sizeQuantiles ≡ driver-side ceil-rank replay per kind") {
     val d = TestSpark.sf0001
     val got = Multimodal.sizeQuantiles(spark, d).collect()
