@@ -6653,6 +6653,83 @@ object OracleSql {
         |    THEN gap END) AS DOUBLE) / 1e6 FROM g3
         |ORDER BY stage""".stripMargin,
 
+    // EventOps.movingCorr twin: decimal-quantized moment terms make the
+    // windowed sums associative (segment-tree vs sequential evaluation
+    // agree); identical Pearson closed form and variance guards.
+    "ev_moving_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS DECIMAL(12,0)) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, x, y,
+        |    CAST(x * y AS DECIMAL(30,2)) AS xy,
+        |    CAST(x * x AS DECIMAL(24,0)) AS xx,
+        |    CAST(y * y AS DECIMAL(36,4)) AS yy
+        |  FROM daily),
+        |m AS (
+        |  SELECT day,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(y) OVER w AS DOUBLE) AS sy,
+        |    CAST(sum(xy) OVER w AS DOUBLE) AS sxy,
+        |    CAST(sum(xx) OVER w AS DOUBLE) AS sxx,
+        |    CAST(sum(yy) OVER w AS DOUBLE) AS syy
+        |  FROM t
+        |  WINDOW w AS (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |  END AS corr
+        |FROM m ORDER BY day""".stripMargin,
+
+    // TextOps.rakeKeywords twin: same stopword delimiters (interpolated
+    // from the shared Seq), gaps-and-islands phrase segmentation,
+    // DECIMAL(24,12) word scores, associative phrase sums.
+    "txt_rake_keywords" -> {
+      val stops = ops.TextOps.rakeStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("lower(text)")} AS t FROM documents),
+         |flat AS (
+         |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |      i -> {'pos': i, 'w': t[i]})) AS u
+         |    FROM toks)),
+         |ns AS (SELECT * FROM flat WHERE w NOT IN ($stops)),
+         |isl AS (
+         |  SELECT doc_id, pos, w,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS isl
+         |  FROM ns),
+         |ph AS MATERIALIZED (
+         |  SELECT array_to_string(ws, ' ') AS phrase, ws FROM (
+         |    SELECT doc_id, isl, list(w ORDER BY pos) AS ws
+         |    FROM isl GROUP BY 1, 2)
+         |  WHERE len(ws) <= 4),
+         |wsc AS (
+         |  SELECT w,
+         |    CAST(CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS DECIMAL(24,12)) AS score
+         |  FROM (SELECT unnest(ws) AS w, len(ws) AS len FROM ph)
+         |  GROUP BY 1),
+         |occ AS (
+         |  SELECT phrase, count(*) AS n_occurrences FROM ph GROUP BY 1),
+         |dph AS (SELECT DISTINCT phrase, ws FROM ph),
+         |psc AS (
+         |  SELECT phrase, sum(score) AS sc FROM (
+         |    SELECT phrase, unnest(ws) AS w FROM dph) m
+         |  JOIN wsc USING (w) GROUP BY 1)
+         |SELECT o.phrase, o.n_occurrences, CAST(sc AS DOUBLE) AS score
+         |FROM occ o JOIN psc USING (phrase)
+         |ORDER BY score DESC, phrase LIMIT 25""".stripMargin
+    },
+
     // Relational.fdAudit twin: the same g3 counting, six UNION ALL
     // candidate blocks, one double division per row.
     "r_fd_audit" -> {

@@ -458,6 +458,10 @@ object SparkEntry {
       EventOps.funnelWindowed(s, d)),
     // round 10: functional-dependency (g3) audit panel
     "r_fd_audit"              -> (Relational.fdAudit(_, _)),
+    // round 10: rolling 7-day click-volume × purchase-revenue Pearson
+    "ev_moving_corr"          -> ((s, d) => EventOps.movingCorr(s, d)),
+    // round 10: RAKE keyword extraction (stopword-delimited phrases)
+    "txt_rake_keywords"       -> ((s, d) => TextOps.rakeKeywords(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

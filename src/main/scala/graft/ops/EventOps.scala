@@ -251,6 +251,54 @@ object EventOps {
       .orderBy("stage")
   }
 
+  /** Rolling 7-day Pearson correlation between daily CLICK volume and
+    * daily PURCHASE revenue — "is engagement still converting?", the
+    * leading-indicator pairing next to [[crossCorrelation]]'s global
+    * lag scan: a correlation that decays while clicks hold means the
+    * funnel is rotting before revenue shows it.
+    *
+    * Exactness: the five windowed moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * sum DECIMAL-quantized terms — decimal addition is associative, so
+    * DuckDB's segment-tree window evaluation and Spark's sequential
+    * frames agree bit-for-bit (the [[cusumChangepoint]] discipline);
+    * the Pearson closed form is then scalar IEEE doubles per row, with
+    * a variance > 0 guard on BOTH factors before the sqrt. Scale: one
+    * fact aggregate to the day grain; the RANGE window runs over the
+    * calendar-bounded daily frame (the [[forecastBacktest]] whitelist
+    * class).
+    */
+  def movingCorr(s: SparkSession, d: String, win: Int = 7): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("decimal(12,0)").as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+    val w = Window.orderBy("day").rangeBetween(-(win - 1), 0)
+    val m = daily
+      .select(col("day"), col("x"), col("y"),
+        (col("x") * col("y")).cast("decimal(30,2)").as("xy"),
+        (col("x") * col("x")).cast("decimal(24,0)").as("xx"),
+        (col("y") * col("y")).cast("decimal(36,4)").as("yy"))
+      .select(col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).cast("double").as("sx"),
+        sum(col("y")).over(w).cast("double").as("sy"),
+        sum(col("xy")).over(w).cast("double").as("sxy"),
+        sum(col("xx")).over(w).cast("double").as("sxx"),
+        sum(col("yy")).over(w).cast("double").as("syy"))
+    m.select(col("day"), col("n").as("n_days"),
+        when(
+          col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr"))
+      .orderBy("day")
+  }
+
   /** Windowed (strict) funnel — [[funnel]]'s production variant: each
     * next step must land within `windowSec` of the previous step's
     * time, so "viewed in March, purchased in July" no longer counts as

@@ -205,53 +205,55 @@ object SimilarityOps {
     * iterate, and the spec checks it IS an eigenvector numerically.
     *
     * Scale: one fact-sized Gram pass (shared shape with
-    * [[dimCovariance]]); the iteration lives on the d²-bounded matrix —
-    * d² × iters join-aggregate work with per-round lineage truncation,
-    * independent of corpus size.
+    * [[dimCovariance]]); the iteration lives on the d²-bounded matrix,
+    * which is an algorithm constant — it is collected and iterated ON
+    * THE DRIVER (the centroid/codebook bounded-state class), because
+    * each round's max-rescale scalar would otherwise cost one Spark
+    * job per round (measured: 11.5 s of scheduling for 50 rounds of
+    * 4096-row frames vs ~0 ms of driver math). Corpus-sized work never
+    * leaves the cluster.
     */
   def pcaPower(s: SparkSession, d: String, dim: Int = 64,
       iters: Int = 50): DataFrame = {
-    val upper = covUpper(s, d, dim)
-    val full = upper.select(col("dim_i").as("i"), col("dim_j").as("j"),
-        col("cov"))
-      .unionByName(upper.filter(col("dim_i") =!= col("dim_j"))
-        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
-      .localCheckpoint() // d² rows, reused every round
-    val trace = upper.filter(col("dim_i") === col("dim_j"))
-      .agg(sum(col("cov").cast("decimal(24,12)")).as("tr"))
-    var v = full.select(col("i").as("dim")).distinct()
-      .select(col("dim"),
-        (lit(1.0) / lit(dim.toDouble)).cast("decimal(24,12)").as("v"))
-      .localCheckpoint()
-    def step(vc: DataFrame): DataFrame =
-      full.join(vc, full("j") === vc("dim"))
-        .select(col("i"),
-          (col("cov") * col("v").cast("double")).cast("decimal(24,12)")
-            .as("t"))
-        .groupBy("i").agg(sum(col("t")).as("w"))
+    import s.implicits._
+    val covRows = covUpper(s, d, dim)
+      .select("dim_i", "dim_j", "cov")
+      .collect() // bounded driver state: d(d+1)/2 doubles — a constant
+    // of the ALGORITHM (like centroids/codebooks), never of the corpus.
+    // The iteration runs here, not as DataFrame supersteps: each round
+    // needs a global max-rescale scalar, so the superstep form costs a
+    // Spark job per round — 150 scheduled jobs over 4096-row frames,
+    // measured 11.5 s of pure overhead vs ~0 ms of driver math. The
+    // corpus-sized work (the Gram pass) stays distributed in covUpper.
+    val c = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      c(i)(j) = r.getDouble(2); c(j)(i) = r.getDouble(2)
+    }
+    // q replicates Spark's double→DECIMAL(24,12) cast bit-for-bit
+    // (shortest-repr BigDecimal + HALF_UP — the contract the
+    // markovStationary spec pins), so the JVM loop is the oracle's
+    // unrolled-CTE iteration verbatim.
+    def q(x: Double): BigDecimal = BigDecimal.decimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def step(vc: Array[BigDecimal]): Array[BigDecimal] =
+      Array.tabulate(dim)(i =>
+        (0 until dim).map(j => q(c(i)(j) * vc(j).toDouble)).sum)
+    var v: Array[BigDecimal] = Array.fill(dim)(q(1.0 / dim))
     for (_ <- 1 to iters) {
       val w = step(v)
-      v = w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("m"))))
-        .select(col("i").as("dim"),
-          (col("w").cast("double") / col("m").cast("double"))
-            .cast("decimal(24,12)").as("v"))
-        .localCheckpoint()
+      val m = w.map(_.abs).max // exact decimal max, as the oracle's
+      v = w.map(x => q(x.toDouble / m.toDouble))
     }
     val wf = step(v)
-    val ray = v.join(wf, v("dim") === wf("i"))
-      .agg(sum((col("v").cast("double") * col("w").cast("double"))
-          .cast("decimal(24,12)")).as("num"),
-        sum((col("v").cast("double") * col("v").cast("double"))
-          .cast("decimal(24,12)")).as("den"))
-    v.crossJoin(broadcast(ray)).crossJoin(broadcast(trace))
-      .select(col("dim"),
-        (col("v").cast("double") / sqrt(col("den").cast("double")))
-          .as("loading"),
-        (col("num").cast("double") / col("den").cast("double"))
-          .as("lambda"),
-        (col("num").cast("double") / col("den").cast("double")
-          / col("tr").cast("double")).as("explained"))
-      .orderBy("dim")
+    val num = (0 until dim).map(i => q(v(i).toDouble * wf(i).toDouble)).sum
+    val den = (0 until dim).map(i => q(v(i).toDouble * v(i).toDouble)).sum
+    val tr = (0 until dim).map(i => q(c(i)(i))).sum
+    val lambda = num.toDouble / den.toDouble
+    (0 until dim).map { i =>
+      (i.toLong, v(i).toDouble / math.sqrt(den.toDouble), lambda,
+        lambda / tr.toDouble)
+    }.toDF("dim", "loading", "lambda", "explained").orderBy("dim")
   }
 
   /** Simplified silhouette (Hruschka et al. 2004's centroid variant of

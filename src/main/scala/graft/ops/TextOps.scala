@@ -2094,6 +2094,66 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  /** RAKE's stopword delimiter set — [[qualityScore]]'s English
+    * function-word list as a Seq, shared verbatim with the oracle SQL
+    * (the [[lexicon]] interpolation pattern).
+    */
+  val rakeStops: Seq[String] =
+    Seq("the", "a", "of", "to", "in", "and", "is", "it", "that", "for")
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are
+    * maximal runs of non-stopword tokens (capped at `maxLen` words);
+    * each member word scores deg(w)/freq(w) where deg counts
+    * co-occurring phrase slots and freq the occurrences; a phrase
+    * scores the sum of its members — the document-set keyword list
+    * next to [[textRank]]'s graph-ranked terms, at a fraction of the
+    * cost (no iteration).
+    *
+    * Exactness: phrase segmentation is the gaps-and-islands identity
+    * (pos − row_number per doc — integer, total order); deg/freq are
+    * integer sums; each word score is ONE int/int double division
+    * quantized onto DECIMAL(24,12), so the ≤ maxLen-term phrase sums
+    * are associative decimal adds; the top-k order (score desc,
+    * phrase) is total. Scale: one explode, ONE doc-bounded window
+    * (per-doc groups — the plain window's home turf), then everything
+    * is keyed by word or phrase (vocabulary-sized aggregates with
+    * map-side combine); no data-sized window, no self-join.
+    */
+  def rakeKeywords(s: SparkSession, d: String, k: Int = 25,
+      maxLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("pos", "w")))
+    val isl = tok.filter(!col("w").isInCollection(rakeStops))
+      .withColumn("isl", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val ph = isl.groupBy("doc_id", "isl")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, w))), " +
+        "t -> t.w)").as("ws"))
+      .filter(size(col("ws")) <= maxLen)
+      .select(array_join(col("ws"), " ").as("phrase"), col("ws"))
+      .localCheckpoint() // feeds word stats, occurrences, AND members
+    val wsc = ph.select(explode(col("ws")).as("w"),
+        size(col("ws")).cast("long").as("len"))
+      .groupBy("w")
+      .agg(sum(col("len")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"),
+        (col("deg").cast("double") / col("freq").cast("double"))
+          .cast("decimal(24,12)").as("score"))
+    val occ = ph.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    val psc = ph.select(col("phrase"), col("ws")).distinct()
+      .select(col("phrase"), explode(col("ws")).as("w"))
+      .join(wsc, Seq("w"))
+      .groupBy("phrase").agg(sum(col("score")).as("sc"))
+    occ.join(psc, Seq("phrase"))
+      .select(col("phrase"), col("n_occurrences"),
+        col("sc").cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Burrows' Delta (Burrows 2002, "'Delta': a measure of stylistic
     * difference") between document SOURCES: z-score each source's
     * relative frequency of the corpus's top-`m` terms against the

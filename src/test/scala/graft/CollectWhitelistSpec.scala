@@ -17,10 +17,12 @@ class CollectWhitelistSpec extends AnyFunSuite {
 
   // file (relative to src/main/scala/graft) -> max allowed .collect() sites
   private val whitelist = Map(
-    "ops/SimilarityOps.scala" -> 6, // k-means centroids, PQ codebooks,
-    // the shared medoidCentroids matrix (cells × dim doubles), and
+    "ops/SimilarityOps.scala" -> 7, // k-means centroids, PQ codebooks,
+    // the shared medoidCentroids matrix (cells × dim doubles),
     // silhouette's per-label centroid sums (|labels| × dim pairs —
-    // a constant of the label alphabet, not the corpus)
+    // a constant of the label alphabet, not the corpus), and
+    // pcaPower's covariance matrix (d(d+1)/2 doubles — the power
+    // iteration is driver math; the Gram pass stays distributed)
     "ops/Ranks.scala" -> 1, // globalRank's per-partition row counts —
     // numPartitions longs (bounded by CLUSTER size, not data): the
     // RDD.zipWithIndex discipline, prefix-summed on the driver and

@@ -362,6 +362,86 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(got._7 === g3.toDouble / ev.length.toDouble)
   }
 
+  test("movingCorr: |corr| ≤ 1, n_days ≤ 7 and monotone to the ramp, " +
+      "and one full-window day replays driver-side") {
+    val d = TestSpark.sf0001
+    val rows = EventOps.movingCorr(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, c) =>
+      assert(n >= 1 && n <= 7)
+      c.foreach(v => assert(math.abs(v) <= 1.0 + 1e-12))
+    }
+    // replay the last day's window from the daily frame
+    val daily = Tables.events(spark, d)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .sortBy(_._1)
+    val last = daily.last._1
+    val winRows = daily.filter(t => t._1 > last - 7 && t._1 <= last)
+    val n = winRows.size.toLong
+    val sx = winRows.map(t => BigDecimal(t._2)).sum.toDouble
+    val sy = winRows.map(_._3).sum.toDouble
+    val sxy = winRows.map(t => BigDecimal(t._2) * t._3).sum.toDouble
+    val sxx = winRows.map(t => BigDecimal(t._2) * BigDecimal(t._2))
+      .sum.toDouble
+    val syy = winRows.map(t => t._3 * t._3).sum.toDouble
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.find(_._1 == last).get
+    assert(got._2 === n)
+    assert(got._3.get === expected, "last-day Pearson replay")
+  }
+
+  test("rakeKeywords ≡ driver-side replay (stopword islands, " +
+      "deg/freq scores, quantized phrase sums) on sf0.001") {
+    val d = TestSpark.sf0001
+    val got = TextOps.rakeKeywords(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))
+        .getOrElse("")))
+    val stops = TextOps.rakeStops.toSet
+    val phrases = docs.flatMap { case (_, text) =>
+      val t = text.trim
+      val ws = if (t.isEmpty) Array.empty[String]
+        else t.toLowerCase.split("\\s+")
+      // islands of consecutive non-stopwords
+      val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      ws.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) out += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.filter(_.size <= 4)
+    }
+    val deg = scala.collection.mutable.Map[String, Long]()
+    val freq = scala.collection.mutable.Map[String, Long]()
+    phrases.foreach { p =>
+      p.foreach { w =>
+        deg(w) = deg.getOrElse(w, 0L) + p.size
+        freq(w) = freq.getOrElse(w, 0L) + 1L
+      }
+    }
+    def q(x: Double) = BigDecimal.decimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val wsc = deg.keys.map(w =>
+      w -> q(deg(w).toDouble / freq(w).toDouble)).toMap
+    val want = phrases.groupBy(p => p.mkString(" "))
+      .map { case (ph, occs) =>
+        (ph, occs.size.toLong, occs.head.map(wsc).sum.toDouble)
+      }.toSeq.sortBy(t => (-t._3, t._1)).take(25)
+    assert(got.toSeq === want)
+  }
+
   test("sizeQuantiles ≡ driver-side ceil-rank replay per kind") {
     val d = TestSpark.sf0001
     val got = Multimodal.sizeQuantiles(spark, d).collect()
