@@ -1081,6 +1081,98 @@ object StreamPipeline {
     * dashboard then answers every trailing window by unioning ≤ 30
     * stored day sketches without ever re-reading events.
     */
+  /** Streaming windowed funnel — the streaming twin of
+    * [[graft.ops.EventOps.funnelWindowed]]: a per-user state TABLE
+    * (user_id, t1, t2, t3) holding the earliest view / qualifying
+    * click / qualifying purchase times, merged per micro-batch with
+    * the greedy cascade evaluated row-locally over the batch's sorted
+    * per-user event arrays. State lives in a table, not the state
+    * store (the [[startGrainRollupSink]] discipline): restart resumes
+    * from checkpoint + table, and [[TableSink.commit]]'s ledger makes
+    * replayed batches no-ops.
+    *
+    * Correctness contract: with batches sliced in event-time order
+    * (the append-stream premise every table-state sink here shares),
+    * each stage time is fixed by the first batch that can prove it —
+    * t1 is the global min view (earlier batches hold no views), a
+    * qualifying click has us > t1 so it can only arrive in or after
+    * t1's batch, and likewise down the cascade — so ANY ordered
+    * slicing converges to the batch operator's state; the spec drives
+    * uneven slicings and asserts exact equality of the readout.
+    * Scale: per batch ONE user-keyed aggregate of the batch slice
+    * (arrays bounded by a user's in-batch activity) + a user-keyed
+    * full-outer merge join against the state table — co-partitioned,
+    * no window, state one row per user ever seen.
+    */
+  def startFunnelSink(events: DataFrame, path: String,
+      checkpoint: String, windowSec: Long = 86400L): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFunnelBatch(batch, path, batchId, windowSec)
+      }
+      .start()
+
+  /** One funnel-state micro-batch merge (spec-drivable). */
+  private[graft] def applyFunnelBatch(batch: DataFrame, path: String,
+      batchId: Long, windowSec: Long = 86400L): Unit = {
+    val s = batch.sparkSession
+    if (!TableSink.alreadyApplied(s, path, batchId)) {
+      val winUs = windowSec * 1000000L
+      val per = batch.select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us")))
+            .as("bv"),
+          sort_array(collect_list(when(col("event_type") === "click",
+            col("us")))).as("bc"),
+          sort_array(collect_list(when(col("event_type") === "purchase",
+            col("us")))).as("bp"))
+      val joined =
+        if (TableSink.hasParquet(s, path))
+          s.read.parquet(path).join(per, Seq("user_id"), "full_outer")
+        else per.withColumn("t1", lit(null).cast("long"))
+          .withColumn("t2", lit(null).cast("long"))
+          .withColumn("t3", lit(null).cast("long"))
+      val merged = joined
+        .withColumn("t1n", least(col("t1"), col("bv")))
+        .withColumn("t2n", least(col("t2"), expr(
+          s"array_min(filter(bc, x -> x > t1n AND x <= t1n + $winUs))")))
+        .withColumn("t3n", least(col("t3"), expr(
+          s"array_min(filter(bp, x -> x > t2n AND x <= t2n + $winUs))")))
+        .select(col("user_id"), col("t1n").as("t1"),
+          col("t2n").as("t2"), col("t3n").as("t3"))
+      TableSink.commit(s, path, batchId, merged)
+    }
+  }
+
+  /** [[startFunnelSink]]'s readout: the same (stage, n_users,
+    * p50_gap_sec) surface as the batch [[graft.ops.EventOps
+    * .funnelWindowed]], derived from the stored per-user state table —
+    * the spec asserts exact equality after any ordered slicing.
+    */
+  def funnelStateReadout(s: SparkSession, path: String): DataFrame = {
+    import graft.functions.ExactQuantiles.exactQuantiles
+    val st = s.read.parquet(path)
+    val r1 = st.filter(col("t1").isNotNull)
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"),
+        lit(null).cast("double").as("p50_gap_sec"))
+    val r2 = st.filter(col("t2").isNotNull)
+      .select((col("t2") - col("t1")).as("gap"))
+      .agg(count(lit(1)).as("n_users"),
+        exactQuantiles(col("gap").cast("double"), Seq(50), 100).as("qs"))
+      .select(lit("2_click").as("stage"), col("n_users"),
+        (col("qs").getItem(0) / 1e6).as("p50_gap_sec"))
+    val r3 = st.filter(col("t3").isNotNull)
+      .select((col("t3") - col("t2")).as("gap"))
+      .agg(count(lit(1)).as("n_users"),
+        exactQuantiles(col("gap").cast("double"), Seq(50), 100).as("qs"))
+      .select(lit("3_purchase").as("stage"), col("n_users"),
+        (col("qs").getItem(0) / 1e6).as("p50_gap_sec"))
+    r1.unionByName(r2).unionByName(r3).orderBy("stage")
+  }
+
   def startDauSketchSink(events: DataFrame, path: String,
       checkpoint: String): StreamingQuery =
     events.writeStream

@@ -557,6 +557,40 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state table: uneven ORDERED batch slicing of " +
+      "the real fixture converges EXACTLY to the batch funnelWindowed " +
+      "readout, and a replayed batch is a no-op") {
+    val d = TestSpark.sf0001
+    val dir = java.nio.file.Files
+      .createTempDirectory("funnel_sink").toString
+    val path = s"$dir/state"
+    val ev = Tables.events(spark, d)
+      .select("user_id", "event_type", "ts")
+    val mm = ev.agg(
+        min(expr("unix_micros(ts) div 86400000000")),
+        max(expr("unix_micros(ts) div 86400000000")))
+      .collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val c1 = lo + (hi - lo) / 3
+    val c2 = lo + 2 * (hi - lo) / 3
+    def slice(cond: String) =
+      ev.filter(expr(s"unix_micros(ts) div 86400000000 $cond"))
+    StreamPipeline.applyFunnelBatch(slice(s"< $c1"), path, 0)
+    StreamPipeline.applyFunnelBatch(
+      slice(s">= $c1 AND unix_micros(ts) div 86400000000 < $c2"), path, 1)
+    // replayed batch id: the ledger short-circuits the merge
+    StreamPipeline.applyFunnelBatch(slice(s"< $c1"), path, 1)
+    StreamPipeline.applyFunnelBatch(slice(s">= $c2"), path, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val got = rows(StreamPipeline.funnelStateReadout(spark, path))
+    val want = rows(graft.ops.EventOps.funnelWindowed(spark, d))
+    assert(got === want,
+      "streamed funnel state diverged from the batch operator")
+    assert(got.head._2 > 0, "fixture must enter the funnel")
+  }
+
   test("TableSink ledger: replayed batch ids read as applied, later ids " +
       "do not — the foreachBatch idempotence gate") {
     val base = java.nio.file.Files
