@@ -6561,6 +6561,40 @@ object OracleSql {
         |    AS n_negative
         |FROM sv GROUP BY 1 ORDER BY label""".stripMargin,
 
+    // SimilarityOps.labelConfusion twin: the silhouette centroid core,
+    // argmin via the (q, cand) rank — integer comparisons only.
+    "emb_label_confusion" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS idx),
+        |comp AS (
+        |  SELECT e.label, u.idx AS i,
+        |    CAST(floor(CAST(e.embedding[u.idx] AS DOUBLE) * 1e9)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings e, g u),
+        |cent AS MATERIALIZED (
+        |  SELECT label, i,
+        |    CAST(sum(xq) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE) AS c
+        |  FROM comp GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT e.vec_id, e.label AS own, c.label AS cand,
+        |    sum(CAST(floor((CAST(e.embedding[c.i] AS DOUBLE) - c.c)
+        |      * (CAST(e.embedding[c.i] AS DOUBLE) - c.c) * 1e9)
+        |      AS BIGINT)) AS q
+        |  FROM embeddings e CROSS JOIN cent c
+        |  GROUP BY 1, 2, 3),
+        |pick AS (
+        |  SELECT vec_id, own, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY q, cand)
+        |      AS rn
+        |  FROM d2),
+        |p AS (SELECT own, cand FROM pick WHERE rn = 1),
+        |tot AS (SELECT own, count(*) AS n_label FROM p GROUP BY 1)
+        |SELECT CAST(p.own AS BIGINT) AS label,
+        |  CAST(p.cand AS BIGINT) AS pred_label, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / CAST(max(t.n_label) AS DOUBLE)
+        |    AS share
+        |FROM p JOIN tot t ON p.own = t.own
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // EventOps.retentionFit twin: integer retained/eligible counts
     // (eligible = suffix sums of the horizon histogram via
     // generate_series — the same calendar-bounded fan as the engine's

@@ -462,6 +462,9 @@ object SparkEntry {
     "ev_moving_corr"          -> ((s, d) => EventOps.movingCorr(s, d)),
     // round 10: RAKE keyword extraction (stopword-delimited phrases)
     "txt_rake_keywords"       -> ((s, d) => TextOps.rakeKeywords(s, d)),
+    // round 10: nearest-centroid label confusion matrix (labeling QA)
+    "emb_label_confusion"     -> ((s, d) =>
+      SimilarityOps.labelConfusion(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

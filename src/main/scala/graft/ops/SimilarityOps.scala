@@ -276,16 +276,20 @@ object SimilarityOps {
     * centroids + ONE corpus scan with row-local distance math and a
     * |labels|-bounded rollup.
     */
-  def silhouette(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
-    val centRows = emb
+  /** Per-label centroids as driver arrays: exact integer component
+    * sums → determinate double means (|labels| × dim — bounded state
+    * of the label alphabet, the PQ-codebook class). Shared by
+    * [[silhouette]] and [[labelConfusion]].
+    */
+  private def labelCentroids(emb: DataFrame,
+      dim: Int): Seq[(Int, Array[Double])] =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("label", "i")
       .agg(sum(expr("cast(floor(cast(x as double) * 1e9) as bigint)"))
           .as("sx"),
         count(lit(1)).as("cn"))
       .collect() // bounded driver state: |labels| × dim (sx, n) pairs
-    val cents: Seq[(Int, Array[Double])] = centRows
       .groupBy(_.getInt(0))
       .map { case (l, rows) =>
         val a = new Array[Double](dim)
@@ -294,12 +298,20 @@ object SimilarityOps {
             .toDouble)
         (l, a)
       }.toSeq.sortBy(_._1)
-    def d2q(c: Array[Double]): Column = {
-      val lits = c.mkString("array(", "D,", "D)")
-      expr(s"""aggregate(zip_with(embedding, $lits, (x, c) ->
-        |  cast(floor((cast(x as double) - c) * (cast(x as double) - c)
-        |    * 1e9) as bigint)), 0L, (acc, t) -> acc + t)""".stripMargin)
-    }
+
+  /** 1e-9-grain integer squared distance from `embedding` to a literal
+    * centroid — the shared row-local fold of the centroid family.
+    */
+  private def d2q(c: Array[Double]): Column = {
+    val lits = c.mkString("array(", "D,", "D)")
+    expr(s"""aggregate(zip_with(embedding, $lits, (x, c) ->
+      |  cast(floor((cast(x as double) - c) * (cast(x as double) - c)
+      |    * 1e9) as bigint)), 0L, (acc, t) -> acc + t)""".stripMargin)
+  }
+
+  def silhouette(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val cents = labelCentroids(emb, dim)
     val scored = emb
       .withColumn("d2s", array(cents.map { case (l, c) =>
         struct(lit(l).as("l"), d2q(c).as("q")) }: _*))
@@ -322,6 +334,40 @@ object SimilarityOps {
           .as("mean_silhouette"),
         col("n_negative"))
       .orderBy("label")
+  }
+
+  /** Nearest-centroid label confusion matrix — the labeling-QA page
+    * next to [[silhouette]]'s geometry score: classify every vector to
+    * its nearest label centroid (L2 on the shared 1e-9 integer grain,
+    * ties broken by label — fully deterministic) and cross-tabulate
+    * against the TRUE label. Off-diagonal mass localizes which label
+    * pairs the embedding space cannot separate; the diagonal share per
+    * label is its recall under the simplest possible classifier.
+    *
+    * Exactness: distances are exact integer folds against determinate
+    * centroid literals ([[labelCentroids]]); the argmin is a
+    * lexicographic (q, label) min — integer comparisons only; counts
+    * integer, one double division per row. Scale: one bounded centroid
+    * aggregate + ONE corpus scan with row-local argmin math and a
+    * |labels|²-bounded rollup.
+    */
+  def labelConfusion(s: SparkSession, d: String, dim: Int = 64)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val cents = labelCentroids(emb, dim)
+    val pred = emb
+      .withColumn("qs", array(cents.map { case (l, c) =>
+        struct(d2q(c).as("q"), lit(l).as("l")) }: _*))
+      // array_min over struct(q, l) = lexicographic (q, l) argmin
+      .select(col("label"), expr("array_min(qs).l").as("pred"))
+    val tot = pred.groupBy("label").agg(count(lit(1)).as("n_label"))
+    pred.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .join(tot, Seq("label"))
+      .select(col("label").cast("long").as("label"),
+        col("pred").cast("long").as("pred_label"), col("n"),
+        (col("n").cast("double") / col("n_label").cast("double"))
+          .as("share"))
+      .orderBy("label", "pred_label")
   }
 
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k

@@ -442,6 +442,40 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("labelConfusion: per-label shares sum to 1, row sums equal the " +
+      "label counts, and vector 0's argmin replays driver-side") {
+    val d = TestSpark.sf0001
+    val rows = SimilarityOps.labelConfusion(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val byLabel = emb.groupBy(_._3.toLong).view.mapValues(_.length).toMap
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.map(_._3).sum === byLabel(l).toLong, s"label $l row sum")
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9, s"label $l shares")
+    }
+    // replay vector 0's nearest-centroid assignment
+    val dim = 64
+    val cents = emb.groupBy(_._3).map { case (l, vs) =>
+      l -> (0 until dim).map { i =>
+        vs.map(v => math.floor(v._2(i).toDouble * 1e9).toLong).sum
+          .toDouble / 1e9 / vs.length.toDouble
+      }.toArray
+    }
+    val v0 = emb.find(_._1 == 0L).get
+    val pred0 = cents.map { case (l, c) =>
+      ((0 until dim).map { i =>
+        math.floor((v0._2(i).toDouble - c(i)) * (v0._2(i).toDouble - c(i))
+          * 1e9).toLong
+      }.sum, l)
+    }.min._2
+    assert(rows.exists(t => t._1 == v0._3.toLong
+      && t._2 == pred0.toLong && t._3 > 0),
+      s"vector 0's (label ${v0._3}, pred $pred0) cell must be populated")
+  }
+
   test("sizeQuantiles ≡ driver-side ceil-rank replay per kind") {
     val d = TestSpark.sf0001
     val got = Multimodal.sizeQuantiles(spark, d).collect()
