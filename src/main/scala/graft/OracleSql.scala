@@ -6561,6 +6561,39 @@ object OracleSql {
         |    AS n_negative
         |FROM sv GROUP BY 1 ORDER BY label""".stripMargin,
 
+    // GraphOps.degreeGini twin: the same degree-domain histogram rank
+    // identity in HUGEINT (≡ the engine's DECIMAL(38,0) int128), the
+    // identical double closed form.
+    "graph_degree_gini" ->
+      """WITH pw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, p AS dst FROM pw
+        |  UNION ALL SELECT p AS src, c AS dst FROM pw),
+        |deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY 1),
+        |hist AS (SELECT dg, count(*) AS c FROM deg GROUP BY 1),
+        |rk AS (
+        |  SELECT dg, c,
+        |    coalesce(sum(c) OVER (ORDER BY dg ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM hist),
+        |t AS (
+        |  SELECT CAST(dg AS HUGEINT)
+        |      * (CAST(c AS HUGEINT) * CAST(below AS HUGEINT)
+        |        + CASE WHEN c % 2 = 0 THEN (c // 2) * (c + 1)
+        |          ELSE c * ((c + 1) // 2) END) AS srd,
+        |    CAST(dg AS HUGEINT) * CAST(c AS HUGEINT) AS sd,
+        |    c AS cn
+        |  FROM rk)
+        |SELECT CAST(sum(cn) AS BIGINT) AS n_nodes,
+        |  CAST(sum(sd) AS BIGINT) AS sum_degree,
+        |  (CAST(2 AS DOUBLE) * CAST(sum(srd) AS DOUBLE))
+        |    / (CAST(sum(cn) AS DOUBLE) * CAST(sum(sd) AS DOUBLE))
+        |    - (CAST(sum(cn) AS DOUBLE) + 1.0) / CAST(sum(cn) AS DOUBLE)
+        |    AS gini
+        |FROM t""".stripMargin,
+
     // SimilarityOps.labelConfusion twin: the silhouette centroid core,
     // argmin via the (q, cand) rank — integer comparisons only.
     "emb_label_confusion" ->

@@ -465,6 +465,9 @@ object SparkEntry {
     // round 10: nearest-centroid label confusion matrix (labeling QA)
     "emb_label_confusion"     -> ((s, d) =>
       SimilarityOps.labelConfusion(s, d)),
+    // round 10: degree-distribution Gini from the degree-domain histogram
+    "graph_degree_gini"       -> ((s, d) =>
+      graft.ops.GraphOps.degreeGini(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

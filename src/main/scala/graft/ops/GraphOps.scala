@@ -1193,6 +1193,59 @@ object GraphOps {
       .orderBy("distance")
   }
 
+  /** Gini coefficient of the trade-graph degree distribution — the
+    * single-number inequality readout beside [[powerlawFit]]'s
+    * exponent: G → 0 is a regular graph, G → 1 a hub-dominated one;
+    * drift across rounds flags the graph centralizing. Computed
+    * ENTIRELY on the degree-DOMAIN histogram (the rich-club /
+    * powerlaw suffix trick): nodes with degree k occupy a contiguous
+    * rank run, so Σ rank·deg = Σ_k k·(c_k·N_{<k} + c_k(c_k+1)/2) —
+    * never a node-sized sort or window.
+    *
+    * Exactness: pure integer counting onto DECIMAL(38,0) (rank×degree
+    * products overflow longs at billions of nodes), ONE double
+    * division at the surface. Scale: one edge-sized degree aggregate;
+    * everything after lives on the max-degree-bounded histogram.
+    */
+  def degreeGini(s: SparkSession, d: String): DataFrame =
+    degreeGiniFromEdges(tradeEdges(s, d))
+
+  /** [[degreeGini]]'s histogram-rank core over an explicit directed
+    * (src, dst) edge frame — spec-drivable with hand graphs.
+    */
+  private[graft] def degreeGiniFromEdges(edges: DataFrame): DataFrame = {
+    val hist = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("deg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      // triangle number c(c+1)/2 via the parity split — integer `div`
+      // on the even factor, so no decimal division (whose Spark result
+      // scale/precision rules would shed exactness) ever runs
+      .withColumn("tri", expr("""CASE WHEN c % 2 = 0
+        THEN cast(c div 2 as decimal(19,0)) * cast(c + 1 as decimal(19,0))
+        ELSE cast(c as decimal(19,0)) * cast((c + 1) div 2 as decimal(19,0))
+        END"""))
+      .select(
+        (col("deg").cast("decimal(19,0)") *
+          (col("c").cast("decimal(19,0)")
+            * col("below").cast("decimal(19,0)") + col("tri")))
+          .as("srd"),
+        (col("deg").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sd"),
+        col("c").cast("decimal(38,0)").as("cn"))
+    ranked.agg(sum(col("cn")).as("n"), sum(col("sd")).as("sumdeg"),
+        sum(col("srd")).as("swr"))
+      .select(col("n").cast("long").as("n_nodes"),
+        col("sumdeg").cast("long").as("sum_degree"),
+        ((lit(2.0) * col("swr").cast("double"))
+          / (col("n").cast("double") * col("sumdeg").cast("double"))
+          - (col("n").cast("double") + 1.0) / col("n").cast("double"))
+          .as("gini"))
+  }
+
   /** Landmark harmonic centrality (Boldi & Vigna 2014's harmonic
     * variant of closeness, estimated from a fixed landmark set — the
     * standard way centrality scales when all-pairs BFS cannot): from

@@ -51,6 +51,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ev_forecast_backtest" -> "day grain (calendar-bounded)",
     "ev_lorenz_deciles" -> "10 deciles",
     "ev_moving_corr" -> "day grain (calendar-bounded)",
+    "graph_degree_gini" -> "degree-domain histogram (max-degree-bounded)",
     "ev_psi_drift" -> "10 deciles",
     "ev_survival_hazard" -> "day grain (calendar-bounded)",
     "r_benford_audit" -> "9 leading digits",

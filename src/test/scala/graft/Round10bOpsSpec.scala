@@ -476,6 +476,20 @@ class Round10bOpsSpec extends AnyFunSuite {
       s"vector 0's (label ${v0._3}, pred $pred0) cell must be populated")
   }
 
+  test("degreeGiniFromEdges on a hand star S4: G = 0.3 exactly " +
+      "(degrees [1,1,1,1,4], Σ rank·deg = 30), and the fixture graph " +
+      "lands in (0, 1)") {
+    import spark.implicits._
+    val star = (1 to 4).flatMap(i =>
+      Seq((0L, i.toLong), (i.toLong, 0L))).toDF("src", "dst")
+    val r = GraphOps.degreeGiniFromEdges(star).collect()(0)
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 2.0 * 30 / (5.0 * 8) - 6.0 / 5)
+    val f = GraphOps.degreeGini(spark, TestSpark.sf0001).collect()(0)
+    assert(f.getDouble(2) > 0 && f.getDouble(2) < 1)
+  }
+
   test("sizeQuantiles ≡ driver-side ceil-rank replay per kind") {
     val d = TestSpark.sf0001
     val got = Multimodal.sizeQuantiles(spark, d).collect()
