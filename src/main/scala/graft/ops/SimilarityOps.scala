@@ -178,7 +178,13 @@ object SimilarityOps {
       .join(broadcast(diag.withColumnRenamed("dd", "dim_j")
         .withColumnRenamed("variance", "var_j")), Seq("dim_j"))
       .select(col("dim_i"), col("dim_j"), col("n"), col("cov"),
-        (col("cov") / (sqrt(col("var_i")) * sqrt(col("var_j"))))
+        // dead (zero-variance) dimension ⇒ corr undefined: NULL, not
+        // NaN/Inf — the advertised dead-dimension audit must emit a
+        // readable row, and floor quantization can push a constant
+        // dimension's variance epsilon-NEGATIVE, where sqrt would NaN
+        // (the burrowsDelta vr>0 guard, same hazard)
+        when(col("var_i") > 0 && col("var_j") > 0,
+          col("cov") / (sqrt(col("var_i")) * sqrt(col("var_j"))))
           .as("corr"))
       .orderBy("dim_i", "dim_j")
   }

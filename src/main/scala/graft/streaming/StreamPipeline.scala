@@ -845,6 +845,183 @@ object StreamPipeline {
     else s.read.parquet(applied.map(b => s"$indexPath/seg_$b"): _*)
   }
 
+  /** Bloom-indexed admission variant of [[startNearDupGate]] — the
+    * 100 TB admission shape the plain gate's docstring points at: a
+    * merged Bloom filter over every ADMITTED shingle hash rides as a
+    * sidecar artifact, and each batch probes it ROW-LOCALLY first, so
+    * the (corpus-sized) shingle index is only read for the batch's
+    * Bloom-candidate hashes — a mostly-novel stream admits whole
+    * batches without touching the index at all. Decisions are
+    * BIT-IDENTICAL to the plain gate (spec-pinned on shared slicings):
+    * Bloom has no false negatives, so every truly-shared hash reaches
+    * the exact postings join, and a false positive only costs a probed
+    * hash — the exact join still decides. Two parity obligations the
+    * plain gate got for free are carried explicitly: (a) per-doc TOTAL
+    * shingle counts (the Jaccard denominator) live in `szseg_<b>`
+    * sidecars, since the candidate-pruned index read can no longer
+    * count them; (b) the pair-forming df guard stays exact because a
+    * Bloom-negative hash provably has index df 0.
+    *
+    * Crash discipline: segments + size sidecar + merged Bloom are all
+    * written BEFORE the one manifest swap. A pre-swap crash leaves the
+    * Bloom carrying the doomed batch's hashes — false-positive-only
+    * drift (safe; the replay re-merges the identical hashes, Bloom
+    * union is idempotent bitwise OR). A missing/corrupt sidecar is
+    * rebuilt exactly from the manifest-listed segments.
+    */
+  def startNearDupGateBloom(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, n: Int = 3,
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000,
+      bloomCapacity: Long = 1L << 22,
+      bloomFpp: Double = 0.01): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyNearDupGateBloomBatch(batch, indexPath, outPath, batchId,
+          n, thresholdPct, maxShingleDf, bloomCapacity, bloomFpp): Unit
+      }
+      .start()
+
+  /** One Bloom-admission micro-batch (spec-drivable). Returns the
+    * number of batch shingle hashes that survived the Bloom probe
+    * (0 = the index was never read — the admission fast path; -1 = a
+    * replayed no-op batch), so the spec can assert the pruning
+    * actually happens.
+    */
+  private[graft] def applyNearDupGateBloomBatch(batch: DataFrame,
+      indexPath: String, outPath: String, batchId: Long, n: Int = 3,
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000,
+      bloomCapacity: Long = 1L << 22, bloomFpp: Double = 0.01): Long = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val applied = gateManifest(s, indexPath)
+    if (applied.contains(batchId)) -1L
+    else {
+      val batchSh = batch.select(col("doc_id"),
+          explode(graft.functions.ShingleHashes.shingleHashes(
+            graft.ops.TextOps.tokens(lower(col("text"))), n)).as("h"))
+        .persist()
+      try {
+        val bloom = readGateBloom(s, indexPath, applied, bloomCapacity,
+          bloomFpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        import org.apache.spark.sql.graft.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.{
+          BloomFilterMightContain, Literal}
+        val mightContain = ColumnBridge.column(BloomFilterMightContain(
+          Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(col("h"))))
+        // row-local probe: only these hashes can hit the index (no
+        // false negatives), so only these hashes READ the index
+        val candH = batchSh.filter(mightContain).select("h").distinct()
+          .persist()
+        val nCand = candH.count()
+        val indexSh =
+          if (applied.nonEmpty && nCand > 0)
+            s.read.parquet(applied.map(b => s"$indexPath/seg_$b"): _*)
+              .join(candH, Seq("h"), "left_semi")
+          else Seq.empty[(Long, Long)].toDF("doc_id", "h")
+        // per-doc TOTAL sizes from the sidecars — the candidate-pruned
+        // index read undercounts them by construction
+        val indexSizes =
+          if (applied.nonEmpty)
+            s.read.parquet(applied.map(b => s"$indexPath/szseg_$b"): _*)
+          else Seq.empty[(Long, Long)].toDF("doc_id", "sz")
+        val all = indexSh.withColumn("is_new", lit(false))
+          .unionByName(batchSh.withColumn("is_new", lit(true)))
+        // df parity with the plain gate: candidate h carries its FULL
+        // index postings (semi-join keeps all rows); Bloom-negative h
+        // provably has index df 0 — both sides count identically
+        val pairForming = all.groupBy("h")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, maxShingleDf))
+          .select("h")
+        val postings = all.join(pairForming, Seq("h"))
+        val newSide = postings.filter(col("is_new"))
+          .select(col("h"), col("doc_id").as("doc_new"))
+        val otherSide = postings.select(col("h"),
+          col("doc_id").as("doc_other"), col("is_new").as("other_new"))
+        val shared = newSide.join(otherSide, Seq("h"))
+          .filter(col("doc_other") =!= col("doc_new"))
+          .filter(!col("other_new") || col("doc_other") < col("doc_new"))
+          .groupBy("doc_new", "doc_other")
+          .agg(count(lit(1)).as("shared"))
+        val sizes = batchSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          .unionByName(indexSizes)
+          .groupBy("doc_id").agg(sum(col("sz")).as("sz"))
+        val rejected = shared
+          .join(sizes.select(col("doc_id").as("doc_new"),
+            col("sz").as("size_new")), Seq("doc_new"))
+          .join(sizes.select(col("doc_id").as("doc_other"),
+            col("sz").as("size_other")), Seq("doc_other"))
+          .filter(col("shared") * 100 >= lit(thresholdPct) *
+            (col("size_new") + col("size_other") - col("shared")))
+          .select(col("doc_new").as("doc_id")).distinct()
+        val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+        val admittedSh = batchSh.join(rejected, Seq("doc_id"), "left_anti")
+          .persist()
+        admitted.write.mode("overwrite")
+          .parquet(s"$outPath/seg_$batchId")
+        admittedSh.write.mode("overwrite")
+          .parquet(s"$indexPath/seg_$batchId")
+        admittedSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          .write.mode("overwrite").parquet(s"$indexPath/szseg_$batchId")
+        // merge-then-swap: the Bloom must be current BEFORE the batch
+        // becomes visible (a listed batch missing from the Bloom would
+        // be a FALSE NEGATIVE — missed rejections); the reverse order's
+        // worst case is only false positives
+        bloom.mergeInPlace(
+          admittedSh.stat.bloomFilter("h", bloomCapacity, bloomFpp))
+        writeGateBloom(s, indexPath, bloom)
+        swapGateManifest(s, indexPath, applied :+ batchId)
+        admittedSh.unpersist()
+        candH.unpersist()
+        nCand
+      } finally batchSh.unpersist()
+    }
+  }
+
+  private def gateBloomPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_gate_bloom")
+
+  /** The merged admitted-shingle Bloom sidecar; a missing or unreadable
+    * file is rebuilt exactly from the manifest-listed segments (the
+    * segments are the truth, the Bloom a probe accelerator).
+    */
+  private[graft] def readGateBloom(s: SparkSession, indexPath: String,
+      applied: Seq[Long], capacity: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val p = gateBloomPath(indexPath)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stored =
+      if (!f.exists(p)) None
+      else try {
+        val in = f.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      } catch { case _: Exception => None }
+    stored.getOrElse {
+      if (applied.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+      else
+        s.read.parquet(applied.map(b => s"$indexPath/seg_$b"): _*)
+          .stat.bloomFilter("h", capacity, fpp)
+    }
+  }
+
+  private def writeGateBloom(s: SparkSession, indexPath: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = gateBloomPath(indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath, "_gate_bloom__tmp")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   def startMergeSink(df: DataFrame, path: String, checkpoint: String,
       keys: Seq[String], orderCol: String): StreamingQuery =
     df.writeStream
@@ -1098,7 +1275,12 @@ object StreamPipeline {
     * qualifying click has us > t1 so it can only arrive in or after
     * t1's batch, and likewise down the cascade — so ANY ordered
     * slicing converges to the batch operator's state; the spec drives
-    * uneven slicings and asserts exact equality of the readout.
+    * uneven slicings and asserts exact equality of the readout. The
+    * premise is made OBSERVABLE, not assumed: the state table carries
+    * each user's max-seen event time, and a batch whose per-user min
+    * precedes it is counted and loudly logged (late events can have
+    * silently missed a stage window), so a violated contract surfaces
+    * at runtime instead of as a quietly-diverged funnel.
     * Scale: per batch ONE user-keyed aggregate of the batch slice
     * (arrays bounded by a user's in-batch activity) + a user-keyed
     * full-outer merge join against the state table — co-partitioned,
@@ -1109,15 +1291,20 @@ object StreamPipeline {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyFunnelBatch(batch, path, batchId, windowSec)
+        applyFunnelBatch(batch, path, batchId, windowSec): Unit
       }
       .start()
 
-  /** One funnel-state micro-batch merge (spec-drivable). */
+  /** One funnel-state micro-batch merge (spec-drivable). Returns the
+    * number of users this batch delivered OUT of event-time order
+    * (0 when the ordered-slicing contract held, or when the batch was
+    * a replayed no-op).
+    */
   private[graft] def applyFunnelBatch(batch: DataFrame, path: String,
-      batchId: Long, windowSec: Long = 86400L): Unit = {
+      batchId: Long, windowSec: Long = 86400L): Long = {
     val s = batch.sparkSession
-    if (!TableSink.alreadyApplied(s, path, batchId)) {
+    if (TableSink.alreadyApplied(s, path, batchId)) 0L
+    else {
       val winUs = windowSec * 1000000L
       val per = batch.select(col("user_id"), col("event_type"),
           expr("unix_micros(ts)").as("us"))
@@ -1127,13 +1314,35 @@ object StreamPipeline {
           sort_array(collect_list(when(col("event_type") === "click",
             col("us")))).as("bc"),
           sort_array(collect_list(when(col("event_type") === "purchase",
-            col("us")))).as("bp"))
-      val joined =
-        if (TableSink.hasParquet(s, path))
-          s.read.parquet(path).join(per, Seq("user_id"), "full_outer")
+            col("us")))).as("bp"),
+          min(col("us")).as("bmin"), max(col("us")).as("bmax"))
+      val prev =
+        if (TableSink.hasParquet(s, path)) {
+          val t = s.read.parquet(path)
+          // schema forward-compat: a state table written before the
+          // max-seen watermark landed simply starts tracking now
+          if (t.columns.contains("max_us")) t
+          else t.withColumn("max_us", lit(null).cast("long"))
+        } else null
+      val joined = (
+        if (prev != null) prev.join(per, Seq("user_id"), "full_outer")
         else per.withColumn("t1", lit(null).cast("long"))
           .withColumn("t2", lit(null).cast("long"))
           .withColumn("t3", lit(null).cast("long"))
+          .withColumn("max_us", lit(null).cast("long"))
+      ).localCheckpoint() // consumed by the contract probe AND the merge
+      // the ordered-slicing contract, probed: a user whose batch slice
+      // starts BEFORE their stored max-seen time arrived out of event-
+      // time order — their stage times may have missed qualifying
+      // events, so say so loudly instead of diverging silently
+      val nOoo = joined.filter(col("bmin").isNotNull
+        && col("max_us").isNotNull && col("bmin") < col("max_us")).count()
+      if (nOoo > 0)
+        System.err.println(s"[graft] funnel sink batch $batchId: $nOoo " +
+          "user(s) arrived OUT OF EVENT-TIME ORDER (batch min < stored " +
+          "max-seen) — the ordered-slicing premise is violated and late " +
+          "stage events may have been missed; replay the stream in " +
+          "event-time order to recover exact funnel state")
       val merged = joined
         .withColumn("t1n", least(col("t1"), col("bv")))
         .withColumn("t2n", least(col("t2"), expr(
@@ -1141,8 +1350,10 @@ object StreamPipeline {
         .withColumn("t3n", least(col("t3"), expr(
           s"array_min(filter(bp, x -> x > t2n AND x <= t2n + $winUs))")))
         .select(col("user_id"), col("t1n").as("t1"),
-          col("t2n").as("t2"), col("t3n").as("t3"))
+          col("t2n").as("t2"), col("t3n").as("t3"),
+          greatest(col("max_us"), col("bmax")).as("max_us"))
       TableSink.commit(s, path, batchId, merged)
+      nOoo
     }
   }
 

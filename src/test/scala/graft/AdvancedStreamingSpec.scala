@@ -120,6 +120,59 @@ class AdvancedStreamingSpec extends AnyFunSuite {
       .select("doc_id").distinct().count() === 3L)
   }
 
+  test("Bloom-indexed near-dup gate: admission decisions BIT-IDENTICAL " +
+      "to the plain gate over the same slicings, a novel batch takes " +
+      "the index-free fast path, and a deleted Bloom sidecar is " +
+      "rebuilt from the listed segments") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("neardup-bloom").toString
+    val (pIdx, pOut) = (s"$base/p_index", s"$base/p_out")
+    val (bIdx, bOut) = (s"$base/b_index", s"$base/b_out")
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val dupText = "the quick brown fox jumps over the lazy dog again"
+    val b0 = batch(
+      (0L, dupText),
+      (1L, dupText), // within-batch dup of 0 → rejected by BOTH gates
+      (2L, "completely different words arranged in another order here"))
+    val b1 = batch(
+      (3L, dupText), // cross-batch dup of indexed 0 → rejected
+      (4L, "yet another entirely novel document with fresh content words"))
+    val b2 = batch( // fully novel batch → Bloom fast path (0 candidates)
+      (5L, "nothing in this sentence resembles anything admitted before"),
+      (6L, "grapes ferment slowly under the autumn moonlight tonight"))
+    StreamPipeline.applyNearDupGateBatch(b0, pIdx, pOut, 0L)
+    StreamPipeline.applyNearDupGateBatch(b1, pIdx, pOut, 1L)
+    StreamPipeline.applyNearDupGateBatch(b2, pIdx, pOut, 2L)
+    // batch 0 probes an EMPTY bloom: index-free fast path
+    assert(StreamPipeline.applyNearDupGateBloomBatch(b0, bIdx, bOut, 0L)
+      === 0L, "empty-gate batch must skip the index read")
+    // batch 1 shares doc 0's shingles: the probe must surface them
+    assert(StreamPipeline.applyNearDupGateBloomBatch(b1, bIdx, bOut, 1L)
+      > 0L, "a true cross-batch dup must produce Bloom candidates")
+    // sidecar recovery: delete the Bloom; batch 2 must rebuild it from
+    // the listed segments and still decide identically
+    val fs = new org.apache.hadoop.fs.Path(bIdx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(bIdx, "_gate_bloom"),
+      false), "bloom sidecar must exist after batch 1")
+    StreamPipeline.applyNearDupGateBloomBatch(b2, bIdx, bOut, 2L)
+    def admitted(out: String, idx: String) =
+      StreamPipeline.readGateAdmitted(spark, out, idx)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted(pOut, pIdx) === Set(0L, 2L, 4L, 5L, 6L))
+    assert(admitted(bOut, bIdx) === admitted(pOut, pIdx),
+      "Bloom gate diverged from the plain gate")
+    // index parity too: both gates indexed exactly the admitted docs
+    def indexed(idx: String) =
+      StreamPipeline.readGateIndex(spark, idx)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed(bIdx) === indexed(pIdx))
+    // replayed id is a no-op
+    assert(StreamPipeline.applyNearDupGateBloomBatch(b1, bIdx, bOut, 1L)
+      === -1L)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session, " +
       "emitted once in append mode") {
     import spark.implicits._
@@ -575,12 +628,15 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     val c2 = lo + 2 * (hi - lo) / 3
     def slice(cond: String) =
       ev.filter(expr(s"unix_micros(ts) div 86400000000 $cond"))
-    StreamPipeline.applyFunnelBatch(slice(s"< $c1"), path, 0)
-    StreamPipeline.applyFunnelBatch(
-      slice(s">= $c1 AND unix_micros(ts) div 86400000000 < $c2"), path, 1)
+    assert(StreamPipeline.applyFunnelBatch(slice(s"< $c1"), path, 0) === 0L,
+      "ordered batch flagged as out-of-order")
+    assert(StreamPipeline.applyFunnelBatch(
+      slice(s">= $c1 AND unix_micros(ts) div 86400000000 < $c2"),
+      path, 1) === 0L, "ordered batch flagged as out-of-order")
     // replayed batch id: the ledger short-circuits the merge
-    StreamPipeline.applyFunnelBatch(slice(s"< $c1"), path, 1)
-    StreamPipeline.applyFunnelBatch(slice(s">= $c2"), path, 2)
+    assert(StreamPipeline.applyFunnelBatch(slice(s"< $c1"), path, 1) === 0L)
+    assert(StreamPipeline.applyFunnelBatch(slice(s">= $c2"), path, 2) === 0L,
+      "ordered batch flagged as out-of-order")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
@@ -589,6 +645,30 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     assert(got === want,
       "streamed funnel state diverged from the batch operator")
     assert(got.head._2 > 0, "fixture must enter the funnel")
+  }
+
+  test("streaming funnel state table: an out-of-event-time-order batch " +
+      "is DETECTED (per-user max-seen watermark), not silently merged") {
+    val d = TestSpark.sf0001
+    val dir = java.nio.file.Files
+      .createTempDirectory("funnel_ooo").toString
+    val path = s"$dir/state"
+    val ev = Tables.events(spark, d)
+      .select("user_id", "event_type", "ts")
+    val mid = ev.agg(expr(
+      "cast(avg(unix_micros(ts)) as bigint)")).collect()(0).getLong(0)
+    def slice(cond: String) =
+      ev.filter(expr(s"unix_micros(ts) $cond"))
+    // deliver the LATE half first, then the early half: every user
+    // active in both halves arrives behind their stored max-seen time
+    assert(StreamPipeline.applyFunnelBatch(
+      slice(s">= $mid"), path, 0) === 0L)
+    val nOoo = StreamPipeline.applyFunnelBatch(slice(s"< $mid"), path, 1)
+    val straddlers = slice(s">= $mid").select("user_id").distinct()
+      .intersect(slice(s"< $mid").select("user_id").distinct()).count()
+    assert(straddlers > 0, "fixture must have users on both sides")
+    assert(nOoo === straddlers,
+      s"expected every straddling user flagged: $nOoo vs $straddlers")
   }
 
   test("TableSink ledger: replayed batch ids read as applied, later ids " +

@@ -62,16 +62,55 @@ class BenchSanitySpec extends AnyFunSuite {
       """{"sf":"/data/sf0.1","queries":{"a":9.9},"probe":{"score":9.9}}""",
       """{"sf":"/data/sf0.01","queries":{"a":0.4,"b":1.25}}""",
       """{"sf":"/data/sf0.01","queries":{"a":0.5,"b":1.5},""" +
+        """"mins":{"a":0.45,"b":1.4},""" +
         """"probe":{"before":0.61,"after":0.55,"score":0.55}}""")
-    val (meds, probe) = BenchMath.lastHistoryEntry(lines, "/data/sf0.01")
+    val (meds, mins, probe) =
+      BenchMath.lastHistoryEntry(lines, "/data/sf0.01")
     assert(meds === Map("a" -> 0.5, "b" -> 1.5))
+    assert(mins === Map("a" -> 0.45, "b" -> 1.4))
     assert(probe === 0.55)
-    // pre-calibration line: medians parse, probe reads 0 → ratio 1
-    val (m2, p2) = BenchMath.lastHistoryEntry(lines.take(3), "/data/sf0.01")
+    // pre-calibration line: medians parse, probe reads 0 → ratio 1,
+    // mins empty (pre-mins line) → no mover nominations, never a crash
+    val (m2, mn2, p2) = BenchMath.lastHistoryEntry(
+      lines.take(3), "/data/sf0.01")
     assert(m2 === Map("a" -> 0.4, "b" -> 1.25))
+    assert(mn2.isEmpty)
     assert(p2 === 0.0)
     // no matching sf → empty, never a crash
     assert(BenchMath.lastHistoryEntry(lines, "/nope")._1.isEmpty)
+  }
+
+  test("shuffleGrowth flags >1.3x byte growth past the 1 MiB floor; " +
+      "lastHistoryMap parses the shuffleRead field, tolerating its " +
+      "absence on older lines") {
+    val prev = Map("a" -> 10e6, "b" -> 10e6, "c" -> 0.1e6, "d" -> -1.0)
+    val cur = Map("a" -> 14_000_001L, // 1.4x, +4 MB → flag
+      "b" -> 12_000_000L, // 1.2x → no
+      "c" -> 900_000L, // 9x but under the 1 MiB absolute floor → no
+      "d" -> 5_000_000L, // failed history rep → never
+      "e" -> 9_000_000L) // no history → never
+    assert(BenchMath.shuffleGrowth(cur, prev) === Seq("a"))
+    val lines = Seq(
+      """{"sf":"/d","queries":{"a":1.0}}""",
+      """{"sf":"/d","queries":{"a":1.0},"shuffleRead":{"a":123.0}}""")
+    assert(BenchMath.lastHistoryMap(lines, "/d", "shuffleRead")
+      === Map("a" -> 123.0))
+    assert(BenchMath.lastHistoryMap(lines.take(1), "/d", "shuffleRead")
+      .isEmpty)
+  }
+
+  test("contentionMovers nominates median > 2x history MIN (host-scaled) " +
+      "for confirmation — the round-10 unconfirmed-mover gap") {
+    val prevMins = Map("a" -> 1.0, "b" -> 1.0, "c" -> -1.0)
+    // a: median tripled though its min is healthy → nominated;
+    // b: median within 2x → not; c: failed history min → never;
+    // d: no history → never; e: failed this run → never
+    val cur = Seq(("a", 3.0, 1.1), ("b", 1.9, 1.0), ("c", 9.0, 9.0),
+      ("d", 9.0, 9.0), ("e", -1.0, -1.0))
+    assert(BenchMath.contentionMovers(cur, prevMins, 0.5, 0.5)
+      === Seq("a"))
+    // 3x-slower host scales the threshold: a's 3.0 median vs 2*1.0*3
+    assert(BenchMath.contentionMovers(cur, prevMins, 1.5, 0.5).isEmpty)
   }
 
   test("hostFingerprint is valid JSON even under a comma-decimal default " +

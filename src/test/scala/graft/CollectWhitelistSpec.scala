@@ -23,6 +23,10 @@ class CollectWhitelistSpec extends AnyFunSuite {
     // a constant of the label alphabet, not the corpus), and
     // pcaPower's covariance matrix (d(d+1)/2 doubles — the power
     // iteration is driver math; the Gram pass stays distributed)
+    "ops/EventOps.scala" -> 2, // markovStationary's |types| state list
+    // and |types|² transition matrix — constants of the event-type
+    // alphabet, not the data; the 20 power steps are driver math
+    // (the pcaPower precedent), the fact pass stays distributed
     "ops/Ranks.scala" -> 1, // globalRank's per-partition row counts —
     // numPartitions longs (bounded by CLUSTER size, not data): the
     // RDD.zipWithIndex discipline, prefix-summed on the driver and

@@ -96,6 +96,31 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank ≡ naive global window, ASCENDING order, random " +
+      "frames × partition counts × tie patterns (the perKeyRank case " +
+      "grid, keyless)") {
+    val cases = Seq(
+      // (seed, n, vDomain, input parts, shuffle parts)
+      (41, 200, 3, 7, 4),   // heavy ties — boundaries must not split them
+      (42, 300, 2, 3, 8),   // near-total ties
+      (43, 500, 50, 9, 3),  // mixed
+      (44, 50, 1, 2, 16),   // ALL-tie values, tiny slices, many parts
+      (45, 400, 400, 5, 5)) // mostly unique values
+    cases.foreach { case (seed, n, vDomain, parts, shuffle) =>
+      TestSpark.withConfs("spark.sql.shuffle.partitions" ->
+          shuffle.toString) {
+        val df = frame(seed, n, 1, vDomain, parts)
+        val got = collected(Ranks.globalRank(df,
+          Seq(col("v"), col("id")), "r"))
+        val want = collected(df.withColumn("r",
+          row_number().over(Window.orderBy(col("v"), col("id")))
+            .cast("long")))
+        assert(got === want, s"case seed=$seed n=$n vDomain=$vDomain " +
+          s"parts=$parts shuffle=$shuffle")
+      }
+    }
+  }
+
   test("globalRank ranks are a permutation of 1..n (offsets stitch " +
       "slices with no gap or overlap across many partition counts)") {
     (1 to 9).foreach { parts =>

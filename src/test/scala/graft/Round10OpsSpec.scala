@@ -241,7 +241,7 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("userEntropy: buckets cover [0, ln|types|·4], user counts " +
+  test("userEntropy: buckets cover [0, ln|types|·64], user counts " +
       "reconcile with the distinct-user total, single-type users land " +
       "in bucket 0") {
     val d = TestSpark.sf0001
@@ -249,7 +249,7 @@ class Round10OpsSpec extends AnyFunSuite {
     val nUsers = Tables.events(spark, d)
       .select("user_id").distinct().count()
     assert(rows.map(_.getLong(1)).sum === nUsers)
-    val maxBucket = (math.log(5) * 4).toLong
+    val maxBucket = (math.log(5) * 64).toLong
     rows.foreach { r =>
       assert(r.getLong(0) >= 0 && r.getLong(0) <= maxBucket)
       assert(r.getDouble(2) >= 0 && r.getDouble(2) <= math.log(5) + 1e-9)
