@@ -29,15 +29,31 @@ object BenchMath {
     if (probeNow > 0 && probePrev > 0) math.max(1.0, probeNow / probePrev)
     else 1.0
 
+  /** Absolute wall-clock excess (best rep minus the host-scaled history
+    * median) a flag must also clear. Round-11 evidence: on this VM a
+    * HEALTHY sub-0.3 s query's best rep swings past 2× its own history
+    * (r_storage_partitioned_join 0.13 → 0.28-0.34 s across ordering
+    * experiments and contention bands, code unchanged), so a pure
+    * ratio rule mints phantoms exactly at the sizes where seconds are
+    * noise. Half a second of REAL damage is where a regression starts
+    * to matter at suite scale — and any genuine order-of-magnitude
+    * slip (0.1 → 1 s) still clears the floor.
+    */
+  val minRegressionExcessSec = 0.5
+
   /** The machine-computed regression CANDIDATE list (final flagging also
     * requires [[confirmedRegressions]]' post-run rep): a query is a
     * candidate when even
     * its BEST rep exceeds 2× the previous history median AFTER host
-    * normalization — `minSec > 2 · prevMedian · hostRatio`. Min-vs-median
+    * normalization — `minSec > 2 · prevMedian · hostRatio` — AND the
+    * excess clears [[minRegressionExcessSec]] of absolute wall clock.
+    * Min-vs-median
     * (not median-vs-median) so one-off interference inside this run
-    * cannot flag; host ratio so a uniformly slower VM cannot flag; a
+    * cannot flag; host ratio so a uniformly slower VM cannot flag; the
+    * absolute floor so sub-second noise cannot flag; a
     * query must therefore be slower than history on its best rep, beyond
-    * what the host slowdown explains, to appear here. Failed queries
+    * what the host slowdown explains and by an amount that matters, to
+    * appear here. Failed queries
     * (median < 0) and queries without history never flag.
     */
   def regressed(current: Seq[(String, Double, Double)],
@@ -47,7 +63,9 @@ object BenchMath {
     current.collect {
       case (name, med, minSec)
         if med >= 0 && minSec > 0 &&
-          prevMedians.get(name).exists(p => p > 0 && minSec > 2 * p * ratio)
+          prevMedians.get(name).exists(p => p > 0 &&
+            minSec > 2 * p * ratio &&
+            minSec - p * ratio > minRegressionExcessSec)
         => name
     }
   }
@@ -72,7 +90,8 @@ object BenchMath {
     val ratio = hostRatio(probeNow, probePrev)
     candidates.filter { name =>
       confirm.get(name).forall(c =>
-        c < 0 || prevMedians.get(name).forall(p => c > 2 * p * ratio))
+        c < 0 || prevMedians.get(name).forall(p => c > 2 * p * ratio &&
+          c - p * ratio > minRegressionExcessSec))
     }
   }
 

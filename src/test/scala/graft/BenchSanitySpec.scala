@@ -44,6 +44,24 @@ class BenchSanitySpec extends AnyFunSuite {
       Seq(("a", 2.1, 2.0)), prev, 0.5, 0.5).isEmpty)
   }
 
+  test("absolute excess floor: a sub-second query past 2x its history " +
+      "but under half a second of real damage never flags (the VM's " +
+      "demonstrated noise band on tiny queries), while an order-of-" +
+      "magnitude slip on the same query still does") {
+    val tiny = Map("t" -> 0.13)
+    // 0.13 -> 0.30 s: 2.3x but only +0.17 s — the observed noise band
+    assert(BenchMath.regressed(
+      Seq(("t", 0.31, 0.30)), tiny, 0.5, 0.5).isEmpty)
+    // 0.13 -> 1.0 s: clears both the ratio and the 0.5 s floor
+    assert(BenchMath.regressed(
+      Seq(("t", 1.1, 1.0)), tiny, 0.5, 0.5) === Seq("t"))
+    // confirm pass applies the same floor: a 0.3 s confirm rep refutes
+    assert(BenchMath.confirmedRegressions(Seq("t"),
+      Map("t" -> 0.30), tiny, 0.5, 0.5).isEmpty)
+    assert(BenchMath.confirmedRegressions(Seq("t"),
+      Map("t" -> 1.0), tiny, 0.5, 0.5) === Seq("t"))
+  }
+
   test("failed queries, missing history, and zero prev medians never " +
       "flag") {
     assert(BenchMath.regressed(
