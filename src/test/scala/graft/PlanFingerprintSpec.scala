@@ -142,4 +142,29 @@ class PlanFingerprintSpec extends AnyFunSuite {
       assert(!a.contains("WholeStageCodegen"), a)
     }
   }
+
+  test("the fingerprint keeps Reused(...) exchange markers — losing an " +
+      "exchange reuse IS a plan regression the gate must see") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    TestSpark.withConfs("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.exchange.reuse" -> "true") {
+      val base = (1 to 50).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
+        .groupBy("k").agg(sum("v").as("s"))
+      // self-join of one aggregated subtree: the planner reuses the
+      // shuffle for the second occurrence
+      val joined = base.join(
+        base.withColumnRenamed("s", "s2"), Seq("k"))
+      val fp = PlanFingerprint.of(joined)
+      assert(fp.contains("Reused("), fp)
+      val without = TestSpark.withConfs(
+        "spark.sql.exchange.reuse" -> "false") {
+        PlanFingerprint.of(base.join(
+          base.withColumnRenamed("s", "s2"), Seq("k")))
+      }
+      assert(without !== fp,
+        "a lost exchange reuse must change the fingerprint")
+      assert(!without.contains("Reused("), without)
+    }
+  }
 }
