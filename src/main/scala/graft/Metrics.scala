@@ -28,6 +28,14 @@ object Metrics {
       spillBytes: Long)
 
   def profile[T](spark: SparkSession)(action: => T): (T, Profile) = {
+    // flush still-queued events from PRIOR actions before attaching:
+    // the async bus snapshots its listener list at DELIVERY time, so on
+    // a lagging bus a freshly-attached listener receives the previous
+    // action's tail stage events (observed round 11: the bench's rep-1
+    // shuffle-read for a broadcast-join query jumped 948 B → 1.7 MB on
+    // a contended host — the prior query's stages bled in and tripped
+    // the deterministic-bytes gate with a phantom)
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
     var jobs, stages, tasks = 0
     var taskTime, shRead, shWrite, inRecs, spill = 0L
     val listener = new SparkListener {

@@ -1010,7 +1010,7 @@ object StreamPipeline {
     }
   }
 
-  private def writeGateBloom(s: SparkSession, indexPath: String,
+  private[graft] def writeGateBloom(s: SparkSession, indexPath: String,
       bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val p = gateBloomPath(indexPath)
     val tmp = new org.apache.hadoop.fs.Path(indexPath, "_gate_bloom__tmp")

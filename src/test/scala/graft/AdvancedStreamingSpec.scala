@@ -173,6 +173,59 @@ class AdvancedStreamingSpec extends AnyFunSuite {
       === -1L)
   }
 
+  test("Bloom gate crash window: segments + size sidecar + a MERGED " +
+      "bloom land but the manifest swap never happens — readers " +
+      "unchanged, the polluted bloom is false-positive-only (safe), " +
+      "and the replay heals to the same decisions") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("neardup-bloom-crash").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val dupText = "the quick brown fox jumps over the lazy dog again"
+    StreamPipeline.applyNearDupGateBloomBatch(
+      batch((0L, dupText),
+        (1L, "completely different words arranged in another order here")),
+      idx, out, 0L)
+    val afterB0 = StreamPipeline.readGateAdmitted(spark, out, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB0 === Set(0L, 1L))
+    // simulate the crash: batch 1's THREE artifacts land (segment, size
+    // sidecar, bloom already merged with batch 1's hashes) but the
+    // manifest swap never runs
+    val b1 = batch(
+      (2L, "novel content that would have been admitted by batch one"))
+    val b1sh = b1.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes.shingleHashes(
+        graft.ops.TextOps.tokens(lower(col("text"))), 3)).as("h"))
+    b1.write.parquet(s"$out/seg_1")
+    b1sh.write.parquet(s"$idx/seg_1")
+    b1sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .write.parquet(s"$idx/szseg_1")
+    val polluted = StreamPipeline.readGateBloom(spark, idx, Seq(0L),
+      1L << 22, 0.01)
+    polluted.mergeInPlace(b1sh.stat.bloomFilter("h", 1L << 22, 0.01))
+    StreamPipeline.writeGateBloom(spark, idx, polluted)
+    // unlisted artifacts are invisible; the early bloom entries can only
+    // ADD candidate probes (false positives), never change decisions
+    assert(StreamPipeline.readGateAdmitted(spark, out, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === afterB0)
+    // replay heals: same decisions, batch now visible exactly once
+    StreamPipeline.applyNearDupGateBloomBatch(b1, idx, out, 1L)
+    assert(StreamPipeline.readGateAdmitted(spark, out, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L))
+    // a later cross-batch dup of doc 0 is still rejected through the
+    // healed bloom+index state
+    StreamPipeline.applyNearDupGateBloomBatch(
+      batch((3L, dupText),
+        (4L, "grapes ferment slowly under the autumn moonlight tonight")),
+      idx, out, 2L)
+    assert(StreamPipeline.readGateAdmitted(spark, out, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L, 4L))
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session, " +
       "emitted once in append mode") {
     import spark.implicits._
