@@ -179,6 +179,106 @@ object BenchMath {
         => name
     }
 
+  /** Round-12: the shuffle-byte gate, ARMED. [[shuffleGrowth]] produces
+    * byte-growth CANDIDATES; each is re-measured once in the confirm
+    * pass (bytes are a deterministic function of plan + data, so one
+    * re-measure either reproduces the growth — a real plan/data change —
+    * or exposes a measurement artifact like the round-11 listener-bus
+    * bleed). A candidate whose confirm bytes still exceed the threshold
+    * is a CONFIRMED shuffle regression — a FAILURE, not a warning —
+    * unless the input-data signature moved vs history (the driver
+    * regenerates testdata between rounds; bytes legitimately move with
+    * the data, and flagging that would mint a phantom every regen).
+    * Missing/failed confirm keeps the flag (cannot refute ≠ refuted).
+    */
+  def shuffleRegressions(candidates: Seq[String],
+      confirmBytes: Map[String, Long], prev: Map[String, Double],
+      inputSigNow: String, inputSigPrev: String,
+      factor: Double = 1.3): Seq[String] =
+    if (inputSigPrev.nonEmpty && inputSigPrev != inputSigNow) Nil
+    else candidates.filter { name =>
+      confirmBytes.get(name).forall(b => b < 0 ||
+        prev.get(name).forall(p => p >= 0 &&
+          b > p * factor && b - p > (1L << 20)))
+    }
+
+  /** Run-level contention marker (round-11 verdict #3): two consecutive
+    * official bench lines were contended (r10 327.8 s, r11 317.2 s vs
+    * same-day clean 222.0/243.2 s) — many queries' medians past 2× their
+    * history MIN simultaneously while shuffle bytes stayed flat is a
+    * busy VM's signature, never a code regression's (a code change
+    * doesn't slow 59 unrelated queries at once without moving a byte).
+    * When the rule fires, the bench re-measures every mover after the
+    * main sweep (temporally outside the burst) and commits the cleaner
+    * numbers, stamping the line `"contended": true` so the artifact
+    * says which kind of run it memorializes.
+    */
+  def contendedRun(nMovers: Int, nQueries: Int,
+      shuffleFlat: Boolean): Boolean =
+    shuffleFlat && nMovers >= 8 && nMovers * 100 >= nQueries * 3
+
+  /** Suite-level sub-floor excess (ADVICE round 11): the 0.5 s absolute
+    * floor means a genuine small regression on any individual sub-
+    * half-second query can never flag — correct per-query (that band IS
+    * this VM's noise), but a BROAD small slowdown (every tiny query
+    * +0.3 s after, say, a session-conf change) would ship silently.
+    * This sums the host-scaled BEST-REP excess over history across
+    * exactly the queries the floor silences (positive excess below the
+    * floor); the bench records it in the JSON line and warns past
+    * `subFloorBudgetSec`. Min-of-reps keeps one-off interference out;
+    * a contended run inflates it, which is why it is a recorded signal
+    * with a loud warning, not an rc-failure — read it TOGETHER with
+    * the contended marker.
+    */
+  def subFloorExcess(current: Seq[(String, Double, Double)],
+      prevMedians: Map[String, Double],
+      probeNow: Double, probePrev: Double): Double = {
+    val ratio = hostRatio(probeNow, probePrev)
+    current.collect {
+      case (name, med, minSec)
+        if med >= 0 && minSec > 0 &&
+          prevMedians.get(name).exists(p => p > 0 &&
+            minSec - p * ratio > 0 &&
+            minSec - p * ratio <= minRegressionExcessSec)
+        => minSec - prevMedians(name) * ratio
+    }.sum
+  }
+
+  /** Warn threshold for [[subFloorExcess]]: ~10 individually-silenced
+    * worst-case excesses — broad damage, not band noise.
+    */
+  val subFloorBudgetSec = 5.0
+
+  /** Deterministic signature of the measured dataset's files
+    * ((name, size) pairs — metadata only, no scan): rides in the bench
+    * line so the shuffle-byte gate can tell "the plan changed" (same
+    * signature, bytes grew → FAIL) from "the driver regenerated the
+    * testdata" (signature moved → bytes are expected to move; warn
+    * only). Order-insensitive via sort.
+    */
+  def inputSignature(files: Seq[(String, Long)]): String = {
+    val canon = files.sortBy(_._1)
+      .map { case (n, sz) => s"$n:$sz" }.mkString("\n")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Newest matching-sf history line's STRING field (e.g. "inputSig");
+    * empty for older lines that predate the field.
+    */
+  def lastHistoryString(lines: Seq[String], sfDir: String,
+      field: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines
+      .flatMap { line =>
+        try Some(mapper.readTree(line)) catch { case _: Exception => None }
+      }
+      .filter(n => n.path("sf").asText() == sfDir)
+      .lastOption
+      .map(_.path(field).asText(""))
+      .getOrElse("")
+  }
+
   /** One-line host fingerprint for the JSON record: logical cpus, max
     * JVM heap, arch — enough to see at a glance that two history lines
     * came from different host generations.

@@ -185,6 +185,112 @@ class BenchSanitySpec extends AnyFunSuite {
       Map("a" -> 0.9), prevM, 0.5, 0.5).isEmpty)
   }
 
+  test("armed byte gate: confirmed growth on unchanged input FAILS; a " +
+      "confirm rep measuring healthy bytes refutes (round-11 listener-" +
+      "bleed class); missing confirm keeps the flag; a moved input " +
+      "signature downgrades everything (driver testdata regen)") {
+    val prev = Map("a" -> 10e6, "b" -> 10e6, "c" -> 10e6)
+    val grew = Seq("a", "b", "c")
+    val confirm = Map(
+      "a" -> 14_000_001L, // still 1.4x on re-measure → real plan change
+      "b" -> 10_500_000L) // re-measure healthy → measurement artifact
+    // c: no confirm → cannot refute → stays flagged
+    assert(BenchMath.shuffleRegressions(grew, confirm, prev,
+      inputSigNow = "s1", inputSigPrev = "s1") === Seq("a", "c"))
+    // regenerated testdata: bytes legitimately move — never a failure
+    assert(BenchMath.shuffleRegressions(grew, confirm, prev,
+      inputSigNow = "s2", inputSigPrev = "s1").isEmpty)
+    // no recorded signature yet (older history): gate stays armed
+    assert(BenchMath.shuffleRegressions(grew, confirm, prev,
+      inputSigNow = "s1", inputSigPrev = "") === Seq("a", "c"))
+    // failed confirm profile (negative) cannot refute
+    assert(BenchMath.shuffleRegressions(Seq("a"), Map("a" -> -1L), prev,
+      "s1", "s1") === Seq("a"))
+  }
+
+  test("the byte gate catches a deliberately injected broadcast-threshold " +
+      "flip end-to-end: profiled shuffle-read bytes of a broadcast join " +
+      "vs the same query forced to shuffle both sides") {
+    val spark = TestSpark.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def runQuery(): Long = {
+      val fact = spark.range(300000L)
+        .select(col("id"), (col("id") % 1000).as("k"))
+      val dim = (0L until 1000L).map(k => (k, s"g${k % 7}")).toDF("k", "grp")
+      val (_, prof) = Metrics.profile(spark) {
+        fact.join(dim, Seq("k")).groupBy("grp")
+          .agg(sum("id").as("s"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      prof.shuffleReadBytes
+    }
+    val healthy = TestSpark.withConfs(
+      "spark.sql.adaptive.enabled" -> "false") { runQuery() }
+    val flipped = TestSpark.withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { runQuery() }
+    assert(flipped > healthy,
+      s"sanity: the forced SMJ must shuffle more ($healthy -> $flipped)")
+    // the flip reads megabytes where the broadcast plan read ~nothing:
+    // growth clears both the 1.3x factor and the 1 MiB floor → flagged
+    val grew = BenchMath.shuffleGrowth(
+      Map("q" -> flipped), Map("q" -> healthy.toDouble))
+    assert(grew === Seq("q"),
+      s"byte gate must flag the flip: $healthy -> $flipped bytes")
+    // and the deterministic confirm re-measure reproduces it → FAILURE
+    assert(BenchMath.shuffleRegressions(grew, Map("q" -> flipped),
+      Map("q" -> healthy.toDouble), "sig", "sig") === Seq("q"))
+  }
+
+  test("contendedRun fires only on many movers with flat shuffle bytes " +
+      "(the r10/r11 official-line signature), never on few movers, a " +
+      "small suite share, or when bytes moved (a real plan change)") {
+    assert(BenchMath.contendedRun(59, 270, shuffleFlat = true))
+    assert(!BenchMath.contendedRun(7, 270, shuffleFlat = true))
+    assert(!BenchMath.contendedRun(8, 270, shuffleFlat = false))
+    assert(BenchMath.contendedRun(8, 266, shuffleFlat = true))
+    assert(!BenchMath.contendedRun(8, 300, shuffleFlat = true))
+  }
+
+  test("subFloorExcess sums only the positive sub-floor excesses the " +
+      "per-query rule silences — flaggable or negative excesses stay " +
+      "out, and the host ratio scales the comparison") {
+    val prev = Map("a" -> 0.2, "b" -> 0.2, "c" -> 0.2, "d" -> 1.0)
+    val cur = Seq(
+      ("a", 0.5, 0.45), // +0.25 s sub-floor excess → counted
+      ("b", 0.2, 0.18), // faster than history → not counted
+      ("c", 1.2, 1.1), // excess 0.9 s > floor → the per-query rule owns it
+      ("d", 1.3, 1.25), // +0.25 s sub-floor excess → counted
+      ("e", 9.0, 9.0)) // no history → ignored
+    val x = BenchMath.subFloorExcess(cur, prev, 0.5, 0.5)
+    assert(math.abs(x - 0.5) < 1e-9, s"expected 0.25+0.25, got $x")
+    // a 3x-degraded host absorbs a's and d's small excesses entirely,
+    // and shrinks c's 0.9 s excess to exactly the floor — c slides from
+    // the per-query rule's jurisdiction into this aggregate (the two
+    // rules partition the positive-excess space at every ratio)
+    val y = BenchMath.subFloorExcess(cur, prev, 1.5, 0.5)
+    assert(math.abs(y - 0.5) < 1e-9, s"expected c's floored excess, got $y")
+  }
+
+  test("inputSignature is order-insensitive, size-sensitive, and " +
+      "name-sensitive; lastHistoryString reads the newest matching-sf " +
+      "line's string field and tolerates its absence") {
+    val a = BenchMath.inputSignature(Seq("x.parquet" -> 10L, "y.parquet" -> 20L))
+    val b = BenchMath.inputSignature(Seq("y.parquet" -> 20L, "x.parquet" -> 10L))
+    assert(a === b)
+    assert(a !== BenchMath.inputSignature(
+      Seq("x.parquet" -> 11L, "y.parquet" -> 20L)))
+    assert(a !== BenchMath.inputSignature(
+      Seq("z.parquet" -> 10L, "y.parquet" -> 20L)))
+    val lines = Seq(
+      """{"sf":"/d","queries":{"a":1.0}}""",
+      """{"sf":"/d","queries":{"a":1.0},"inputSig":"abc123"}""")
+    assert(BenchMath.lastHistoryString(lines, "/d", "inputSig") === "abc123")
+    assert(BenchMath.lastHistoryString(lines.take(1), "/d", "inputSig") === "")
+    assert(BenchMath.lastHistoryString(lines, "/nope", "inputSig") === "")
+  }
+
   test("end-to-end round-5 phantom replay: the driver's degraded-host " +
       "line vs the builder's healthy baseline — calibrated comparison " +
       "clears the uniform-slowdown phantoms raw comparison minted") {

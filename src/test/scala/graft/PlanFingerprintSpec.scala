@@ -84,8 +84,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
         .toMap
       val missing = current.map(_._1).filterNot(baseline.contains)
       val stale = (baseline.keySet -- current.map(_._1).toSet).toSeq.sorted
+      // SPARK_GRAFT_FP_STRICT=1: diagnostic mode that ignores the
+      // exclusion map — used to measure whether the excluded entries
+      // still drift (the goal is an empty map; see sessionStateDependent)
+      val strict = sys.env.get("SPARK_GRAFT_FP_STRICT").contains("1")
       val diffs = current.collect {
-        case (n, f) if !sessionStateDependent.contains(n) &&
+        case (n, f) if (strict || !sessionStateDependent.contains(n)) &&
             baseline.get(n).exists(_ != f) =>
           s"$n:\n  baseline: ${baseline(n)}\n  current:  $f"
       }
