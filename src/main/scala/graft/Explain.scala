@@ -32,6 +32,7 @@ object Explain {
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    EngineConf(spark)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_ == n) }
       .toSeq.sortBy(_._1)

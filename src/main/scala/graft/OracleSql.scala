@@ -6888,6 +6888,106 @@ object OracleSql {
         |    THEN nb END) AS BIGINT) AS p95_bytes
         |FROM r GROUP BY kind ORDER BY kind""".stripMargin)
 
+  /** Shared CTE block for the round-12 directed-structure family: the
+    * purchase-precedence top-5 digraph ([[graft.ops.GraphOps
+    * .precedenceEdges]] twin — identical integer arithmetic and the
+    * same (n DESC, b) window tie-break), its UNION-deduped transitive
+    * closure (terminates on cycles because UNION discards repeats),
+    * and SCC labels as min MUTUAL-reach id — the spec definition the
+    * engine's FW-BW coloring provably computes.
+    */
+  private def sccCtes(maxBasket: Int = 50, topK: Int = 5): String =
+    s"""pitems AS (
+       |  SELECT l_orderkey AS okey, l_partkey AS part,
+       |         min(l_linenumber) AS pos
+       |  FROM lineitem GROUP BY 1, 2),
+       |psized AS (
+       |  SELECT okey, part, pos FROM (
+       |    SELECT okey, part, pos, COUNT(*) OVER (PARTITION BY okey) AS bsz
+       |    FROM pitems)
+       |  WHERE bsz <= $maxBasket),
+       |pdn AS (
+       |  SELECT x.part AS a, y.part AS b, count(*) AS n
+       |  FROM psized x JOIN psized y
+       |    ON x.okey = y.okey AND x.pos < y.pos
+       |  GROUP BY 1, 2),
+       |pde AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b,
+       |           row_number() OVER (PARTITION BY a ORDER BY n DESC, b) AS rk
+       |    FROM pdn)
+       |  WHERE rk <= $topK),
+       |pnds AS (SELECT a AS node FROM pde UNION SELECT b FROM pde),
+       |preach(src, dst) AS (
+       |  SELECT a, b FROM pde
+       |  UNION
+       |  SELECT r.src, e.b FROM preach r JOIN pde e ON e.a = r.dst),
+       |pmutual AS (
+       |  SELECT r1.src AS u, r1.dst AS v
+       |  FROM preach r1 JOIN preach r2
+       |    ON r1.src = r2.dst AND r1.dst = r2.src
+       |  UNION ALL SELECT node, node FROM pnds),
+       |psccl AS (SELECT u AS node, min(v) AS scc_id FROM pmutual
+       |  GROUP BY 1)""".stripMargin
+
+  /** Round-12 additions: the directed-structure family. */
+  val round12: Map[String, String] = Map(
+    // GraphOps.scc twin: nontrivial SCCs (≥ 2 members) with internal
+    // edge counts, scc_id = min member (min mutual-reach id).
+    "graph_scc" ->
+      s"""WITH RECURSIVE ${sccCtes()}
+         |SELECT s.scc_id, s.n_members,
+         |       coalesce(ie.n, CAST(0 AS BIGINT)) AS n_internal_edges
+         |FROM (
+         |  SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM psccl GROUP BY 1 HAVING count(*) >= 2) s
+         |LEFT JOIN (
+         |  SELECT sa.scc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM pde
+         |  JOIN psccl sa ON pde.a = sa.node
+         |  JOIN psccl sb ON pde.b = sb.node
+         |  WHERE sa.scc_id = sb.scc_id GROUP BY 1) ie USING (scc_id)
+         |ORDER BY s.n_members DESC, s.scc_id""".stripMargin,
+
+    // GraphOps.condensation twin: ordered SCC pairs with crossing-edge
+    // counts — the contracted DAG.
+    "graph_condensation" ->
+      s"""WITH RECURSIVE ${sccCtes()}
+         |SELECT sa.scc_id AS scc_a, sb.scc_id AS scc_b,
+         |       CAST(count(*) AS BIGINT) AS n_edges
+         |FROM pde
+         |JOIN psccl sa ON pde.a = sa.node
+         |JOIN psccl sb ON pde.b = sb.node
+         |WHERE sa.scc_id <> sb.scc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // GraphOps.topoLayers twin: longest-path layer per SCC over the
+    // condensation (UNION-deduped depth recursion — bounded by DAG
+    // depth × SCC count), surfaced as the layer histogram.
+    "graph_topo_layers" ->
+      s"""WITH RECURSIVE ${sccCtes()},
+         |pce AS (
+         |  SELECT DISTINCT sa.scc_id AS ca, sb.scc_id AS cb
+         |  FROM pde
+         |  JOIN psccl sa ON pde.a = sa.node
+         |  JOIN psccl sb ON pde.b = sb.node
+         |  WHERE sa.scc_id <> sb.scc_id),
+         |psccs AS (SELECT DISTINCT scc_id FROM psccl),
+         |plp(scc_id, d) AS (
+         |  SELECT scc_id, 0 FROM psccs s
+         |  WHERE NOT EXISTS (SELECT 1 FROM pce WHERE cb = s.scc_id)
+         |  UNION
+         |  SELECT pce.cb, plp.d + 1 FROM plp JOIN pce ON pce.ca = plp.scc_id),
+         |play AS (SELECT scc_id, max(d) AS layer FROM plp GROUP BY 1)
+         |SELECT CAST(l.layer AS BIGINT) AS layer,
+         |       CAST(count(*) AS BIGINT) AS n_sccs,
+         |       CAST(sum(m.n) AS BIGINT) AS n_nodes
+         |FROM play l
+         |JOIN (SELECT scc_id, count(*) AS n FROM psccl GROUP BY 1) m
+         |  USING (scc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL
     * truth (one oracle, two driver-gated engine shapes).

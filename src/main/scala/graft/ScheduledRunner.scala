@@ -78,6 +78,7 @@ object ScheduledRunner {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    EngineConf(spark)
     try withRetries(maxRetries, backoffMs) { tryNo =>
       if (tryNo > 0) System.err.println(s"[scheduled] retry $tryNo")
       runOnce(spark, pinDir, geoDir, userDir, outDir)

@@ -472,6 +472,14 @@ object SparkEntry {
     // round 10: degree-distribution Gini from the degree-domain histogram
     "graph_degree_gini"       -> ((s, d) =>
       graft.ops.GraphOps.degreeGini(s, d)),
+    // round 12: directed structure — SCCs of the purchase-precedence
+    // graph (FW-BW-Trim coloring), its condensation DAG, and the
+    // condensation's longest-path topological layering
+    "graph_scc"               -> ((s, d) => graft.ops.GraphOps.scc(s, d)),
+    "graph_condensation"      -> ((s, d) =>
+      graft.ops.GraphOps.condensation(s, d)),
+    "graph_topo_layers"       -> ((s, d) =>
+      graft.ops.GraphOps.topoLayers(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql
@@ -481,7 +489,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     OracleSql.extended ++ OracleSql.aliased ++ OracleSql.round6 ++
-      OracleSql.round7 ++ OracleSql.round8 ++ OracleSql.round9 ++ Map(
+      OracleSql.round7 ++ OracleSql.round8 ++ OracleSql.round9 ++
+      OracleSql.round12 ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

@@ -930,10 +930,17 @@ object Relational {
     * the SOURCE's reported layout, no write-side bucketing step at all.
     * The `merge` hint keeps the sf-sized fixture on the SortMergeJoin
     * path the lever exists for (a broadcast would bypass the reported
-    * partitioning). The two confs are set WITHOUT restore: both are
-    * no-ops for every non-KeyGrouped source in the registry, and
-    * conf-flipping around a lazy plan would be lost by the time the
-    * action executes.
+    * partitioning). The two confs are the ENGINE SESSION DEFAULTS
+    * ([[graft.EngineConf]]) — the sets below are idempotent no-ops
+    * under any engine entry point and exist only so a standalone
+    * caller on a vanilla session still gets the exchange-free plan.
+    * (Round-12 lesson: these are NOT no-ops for the rest of the
+    * registry — `requireAllClusterKeysForCoPartition=false` lets
+    * EnsureRequirements accept subset-key co-partitioning everywhere,
+    * eliding exchanges in seven other plans; setting them session-wide
+    * from inside one query made those shapes depend on query ORDER,
+    * which the plan-fingerprint gate forbids. The flip lives in
+    * EngineConf now, applied at session setup.)
     *
     * Oracle: the generator's doc_id space is pure arithmetic
     * (`[0, rows)`, `id_bucket = doc_id div bucketSize`), so the

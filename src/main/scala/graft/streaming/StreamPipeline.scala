@@ -901,6 +901,12 @@ object StreamPipeline {
           explode(graft.functions.ShingleHashes.shingleHashes(
             graft.ops.TextOps.tokens(lower(col("text"))), n)).as("h"))
         .persist()
+      // declared here so the finally below can unpersist them on ANY
+      // exit: a mid-batch exception must not leak persisted frames
+      // across foreachBatch retries in a long-lived stream (each retry
+      // would otherwise pin another copy of the batch's shingles)
+      var candH: DataFrame = null
+      var admittedSh: DataFrame = null
       try {
         val bloom = readGateBloom(s, indexPath, applied, bloomCapacity,
           bloomFpp)
@@ -914,7 +920,7 @@ object StreamPipeline {
           ColumnBridge.expression(col("h"))))
         // row-local probe: only these hashes can hit the index (no
         // false negatives), so only these hashes READ the index
-        val candH = batchSh.filter(mightContain).select("h").distinct()
+        candH = batchSh.filter(mightContain).select("h").distinct()
           .persist()
         val nCand = candH.count()
         val indexSh =
@@ -923,11 +929,28 @@ object StreamPipeline {
               .join(candH, Seq("h"), "left_semi")
           else Seq.empty[(Long, Long)].toDF("doc_id", "h")
         // per-doc TOTAL sizes from the sidecars — the candidate-pruned
-        // index read undercounts them by construction
+        // index read undercounts them by construction. A batch whose
+        // szseg sidecar is MISSING (an index built by the plain gate,
+        // which writes no size sidecars, later pointed at this gate)
+        // is healed in place: the sidecar is exactly a per-doc count of
+        // the batch's shingle segment, so rebuild it from seg_<b> and
+        // persist the rebuild (deterministic content — safe on replay)
         val indexSizes =
-          if (applied.nonEmpty)
+          if (applied.nonEmpty) {
+            val fsys = new org.apache.hadoop.fs.Path(indexPath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            applied.filterNot(b => fsys.exists(
+                new org.apache.hadoop.fs.Path(s"$indexPath/szseg_$b")))
+              .foreach { b =>
+                System.err.println(s"[graft] bloom gate: rebuilding " +
+                  s"missing size sidecar szseg_$b from seg_$b")
+                s.read.parquet(s"$indexPath/seg_$b")
+                  .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+                  .write.mode("overwrite")
+                  .parquet(s"$indexPath/szseg_$b")
+              }
             s.read.parquet(applied.map(b => s"$indexPath/szseg_$b"): _*)
-          else Seq.empty[(Long, Long)].toDF("doc_id", "sz")
+          } else Seq.empty[(Long, Long)].toDF("doc_id", "sz")
         val all = indexSh.withColumn("is_new", lit(false))
           .unionByName(batchSh.withColumn("is_new", lit(true)))
         // df parity with the plain gate: candidate h carries its FULL
@@ -959,7 +982,7 @@ object StreamPipeline {
             (col("size_new") + col("size_other") - col("shared")))
           .select(col("doc_new").as("doc_id")).distinct()
         val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
-        val admittedSh = batchSh.join(rejected, Seq("doc_id"), "left_anti")
+        admittedSh = batchSh.join(rejected, Seq("doc_id"), "left_anti")
           .persist()
         admitted.write.mode("overwrite")
           .parquet(s"$outPath/seg_$batchId")
@@ -975,25 +998,33 @@ object StreamPipeline {
           admittedSh.stat.bloomFilter("h", bloomCapacity, bloomFpp))
         writeGateBloom(s, indexPath, bloom)
         swapGateManifest(s, indexPath, applied :+ batchId)
-        admittedSh.unpersist()
-        candH.unpersist()
         nCand
-      } finally batchSh.unpersist()
+      } finally {
+        batchSh.unpersist()
+        if (candH != null) candH.unpersist()
+        if (admittedSh != null) admittedSh.unpersist()
+      }
     }
   }
 
   private def gateBloomPath(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_gate_bloom")
 
-  /** The merged admitted-shingle Bloom sidecar; a missing or unreadable
-    * file is rebuilt exactly from the manifest-listed segments (the
-    * segments are the truth, the Bloom a probe accelerator).
+  /** The merged admitted-shingle Bloom sidecar; a missing, unreadable,
+    * or PARAMETER-INCOMPATIBLE file is rebuilt exactly from the
+    * manifest-listed segments (the segments are the truth, the Bloom a
+    * probe accelerator). Incompatibility matters: a sidecar written
+    * under a different bloomCapacity/bloomFpp has a different bit size,
+    * and `mergeInPlace` on it throws IncompatibleMergeException — a
+    * parameter change would otherwise wedge the stream on every replay
+    * until the sidecar was hand-deleted.
     */
   private[graft] def readGateBloom(s: SparkSession, indexPath: String,
       applied: Seq[Long], capacity: Long,
       fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
     val p = gateBloomPath(indexPath)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val probe = org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
     val stored =
       if (!f.exists(p)) None
       else try {
@@ -1001,7 +1032,13 @@ object StreamPipeline {
         try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
         finally in.close()
       } catch { case _: Exception => None }
-    stored.getOrElse {
+    stored.filter { b =>
+      val ok = b.isCompatible(probe)
+      if (!ok) System.err.println("[graft] bloom gate: stored sidecar " +
+        "was written with different capacity/fpp parameters — " +
+        "rebuilding from the manifest-listed segments")
+      ok
+    }.getOrElse {
       if (applied.isEmpty)
         org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
       else
@@ -1014,6 +1051,216 @@ object StreamPipeline {
       bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val p = gateBloomPath(indexPath)
     val tmp = new org.apache.hadoop.fs.Path(indexPath, "_gate_bloom__tmp")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ---------------------------------------- rotating (TTL'd) admission
+
+  /** TTL'd near-dup admission with ROTATING Bloom GENERATIONS — the
+    * bounded-state form of [[startNearDupGateBloom]] for a stream with
+    * no end (round-11 verdict #8: the one unbounded-state artifact left
+    * in the streaming family). The faithful gates dedup against EVERY
+    * admitted document forever: index segments accumulate without
+    * bound, and a single merged Bloom sized for `bloomCapacity`
+    * insertions sails past its capacity — its false-positive rate
+    * (and so the per-batch index-read fraction) grows monotonically.
+    *
+    * This gate dedups against the last `windowBatches` batches only —
+    * the admission contract becomes "reject near-dups of anything
+    * admitted within the TTL", the standard semantics for unbounded
+    * streams (old content re-admits by design). State is bounded three
+    * ways: (a) segments older than the window are DELETED after each
+    * commit; (b) admitted-hash Blooms are kept per GENERATION of
+    * `genSize` consecutive batches, each sized `bloomCapacity`, so no
+    * filter ever exceeds its design capacity — the probe merges the
+    * ≤ ⌈window/genSize⌉+1 active generations (O(window/genSize) work,
+    * not O(stream)); (c) generations wholly outside the window are
+    * deleted with their segments. Decisions are bit-identical to the
+    * plain gate restricted to the same window (Bloom has no false
+    * negatives; the exact postings join still decides).
+    *
+    * Crash discipline is inherited: segments + sidecars + generation
+    * Bloom land BEFORE the manifest swap (pre-swap crash ⇒ orphaned
+    * files invisible to readers, Bloom pollution is false-positive-only
+    * and idempotent on replay); GC runs AFTER the swap, and a crash
+    * mid-GC just leaves unreferenced files the next commit re-deletes.
+    * A missing/incompatible generation Bloom rebuilds from that
+    * generation's SURVIVING segments — hashes of already-GC'd batches
+    * are dead weight the rebuild correctly drops.
+    */
+  def startNearDupGateRotating(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, n: Int = 3,
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000,
+      windowBatches: Int = 8, genSize: Int = 4,
+      bloomCapacity: Long = 1L << 22,
+      bloomFpp: Double = 0.01): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyNearDupGateRotatingBatch(batch, indexPath, outPath, batchId,
+          n, thresholdPct, maxShingleDf, windowBatches, genSize,
+          bloomCapacity, bloomFpp): Unit
+      }
+      .start()
+
+  /** One rotating-admission micro-batch (spec-drivable). Returns the
+    * Bloom-candidate hash count like the Bloom gate (-1 = replayed
+    * no-op).
+    */
+  private[graft] def applyNearDupGateRotatingBatch(batch: DataFrame,
+      indexPath: String, outPath: String, batchId: Long, n: Int = 3,
+      thresholdPct: Int = 60, maxShingleDf: Int = 1000,
+      windowBatches: Int = 8, genSize: Int = 4,
+      bloomCapacity: Long = 1L << 22, bloomFpp: Double = 0.01): Long = {
+    require(windowBatches >= 1 && genSize >= 1)
+    val s = batch.sparkSession
+    import s.implicits._
+    val applied = gateManifest(s, indexPath)
+    if (applied.contains(batchId)) -1L
+    else {
+      // the TTL: batch a is still deduped-against iff it is at most
+      // windowBatches behind this one
+      val active = applied.filter(a => batchId - a <= windowBatches)
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val batchSh = batch.select(col("doc_id"),
+          explode(graft.functions.ShingleHashes.shingleHashes(
+            graft.ops.TextOps.tokens(lower(col("text"))), n)).as("h"))
+        .persist()
+      var candH: DataFrame = null
+      try {
+        // merged probe filter over the ACTIVE generations only
+        val bloom = org.apache.spark.util.sketch.BloomFilter
+          .create(bloomCapacity, bloomFpp)
+        active.map(_ / genSize).distinct.foreach { g =>
+          bloom.mergeInPlace(readGenBloom(s, indexPath, g,
+            active.filter(_ / genSize == g), bloomCapacity, bloomFpp))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        import org.apache.spark.sql.graft.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.{
+          BloomFilterMightContain, Literal}
+        val mightContain = ColumnBridge.column(BloomFilterMightContain(
+          Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(col("h"))))
+        candH = batchSh.filter(mightContain).select("h").distinct()
+          .persist()
+        val nCand = candH.count()
+        val indexSh =
+          if (active.nonEmpty && nCand > 0)
+            s.read.parquet(active.map(b => s"$indexPath/seg_$b"): _*)
+              .join(candH, Seq("h"), "left_semi")
+          else Seq.empty[(Long, Long)].toDF("doc_id", "h")
+        val indexSizes =
+          if (active.nonEmpty)
+            s.read.parquet(active.map(b => s"$indexPath/szseg_$b"): _*)
+          else Seq.empty[(Long, Long)].toDF("doc_id", "sz")
+        val all = indexSh.withColumn("is_new", lit(false))
+          .unionByName(batchSh.withColumn("is_new", lit(true)))
+        val pairForming = all.groupBy("h")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, maxShingleDf))
+          .select("h")
+        val postings = all.join(pairForming, Seq("h"))
+        val newSide = postings.filter(col("is_new"))
+          .select(col("h"), col("doc_id").as("doc_new"))
+        val otherSide = postings.select(col("h"),
+          col("doc_id").as("doc_other"), col("is_new").as("other_new"))
+        val shared = newSide.join(otherSide, Seq("h"))
+          .filter(col("doc_other") =!= col("doc_new"))
+          .filter(!col("other_new") || col("doc_other") < col("doc_new"))
+          .groupBy("doc_new", "doc_other")
+          .agg(count(lit(1)).as("shared"))
+        val sizes = batchSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          .unionByName(indexSizes)
+          .groupBy("doc_id").agg(sum(col("sz")).as("sz"))
+        val rejected = shared
+          .join(sizes.select(col("doc_id").as("doc_new"),
+            col("sz").as("size_new")), Seq("doc_new"))
+          .join(sizes.select(col("doc_id").as("doc_other"),
+            col("sz").as("size_other")), Seq("doc_other"))
+          .filter(col("shared") * 100 >= lit(thresholdPct) *
+            (col("size_new") + col("size_other") - col("shared")))
+          .select(col("doc_new").as("doc_id")).distinct()
+        val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+        val admittedSh = batchSh.join(rejected, Seq("doc_id"), "left_anti")
+        admitted.write.mode("overwrite")
+          .parquet(s"$outPath/seg_$batchId")
+        admittedSh.write.mode("overwrite")
+          .parquet(s"$indexPath/seg_$batchId")
+        admittedSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          .write.mode("overwrite").parquet(s"$indexPath/szseg_$batchId")
+        // this batch's generation: merge admitted hashes in, write back
+        val g = batchId / genSize
+        val genBloom = readGenBloom(s, indexPath, g,
+          active.filter(_ / genSize == g), bloomCapacity, bloomFpp)
+        genBloom.mergeInPlace(
+          admittedSh.stat.bloomFilter("h", bloomCapacity, bloomFpp))
+        writeGenBloom(s, indexPath, g, genBloom)
+        swapGateManifest(s, indexPath, applied :+ batchId)
+        // GC AFTER the swap: expired segments and wholly-expired
+        // generations (idempotent — a crash here re-deletes next commit)
+        applied.filter(a => batchId - a > windowBatches).foreach { a =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$indexPath/seg_$a"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$indexPath/szseg_$a"), true)
+        }
+        val liveGens = (applied :+ batchId)
+          .filter(a => batchId - a <= windowBatches)
+          .map(_ / genSize).toSet
+        (applied :+ batchId).map(_ / genSize).distinct
+          .filterNot(liveGens.contains).foreach { dead =>
+            fs.delete(genBloomPath(indexPath, dead), false)
+          }
+        nCand
+      } finally {
+        batchSh.unpersist()
+        if (candH != null) candH.unpersist()
+      }
+    }
+  }
+
+  private def genBloomPath(indexPath: String, gen: Long) =
+    new org.apache.hadoop.fs.Path(indexPath, s"_gate_bloom_gen_$gen")
+
+  /** One generation's admitted-hash Bloom; missing, unreadable, or
+    * parameter-incompatible files rebuild from the generation's
+    * surviving active segments (empty filter when none survive).
+    */
+  private[graft] def readGenBloom(s: SparkSession, indexPath: String,
+      gen: Long, activeInGen: Seq[Long], capacity: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val p = genBloomPath(indexPath, gen)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val probe = org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+    val stored =
+      if (!f.exists(p)) None
+      else try {
+        val in = f.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      } catch { case _: Exception => None }
+    stored.filter(_.isCompatible(probe)).getOrElse {
+      if (activeInGen.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+      else
+        s.read.parquet(activeInGen.map(b => s"$indexPath/seg_$b"): _*)
+          .stat.bloomFilter("h", capacity, fpp)
+    }
+  }
+
+  private[graft] def writeGenBloom(s: SparkSession, indexPath: String,
+      gen: Long, bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = genBloomPath(indexPath, gen)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath,
+      s"_gate_bloom_gen_${gen}__tmp")
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = f.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
@@ -1320,9 +1567,12 @@ object StreamPipeline {
         if (TableSink.hasParquet(s, path)) {
           val t = s.read.parquet(path)
           // schema forward-compat: a state table written before the
-          // max-seen watermark landed simply starts tracking now
-          if (t.columns.contains("max_us")) t
-          else t.withColumn("max_us", lit(null).cast("long"))
+          // max-seen watermark (or the out-of-order counter) landed
+          // simply starts tracking now
+          val t1 = if (t.columns.contains("max_us")) t
+            else t.withColumn("max_us", lit(null).cast("long"))
+          if (t1.columns.contains("ooo_events")) t1
+          else t1.withColumn("ooo_events", lit(0L))
         } else null
       val joined = (
         if (prev != null) prev.join(per, Seq("user_id"), "full_outer")
@@ -1330,19 +1580,28 @@ object StreamPipeline {
           .withColumn("t2", lit(null).cast("long"))
           .withColumn("t3", lit(null).cast("long"))
           .withColumn("max_us", lit(null).cast("long"))
+          .withColumn("ooo_events", lit(0L))
       ).localCheckpoint() // consumed by the contract probe AND the merge
       // the ordered-slicing contract, probed: a user whose batch slice
       // starts BEFORE their stored max-seen time arrived out of event-
       // time order — their stage times may have missed qualifying
       // events, so say so loudly instead of diverging silently
-      val nOoo = joined.filter(col("bmin").isNotNull
-        && col("max_us").isNotNull && col("bmin") < col("max_us")).count()
+      val oooFlag = col("bmin").isNotNull &&
+        col("max_us").isNotNull && col("bmin") < col("max_us")
+      val nOoo = joined.filter(oooFlag).count()
       if (nOoo > 0)
         System.err.println(s"[graft] funnel sink batch $batchId: $nOoo " +
           "user(s) arrived OUT OF EVENT-TIME ORDER (batch min < stored " +
           "max-seen) — the ordered-slicing premise is violated and late " +
           "stage events may have been missed; replay the stream in " +
           "event-time order to recover exact funnel state")
+      // …and PERSISTED, not just logged (round-11 verdict #4): each
+      // user's cumulative out-of-order arrival count rides in the state
+      // table itself — committed in the SAME atomic swap as the stage
+      // times (no second table, no torn-metrics window; a replayed
+      // batch no-ops through the ledger like every other column), so a
+      // monitoring query (`sum(ooo_events) > 0`) detects the violated
+      // premise without access to driver logs
       val merged = joined
         .withColumn("t1n", least(col("t1"), col("bv")))
         .withColumn("t2n", least(col("t2"), expr(
@@ -1351,10 +1610,27 @@ object StreamPipeline {
           s"array_min(filter(bp, x -> x > t2n AND x <= t2n + $winUs))")))
         .select(col("user_id"), col("t1n").as("t1"),
           col("t2n").as("t2"), col("t3n").as("t3"),
-          greatest(col("max_us"), col("bmax")).as("max_us"))
+          greatest(col("max_us"), col("bmax")).as("max_us"),
+          (coalesce(col("ooo_events"), lit(0L)) +
+            when(oooFlag, 1L).otherwise(0L)).as("ooo_events"))
       TableSink.commit(s, path, batchId, merged)
       nOoo
     }
+  }
+
+  /** Monitoring face of the funnel state table's ordered-slicing
+    * contract: total users, users that EVER arrived out of event-time
+    * order, and the summed violation count — the query a dashboard
+    * polls to learn the funnel's premise was violated (nonzero ⇒
+    * replay the stream in event-time order to recover exact state).
+    */
+  def funnelOooReadout(s: SparkSession, path: String): DataFrame = {
+    val st = s.read.parquet(path)
+    val ooo = if (st.columns.contains("ooo_events")) col("ooo_events")
+      else lit(0L)
+    st.agg(count(lit(1)).as("n_users"),
+      sum(when(ooo > 0, 1L).otherwise(0L)).as("n_ooo_users"),
+      sum(ooo).as("n_ooo_events"))
   }
 
   /** [[startFunnelSink]]'s readout: the same (stage, n_users,

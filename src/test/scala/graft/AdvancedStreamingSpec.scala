@@ -226,6 +226,114 @@ class AdvancedStreamingSpec extends AnyFunSuite {
       === Set(0L, 1L, 2L, 4L))
   }
 
+  test("Bloom gate parameter change mid-stream: a sidecar written under " +
+      "different capacity/fpp is rebuilt (not merged — the old behavior " +
+      "threw IncompatibleMergeException and wedged every replay), and a " +
+      "plain-gate-built index (no size sidecars) is healed by " +
+      "rebuilding szseg from the shingle segments — decisions still " +
+      "bit-identical to the plain gate") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("neardup-bloom-compat").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val dupText = "the quick brown fox jumps over the lazy dog again"
+    val b0 = batch(
+      (0L, dupText),
+      (1L, "completely different words arranged in another order here"))
+    val b1 = batch(
+      (2L, dupText), // cross-batch dup of 0 → must still be rejected
+      (3L, "yet another entirely novel document with fresh content words"))
+    // plain-gate twin for decision parity
+    val (pIdx, pOut) = (s"$base/p_index", s"$base/p_out")
+    StreamPipeline.applyNearDupGateBatch(b0, pIdx, pOut, 0L)
+    StreamPipeline.applyNearDupGateBatch(b1, pIdx, pOut, 1L)
+    // (a) capacity change between batches: batch 0 writes a 2^22 bloom,
+    // batch 1 runs with 2^20 — readGateBloom must detect the
+    // incompatible sidecar and rebuild at the CURRENT parameters
+    val (aIdx, aOut) = (s"$base/a_index", s"$base/a_out")
+    StreamPipeline.applyNearDupGateBloomBatch(b0, aIdx, aOut, 0L,
+      bloomCapacity = 1L << 22)
+    StreamPipeline.applyNearDupGateBloomBatch(b1, aIdx, aOut, 1L,
+      bloomCapacity = 1L << 20) // would throw IncompatibleMergeException
+    def admitted(out: String, idx: String) =
+      StreamPipeline.readGateAdmitted(spark, out, idx)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted(aOut, aIdx) === admitted(pOut, pIdx),
+      "parameter-change recovery diverged from the plain gate")
+    // (b) gate-variant migration: an index built by the PLAIN gate has
+    // segments + manifest but no szseg size sidecars; pointing the
+    // Bloom gate at it must heal the sidecars from seg_<b> and decide
+    // identically (previously failed the batch unrecoverably)
+    val (mIdx, mOut) = (s"$base/m_index", s"$base/m_out")
+    StreamPipeline.applyNearDupGateBatch(b0, mIdx, mOut, 0L)
+    val fs = new org.apache.hadoop.fs.Path(mIdx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mIdx/szseg_0")),
+      "sanity: the plain gate writes no size sidecars")
+    StreamPipeline.applyNearDupGateBloomBatch(b1, mIdx, mOut, 1L)
+    assert(admitted(mOut, mIdx) === admitted(pOut, pIdx),
+      "plain→Bloom index migration diverged from the plain gate")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mIdx/szseg_0")),
+      "the missing size sidecar must be healed in place")
+  }
+
+  test("rotating (TTL'd) Bloom-generation gate: a recent dup is " +
+      "rejected, the same content RE-ADMITS once its source batch " +
+      "falls out of the window, expired segments and wholly-expired " +
+      "generation Blooms are deleted (bounded state on an unbounded " +
+      "stream), and with the window covering the whole stream the " +
+      "decisions equal the plain gate's") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("neardup-rotating").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val dupText = "the quick brown fox jumps over the lazy dog again"
+    val fresh = Seq(
+      "completely different words arranged in another order here",
+      "yet another entirely novel document with fresh content words",
+      "grapes ferment slowly under the autumn moonlight tonight",
+      "nothing in this sentence resembles anything admitted before")
+    // window=1, genSize=1: batch b dedups against batch b-1 only
+    val (idx, out) = (s"$base/index", s"$base/out")
+    def apply(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamPipeline.applyNearDupGateRotatingBatch(b, idx, out, id,
+        windowBatches = 1, genSize = 1)
+    apply(batch((0L, dupText), (1L, fresh(0))), 0L)
+    apply(batch((2L, dupText), (3L, fresh(1))), 1L) // dup of 0 → reject
+    apply(batch((4L, fresh(2))), 2L) // batch 0 expires here
+    apply(batch((5L, dupText), (6L, fresh(3))), 3L) // TTL'd → re-admit
+    val admitted = StreamPipeline.readGateAdmitted(spark, out, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(0L, 1L, 3L, 4L, 5L, 6L),
+      "recent dup must reject; expired dup must re-admit")
+    // bounded state: only the window's segments + generations survive
+    val files = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(!files.contains("seg_0") && !files.contains("szseg_0"),
+      s"expired segment not GC'd: $files")
+    assert(!files.contains("_gate_bloom_gen_0"),
+      s"expired generation Bloom not GC'd: $files")
+    assert(files.contains("seg_3") && files.contains("_gate_bloom_gen_3"))
+    // replayed id is a no-op
+    assert(apply(batch((9L, dupText)), 3L) === -1L)
+    // parity: window covering the whole stream ≡ the plain gate
+    val (pIdx, pOut) = (s"$base/p_index", s"$base/p_out")
+    val (rIdx, rOut) = (s"$base/r_index", s"$base/r_out")
+    val batches = Seq(
+      batch((0L, dupText), (1L, fresh(0))),
+      batch((2L, dupText), (3L, fresh(1))),
+      batch((4L, dupText), (5L, fresh(2))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamPipeline.applyNearDupGateBatch(b, pIdx, pOut, i.toLong)
+      StreamPipeline.applyNearDupGateRotatingBatch(b, rIdx, rOut,
+        i.toLong, windowBatches = 100, genSize = 2)
+    }
+    def got(o: String, i: String) =
+      StreamPipeline.readGateAdmitted(spark, o, i)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got(rOut, rIdx) === got(pOut, pIdx),
+      "full-window rotating gate diverged from the plain gate")
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session, " +
       "emitted once in append mode") {
     import spark.implicits._
@@ -722,6 +830,23 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     assert(straddlers > 0, "fixture must have users on both sides")
     assert(nOoo === straddlers,
       s"expected every straddling user flagged: $nOoo vs $straddlers")
+    // the violation is QUERYABLE, not just logged (round-11 verdict #4):
+    // the state table carries per-user cumulative ooo counts and the
+    // monitoring readout reports exactly the straddling users
+    val m = StreamPipeline.funnelOooReadout(spark, path).collect()(0)
+    assert(m.getLong(1) === straddlers,
+      s"persisted ooo-user count must match: ${m.getLong(1)}")
+    assert(m.getLong(2) === straddlers,
+      "each straddler arrived out of order exactly once here")
+    // an ordered stream leaves the counter at zero end to end (the
+    // converging-slicing spec above writes its own table; assert on a
+    // fresh ordered rebuild so the zero is earned, not vacuous)
+    val p2 = s"$dir/state_ordered"
+    StreamPipeline.applyFunnelBatch(slice(s"< $mid"), p2, 0)
+    StreamPipeline.applyFunnelBatch(slice(s">= $mid"), p2, 1)
+    val m2 = StreamPipeline.funnelOooReadout(spark, p2).collect()(0)
+    assert(m2.getLong(1) === 0L && m2.getLong(2) === 0L,
+      "ordered delivery must leave a zero persisted ooo count")
   }
 
   test("TableSink ledger: replayed batch ids read as applied, later ids " +

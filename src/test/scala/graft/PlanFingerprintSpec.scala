@@ -22,34 +22,34 @@ class PlanFingerprintSpec extends AnyFunSuite {
 
   private val baselinePath = java.nio.file.Paths.get("plans/fingerprints.tsv")
 
-  /** Queries whose operator tree varies with SESSION HISTORY, not code:
-    * they plan over memoized localCheckpoint/cache frames whose
-    * partitioning METADATA depends on which suite materialized them
-    * first (a frame checkpointed while hash-partitioned reports that
-    * partitioning and downstream exchanges elide; cold-built it
-    * reports unknown and they don't). Both shapes are correct and the
-    * difference is an exchange on a SMALL (cached/derived) frame —
-    * PlanLintSpec still bounds these plans; the fingerprint equality
-    * check skips them so the gate never fails on materialization
-    * order. Each still requires a committed baseline line (the
-    * cold-start shape, for human diffing).
+  /** Queries whose operator tree varies with SESSION HISTORY, not code.
+    * EMPTY since round 12 — all 7 former entries (dedup_simhash_audit,
+    * emb_dim_truncation, emb_recall_audit, ev_segment_exclusive/overlap,
+    * graph_jaccard_neighbors, graph_modularity) turned out to share ONE
+    * root cause, found by bisection: `storagePartitionedJoinAgg` set
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` session-wide
+    * without restore, so whether those seven plans' subset-key
+    * exchanges elided depended on whether that query had run first in
+    * the session (round-11 attribution to "cache partitioning metadata"
+    * was wrong). The conf is now the deterministic session default
+    * ([[graft.EngineConf]]), every entry point applies it, and all 270
+    * plans are pinned. The map stays as the documented mechanism in
+    * case a genuinely state-dependent plan ever appears — with its
+    * sanity test keeping entries honest.
     */
-  private val sessionStateDependent: Map[String, String] = Map(
-    "dedup_simhash_audit" -> "simhash cache partitioning metadata",
-    "emb_dim_truncation" -> "embedding cache partitioning metadata",
-    "emb_recall_audit" -> "embedding cache partitioning metadata",
-    "ev_segment_exclusive" -> "per-type sketch cache metadata",
-    "ev_segment_overlap" -> "per-type sketch cache metadata",
-    "graph_jaccard_neighbors" -> "edge checkpoint partitioning metadata",
-    "graph_modularity" -> "edge checkpoint partitioning metadata")
+  private val sessionStateDependent: Map[String, String] = Map.empty
 
   private def computeAll(): Seq[(String, String)] =
-    TestSpark.withConfs(
+    TestSpark.withConfs(Seq(
       "spark.sql.adaptive.enabled" -> "false",
       // the Explain-session conf: bucketed scans report their sort
       // order, so the bucketed queries fingerprint their exchange-free
       // shape (the shape the snapshot audit certifies)
-      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+      // the engine session defaults, re-asserted here so a prior suite
+      // that mutated them cannot leak into the fingerprint pass (the
+      // round-12 root cause class)
+      ++ EngineConf.confs: _*) {
       // COLD cache state first: several operators plan over
       // Caches-registered persisted/checkpointed frames, and a frame
       // cached by an EARLIER suite carries different partitioning
@@ -84,12 +84,8 @@ class PlanFingerprintSpec extends AnyFunSuite {
         .toMap
       val missing = current.map(_._1).filterNot(baseline.contains)
       val stale = (baseline.keySet -- current.map(_._1).toSet).toSeq.sorted
-      // SPARK_GRAFT_FP_STRICT=1: diagnostic mode that ignores the
-      // exclusion map — used to measure whether the excluded entries
-      // still drift (the goal is an empty map; see sessionStateDependent)
-      val strict = sys.env.get("SPARK_GRAFT_FP_STRICT").contains("1")
       val diffs = current.collect {
-        case (n, f) if (strict || !sessionStateDependent.contains(n)) &&
+        case (n, f) if !sessionStateDependent.contains(n) &&
             baseline.get(n).exists(_ != f) =>
           s"$n:\n  baseline: ${baseline(n)}\n  current:  $f"
       }

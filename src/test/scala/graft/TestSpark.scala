@@ -15,6 +15,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the engine's standard planner confs — specs must plan in the same
+    // environment the mains do (see EngineConf's round-12 docstring)
+    EngineConf(s)
     s
   }
 
