@@ -144,6 +144,9 @@ class ScalingSpec extends AnyFunSuite {
           case ScalingClasses.InputLinear =>
             if (shR < inR * 3) None
             else bad("super-linear shuffle growth")
+          case ScalingClasses.PairBounded(_) =>
+            if (shR < inR * inR / 2) None
+            else bad("pair mass past the capped-quadratic band")
           case ScalingClasses.Fixed(_) =>
             if (pb.shuffleReadBytes <
                 math.max(4L * ps.shuffleReadBytes, floor)) None
