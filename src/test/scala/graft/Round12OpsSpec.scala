@@ -65,6 +65,23 @@ class Round12OpsSpec extends AnyFunSuite {
       s"served anfDiameter ran ${prof.jobs} jobs — artifact not reused?")
   }
 
+  test("the planner session environment is the EngineConf defaults, and " +
+      "building the SPJ query leaves it UNCHANGED — the round-12 conf " +
+      "leak (an op flipping requireAllClusterKeysForCoPartition " +
+      "session-wide) made seven plans depend on query order; this pins " +
+      "the contract that query construction never drifts the session") {
+    EngineConf.confs.foreach { case (k, v) =>
+      assert(spark.conf.get(k) === v, s"session missing engine default $k")
+    }
+    val before = EngineConf.confs.map { case (k, _) => k -> spark.conf.get(k) }
+    graft.ops.Relational.storagePartitionedJoinAgg(spark)
+      .queryExecution.executedPlan // force planning
+    before.foreach { case (k, v) =>
+      assert(spark.conf.get(k) === v,
+        s"building a query drifted session conf $k")
+    }
+  }
+
   test("sccFromEdges on the hand bow-tie (3-cycle → 2-cycle → sink, " +
       "plus an upstream chain): FW-BW-Trim coloring emits exactly the " +
       "min-mutual-reach labels Tarjan would") {
