@@ -203,6 +203,13 @@ object Bench {
     // line's median at the same SF, scaled by probeScore/prevProbe —
     // min-vs-median absorbs in-run interference, the probe ratio absorbs
     // cross-host drift; only code-got-slower survives both
+    // History comparisons never cross JVM heap classes (round-13 verdict
+    // #2): lines recorded under an 8 GB heap and an 89 GB heap are two GC
+    // regimes — the probe absorbs CPU drift but not GC-pressure
+    // differences, so all three history readers filter to lines whose
+    // maxHeapGb is within 2x of this JVM's.
+    val heapNowGb =
+      Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
     val (prevMedians, prevMins, prevProbe) = try {
       val hist = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(hist))
@@ -210,7 +217,8 @@ object Bench {
       else {
         import scala.jdk.CollectionConverters._
         BenchMath.lastHistoryEntry(
-          java.nio.file.Files.readAllLines(hist).asScala.toSeq, sfDir)
+          java.nio.file.Files.readAllLines(hist).asScala.toSeq, sfDir,
+          heapNowGb)
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] history read failed: ${e.getMessage}")
@@ -233,8 +241,10 @@ object Bench {
         java.nio.file.Files.readAllLines(hist).asScala.toSeq
       }
     } catch { case _: Exception => Seq.empty[String] }
-    val prevShuffle = BenchMath.lastHistoryMap(histLines, sfDir, "shuffleRead")
-    val prevInputSig = BenchMath.lastHistoryString(histLines, sfDir, "inputSig")
+    val prevShuffle = BenchMath.lastHistoryMap(
+      histLines, sfDir, "shuffleRead", heapNowGb)
+    val prevInputSig = BenchMath.lastHistoryString(
+      histLines, sfDir, "inputSig", heapNowGb)
     val inputSig = BenchMath.inputSignature(
       Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet"))
@@ -256,15 +266,32 @@ object Bench {
     val movers0 = BenchMath.contentionMovers(
       results.map { case (n, med, mn, _, _) => (n, med, mn) },
       prevMins, probeScore, prevProbe)
+    // the sub-floor clause (round-13 verdict #1): the 17:54 r12 run
+    // (+36%, flat bytes) evaded the mover rule with 4 movers because the
+    // damage was spread below the per-query floor — over-budget
+    // sub-floor excess with flat bytes is the same contention signature,
+    // and its material contributors get the same post-burst re-measure
+    val subFloor0 = BenchMath.subFloorExcess(
+      results.map { case (n, med, mn, _, _) => (n, med, mn) },
+      prevMedians, probeScore, prevProbe)
     val contended = BenchMath.contendedRun(
-      movers0.size, results.size, shuffleGrew.isEmpty)
+      movers0.size, results.size, shuffleGrew.isEmpty, subFloor0)
     val firstPass = scala.collection.mutable.Map.empty[String, Double]
     val finalResults =
       if (!contended) results
       else {
-        System.err.println(s"[bench] CONTENDED RUN: ${movers0.size} movers " +
-          "with flat shuffle bytes — re-measuring each mover post-run")
-        val moverSet = movers0.toSet
+        val contributors =
+          if (subFloor0 > BenchMath.subFloorBudgetSec)
+            BenchMath.subFloorContributors(
+              results.map { case (n, med, mn, _, _) => (n, med, mn) },
+              prevMedians, probeScore, prevProbe)
+          else Nil
+        val remeasure = (movers0 ++ contributors).distinct
+        System.err.println(s"[bench] CONTENDED RUN: ${movers0.size} movers" +
+          f" + ${contributors.size} sub-floor contributors " +
+          f"(excess $subFloor0%.1f s) with flat shuffle bytes — " +
+          "re-measuring each post-run")
+        val moverSet = remeasure.toSet
         results.map {
           case r @ (name, med, _, _, _) if moverSet.contains(name) && med >= 0 =>
             val fn = SparkEntry.queries(name)

@@ -116,6 +116,20 @@ object BenchMath {
     }
   }
 
+  /** Round-13 (verdict #2): history lines alternated `maxHeapGb` 8.0 and
+    * 89.0 within the same day — two GC regimes in one history population
+    * (the probe ratio absorbs CPU contention but an 11× heap changes GC
+    * pressure per query, not uniformly). Two heap figures are the same
+    * CLASS when they are within 2× of each other; an unknown heap (0 —
+    * pre-fingerprint lines, or a caller that doesn't care) matches
+    * everything, so old history and existing spec replays keep working.
+    * All three history readers filter by this, so the comparison
+    * provably never crosses heap classes.
+    */
+  def sameHeapClass(prevGb: Double, nowGb: Double): Boolean =
+    prevGb <= 0 || nowGb <= 0 ||
+      math.max(prevGb, nowGb) / math.min(prevGb, nowGb) < 2.0
+
   /** Parse the newest history line for `sfDir` out of bench_history.jsonl
     * content: (per-query medians, per-query min reps, probe score).
     * Probe score is 0 for pre-calibration lines (→ [[hostRatio]] falls
@@ -123,7 +137,8 @@ object BenchMath {
     * emitted. Malformed lines are skipped, never fatal — the bench must
     * run on a truncated or hand-edited history file.
     */
-  def lastHistoryEntry(lines: Seq[String], sfDir: String)
+  def lastHistoryEntry(lines: Seq[String], sfDir: String,
+      heapNowGb: Double = 0.0)
       : (Map[String, Double], Map[String, Double], Double) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
@@ -131,7 +146,9 @@ object BenchMath {
       .flatMap { line =>
         try Some(mapper.readTree(line)) catch { case _: Exception => None }
       }
-      .filter(n => n.path("sf").asText() == sfDir)
+      .filter(n => n.path("sf").asText() == sfDir &&
+        sameHeapClass(n.path("host").path("maxHeapGb").asDouble(0.0),
+          heapNowGb))
       .lastOption
       .map { n =>
         val meds = n.path("queries").fields().asScala
@@ -149,14 +166,16 @@ object BenchMath {
     * lines) or no line matches.
     */
   def lastHistoryMap(lines: Seq[String], sfDir: String,
-      field: String): Map[String, Double] = {
+      field: String, heapNowGb: Double = 0.0): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
     lines
       .flatMap { line =>
         try Some(mapper.readTree(line)) catch { case _: Exception => None }
       }
-      .filter(n => n.path("sf").asText() == sfDir)
+      .filter(n => n.path("sf").asText() == sfDir &&
+        sameHeapClass(n.path("host").path("maxHeapGb").asDouble(0.0),
+          heapNowGb))
       .lastOption
       .map(_.path(field).fields().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap)
@@ -212,10 +231,23 @@ object BenchMath {
     * main sweep (temporally outside the burst) and commits the cleaner
     * numbers, stamping the line `"contended": true` so the artifact
     * says which kind of run it memorializes.
+    *
+    * Round-13 (verdict #1): the ≥8-mover rule alone has a hole its own
+    * round-12 artifacts demonstrated — a 341.5 s run (+36% vs the 251.8 s
+    * same-code clean line, flat bytes) evaded it with only 4 movers
+    * because the damage was spread across many sub-floor queries, and
+    * the official line shipped with subFloorExcess 5.25 > the 5.0 budget
+    * while a cleaner line existed. Over-budget sub-floor spread with
+    * flat shuffle bytes is the SAME busy-VM signature (broad wall-clock
+    * damage no code change explains without moving a byte), so it now
+    * trips the marker too, and the bench re-measures the material
+    * sub-floor contributors mover-style.
     */
   def contendedRun(nMovers: Int, nQueries: Int,
-      shuffleFlat: Boolean): Boolean =
-    shuffleFlat && nMovers >= 8 && nMovers * 100 >= nQueries * 3
+      shuffleFlat: Boolean, subFloorExcessSec: Double = 0.0): Boolean =
+    shuffleFlat && (
+      (nMovers >= 8 && nMovers * 100 >= nQueries * 3) ||
+        subFloorExcessSec > subFloorBudgetSec)
 
   /** Suite-level sub-floor excess (ADVICE round 11): the 0.5 s absolute
     * floor means a genuine small regression on any individual sub-
@@ -249,6 +281,29 @@ object BenchMath {
     */
   val subFloorBudgetSec = 5.0
 
+  /** The queries to re-measure when [[contendedRun]] fired via the
+    * sub-floor clause: every query contributing sub-floor excess past a
+    * materiality cut (default 0.1 s — below that, one rep's re-measure
+    * costs more than the excess it could clear, and on a 273-query
+    * suite the near-zero tail would triple the re-measure pass without
+    * moving the sum). Same selection arithmetic as [[subFloorExcess]],
+    * returning names instead of the sum.
+    */
+  def subFloorContributors(current: Seq[(String, Double, Double)],
+      prevMedians: Map[String, Double],
+      probeNow: Double, probePrev: Double,
+      minExcessSec: Double = 0.1): Seq[String] = {
+    val ratio = hostRatio(probeNow, probePrev)
+    current.collect {
+      case (name, med, minSec)
+        if med >= 0 && minSec > 0 &&
+          prevMedians.get(name).exists(p => p > 0 &&
+            minSec - p * ratio > minExcessSec &&
+            minSec - p * ratio <= minRegressionExcessSec)
+        => name
+    }
+  }
+
   /** Deterministic signature of the measured dataset's files
     * ((name, size) pairs — metadata only, no scan): rides in the bench
     * line so the shuffle-byte gate can tell "the plan changed" (same
@@ -267,13 +322,15 @@ object BenchMath {
     * empty for older lines that predate the field.
     */
   def lastHistoryString(lines: Seq[String], sfDir: String,
-      field: String): String = {
+      field: String, heapNowGb: Double = 0.0): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     lines
       .flatMap { line =>
         try Some(mapper.readTree(line)) catch { case _: Exception => None }
       }
-      .filter(n => n.path("sf").asText() == sfDir)
+      .filter(n => n.path("sf").asText() == sfDir &&
+        sameHeapClass(n.path("host").path("maxHeapGb").asDouble(0.0),
+          heapNowGb))
       .lastOption
       .map(_.path(field).asText(""))
       .getOrElse("")

@@ -18,7 +18,9 @@ package graft
   *    accidental cross join; compression variance absorbed by 3×).
   *  - [[Fixed]]: the query's input does not scale with the sf dir
   *    (synthetic DSv2 sources, artifact-only readouts) — band: big-SF
-  *    bytes stay under the floor or within 3× of small-SF bytes.
+  *    bytes stay under `max(4× small-SF bytes, floor)` (the multiplier
+  *    ScalingSpec enforces; 4× absorbs shuffle-compression jitter on
+  *    the near-floor frames these queries move).
   *
   * Classes were assigned from [[ScalingProbe]] measurements (TSV of
   * per-query footprints at both SFs), not from reading the code —

@@ -2155,6 +2155,8 @@ object GraphOps {
   private[graft] def sccFromEdges(deIn: DataFrame): DataFrame = {
     val s = deIn.sparkSession
     import s.implicits._
+    var colorRounds = 0
+    var bwRounds = 0
     var edges = deIn.select(col("a"), col("b")).localCheckpoint()
     var nodes = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node")))
@@ -2190,11 +2192,16 @@ object GraphOps {
         }
       }
       if (remaining > 0) {
-        // 2. forward min-id coloring to fixpoint
+        // 2. forward min-id coloring to fixpoint — ONE materialization
+        // per round: `next` is checkpointed carrying both the old and
+        // new label, the convergence count reads that cached frame, and
+        // `lab` is a lazy projection of it (round-12 verdict #6: the
+        // old shape checkpointed the same data twice per round)
         var lab = nodes.select(col("node"), col("node").as("lab"))
           .localCheckpoint()
         var changed = 1L
         while (changed > 0) {
+          colorRounds += 1
           val msgs = edges
             .join(lab.select(col("node").as("a"), col("lab")), Seq("a"))
             .select(col("b").as("node"), col("lab"))
@@ -2205,13 +2212,17 @@ object GraphOps {
             .localCheckpoint()
           changed = next.filter(col("nl") < col("lab")).count()
           lab = next.select(col("node"), col("nl").as("lab"))
-            .localCheckpoint()
         }
-        // 3. backward closure from pivots within each color
+        // 3. backward closure from pivots within each color — the
+        // previous round's count rides in a var, so each round costs
+        // one action (round-12 verdict #6: `next.count - inScc.count`
+        // re-counted the already-counted frame every round)
         var inScc = lab.filter(col("node") === col("lab"))
           .select("node", "lab").localCheckpoint()
+        var inSccCount = inScc.count()
         var grew = 1L
         while (grew > 0) {
+          bwRounds += 1
           val cand = edges
             .join(inScc.select(col("node").as("b"), col("lab")), Seq("b"))
             .select(col("a").as("node"), col("lab"))
@@ -2219,7 +2230,9 @@ object GraphOps {
             .filter(col("lab") === col("mylab"))
             .select("node", "lab")
           val next = inScc.unionByName(cand).distinct().localCheckpoint()
-          grew = next.count() - inScc.count()
+          val nextCount = next.count()
+          grew = nextCount - inSccCount
+          inSccCount = nextCount
           inScc = next
         }
         acc = acc.unionByName(
@@ -2234,9 +2247,23 @@ object GraphOps {
         remaining = nodes.count()
       }
     }
-    System.err.println(s"[graft] scc converged in $outer outer rounds")
+    lastSccRounds = SccRounds(outer, colorRounds, bwRounds)
+    System.err.println(s"[graft] scc converged in $outer outer rounds " +
+      s"($colorRounds coloring, $bwRounds backward-closure)")
     acc
   }
+
+  /** The last [[sccFromEdges]] run's round counts, for the spec that
+    * pins the fixture's convergence shape (round-12 verdict #6): the
+    * fixpoint runs once per input generation and serves from the
+    * artifact, so a reformulation that silently went quadratic-ROUND
+    * would hide behind build-once serves — the pinned counts make it
+    * fail the suite instead. Driver-side state like the bench's
+    * lastStageSeconds; not thread-safe by design (spec-only readout).
+    */
+  private[graft] final case class SccRounds(outer: Int, coloring: Int,
+    backward: Int)
+  @volatile private[graft] var lastSccRounds: SccRounds = SccRounds(0, 0, 0)
 
   /** The STORED directed-structure state — edges, SCC labels, and
     * topological layers as ONE fingerprint-guarded artifact (the

@@ -122,11 +122,33 @@ private[graft] object TableSink {
     * crash mid-delete would leave a partially-deleted live table that a
     * rebuild would read as truth), rename the stage over it, then drop
     * the aside copy. The aside→promote gap is closed by [[recover]] at
-    * read time; the aside directory is garbage from the moment the
-    * stage is promoted and is never read.
+    * read time.
+    *
+    * Round 13 — VERSIONED READS (time travel, the one Delta headline
+    * semantic previously without an analog): the superseded live
+    * directory is not garbage — it is EXACTLY the table as of the
+    * previous commit, already carrying its own `_graft_batch` marker.
+    * Instead of deleting it, the swap RENAMES it (no data copy) into
+    * `path__versions/v<prevId>`, where [[readTableAsOf]] serves it.
+    * Retention is bounded the rotating-gate way: after every commit,
+    * [[vacuumVersions]] keeps the newest `keepVersions` archived
+    * versions and GCs the rest — the overwrite-shaped sinks rewrite
+    * the FULL table per commit, so unbounded retention would be
+    * O(batches × table) storage on exactly the unbounded streams these
+    * sinks serve. A live table WITHOUT a marker (created before the
+    * atomic protocol) falls back to the old aside-and-delete path —
+    * there is no id to file it under.
+    *
+    * Crash points (all inherited): stage incomplete → live untouched,
+    * batch replays in full, no version archived twice (the archive
+    * rename happens only after the marker certifies the stage).
+    * Archive done + promote pending → [[recover]] promotes; the replay
+    * reads as applied and never re-runs the archive (idempotence spec).
+    * Crash mid-vacuum → the next commit's vacuum re-deletes (listing-
+    * based, idempotent).
     */
   def commit(s: SparkSession, path: String, batchId: Long,
-      df: DataFrame): Unit = {
+      df: DataFrame, keepVersions: Int = 2): Unit = {
     val f = fs(s, path)
     val st = stage(path)
     val live = new Path(path)
@@ -135,11 +157,80 @@ private[graft] object TableSink {
     df.write.mode("overwrite").parquet(st.toString)
     writeId(s, path, new Path(st, MarkerName), batchId)
     deleteOrThrow(f, aside)
-    if (f.exists(live)) renameOrThrow(f, live, aside)
+    if (f.exists(live)) {
+      readId(s, path, new Path(live, MarkerName)) match {
+        case Some(prevId) =>
+          f.mkdirs(versionsDir(path))
+          val vp = new Path(versionsDir(path), s"v$prevId")
+          deleteOrThrow(f, vp)
+          renameOrThrow(f, live, vp)
+        case None =>
+          renameOrThrow(f, live, aside)
+      }
+    }
     renameOrThrow(f, st, live)
     deleteOrThrow(f, aside)
+    vacuumVersions(s, path, keepVersions)
   }
 
+  private def versionsDir(path: String) = new Path(path + "__versions")
+
+  /** Every readable version id, oldest first: the archived superseded
+    * commits plus the live table's own. Incomplete archive directories
+    * (no marker) are invisible — the marker certifies every data file
+    * landed, same contract as the stage promote.
+    */
+  def listVersions(s: SparkSession, path: String): Seq[Long] = {
+    recover(s, path)
+    val f = fs(s, path)
+    val vd = versionsDir(path)
+    val archived =
+      if (!f.exists(vd)) Seq.empty[Long]
+      else f.listStatus(vd).toSeq
+        .filter(st => f.exists(new Path(st.getPath, MarkerName)))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("v").toLong).toOption)
+    (archived ++ readId(s, path, new Path(path, MarkerName))).sorted
+  }
+
+  /** Delta-style `versionAsOf`: the table EXACTLY as it stood after
+    * batch `batchId` committed — the live directory when `batchId` is
+    * current, the archived version otherwise. A version outside the
+    * retention horizon (vacuumed) or never committed throws with the
+    * available ids, like Delta's VersionNotFound.
+    */
+  def readTableAsOf(s: SparkSession, path: String,
+      batchId: Long): DataFrame = {
+    recover(s, path)
+    val f = fs(s, path)
+    if (readId(s, path, new Path(path, MarkerName)).contains(batchId))
+      s.read.parquet(path)
+    else {
+      val vp = new Path(versionsDir(path), s"v$batchId")
+      if (f.exists(new Path(vp, MarkerName)))
+        s.read.parquet(vp.toString)
+      else throw new IllegalArgumentException(
+        s"no committed version $batchId at $path; available: " +
+          listVersions(s, path).mkString("[", ", ", "]"))
+    }
+  }
+
+  /** Retention GC: keep the newest `keepLast` ARCHIVED versions, delete
+    * the rest (the live table is never touched). Listing-based and
+    * idempotent — a crash mid-vacuum leaves directories the next
+    * vacuum re-deletes, the rotating-gate discipline.
+    */
+  def vacuumVersions(s: SparkSession, path: String, keepLast: Int): Unit = {
+    val f = fs(s, path)
+    val vd = versionsDir(path)
+    if (f.exists(vd)) {
+      f.listStatus(vd).toSeq
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("v").toLong).toOption)
+        .sorted.dropRight(math.max(keepLast, 0))
+        .foreach(id => deleteOrThrow(f, new Path(vd, s"v$id")))
+    }
+  }
 
   def record(s: SparkSession, path: String, batchId: Long): Unit =
     writeId(s, path, ledger(path), batchId)
@@ -785,9 +876,37 @@ object StreamPipeline {
   private def gateManifestPath(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_gate_manifest")
 
-  /** Applied batch ids, from the manifest pointer (empty = fresh gate). */
+  /** Applied batch ids, from the manifest pointer (empty = fresh gate).
+    * `#`-prefixed header lines (the rotating gate's high-water mark)
+    * are skipped, so the faithful gates parse a rotated manifest too.
+    */
   private[graft] def gateManifest(s: SparkSession,
-      indexPath: String): Seq[Long] = {
+      indexPath: String): Seq[Long] =
+    readGateManifestLines(s, indexPath).filterNot(_.startsWith("#"))
+      .map(_.toLong)
+
+  /** The manifest's high-water mark: the largest batch id EVER
+    * committed, surviving the rotating gate's tail-pruning. Read from
+    * the `#hwm <id>` header when present; legacy manifests (every
+    * un-pruned gate) fall back to the max listed id, and a fresh gate
+    * reads -1. Checkpointed batch ids are monotonic, so
+    * `batchId <= hwm` is exactly "already processed" — membership in a
+    * full id list is not needed for replay detection (ADVICE round 12:
+    * the rotating gate re-wrote an O(stream) manifest per commit on the
+    * unbounded streams it exists to bound).
+    */
+  private[graft] def gateHwm(s: SparkSession, indexPath: String): Long = {
+    val lines = readGateManifestLines(s, indexPath)
+    lines.collectFirst {
+      case l if l.startsWith("#hwm ") => l.stripPrefix("#hwm ").trim.toLong
+    }.getOrElse {
+      val ids = lines.filterNot(_.startsWith("#")).map(_.toLong)
+      if (ids.isEmpty) -1L else ids.max
+    }
+  }
+
+  private def readGateManifestLines(s: SparkSession,
+      indexPath: String): Seq[String] = {
     val p = gateManifestPath(indexPath)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) Seq.empty
@@ -796,8 +915,7 @@ object StreamPipeline {
       try {
         val b = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
-        b.toString("UTF-8").split("\n").filter(_.nonEmpty)
-          .map(_.trim.toLong).toSeq
+        b.toString("UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       } finally in.close()
     }
   }
@@ -812,29 +930,48 @@ object StreamPipeline {
     * swap in [[TableSink]].
     */
   private def swapGateManifest(s: SparkSession, indexPath: String,
-      applied: Seq[Long]): Unit = {
+      applied: Seq[Long], hwm: Long = -1L): Unit = {
     val p = gateManifestPath(indexPath)
     val tmp = new org.apache.hadoop.fs.Path(indexPath,
       "_gate_manifest__tmp")
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = f.create(tmp, true)
-    try out.write(applied.mkString("\n").getBytes("UTF-8"))
+    val header = if (hwm >= 0) s"#hwm $hwm\n" else ""
+    try out.write((header + applied.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       p.toUri, s.sparkContext.hadoopConfiguration)
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The gate's admitted-documents table: the union of exactly the
-    * manifest-listed segments — unlisted (crash-orphaned) segments are
-    * invisible. Empty manifest → empty (schema-typed) frame.
+  /** The gate's admitted-documents table: every output segment whose
+    * batch id is at or below the manifest's high-water mark. For the
+    * faithful gates this is exactly the manifest-listed set (hwm = max
+    * listed id, every lower id listed); for the rotating gate it is the
+    * FULL admitted history — output segments outlive the pruned index
+    * manifest (the TTL bounds dedup STATE, not the stream's product).
+    * Crash-orphaned segments stay invisible under both: a pre-swap
+    * crash leaves a segment whose id is strictly above the committed
+    * hwm. Fresh gate → empty (schema-typed) frame.
     */
   def readGateAdmitted(s: SparkSession, outPath: String,
       indexPath: String): DataFrame = {
     import s.implicits._
-    val applied = gateManifest(s, indexPath)
-    if (applied.isEmpty) Seq.empty[(Long, String)].toDF("doc_id", "text")
-    else s.read.parquet(applied.map(b => s"$outPath/seg_$b"): _*)
+    val hwm = gateHwm(s, indexPath)
+    val op = new org.apache.hadoop.fs.Path(outPath)
+    val f = op.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val visible =
+      if (hwm < 0 || !f.exists(op)) Seq.empty[String]
+      else f.listStatus(op).toSeq.map(_.getPath)
+        .filter { seg =>
+          val n = seg.getName
+          n.startsWith("seg_") &&
+            scala.util.Try(n.stripPrefix("seg_").toLong)
+              .toOption.exists(_ <= hwm)
+        }
+        .map(_.toString)
+    if (visible.isEmpty) Seq.empty[(Long, String)].toDF("doc_id", "text")
+    else s.read.parquet(visible: _*)
   }
 
   /** The gate's shingle-index table (manifest-listed segments only). */
@@ -937,9 +1074,19 @@ object StreamPipeline {
         // persist the rebuild (deterministic content — safe on replay)
         val indexSizes =
           if (applied.nonEmpty) {
+            // the healing probe is a one-time MIGRATION check (an index
+            // built by the plain gate has no size sidecars), so probe
+            // each segment at most once per JVM — an unbounded stream
+            // would otherwise pay O(applied) fs.exists RPCs on EVERY
+            // commit for a condition that can only be true the first
+            // time a segment is seen (ADVICE round 12). A restart
+            // re-probes once per segment, which is the migration cost,
+            // not a per-batch one.
             val fsys = new org.apache.hadoop.fs.Path(indexPath)
               .getFileSystem(s.sparkContext.hadoopConfiguration)
-            applied.filterNot(b => fsys.exists(
+            val unverified = applied.filterNot(b =>
+              szsegVerified.contains(s"$indexPath#$b"))
+            unverified.filterNot(b => fsys.exists(
                 new org.apache.hadoop.fs.Path(s"$indexPath/szseg_$b")))
               .foreach { b =>
                 System.err.println(s"[graft] bloom gate: rebuilding " +
@@ -949,6 +1096,7 @@ object StreamPipeline {
                   .write.mode("overwrite")
                   .parquet(s"$indexPath/szseg_$b")
               }
+            unverified.foreach(b => szsegVerified.add(s"$indexPath#$b"))
             s.read.parquet(applied.map(b => s"$indexPath/szseg_$b"): _*)
           } else Seq.empty[(Long, Long)].toDF("doc_id", "sz")
         val all = indexSh.withColumn("is_new", lit(false))
@@ -1006,6 +1154,16 @@ object StreamPipeline {
       }
     }
   }
+
+  /** Per-JVM record of index segments whose szseg sidecar existence has
+    * been verified (or healed) — keyed `indexPath#batchId` so distinct
+    * gates never collide. Bounded by the number of live segments ever
+    * seen by this JVM; entries for deleted indexes are dead weight, not
+    * a correctness issue (a fresh index dir gets fresh batch writes
+    * with their own sidecars).
+    */
+  private val szsegVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def gateBloomPath(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_gate_bloom")
@@ -1121,7 +1279,12 @@ object StreamPipeline {
     val s = batch.sparkSession
     import s.implicits._
     val applied = gateManifest(s, indexPath)
-    if (applied.contains(batchId)) -1L
+    // replay detection by high-water mark, not list membership: the
+    // manifest below is PRUNED to the in-window tail (ADVICE round 12 —
+    // a full id list re-written per commit is O(stream) metadata on the
+    // unbounded streams this gate exists to bound), and checkpointed
+    // batch ids are monotonic, so id ≤ hwm ⇔ already committed
+    if (batchId <= gateHwm(s, indexPath)) -1L
     else {
       // the TTL: batch a is still deduped-against iff it is at most
       // windowBatches behind this one
@@ -1203,21 +1366,33 @@ object StreamPipeline {
         genBloom.mergeInPlace(
           admittedSh.stat.bloomFilter("h", bloomCapacity, bloomFpp))
         writeGenBloom(s, indexPath, g, genBloom)
-        swapGateManifest(s, indexPath, applied :+ batchId)
-        // GC AFTER the swap: expired segments and wholly-expired
-        // generations (idempotent — a crash here re-deletes next commit)
-        applied.filter(a => batchId - a > windowBatches).foreach { a =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$indexPath/seg_$a"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$indexPath/szseg_$a"), true)
-        }
-        val liveGens = (applied :+ batchId)
+        // the manifest carries only the in-window tail plus the hwm
+        // header — O(window) metadata per commit, replay detection via
+        // the monotonic hwm; the admitted OUTPUT segments are untouched
+        // (readGateAdmitted serves them by id ≤ hwm)
+        val retained = (applied :+ batchId)
           .filter(a => batchId - a <= windowBatches)
-          .map(_ / genSize).toSet
-        (applied :+ batchId).map(_ / genSize).distinct
-          .filterNot(liveGens.contains).foreach { dead =>
-            fs.delete(genBloomPath(indexPath, dead), false)
+        swapGateManifest(s, indexPath, retained, hwm = batchId)
+        // GC AFTER the swap, by directory LISTING rather than by the
+        // manifest: a pruned manifest drops an id at the same commit
+        // that deletes its files, so a crash between swap and GC would
+        // orphan them forever if GC only scanned manifest entries. The
+        // index dir holds O(window) live files — one listing per commit
+        // is bounded — and the listing also reaps whatever an earlier
+        // crash left behind (idempotent).
+        val liveIds = retained.toSet
+        val liveGens = retained.map(_ / genSize).toSet
+        def deadId(nme: String, prefix: String, live: Set[Long]) =
+          nme.startsWith(prefix) &&
+            scala.util.Try(nme.stripPrefix(prefix).toLong)
+              .toOption.exists(!live.contains(_))
+        fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+          .foreach { st =>
+            val nme = st.getPath.getName
+            if (deadId(nme, "seg_", liveIds) ||
+                deadId(nme, "szseg_", liveIds) ||
+                deadId(nme, "_gate_bloom_gen_", liveGens))
+              fs.delete(st.getPath, true)
           }
         nCand
       } finally {

@@ -313,8 +313,22 @@ class AdvancedStreamingSpec extends AnyFunSuite {
     assert(!files.contains("_gate_bloom_gen_0"),
       s"expired generation Bloom not GC'd: $files")
     assert(files.contains("seg_3") && files.contains("_gate_bloom_gen_3"))
-    // replayed id is a no-op
+    // replayed id is a no-op — including an id already PRUNED from the
+    // manifest tail (round-13: replay detection is the monotonic
+    // high-water mark, not list membership)
     assert(apply(batch((9L, dupText)), 3L) === -1L)
+    assert(apply(batch((9L, dupText)), 0L) === -1L,
+      "a pruned-from-tail id must still be detected as replayed")
+    // bounded metadata: the manifest carries only the in-window tail
+    // plus the hwm header, never the full id history (ADVICE round 12:
+    // O(stream) manifest rewrite per commit)
+    val manifestLines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$idx/_gate_manifest")), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    assert(manifestLines.count(!_.startsWith("#")) <= 2,
+      s"manifest must hold only the window tail: ${manifestLines.toSeq}")
+    assert(manifestLines.exists(_.startsWith("#hwm 3")),
+      s"manifest must carry the high-water mark: ${manifestLines.toSeq}")
     // parity: window covering the whole stream ≡ the plain gate
     val (pIdx, pOut) = (s"$base/p_index", s"$base/p_out")
     val (rIdx, rOut) = (s"$base/r_index", s"$base/r_out")

@@ -50,6 +50,49 @@ class AtomicCommitSpec extends AnyFunSuite {
       == Seq(2L))
   }
 
+  test("versioned reads (time travel): an as-of read reproduces the " +
+      "exact pre-batch table, a replayed batch leaves history " +
+      "unchanged, vacuum respects the retention bound while current " +
+      "reads stay intact, and a vacuumed version throws with the " +
+      "available ids") {
+    val path = tmpDir() + "/t"
+    import spark.implicits._
+    def table(vals: Long*) = vals.map(v => (v, s"r$v")).toDF("k", "v")
+    def kset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    // keepVersions = 2: after four commits versions {1, 2} survive
+    (0L to 3L).foreach(b =>
+      TableSink.commit(spark, path, b, table(0L to b: _*)))
+    // as-of reads reproduce each retained pre-batch table exactly
+    assert(kset(TableSink.readTableAsOf(spark, path, 2)) === Set(0L, 1L, 2L))
+    assert(kset(TableSink.readTableAsOf(spark, path, 1)) === Set(0L, 1L))
+    // the live table is also addressable by its own id
+    assert(kset(TableSink.readTableAsOf(spark, path, 3))
+      === Set(0L, 1L, 2L, 3L))
+    assert(TableSink.listVersions(spark, path) === Seq(1L, 2L, 3L))
+    // version 0 fell past the retention horizon during commit-time GC
+    val ex = intercept[IllegalArgumentException](
+      TableSink.readTableAsOf(spark, path, 0))
+    assert(ex.getMessage.contains("available"))
+    // a REPLAYED batch must leave history unchanged: the sink's gate
+    // (alreadyApplied) skips the commit, so no version is archived
+    // twice and the live read is untouched
+    assert(TableSink.alreadyApplied(spark, path, 3))
+    assert(TableSink.listVersions(spark, path) === Seq(1L, 2L, 3L))
+    assert(kset(spark.read.parquet(path)) === Set(0L, 1L, 2L, 3L))
+    // explicit vacuum tightens the horizon; current reads stay intact
+    TableSink.vacuumVersions(spark, path, keepLast = 1)
+    assert(TableSink.listVersions(spark, path) === Seq(2L, 3L))
+    assert(kset(TableSink.readTableAsOf(spark, path, 2)) === Set(0L, 1L, 2L))
+    assert(kset(spark.read.parquet(path)) === Set(0L, 1L, 2L, 3L))
+    // the as-of frame is a real table: schema and row content match the
+    // committed frame bit-for-bit, not just the key set
+    val v2 = TableSink.readTableAsOf(spark, path, 2)
+    assert(v2.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(v2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((0L, "r0"), (1L, "r1"), (2L, "r2")))
+  }
+
   test("crash mid-swap (live dir renamed aside, staged commit pending): " +
       "recovery promotes the complete stage, the batch reads as applied, " +
       "and a replay is a no-op — the formerly-open double-merge window") {

@@ -253,6 +253,75 @@ class BenchSanitySpec extends AnyFunSuite {
     assert(!BenchMath.contendedRun(8, 300, shuffleFlat = true))
   }
 
+  test("round-12 17:54 replay: a +36% flat-bytes run with only 4 movers " +
+      "but over-budget sub-floor excess now trips the contended marker " +
+      "(the hole the >=8-mover rule left); under-budget spread and " +
+      "moved bytes still do not") {
+    // the r12 evening run's shape: 4 movers on a 273-query suite, broad
+    // damage spread below the per-query floor (excess well past 5.0 s),
+    // shuffle bytes flat — a busy VM, not a code change
+    assert(BenchMath.contendedRun(4, 273, shuffleFlat = true,
+      subFloorExcessSec = 5.25))
+    // under the budget: band noise, not contention
+    assert(!BenchMath.contendedRun(4, 273, shuffleFlat = true,
+      subFloorExcessSec = 4.9))
+    // bytes moved: a real plan/data change owns the damage — never stamp
+    assert(!BenchMath.contendedRun(4, 273, shuffleFlat = false,
+      subFloorExcessSec = 99.0))
+    // the mover rule still works independently of the sub-floor clause
+    assert(BenchMath.contendedRun(59, 270, shuffleFlat = true,
+      subFloorExcessSec = 0.0))
+  }
+
+  test("subFloorContributors returns exactly the material sub-floor " +
+      "names the re-measure pass should target: above the 0.1 s " +
+      "materiality cut, below the per-query floor, host-scaled") {
+    val prev = Map("a" -> 0.2, "b" -> 0.2, "c" -> 0.2, "d" -> 1.0)
+    val cur = Seq(
+      ("a", 0.5, 0.45), // +0.25 s sub-floor → re-measure
+      ("b", 0.25, 0.24), // +0.04 s: under the materiality cut → skip
+      ("c", 1.2, 1.1), // excess 0.9 s > floor → the per-query rule owns it
+      ("d", 1.3, 1.25), // +0.25 s sub-floor → re-measure
+      ("e", 9.0, 9.0)) // no history → never
+    assert(BenchMath.subFloorContributors(cur, prev, 0.5, 0.5)
+      === Seq("a", "d"))
+    // a 3x-degraded host absorbs the small excesses entirely
+    assert(BenchMath.subFloorContributors(cur, prev, 1.5, 0.5)
+      .forall(_ == "c"))
+  }
+
+  test("heap-class filter: history readers skip lines recorded under a " +
+      "different GC regime (8 GB vs 89 GB heaps), unknown heaps match " +
+      "everything (old lines, callers that don't care)") {
+    assert(BenchMath.sameHeapClass(8.0, 8.9))
+    assert(!BenchMath.sameHeapClass(8.0, 89.0))
+    assert(BenchMath.sameHeapClass(0.0, 89.0))
+    assert(BenchMath.sameHeapClass(8.0, 0.0))
+    val lines = Seq(
+      """{"sf":"/d","queries":{"a":1.0},"probe":{"score":0.5},""" +
+        """"inputSig":"big","shuffleRead":{"a":999.0},""" +
+        """"host":{"cpus":32,"maxHeapGb":89.0,"arch":"amd64"}}""",
+      """{"sf":"/d","queries":{"a":2.0},"probe":{"score":0.6},""" +
+        """"inputSig":"small","shuffleRead":{"a":123.0},""" +
+        """"host":{"cpus":32,"maxHeapGb":8.0,"arch":"amd64"}}""")
+    // an 8 GB run reads the 8 GB line even though the 89 GB one is newer
+    // in the other order, and vice versa
+    val (meds8, _, _) = BenchMath.lastHistoryEntry(lines.reverse, "/d", 8.5)
+    assert(meds8 === Map("a" -> 2.0))
+    val (meds89, _, _) = BenchMath.lastHistoryEntry(lines, "/d", 89.0)
+    assert(meds89 === Map("a" -> 1.0))
+    assert(BenchMath.lastHistoryMap(lines, "/d", "shuffleRead", 8.0)
+      === Map("a" -> 123.0))
+    assert(BenchMath.lastHistoryString(lines, "/d", "inputSig", 89.0)
+      === "big")
+    // heap 0 (unfiltered callers / legacy behavior): newest line wins
+    val (medsAny, _, _) = BenchMath.lastHistoryEntry(lines, "/d")
+    assert(medsAny === Map("a" -> 2.0))
+    // all history in the other class: empty maps, gating skipped — never
+    // a crash, and the new line re-seeds this class's history
+    assert(BenchMath.lastHistoryEntry(lines.take(1), "/d", 8.0)._1.isEmpty)
+  }
+
   test("subFloorExcess sums only the positive sub-floor excesses the " +
       "per-query rule silences — flaggable or negative excesses stay " +
       "out, and the host ratio scales the comparison") {

@@ -92,6 +92,17 @@ class Round12OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+    // round-count pin (round-12 verdict #6): the fixpoint serves from
+    // the sccArtifact in production, so a reformulation that silently
+    // went quadratic-round would hide behind build-once serves — the
+    // bow-tie's convergence shape is deterministic (trim peels the
+    // chain/sink tails, one coloring pass per SCC layer bounded by the
+    // color-graph diameter, BW closure bounded by SCC diameter + 1).
+    // A count DRIFTING UP here means the loop structure regressed.
+    val r = GraphOps.lastSccRounds
+    assert(r.outer === 2, s"outer rounds moved: $r")
+    assert(r.coloring <= 8, s"coloring rounds past the fixture bound: $r")
+    assert(r.backward <= 6, s"backward-closure rounds past the bound: $r")
   }
 
   test("directed-structure faces at the spec fixture: the precedence " +
