@@ -69,7 +69,13 @@ object Bench {
       // generation, served by graph_scc/graph_condensation/
       // graph_topo_layers (measured at sf0.1 before the artifact:
       // 15.7 + 15.1 + 37.0 s of identical recompute per rep)
-      "graph_scc")).distinct
+      "graph_scc",
+      // round 13: the cutoff-keyed BASE-side artifact (pre-cutoff
+      // edges + SCC labels) — graph_scc_incremental's measured reps
+      // then time the per-batch fold (the operator's whole point),
+      // not the amortized base fixpoint; graph_reach_census serves
+      // from the graph_scc artifact already built above
+      "graph_scc_incremental")).distinct
     // Sacrificial runs are TIMED and ride along in the JSON line: the
     // pre-build excludes one-time artifact-build cost from every
     // measured rep (by design), which would otherwise make a regression

@@ -6988,6 +6988,171 @@ object OracleSql {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
+  /** One side of the year-split precedence construction for the
+    * incremental-SCC oracle ([[graft.ops.GraphOps
+    * .precedenceEdgesByYear]] twin): the SAME basket filter, pair
+    * count, and (n DESC, b) top-k window as [[sccCtes]], evaluated
+    * WITHIN the year subset (window functions run after WHERE, and an
+    * order's year is constant, so the per-okey basket size is exact in
+    * the subset). Emits `${p}de(a, b)`.
+    */
+  private def precSideCtes(p: String, pred: String,
+      maxBasket: Int = 50, topK: Int = 5): String =
+    s"""${p}sized AS (
+       |  SELECT okey, part, pos FROM (
+       |    SELECT i.okey, i.part, i.pos,
+       |           COUNT(*) OVER (PARTITION BY i.okey) AS bsz
+       |    FROM yitems i JOIN yoy USING (okey) WHERE $pred)
+       |  WHERE bsz <= $maxBasket),
+       |${p}dn AS (
+       |  SELECT x.part AS a, y.part AS b, count(*) AS n
+       |  FROM ${p}sized x JOIN ${p}sized y
+       |    ON x.okey = y.okey AND x.pos < y.pos
+       |  GROUP BY 1, 2),
+       |${p}de AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b,
+       |           row_number() OVER (PARTITION BY a ORDER BY n DESC, b)
+       |             AS rk
+       |    FROM ${p}dn)
+       |  WHERE rk <= $topK)""".stripMargin
+
+  /** Min-mutual-reach SCC labels over an edge CTE `${e}(a, b)` —
+    * the [[sccCtes]] closure block, prefix-parameterized so the
+    * incremental oracle can label the base and union graphs
+    * independently. Emits `${p}sccl(node, scc_id)`.
+    */
+  private def sccLabelCtes(p: String, e: String): String =
+    s"""${p}nds AS (SELECT a AS node FROM $e UNION SELECT b FROM $e),
+       |${p}reach(src, dst) AS (
+       |  SELECT a, b FROM $e
+       |  UNION
+       |  SELECT r.src, x.b FROM ${p}reach r JOIN $e x ON x.a = r.dst),
+       |${p}mutual AS (
+       |  SELECT r1.src AS u, r1.dst AS v
+       |  FROM ${p}reach r1 JOIN ${p}reach r2
+       |    ON r1.src = r2.dst AND r1.dst = r2.src
+       |  UNION ALL SELECT node, node FROM ${p}nds),
+       |${p}sccl AS (SELECT u AS node, min(v) AS scc_id FROM ${p}mutual
+       |  GROUP BY 1)""".stripMargin
+
+  /** Round-13 additions: incremental SCC maintenance (full-recompute
+    * oracle) and the condensation-served reachability census.
+    */
+  val round13: Map[String, String] = Map(
+    // GraphOps.sccIncrementalFace twin: a FULL recompute — SCC labels
+    // of base ∪ delta (the strongest check of an incremental operator,
+    // the componentsIncremental gate discipline), joined against the
+    // base-only labels for the merge census.
+    "graph_scc_incremental" ->
+      s"""WITH RECURSIVE yitems AS (
+         |  SELECT l_orderkey AS okey, l_partkey AS part,
+         |         min(l_linenumber) AS pos
+         |  FROM lineitem GROUP BY 1, 2),
+         |yoy AS (
+         |  SELECT o_orderkey AS okey,
+         |         EXTRACT(year FROM o_orderdate) AS oy
+         |  FROM orders),
+         |${precSideCtes("b", "oy < 1998")},
+         |${precSideCtes("d", "oy >= 1998")},
+         |ude AS (SELECT a, b FROM bde UNION SELECT a, b FROM dde),
+         |${sccLabelCtes("u", "ude")},
+         |${sccLabelCtes("b", "bde")}
+         |SELECT u.scc_id,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(count(DISTINCT b.scc_id) AS BIGINT) AS n_base_sccs,
+         |       CAST(sum(CASE WHEN b.scc_id IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_new_nodes
+         |FROM usccl u LEFT JOIN bsccl b USING (node)
+         |GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY n_members DESC, u.scc_id""".stripMargin,
+
+    // GraphOps.topoLayersIncremental twin: the graph_topo_layers
+    // longest-path recursion over the UNION (base ∪ delta) graph —
+    // merged labels re-derived from scratch, never trusted.
+    "graph_topo_layers_incremental" ->
+      s"""WITH RECURSIVE yitems AS (
+         |  SELECT l_orderkey AS okey, l_partkey AS part,
+         |         min(l_linenumber) AS pos
+         |  FROM lineitem GROUP BY 1, 2),
+         |yoy AS (
+         |  SELECT o_orderkey AS okey,
+         |         EXTRACT(year FROM o_orderdate) AS oy
+         |  FROM orders),
+         |${precSideCtes("b", "oy < 1998")},
+         |${precSideCtes("d", "oy >= 1998")},
+         |ude AS (SELECT a, b FROM bde UNION SELECT a, b FROM dde),
+         |${sccLabelCtes("u", "ude")},
+         |uce AS (
+         |  SELECT DISTINCT sa.scc_id AS ca, sb.scc_id AS cb
+         |  FROM ude
+         |  JOIN usccl sa ON ude.a = sa.node
+         |  JOIN usccl sb ON ude.b = sb.node
+         |  WHERE sa.scc_id <> sb.scc_id),
+         |usccs AS (SELECT DISTINCT scc_id FROM usccl),
+         |ulp(scc_id, dd) AS (
+         |  SELECT scc_id, 0 FROM usccs s
+         |  WHERE NOT EXISTS (SELECT 1 FROM uce WHERE cb = s.scc_id)
+         |  UNION
+         |  SELECT uce.cb, ulp.dd + 1 FROM ulp
+         |  JOIN uce ON uce.ca = ulp.scc_id),
+         |ulay AS (SELECT scc_id, max(dd) AS layer FROM ulp GROUP BY 1)
+         |SELECT CAST(l.layer AS BIGINT) AS layer,
+         |       CAST(count(*) AS BIGINT) AS n_sccs,
+         |       CAST(sum(m.n) AS BIGINT) AS n_nodes
+         |FROM ulay l
+         |JOIN (SELECT scc_id, count(*) AS n FROM usccl GROUP BY 1) m
+         |  USING (scc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // GraphOps.reachCensus twin: recursive descendant/ancestor
+    // closures over the condensation from the nontrivial-SCC seed set
+    // (bounded: seeds × SCCs pair mass), self excluded from counts.
+    "graph_reach_census" ->
+      s"""WITH RECURSIVE ${sccCtes()},
+         |pce AS (
+         |  SELECT DISTINCT sa.scc_id AS ca, sb.scc_id AS cb
+         |  FROM pde
+         |  JOIN psccl sa ON pde.a = sa.node
+         |  JOIN psccl sb ON pde.b = sb.node
+         |  WHERE sa.scc_id <> sb.scc_id),
+         |psz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM psccl GROUP BY 1),
+         |pseeds AS (SELECT scc_id FROM psz WHERE n >= 2),
+         |pdesc(seed, cur) AS (
+         |  SELECT scc_id, scc_id FROM pseeds
+         |  UNION
+         |  SELECT dsc.seed, e.cb FROM pdesc dsc
+         |  JOIN pce e ON e.ca = dsc.cur),
+         |panc(seed, cur) AS (
+         |  SELECT scc_id, scc_id FROM pseeds
+         |  UNION
+         |  SELECT an.seed, e.ca FROM panc an
+         |  JOIN pce e ON e.cb = an.cur),
+         |dagg AS (
+         |  SELECT seed,
+         |    CAST(sum(CASE WHEN cur <> seed THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_desc_sccs,
+         |    CAST(sum(CASE WHEN cur <> seed THEN z.n ELSE 0 END)
+         |      AS BIGINT) AS n_desc_nodes
+         |  FROM pdesc JOIN psz z ON z.scc_id = pdesc.cur GROUP BY 1),
+         |aagg AS (
+         |  SELECT seed,
+         |    CAST(sum(CASE WHEN cur <> seed THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_anc_sccs,
+         |    CAST(sum(CASE WHEN cur <> seed THEN z.n ELSE 0 END)
+         |      AS BIGINT) AS n_anc_nodes
+         |  FROM panc JOIN psz z ON z.scc_id = panc.cur GROUP BY 1)
+         |SELECT s.scc_id, z.n AS n_members,
+         |       d.n_desc_sccs, d.n_desc_nodes,
+         |       a.n_anc_sccs, a.n_anc_nodes
+         |FROM pseeds s
+         |JOIN psz z ON z.scc_id = s.scc_id
+         |JOIN dagg d ON d.seed = s.scc_id
+         |JOIN aagg a ON a.seed = s.scc_id
+         |ORDER BY s.scc_id""".stripMargin,
+  )
+
   /** Engine-variant aliases: queries whose plan differs but whose result
     * is proven bit-identical to an already-oracled query share its SQL
     * truth (one oracle, two driver-gated engine shapes).

@@ -67,6 +67,8 @@ object ScalingClasses {
     "graph_components", "graph_component_sizes",
     "graph_components_incremental", "graph_anf", "graph_anf_diameter",
     "graph_scc", "graph_condensation", "graph_topo_layers",
+    "graph_scc_incremental", "graph_reach_census",
+    "graph_topo_layers_incremental",
     "graph_pagerank_bucketed", "corpus_pipeline_stages")
 
   /** Shuffle proportional to the CANDIDATE-PAIR table, not the input:
@@ -140,7 +142,9 @@ object ScalingClasses {
     "graph_hop_histogram", "graph_jaccard_neighbors", "graph_kcore",
     "graph_ktruss", "graph_label_prop", "graph_modularity",
     "graph_pagerank", "graph_powerlaw_fit", "graph_ppr_seeded",
-    "graph_rich_club", "graph_scc", "graph_sssp", "graph_topo_layers",
+    "graph_rich_club", "graph_scc",
+    "graph_scc_incremental", "graph_sssp", "graph_topo_layers",
+    "graph_topo_layers_incremental",
     "graph_triangles", "mm_audio_energy", "mm_decode_images",
     "mm_features", "mm_phash", "mm_phash_clusters", "mm_phash_pairs",
     "mm_resize", "mm_sample_frames", "mm_scene_detect",
@@ -197,5 +201,13 @@ object ScalingClasses {
       inputLinear.iterator.map(_ -> (InputLinear: Band)) ++
       pairBounded.iterator.map(_ ->
         (PairBounded("df-capped inverted-index pair mass"): Band)) ++
+      // the reach closure's shuffle is (seed, reachable-SCC) pairs —
+      // seeds (nontrivial SCCs) and reach sets both grow with the
+      // graph, so the honest band is capped-quadratic, not linear
+      // (probed 88× shuffle on 38× input: inside ×3-linear at this SF
+      // pair but with no structural guarantee it stays there)
+      Map("graph_reach_census" ->
+        (PairBounded("nontrivial-seed × reachable-SCC closure pairs")
+          : Band)) ++
       fixedReasons.iterator.map { case (k, v) => k -> (Fixed(v): Band) }
 }

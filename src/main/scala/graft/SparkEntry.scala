@@ -480,6 +480,18 @@ object SparkEntry {
       graft.ops.GraphOps.condensation(s, d)),
     "graph_topo_layers"       -> ((s, d) =>
       graft.ops.GraphOps.topoLayers(s, d)),
+    // round 13: delta-batch SCC maintenance (bridge-graph fold over the
+    // stored base labels; oracle is a FULL recompute over base ∪ delta)
+    "graph_scc_incremental"   -> ((s, d) =>
+      graft.ops.GraphOps.sccIncrementalFace(s, d)),
+    // round 13: per-nontrivial-SCC descendant/ancestor census on the
+    // contracted DAG, served from the stored scc artifact
+    "graph_reach_census"      -> ((s, d) =>
+      graft.ops.GraphOps.reachCensus(s, d)),
+    // round 13: merged-graph layering after the delta fold (labels →
+    // condensation → layers; oracle re-derives from the union graph)
+    "graph_topo_layers_incremental" -> ((s, d) =>
+      graft.ops.GraphOps.topoLayersIncremental(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql
@@ -490,7 +502,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     OracleSql.extended ++ OracleSql.aliased ++ OracleSql.round6 ++
       OracleSql.round7 ++ OracleSql.round8 ++ OracleSql.round9 ++
-      OracleSql.round12 ++ Map(
+      OracleSql.round12 ++ OracleSql.round13 ++ Map(
     "q1_category_per_country" ->
       """SELECT n_name AS country, o_orderpriority AS category,
         |       count(*) AS category_count

@@ -2105,11 +2105,22 @@ object GraphOps {
     * the graph real cycles — the structure the SCC family exists for.
     */
   private[graft] def precedenceEdges(s: SparkSession, d: String,
-      maxBasket: Int = 50, topK: Int = 5): DataFrame = {
-    val items = Tables.lineitem(s, d)
+      maxBasket: Int = 50, topK: Int = 5): DataFrame =
+    precedenceFromItems(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"),
         col("l_linenumber").as("lnum"))
-      .groupBy("okey", "part").agg(min(col("lnum")).as("pos"))
+      .groupBy("okey", "part").agg(min(col("lnum")).as("pos")),
+      maxBasket, topK)
+
+  /** The construction proper over an explicit (okey, part, pos) item
+    * frame — shared by the full-graph build and the year-split
+    * incremental base/delta builds (each split runs the basket filter
+    * and per-node top-k WITHIN its own subset, so base ∪ delta is a
+    * well-defined union of two constructions, which is exactly what
+    * the full-recompute oracle recomputes).
+    */
+  private def precedenceFromItems(items: DataFrame,
+      maxBasket: Int, topK: Int): DataFrame = {
     val sized = items
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("okey")))
       .filter(col("bsz") <= maxBasket)
@@ -2123,6 +2134,29 @@ object GraphOps {
         Window.partitionBy("a").orderBy(col("n").desc, col("b"))))
       .filter(col("rk") <= topK)
       .select("a", "b")
+  }
+
+  /** The precedence graph split at an order-year cutoff: (base, delta)
+    * edge frames built from orders strictly before / from `cutoffYear`
+    * on — the batch-arrival reality [[componentsIncremental]] models
+    * for the undirected trade graph, here for the directed family.
+    * Each side is its own full construction (see
+    * [[precedenceFromItems]]); the okey grain makes the split exact
+    * (every item row carries exactly one order year).
+    */
+  private[graft] def precedenceEdgesByYear(s: SparkSession, d: String,
+      cutoffYear: Int, maxBasket: Int = 50,
+      topK: Int = 5): (DataFrame, DataFrame) = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"),
+        col("l_linenumber").as("lnum"))
+      .groupBy("okey", "part").agg(min(col("lnum")).as("pos"))
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+        year(col("o_orderdate")).as("oy")), Seq("okey"))
+    (precedenceFromItems(items.filter(col("oy") < cutoffYear)
+        .select("okey", "part", "pos"), maxBasket, topK),
+      precedenceFromItems(items.filter(col("oy") >= cutoffYear)
+        .select("okey", "part", "pos"), maxBasket, topK))
   }
 
   /** Strongly connected components of a directed edge frame (a → b)
@@ -2396,5 +2430,223 @@ object GraphOps {
       layer += 1
     }
     acc
+  }
+
+  /** Incremental SCC maintenance (round-13 — the directed twin of
+    * [[componentsIncremental]]'s discipline): fold a DELTA edge batch
+    * into the STORED base SCC labels withOUT re-running FW-BW over the
+    * base graph. The base labels CONTRACT the base graph to its
+    * condensation DAG; each delta edge is rewritten onto its endpoints'
+    * base labels (self for unseen nodes); a full SCC pass runs over
+    * that LABEL-SIZED bridge graph (condensation ∪ rewritten delta);
+    * and every node's new label is its old label mapped through the
+    * bridge labels — untouched components pass through unchanged.
+    *
+    * Correctness is the same algebraic identity as the undirected
+    * fold: min-mutual-reach labels each base SCC with its minimum
+    * member id, so the bridge SCC's minimum-over-labels IS the
+    * minimum-over-nodes of the merged component. The bridge must carry
+    * the base CONDENSATION edges, not just the delta — a delta edge
+    * b→a closes a cycle only together with an existing base path
+    * a→…→b, and that path lives in the condensation. Scope: edge
+    * ADDITIONS only (cycle-merge); deletions (cycle-break) need
+    * decremental machinery (recompute within the broken component)
+    * and are out of scope, as for the undirected fold.
+    *
+    * Scale shape: per batch one delta-sized label join + an SCC pass
+    * over the condensation-sized bridge — never the base edges. The
+    * base fixpoint is amortized as a cutoff-keyed stored artifact
+    * ([[sccBaseArtifact]]); at 100 TB the labels ARE the stored state
+    * and this fold is the per-batch cost.
+    *
+    * Returns (node, scc_id, base_scc): merged label per node, plus the
+    * node's base label (NULL for delta-only nodes) for the census face.
+    */
+  private[graft] def sccIncremental(baseEdges: DataFrame,
+      baseLabels: DataFrame, deltaIn: DataFrame): DataFrame = {
+    val delta = deltaIn.localCheckpoint()
+    def labOf(c: String) = baseLabels
+      .select(col("node").as(c), col("scc_id").as(s"lab_$c"))
+    // base condensation: cross-SCC base edges contracted onto labels
+    val cond = baseEdges
+      .join(labOf("a"), Seq("a")).join(labOf("b"), Seq("b"))
+      .filter(col("lab_a") =!= col("lab_b"))
+      .select(col("lab_a").as("a"), col("lab_b").as("b")).distinct()
+    // delta edges rewritten onto labels (self for unseen nodes);
+    // intra-SCC delta edges are structural no-ops and drop out
+    val bridgedDelta = delta
+      .join(labOf("a").withColumnRenamed("a", "da"),
+        col("a") === col("da"), "left")
+      .join(labOf("b").withColumnRenamed("b", "db"),
+        col("b") === col("db"), "left")
+      .select(coalesce(col("lab_a"), col("a")).as("a"),
+        coalesce(col("lab_b"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val bridgeLab = sccFromEdges(
+      cond.unionByName(bridgedDelta).distinct())
+      .select(col("node").as("old_lab"), col("scc_id").as("new_lab"))
+      .localCheckpoint()
+    // every node: base nodes under their base label, delta-only nodes
+    // under self — then map the label through the bridge result
+    // (isolated-in-bridge labels pass through via the coalesce)
+    val baseNodes = baseLabels
+      .select(col("node"), col("scc_id").as("lab"), col("scc_id").as("base_scc"))
+    val deltaOnly = delta.select(col("a").as("node"))
+      .unionByName(delta.select(col("b").as("node"))).distinct()
+      .join(baseLabels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("lab"),
+        lit(null).cast("long").as("base_scc"))
+    baseNodes.unionByName(deltaOnly)
+      .join(bridgeLab, col("lab") === col("old_lab"), "left")
+      .select(col("node"),
+        coalesce(col("new_lab"), col("lab")).as("scc_id"),
+        col("base_scc"))
+  }
+
+  /** The STORED base-side state for [[sccIncrementalFace]] — base
+    * edges + base SCC labels of the pre-`cutoffYear` precedence graph
+    * as one cutoff-keyed fingerprint-guarded artifact (the
+    * [[componentsIncremental]] trade-labels discipline): the base
+    * FW-BW fixpoint runs once per input generation; every per-batch
+    * fold serves from the stored tables.
+    */
+  private[graft] def sccBaseArtifact(s: SparkSession, d: String,
+      cutoffYear: Int): Map[String, DataFrame] =
+    graft.sources.Artifact.readOrCompute(s,
+      graft.sources.Sinks.namespaced(
+        s"${graft.sources.Artifact.stagingRoot(s)}/" +
+          s"graft_scc_base_y$cutoffYear/" +
+          new java.io.File(d).getName, d),
+      "sccbase.fingerprint",
+      Seq(s"$d/lineitem.parquet", s"$d/orders.parquet"),
+      Seq("edges", "labels")) { () =>
+      val (base, _) = precedenceEdgesByYear(s, d, cutoffYear)
+      val edges = base.localCheckpoint()
+      Map("edges" -> edges, "labels" -> sccFromEdges(edges))
+    }
+
+  /** Driver face of the incremental fold: per MERGED SCC with ≥ 2
+    * members — its min-member id, size, how many distinct BASE SCCs
+    * merged into it, and how many delta-only (never-seen) nodes it
+    * absorbed. The oracle is a FULL recompute over base ∪ delta (two
+    * recursive mutual-reach closures — the strongest possible check of
+    * an incremental operator, per the undirected fold's gate). Pure
+    * integer counts.
+    */
+  def sccIncrementalFace(s: SparkSession, d: String,
+      cutoffYear: Int = 1998): DataFrame = {
+    val parts = sccBaseArtifact(s, d, cutoffYear)
+    val (_, delta) = precedenceEdgesByYear(s, d, cutoffYear)
+    sccIncremental(parts("edges"), parts("labels"), delta)
+      .groupBy("scc_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("base_scc")).as("n_base_sccs"),
+        sum(when(col("base_scc").isNull, 1L).otherwise(0L))
+          .as("n_new_nodes"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("scc_id"))
+  }
+
+  /** Topological layering of the MERGED graph after the incremental
+    * fold (round 13 — the serving face that completes the incremental
+    * directed family: labels → condensation → layers): the delta fold
+    * produces merged labels withOUT touching base edges; this readout
+    * then contracts base ∪ delta onto those labels (one linear
+    * edge-keyed pass — the unavoidable edge-grain cost of a layer
+    * readout, separable from the label fold and condensation-sized
+    * from there on) and runs the same Kahn peel as [[topoLayers]].
+    * Surfaced as the identical (layer, n_sccs, n_nodes) histogram, so
+    * the oracle is [[topoLayers]]' bounded longest-path recursion over
+    * the UNION graph — merged labels are never trusted, they are
+    * re-derived by the full-recompute oracle.
+    */
+  def topoLayersIncremental(s: SparkSession, d: String,
+      cutoffYear: Int = 1998): DataFrame = {
+    val parts = sccBaseArtifact(s, d, cutoffYear)
+    val (_, delta) = precedenceEdgesByYear(s, d, cutoffYear)
+    val merged = sccIncremental(parts("edges"), parts("labels"), delta)
+      .select(col("node"), col("scc_id")).localCheckpoint()
+    val allEdges = parts("edges").unionByName(delta).distinct()
+      .localCheckpoint()
+    topoLayersFromParts(allEdges, merged)
+      .join(merged.groupBy("scc_id")
+        .agg(count(lit(1)).as("n_nodes")), Seq("scc_id"))
+      .groupBy("layer")
+      .agg(count(lit(1)).as("n_sccs"), sum(col("n_nodes")).as("n_nodes"))
+      .orderBy("layer")
+  }
+
+  /** Forward reachability closure over a condensation edge frame from
+    * an explicit seed set: (seed, cur) pairs including (seed, seed),
+    * grown frontier-BFS-style — per round one frontier×edges join, an
+    * anti-join against the accumulated set, and a localCheckpoint;
+    * rounds = DAG depth. Pair mass is bounded by seeds × SCCs and the
+    * seed set is the NONTRIVIAL SCCs only (bow-tie structure: few), so
+    * the closure never goes all-pairs over the condensation.
+    */
+  private def sccClosure(condEdges: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    var acc = seeds.select(col("scc_id").as("seed"),
+      col("scc_id").as("cur")).localCheckpoint()
+    var frontier = acc
+    var n = frontier.count()
+    while (n > 0) {
+      val next = frontier
+        .join(condEdges, frontier("cur") === condEdges("scc_a"))
+        .select(col("seed"), col("scc_b").as("cur")).distinct()
+        .join(acc, Seq("seed", "cur"), "left_anti")
+        .localCheckpoint()
+      n = next.count()
+      if (n > 0) {
+        acc = acc.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    acc
+  }
+
+  /** Condensation-served reachability census (round 13 — the
+    * scheduling/lineage workload the condensation docstring promises):
+    * for every NONTRIVIAL SCC (≥ 2 members), how many SCCs and nodes
+    * are reachable FROM it (descendants) and reach INTO it (ancestors)
+    * on the contracted DAG — downstream blast radius and upstream
+    * dependency mass per cyclic core. Serves entirely from the stored
+    * [[sccArtifact]] (edges + labels); the two closures run on the
+    * condensation, never the node graph; self is excluded from both
+    * counts. Oracle: bounded recursive CTEs from the same seed set.
+    */
+  def reachCensus(s: SparkSession, d: String): DataFrame = {
+    val parts = sccArtifact(s, d)
+    reachCensusFromParts(parts("edges"), parts("labels"))
+  }
+
+  /** [[reachCensus]]'s core over explicit edge/label frames —
+    * spec-drivable with hand graphs.
+    */
+  private[graft] def reachCensusFromParts(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val cond = condensationFromParts(edges, labels)
+      .select("scc_a", "scc_b").localCheckpoint()
+    val sizes = labels.groupBy("scc_id")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val seeds = sizes.filter(col("n") >= 2).select("scc_id")
+      .localCheckpoint()
+    def agg(closure: DataFrame, sccCol: String, nodeCol: String) =
+      closure.join(sizes.withColumnRenamed("scc_id", "cur"), Seq("cur"))
+        .groupBy("seed")
+        .agg(sum(when(col("cur") =!= col("seed"), 1L).otherwise(0L))
+            .as(sccCol),
+          sum(when(col("cur") =!= col("seed"), col("n")).otherwise(0L))
+            .as(nodeCol))
+    val desc = agg(sccClosure(cond, seeds), "n_desc_sccs", "n_desc_nodes")
+    val anc = agg(sccClosure(cond.select(col("scc_b").as("scc_a"),
+      col("scc_a").as("scc_b")), seeds), "n_anc_sccs", "n_anc_nodes")
+    seeds.join(sizes, Seq("scc_id"))
+      .join(desc, col("scc_id") === desc("seed")).drop("seed")
+      .join(anc, col("scc_id") === anc("seed")).drop("seed")
+      .select(col("scc_id"), col("n").as("n_members"),
+        col("n_desc_sccs"), col("n_desc_nodes"),
+        col("n_anc_sccs"), col("n_anc_nodes"))
+      .orderBy("scc_id")
   }
 }

@@ -120,6 +120,46 @@ class AtomicCommitSpec extends AnyFunSuite {
       "replay after recovery double-merged the batch")
   }
 
+  test("crash in the ARCHIVE window (previous live already renamed into " +
+      "the versions dir, staged commit pending): recovery promotes the " +
+      "stage, the archived version serves as-of reads, a replay is a " +
+      "no-op, and no version is archived twice") {
+    val path = tmpDir() + "/t"
+    import spark.implicits._
+    def table(vals: Long*) = vals.map(v => (v, s"r$v")).toDF("k", "v")
+    TableSink.commit(spark, path, 0, table(0L))
+    TableSink.commit(spark, path, 1, table(0L, 1L))
+    // reproduce batch 2's crash state between the archive-rename and
+    // the promote-rename: v1 archived, stage complete, live absent
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    table(0L, 1L, 2L).write.parquet(path + "__stage_crash")
+    // build the stage the way commit does (data + marker last)
+    assert(f.rename(new org.apache.hadoop.fs.Path(path + "__stage_crash"),
+      new org.apache.hadoop.fs.Path(path + "__stage")))
+    val mk = f.create(new org.apache.hadoop.fs.Path(
+      path + "__stage/_graft_batch"), true)
+    mk.write("2".getBytes); mk.close()
+    assert(f.mkdirs(new org.apache.hadoop.fs.Path(path + "__versions")))
+    assert(f.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__versions/v1")))
+    // recovery is lazy — any ledger/read probe finishes the swap
+    assert(TableSink.alreadyApplied(spark, path, 2),
+      "a complete stage must recover as the committed table")
+    // v0 was archived by commit 1 (inside keepVersions), v1 by the
+    // simulated crash — recovery itself never vacuums
+    assert(TableSink.listVersions(spark, path) === Seq(0L, 1L, 2L))
+    assert(TableSink.readTableAsOf(spark, path, 1).count() === 2L)
+    assert(spark.read.parquet(path).count() === 3L)
+    // the replay the checkpoint would drive is gated by alreadyApplied
+    // (commit's caller contract) — the recovered marker answers it, so
+    // the batch never re-runs and no version is archived twice
+    assert(TableSink.alreadyApplied(spark, path, 2))
+    assert(TableSink.listVersions(spark, path) === Seq(0L, 1L, 2L) &&
+      spark.read.parquet(path).count() === 3L,
+      "recovery must leave exactly the committed history")
+  }
+
   test("an INCOMPLETE stage (no marker — crash during the staged write) " +
       "is never promoted: the live table and its ledger stay the truth " +
       "and the batch re-applies in full") {
