@@ -66,6 +66,11 @@ object Explain {
               .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
               .mkString("\n")
             catch { case e: Throwable => s"[explain failed] $e" }
+          else if (name == "graph_ppr_bucketed")
+            try ops.GraphOps.pprExplainFrames(spark, sfDir)
+              .map { case (sn, df) => s"===== $sn =====\n${fmt(df)}" }
+              .mkString("\n")
+            catch { case e: Throwable => s"[explain failed] $e" }
           // same treatment for the round-8 checkpointed loops: the full
           // query plus the fact-sized edge build and (kcore) a real
           // peel round — the frames the loop's checkpoints hide

@@ -7161,5 +7161,10 @@ object OracleSql {
     "ev_cusum_partitioned" -> extended("ev_cusum_changepoint"),
     // bucketing is pure layout: the scaled-integer supersteps make the
     // bucketed loop bit-identical to the plain one, so one SQL truth
-    "graph_pagerank_bucketed" -> round6("graph_pagerank"))
+    "graph_pagerank_bucketed" -> round6("graph_pagerank"),
+    // same argument for the personalized variant: the base column
+    // rides the bucketed node table but every superstep computes the
+    // identical integer expression, so the plain PPR's unrolled-CTE
+    // oracle is the shared truth (bit-parity spec-pinned)
+    "graph_ppr_bucketed" -> round8("graph_ppr_seeded"))
 }

@@ -68,7 +68,7 @@ object ScalingClasses {
     "graph_components_incremental", "graph_anf", "graph_anf_diameter",
     "graph_scc", "graph_condensation", "graph_topo_layers",
     "graph_scc_incremental", "graph_reach_census",
-    "graph_topo_layers_incremental",
+    "graph_topo_layers_incremental", "graph_ppr_bucketed",
     "graph_pagerank_bucketed", "corpus_pipeline_stages")
 
   /** Shuffle proportional to the CANDIDATE-PAIR table, not the input:
@@ -96,7 +96,8 @@ object ScalingClasses {
     "ev_ltv_cohort", "ev_moving_corr", "ev_psi_drift",
     "ev_seasonal_anomaly", "ev_seasonal_profile", "ev_segment_exclusive",
     "ev_survival_hazard", "ev_theil_sen", "ev_time_to_convert",
-    "ev_top_users", "graph_pagerank_bucketed", "mm_media_stats",
+    "ev_top_users", "graph_pagerank_bucketed", "graph_ppr_bucketed",
+    "mm_media_stats",
     "mm_size_quantiles", "q1_category_per_country",
     "q2_category_per_year", "q3_top_poster_per_country",
     "q4_top_country", "r_benford_audit", "r_bucketed_join",

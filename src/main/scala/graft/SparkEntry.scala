@@ -492,6 +492,11 @@ object SparkEntry {
     // condensation → layers; oracle re-derives from the union graph)
     "graph_topo_layers_incremental" -> ((s, d) =>
       graft.ops.GraphOps.topoLayersIncremental(s, d)),
+    // round 13: the bucketed-layout twin of graph_ppr_seeded (the
+    // family's most expensive superstep loop) — bit-identical integer
+    // supersteps, exchange-free rank⋈edges join, same oracle
+    "graph_ppr_bucketed"      -> ((s, d) =>
+      graft.ops.GraphOps.personalizedPageRankBucketed(s, d)),
   )
 
   private val bucketSql = Queries.acctbalBucketSql

@@ -106,6 +106,18 @@ class Round13OpsSpec extends AnyFunSuite {
       "layer histogram must account every merged node exactly once")
   }
 
+  test("personalizedPageRankBucketed is BIT-identical to the plain " +
+      "personalizedPageRank (the pageRankBucketed layout-is-pure-" +
+      "physics contract, extended to the based teleport): same rows, " +
+      "same micro-unit ranks, same order") {
+    val d = TestSpark.sf0001
+    val plain = GraphOps.personalizedPageRank(spark, d).collect().toSeq
+    val bucketed = GraphOps.personalizedPageRankBucketed(spark, d)
+      .collect().toSeq
+    assert(bucketed === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("registry fixture faces are non-vacuous and mutually consistent: " +
       "graph_scc_incremental's merged census has rows and its base-scc " +
       "lineage counts are sane; graph_reach_census rows are exactly " +
