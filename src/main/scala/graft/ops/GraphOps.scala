@@ -48,7 +48,13 @@ object GraphOps {
     */
   def pageRank(s: SparkSession, d: String, iters: Int = 10,
       topK: Int = 20): DataFrame =
-    presentTopK(pageRankFrom(tradeEdges(s, d), iters), topK)
+    // totalNodes=false: the trade graph is bidirectional ⇒ every node
+    // has in-degree ≥ 1, so the inbox already covers all nodes and the
+    // per-round total-nodes left join is bought for nothing (the same
+    // argument pageRankBucketed has always used — round 13 applies it
+    // to the plain loop; bit-identical output, spec-pinned)
+    presentTopK(pageRankFrom(tradeEdges(s, d), iters,
+      totalNodes = false), topK)
 
   /** [[pageRank]] over the BUCKETED layout ([[pageRankFromBucketed]]) —
     * bit-identical output (same scaled-integer supersteps; the layout is
@@ -139,6 +145,11 @@ object GraphOps {
   def personalizedPageRank(s: SparkSession, d: String,
       nation: String = "NATION_0", iters: Int = 10,
       topK: Int = 20): DataFrame = {
+    // the pageRankFrom round-13 superstep shape: divide by out-degree
+    // on the node-sized frame BEFORE the edge join (bytes unchanged,
+    // one edge-sized SMJ per round instead of two, division per node
+    // not per edge — the fold-onto-edges variant was rejected by the
+    // armed shuffle-byte gate for widening the per-round edge exchange)
     val edges = tradeEdges(s, d).localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
@@ -167,10 +178,11 @@ object GraphOps {
         when(col("base") > 0, lit(r0)).otherwise(lit(0L)).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val inbox = pr
-        .join(edges, pr("node") === edges("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+      val outbox = pr.join(deg, pr("node") === deg("src"))
+        .select(col("node"), expr("r div outdeg").as("c"))
+      val inbox = outbox
+        .join(edges, outbox("node") === edges("src"))
+        .select(col("dst").as("node"), col("c"))
         .groupBy("node").agg(sum(col("c")).as("sin"))
       pr = based.join(inbox, Seq("node"), "left")
         .select(col("node"),
@@ -363,7 +375,8 @@ object GraphOps {
     * key-type-agnostic. [[pageRank]] ranks trade partners with it;
     * `TextOps.textRank` ranks co-occurring words.
     */
-  def pageRankFrom(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
+  def pageRankFrom(edgesIn: DataFrame, iters: Int = 10,
+      totalNodes: Boolean = true): DataFrame = {
     // localCheckpoint, MEASURED against the pre-partitioned-persist
     // alternative (edges.repartition(src).persist(), which keeps
     // Catalyst partitioning knowledge and halves shuffle bytes
@@ -373,6 +386,17 @@ object GraphOps {
     // lives in [[pageRankFromBucketed]], whose bucketed tables come
     // back SORTED from disk (no per-round sort) — bytes-minimal there,
     // wall-clock-minimal here.
+    //
+    // Round 13 (guide §2.3): each superstep now divides the rank by the
+    // out-degree BEFORE the edge join — a node-sized pr⋈deg SMJ whose
+    // (node, c) output flows into the one edge-sized join — instead of
+    // joining the EDGE-sized intermediate against the degree table
+    // per round. Bytes are unchanged (pr/deg/edges/inbox exchanges all
+    // carry the same rows and widths as before — the engine's armed
+    // shuffle-byte gate rejected the fold-outdeg-onto-edges variant,
+    // which widened the per-round edge exchange 127→171 MB), but the
+    // second edge-sized SMJ disappears and the floor-division runs
+    // once per NODE instead of once per edge.
     val edges = edgesIn.localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
@@ -392,27 +416,42 @@ object GraphOps {
     // depth.
     var pr = nodes.select(col("node"), lit(r0).as("r")).localCheckpoint()
     for (_ <- 1 to iters)
-      pr = plainSuperstep(pr, edges, deg, nodes, base).localCheckpoint()
+      pr = plainSuperstep(pr, edges, deg, nodes, base, totalNodes)
+        .localCheckpoint()
     pr
   }
 
-  /** One plain superstep (join + deg join + inbox agg + total left
-    * join) — the loop body of [[pageRankFrom]], factored so the plan
-    * audit can snapshot a REAL superstep (the checkpointed loop's final
-    * frame planwise is just `Scan ExistingRDD` — vacuous).
+  /** One plain superstep (node-sized rank ⋈ degree pre-division, one
+    * edge-sized message join, inbox agg, optional total left join) —
+    * the loop body of [[pageRankFrom]], factored so the plan audit can
+    * snapshot a REAL superstep (the checkpointed loop's final frame
+    * planwise is just `Scan ExistingRDD` — vacuous).
+    * `totalNodes = false` skips the per-round total-nodes left join,
+    * valid exactly when every node has in-degree ≥ 1 (any
+    * both-directions graph — the [[superstep]]/bucketed contract,
+    * applied to the plain loop).
     */
   private[graft] def plainSuperstep(pr: DataFrame, edges: DataFrame,
-      deg: DataFrame, nodes: DataFrame, base: Long): DataFrame = {
-    val inbox = pr
-      .join(edges, pr("node") === edges("src"))
-      .join(deg, Seq("src"))
-      .select(col("dst").as("node"),
-        expr("r div outdeg").as("c")) // integer floor-div, never float
+      deg: DataFrame, nodes: DataFrame, base: Long,
+      totalNodes: Boolean = true): DataFrame = {
+    // per-node outbox value first (node-sized join; identical integer
+    // floor-div), so the edge-sized join routes a 2-column frame and
+    // the division never runs per edge
+    val outbox = pr.join(deg, pr("node") === deg("src"))
+      .select(col("node"), expr("r div outdeg").as("c"))
+    val inbox = outbox
+      .join(edges, outbox("node") === edges("src"))
+      .select(col("dst").as("node"), col("c"))
       .groupBy("node").agg(sum(col("c")).as("sin"))
-    nodes.join(inbox, Seq("node"), "left")
-      .select(col("node"),
-        (lit(base) +
-          floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+    if (totalNodes)
+      nodes.join(inbox, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            floor(lit(0.85) * coalesce(col("sin"), lit(0L))))
+            .cast("long").as("r"))
+    else
+      inbox.select(col("node"),
+        (lit(base) + floor(lit(0.85) * col("sin")))
           .cast("long").as("r"))
   }
 
@@ -684,7 +723,7 @@ object GraphOps {
       val pr0 = nodes.select(col("node"), lit(0L).as("r")).localCheckpoint()
       Seq("full query" -> pageRank(s, d),
         "one superstep (plain; per-round edge Exchange visible)" ->
-          plainSuperstep(pr0, edges, deg, nodes, 1L))
+          plainSuperstep(pr0, edges, deg, nodes, 1L, totalNodes = false))
     }
 
   /** [[explainFrames]]' twin for `graph_ppr_bucketed`: the full query

@@ -117,32 +117,40 @@ object SimilarityOps {
     * fact-sized scan runs once per caller.
     */
   private def covUpper(s: SparkSession, d: String, dim: Int): DataFrame = {
-    val emb = Tables.embeddings(s, d).select("embedding")
-      .localCheckpoint() // feeds the pair fan AND the component sums
-    val pairs = emb.select(explode(expr(
-      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
-         |  transform(sequence(i, ${dim - 1}), j -> struct(
-         |    i AS i, j AS j,
-         |    cast(floor(cast(embedding[i] as double)
-         |      * cast(embedding[j] as double) * 1e9) as bigint)
-         |      AS pq))))""".stripMargin)).as("t"))
-      .groupBy(col("t.i").cast("long").as("dim_i"),
-        col("t.j").cast("long").as("dim_j"))
-      .agg(count(lit(1)).as("n"), sum(col("t.pq")).as("spq"))
-    val comp = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("i").cast("long").as("i"),
-        expr("cast(floor(cast(x as double) * 1e9) as bigint)").as("xq"))
-      .groupBy("i").agg(sum(col("xq")).as("sx"))
-    pairs
-      .join(broadcast(comp.select(col("i").as("dim_i"),
-        col("sx").as("sxi"))), Seq("dim_i"))
-      .join(broadcast(comp.select(col("i").as("dim_j"),
-        col("sx").as("sxj"))), Seq("dim_j"))
-      .select(col("dim_i"), col("dim_j"), col("n"),
-        (col("spq").cast("double") / 1e9 / col("n").cast("double") -
-          (col("sxi").cast("double") / 1e9 / col("n").cast("double")) *
-          (col("sxj").cast("double") / 1e9 / col("n").cast("double")))
+    // ONE corpus scan into the flat scaled-integer Gram aggregate
+    // ([[graft.functions.GramUpperAgg]]) — round 13, guide §1.2 step 2
+    // (per-task work): the previous form EXPLODED d(d+1)/2 (i, j, term)
+    // struct rows per embedding into a 2 080-group hash aggregate
+    // (~21 M generated rows at sf0.1, measured as this operator's whole
+    // cost — emb_dim_covariance 2.8 s / emb_pca_power 3.1 s medians);
+    // the aggregate folds the same floor(x_i·x_j·1e9) longs in a tight
+    // per-row loop, so the sums (and every consumer's output) are
+    // BIT-identical while the generated-row pipeline disappears. The
+    // d²-bounded surface is then one 1-row explode over index structs —
+    // no broadcast joins, no second scan for the component sums.
+    val g = Tables.embeddings(s, d)
+      .agg(graft.functions.GramUpper.gramUpper(col("embedding"), dim)
+        .as("g"))
+      .select(col("g.n").as("n"), col("g.sx").as("sx"),
+        col("g.spq").as("spq"))
+    g.select(col("n"), col("sx"), col("spq"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+             |  transform(sequence(i, ${dim - 1}), j ->
+             |    struct(i AS i, j AS j))))""".stripMargin)).as("t"))
+      .filter(col("n") > 0) // empty corpus ⇒ empty frame, as the fan-out form
+      .select(col("t.i").cast("long").as("dim_i"),
+        col("t.j").cast("long").as("dim_j"), col("n"),
+        // row-major upper-triangle index k = i·d − i(i−1)/2 + (j − i);
+        // element_at is 1-based. Same double op order as the fan-out
+        // form: spq/1e9/n − (sx_i/1e9/n)·(sx_j/1e9/n).
+        (element_at(col("spq"), expr(
+            s"cast(t.i * $dim - (t.i * (t.i - 1)) div 2 + (t.j - t.i) + 1 as int)"))
+            .cast("double") / 1e9 / col("n").cast("double") -
+          (element_at(col("sx"), expr("cast(t.i + 1 as int)"))
+            .cast("double") / 1e9 / col("n").cast("double")) *
+          (element_at(col("sx"), expr("cast(t.j + 1 as int)"))
+            .cast("double") / 1e9 / col("n").cast("double")))
           .as("cov"))
       .localCheckpoint()
   }

@@ -782,7 +782,10 @@ object TextOps {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-    graft.ops.GraphOps.pageRankFrom(edges)
+    // totalNodes=false: edges are the both-directions union, so every
+    // node has in-degree ≥ 1 and the per-round total-nodes left join
+    // is structurally a no-op (the pageRank round-13 argument)
+    graft.ops.GraphOps.pageRankFrom(edges, totalNodes = false)
       .orderBy(col("r").desc, col("node"))
       .limit(k)
       .select(col("node").as("term"),
