@@ -1731,17 +1731,24 @@ object GraphOps {
   /** One synchronous LPA round (adjacency⋈labels + (node, label) count
     * + argmax with the (count desc, label asc) tiebreak) — factored so
     * the plan audit can snapshot a REAL round.
+    *
+    * Round 13: the argmax is `max(struct(c, −lab))` — a partial-
+    * aggregating hash aggregate — instead of a row_number window,
+    * which paid a per-round node-keyed SORT of the (node, label)
+    * frame. Struct comparison is lexicographic, so max picks the
+    * highest count and, on ties, the highest −lab = LOWEST label:
+    * exactly the (count desc, label asc) contract, deterministic
+    * (labels are non-negative node ids, so negation cannot overflow).
+    * Same exchanges (node,lab → node), no sort, map-side combine on
+    * both aggregates.
     */
   private[graft] def lpaRound(adj: DataFrame,
-      lab: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(col("c").desc, col("lab"))
+      lab: DataFrame): DataFrame =
     adj.join(lab.select(col("node").as("nb"), col("lab")), Seq("nb"))
       .groupBy("node", "lab").agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("node", "lab")
-  }
+      .groupBy("node")
+      .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("lab"))
 
   /** Approximate neighborhood function N(r) — HyperANF (Boldi, Rosa &
     * Vigna 2011; ANF, Palmer et al. 2002) over the thresholded
